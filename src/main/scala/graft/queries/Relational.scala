@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator pack over the TPC-H-ish testdata tables.
+  *
+  * Determinism contract with the DuckDB oracle (driver hash-compares values
+  * after sorting): all money arithmetic happens in the DECIMAL domain. The
+  * input doubles are exact 2-decimal values (verified against testdata), so
+  * `cast(x as decimal)` is exact in both engines, decimal add/multiply are
+  * exact, and
+  * decimal SUM is order-independent — hashes match bit-for-bit. Casting
+  * double *products* to decimal would NOT match: Spark rounds the double's
+  * shortest string representation while DuckDB rounds the binary value.
+  * Aggregate outputs get a final lossless cast to a pinned DECIMAL(38,s) so
+  * both engines emit the same scale.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** money column (exact 2-decimal double) → decimal */
+  private def m(c: Column): Column = c.cast("decimal(18,2)")
+  /** percentage-like column (discount/tax, 2-decimal in [0,1]) */
+  private def onem(c: Column): Column = (lit(1) - c.cast("decimal(4,2)")).cast("decimal(4,2)")
+  private def onep(c: Column): Column = (lit(1) + c.cast("decimal(4,2)")).cast("decimal(4,2)")
+  /** pin aggregate output type (lossless: widens precision, keeps scale) */
+  private def fin(c: Column, s: Int): Column = c.cast(s"decimal(38,$s)")
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q1 shape: full-table scan + hash aggregate. Partial (map-side)
+    // aggregation shuffles only |groups| rows per partition.
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          fin(sum(m(col("l_quantity"))), 2).as("sum_qty"),
+          fin(sum(m(col("l_extendedprice"))), 2).as("sum_base_price"),
+          fin(sum(m(col("l_extendedprice")) * onem(col("l_discount"))), 4).as("sum_disc_price"),
+          fin(sum(m(col("l_extendedprice")) * onem(col("l_discount")) * onep(col("l_tax"))), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // TPC-H Q3 shape: 3-way join; customer is small → broadcast so only the
+    // orders⋈lineitem shuffle touches big data.
+    "q3_shipping_priority" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+        .agg(fin(sum(m(col("l_extendedprice")) * onem(col("l_discount"))), 4).as("revenue"))
+    },
+
+    // Semi-join (EXISTS) + aggregate.
+    "q4_order_priority" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem").filter(col("l_discount") > 0.05)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // TPC-H Q5 shape: 6-way join. region/nation/supplier/customer are dims →
+    // broadcast; only the orders⋈lineitem join shuffles big data.
+    "q5_local_supplier" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(fin(sum(m(col("l_extendedprice")) * onem(col("l_discount"))), 4).as("revenue"))
+    },
+
+    // TPC-H Q6 shape: pure scan+filter+agg; filters push to parquet.
+    "q6_revenue_forecast" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(fin(sum(m(col("l_extendedprice")) * col("l_discount").cast("decimal(4,2)")), 4).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    },
+
+    // TPC-H Q10 shape: top-20 by decimal revenue with key tiebreak (total
+    // order → deterministic LIMIT in both engines).
+    "q10_returned_items" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(fin(sum(m(col("l_extendedprice")) * onem(col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    "q_topk_orders" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), m(col("o_totalprice")).as("totalprice"))
+        .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // Running total per customer — one shuffle on o_custkey, then sorted
+    // window within partitions.
+    "q_window_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          fin(sum(m(col("o_totalprice"))).over(w), 2).as("running_total"))
+    },
+
+    "q_window_top3_per_customer" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), m(col("o_totalprice")).as("totalprice"), col("rk"))
+    },
+
+    // Anti-join (NOT EXISTS).
+    "q_customers_without_orders" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // Semi-join projection.
+    "q_parts_ordered" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      val l = Tables(s, dir, "lineitem")
+      p.join(l, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_brand")
+    },
+
+    // ROLLUP grouping sets (null-filled super-aggregate rows).
+    "q_rollup_regional_sales" -> { (s, dir) =>
+      // Expressed in SQL: the DataFrame rollup API false-positives Spark's
+      // ambiguous-self-join check on Expand-duplicated grouping attrs in
+      // this join shape. Plan is identical (ROLLUP → Expand + Aggregate).
+      Seq("orders", "customer", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"rr_$t"))
+      s.sql(
+        """SELECT r_name, n_name,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales,
+          | count(*) AS n_orders
+          |FROM rr_orders JOIN rr_customer ON o_custkey = c_custkey
+          | JOIN rr_nation ON c_nationkey = n_nationkey
+          | JOIN rr_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    },
+
+    // Conditional aggregation (pivot-shaped without PIVOT).
+    "q_status_mix" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+          fin(sum(when(col("o_orderstatus") === "F", m(col("o_totalprice"))).otherwise(lit(null))), 2).as("sales_f"))
+    },
+
+    "q_segment_stats" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+             count(lit(1)).as("n_orders"),
+             fin(sum(m(col("o_totalprice"))), 2).as("total_sales"))
+    },
+
+    "q_part_type_share" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n_parts"),
+             fin(sum(m(col("p_retailprice"))), 2).as("total_retail"),
+             min(col("p_size")).as("min_size"),
+             max(col("p_size")).as("max_size"))
+    },
+
+    // Set op: UNION (distinct) of two key spaces.
+    "q_union_nation_keys" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(su).distinct().select(col("nationkey").cast("int").as("nationkey"))
+    },
+
+    // Correlated-scalar shape: customers whose account balance exceeds their
+    // nation's average (window instead of a correlated subquery — single
+    // shuffle, no rescan). The avg comparison is expressed as
+    // bal*n > sum(bal) in exact decimal arithmetic so both engines agree
+    // bit-for-bit (DuckDB's AVG returns double, which could flip boundaries).
+    "q_above_nation_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey")
+      Tables(s, dir, "customer")
+        .withColumn("nation_sum", sum(m(col("c_acctbal"))).over(w))
+        .withColumn("nation_n", count(lit(1)).over(w))
+        .filter(m(col("c_acctbal")) * col("nation_n") > col("nation_sum"))
+        .select("c_custkey", "c_nationkey")
+    }
+  )
+
+  private val revenueExpr =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(sum($revenueExpr * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT r_name, n_name,
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM orders ORDER BY totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+        |FROM orders""".stripMargin,
+    "q_window_top3_per_customer" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_parts_ordered" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q_rollup_regional_sales" ->
+      """SELECT r_name, n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q_status_mix" ->
+      """SELECT o_orderpriority,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS sales_f
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_segment_stats" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_part_type_share" ->
+      """SELECT p_type, count(*) AS n_parts,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_retail,
+        | min(p_size) AS min_size, max(p_size) AS max_size
+        |FROM part GROUP BY p_type""".stripMargin,
+    "q_union_nation_keys" ->
+      """SELECT DISTINCT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+    "q_above_nation_avg" ->
+      """SELECT c_custkey, c_nationkey FROM (
+        | SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS nation_sum,
+        |  count(*) OVER (PARTITION BY c_nationkey) AS nation_n
+        | FROM customer) WHERE bal * nation_n > nation_sum""".stripMargin
+  )
+}
