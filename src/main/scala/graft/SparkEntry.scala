@@ -16,10 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.EventsOps.defs ++
+      graft.queries.TextOps.defs ++
+      graft.queries.SimilarityOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.queries.EventsOps.oracles ++
+      graft.queries.TextOps.oracles ++
+      graft.queries.SimilarityOps.oracles
 }

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table (event_id, ts, user_id,
+  * event_type, value, props-json). Batch forms of the streaming shapes:
+  * tumbling-window aggregation, sessionization, funnel, latest-per-key
+  * dedup, JSON extraction.
+  *
+  * Determinism: `ts` values are exactly microsecond-aligned (verified), so
+  * Spark's parquet ns→us read is lossless vs DuckDB's TIMESTAMP_NS; the
+  * oracle casts to TIMESTAMP to normalize. `value` doubles are exact at
+  * 4 decimals → summed as DECIMAL.
+  */
+object EventsOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // Tumbling-window aggregation (batch form of a streaming windowed agg).
+    "q_events_hourly" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+    },
+
+    // Sessionization: 30-min inactivity gap splits sessions. Single shuffle
+    // on user_id; lag + running sum within sorted partitions. At 100 TB this
+    // is the mapGroupsWithState shape — here the batch window-function form.
+    "q_events_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(byUser)))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+               unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"))
+    },
+
+    // Conversion funnel: users with view < click < purchase (min-event-time
+    // ordering). One aggregate pass, no self-joins.
+    "q_events_funnel" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .filter(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
+    },
+
+    // Semi-structured extraction: JSON props → typed column → aggregate.
+    "q_events_json_props" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+                col("user_id"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // Latest-event-per-key dedup (the compaction/upsert shape).
+    "q_events_latest_per_user" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    },
+
+    // Per-user behavior matrix (conditional aggregation fan-out).
+    "q_events_user_matrix" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        | SELECT user_id, ts,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
+    "q_events_funnel" ->
+      """SELECT * FROM (
+        | SELECT user_id,
+        |  CAST(min(CASE WHEN event_type = 'view' THEN ts END) AS TIMESTAMP) AS t_view,
+        |  CAST(min(CASE WHEN event_type = 'click' THEN ts END) AS TIMESTAMP) AS t_click,
+        |  CAST(min(CASE WHEN event_type = 'purchase' THEN ts END) AS TIMESTAMP) AS t_purchase
+        | FROM events GROUP BY user_id)
+        |WHERE t_view < t_click AND t_click < t_purchase""".stripMargin,
+    "q_events_json_props" ->
+      """SELECT CAST(props->>'k' AS BIGINT) AS k, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_events_latest_per_user" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+    "q_events_user_matrix" ->
+      """SELECT user_id,
+        | sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        | sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

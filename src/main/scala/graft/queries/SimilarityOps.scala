@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity-search operators over the `embeddings` table
+  * (vec_id, embedding: array<float>[64], label).
+  *
+  * Determinism: every float enters arithmetic via an explicit cast to
+  * double, and every reduction over an array is a sequential left fold
+  * (Spark `aggregate`, DuckDB `list_reduce`) — identical evaluation order →
+  * bit-identical doubles in both engines. No cross-row float sums (row
+  * order is engine-dependent); only per-row folds, comparisons, and
+  * integer aggregates cross rows.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** sequential sum of squares: ((0 + x1*x1) + x2*x2) + ... */
+  private def sumSq(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x)
+
+  /** sequential dot product via zip_with */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+
+  /** 16-bit sign-LSH bucket from the first 16 components */
+  private def signBucket(c: Column): Column =
+    (0 until 16).map(i =>
+      when(element_at(c, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+
+  private val duckSumSq =
+    "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)"
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]), (x, y) -> x + y)"
+  private val duckBucket =
+    (0 until 16).map(i =>
+      s"(CASE WHEN embedding[${i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+
+  val defs: Map[String, Q] = Map(
+    // Vector norms — scan-only array fold, whole-stage codegen.
+    "q_embed_norms" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          sqrt(sumSq(col("embedding"))).as("l2_norm"))
+    },
+
+    // Brute-force cosine top-k: 10 query vectors × all candidates.
+    // The query side is tiny → broadcast nested-loop join; candidates
+    // stream. At cluster scale the same plan shards candidates across
+    // executors — no shuffle until the final per-query top-k.
+    "q_embed_cosine_topk" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          dot(col("q_emb"), col("c_emb")) /
+            (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("q_id", "c_id", "rk", "cosine")
+    },
+
+    // Sign-LSH bucketing (random-projection LSH with axis projections):
+    // the scale path for ANN — one shuffle on bucket id.
+    "q_embed_lsh_buckets" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), signBucket(col("embedding")).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+    },
+
+    // Embedding-cosine near-duplicate detection, LSH-bucketed: candidate
+    // pairs only within a bucket (vs O(n²) all-pairs), then exact cosine.
+    "q_embed_neardup" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          dot(col("emb_a"), col("emb_b")) /
+            (sqrt(sumSq(col("emb_a"))) * sqrt(sumSq(col("emb_b")))))
+        .filter(col("cosine") > 0.9)
+        .select("id_a", "id_b", "cosine")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_embed_norms" ->
+      s"""SELECT vec_id, label, len(embedding) AS dim, sqrt($duckSumSq) AS l2_norm
+        |FROM embeddings""".stripMargin,
+    "q_embed_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  ${duckDot("q", "c")} /
+        |   (sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
+        |    sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
+        | FROM q, embeddings c WHERE q.vec_id <> c.vec_id)
+        |SELECT q_id, c_id, rk, cosine FROM (
+        | SELECT q_id, c_id, cosine,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        | FROM scored) WHERE rk <= 5""".stripMargin,
+    "q_embed_lsh_buckets" ->
+      s"""SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+        |FROM (SELECT vec_id, $duckBucket AS bucket FROM embeddings)
+        |GROUP BY bucket""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${duckDot("a", "b")} /
+        |   (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q)) *
+        |    sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))) AS cosine
+        | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |WHERE cosine > 0.9""".stripMargin
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the training-data pipeline operators (dedup,
+  * similarity, text analysis, event streams) beyond the oracle hash gate.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cosine top-k: 5 neighbors per query, cosine within [-1, 1], ranked") {
+    val rows = SparkEntry.queries("q_embed_cosine_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rk"))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("minhash pairs are a subset of true-jaccard >= 0.5 and symmetric-free") {
+    val pairs = SparkEntry.queries("q_doc_minhash_pairs")(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("exact dedup covers all docs") {
+    val total = Tables(spark, sf, "documents").count()
+    val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(deduped == total)
+  }
+
+  test("sessionize: session count per user >= 1, events conserved") {
+    val sessions = SparkEntry.queries("q_events_sessionize")(spark, sf)
+    val totalEvents = Tables(spark, sf, "events").count()
+    val sessionEvents = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(sessionEvents == totalEvents)
+    val bad = sessions.filter(col("session_start") > col("session_end")).count()
+    assert(bad == 0)
+  }
+
+  test("simhash is stable across runs (deterministic)") {
+    val a = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("langid predicts only known languages") {
+    val langs = SparkEntry.queries("q_doc_langid")(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "fr", "de", "es")))
+  }
+}
