@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.EventsOps.defs ++
       graft.queries.TextOps.defs ++
-      graft.queries.SimilarityOps.defs
+      graft.queries.SimilarityOps.defs ++
+      graft.queries.ChainQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.EventsOps.oracles ++
       graft.queries.TextOps.oracles ++
-      graft.queries.SimilarityOps.oracles
+      graft.queries.SimilarityOps.oracles ++
+      graft.queries.ChainQueries.oracles
 }

@@ -1,0 +1,391 @@
+package graft.chain
+
+import graft.functions.{Abi, BinaryStats, Keccak, Keccak256, U256}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dataset transforms: RPC-response-shaped inputs (ChainSource tables) →
+  * the engine's output tables, mirroring each reference dataset's
+  * `transform` phase (SURVEY §2.1). All logic is declarative DataFrame
+  * code — Catalyst prunes, pushes filters into the parquet scan, and
+  * broadcasts the dimension sides; nothing here shuffles except the few
+  * window/groupBy operators, which shuffle on their natural keys.
+  */
+object ChainDatasets {
+
+  def fx(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** datasets/blocks.rs:11-125 — header projection. */
+  def blocks(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Datatypes.blocks
+    fx(spark, dir, "rpc_blocks")
+      .select(TableSchema.resolve(ds).map(col): _*)
+      .sortWithinPartitions("block_number")
+  }
+
+  /** datasets/transactions.rs:14-318 — tx ⋈ receipt, EIP-1559 effective
+    * gas price, input-byte stats, success flag. Receipts and block base
+    * fees are dimension-sized per chunk → broadcast joins.
+    */
+  def transactions(spark: SparkSession, dir: String,
+      excludeFailed: Boolean = false): DataFrame = {
+    val txs = fx(spark, dir, "rpc_transactions")
+    val receipts = fx(spark, dir, "rpc_receipts")
+    val baseFees = fx(spark, dir, "rpc_blocks")
+      .select(col("block_number").as("bf_bn"), col("base_fee_per_gas"))
+    val joined = txs
+      .join(broadcast(receipts.withColumnRenamed("gas_used", "receipt_gas_used")),
+        Seq("transaction_hash"), "left")
+      .join(broadcast(baseFees), col("block_number") === col("bf_bn"), "left")
+    // effective gas price (transactions.rs:287-302):
+    //   legacy (type 0/1): declared gas_price
+    //   eip-1559 (type 2): base_fee + least(max_priority, max_fee - base_fee)
+    val effGasPrice = when(col("transaction_type") === 2,
+        col("base_fee_per_gas") +
+          least(col("max_priority_fee_per_gas"),
+                col("max_fee_per_gas") - col("base_fee_per_gas")))
+      .otherwise(col("gas_price"))
+    val out = joined
+      .withColumn("gas_price", effGasPrice)
+      .withColumn("gas_used", col("receipt_gas_used"))
+      .withColumn("success", col("status") === 1)
+      .withColumn("n_input_bytes", length(col("input")))
+      .withColumn("n_input_zero_bytes", BinaryStats.zeroByteCount(col("input")))
+      .withColumn("n_input_nonzero_bytes",
+        length(col("input")) - BinaryStats.zeroByteCount(col("input")))
+    val filtered = if (excludeFailed) out.filter(col("success")) else out
+    filtered
+      .select(TableSchema.resolve(Datatypes.transactions).map(col): _*)
+      .sortWithinPartitions("block_number", "transaction_index")
+  }
+
+  /** datasets/logs.rs:11-191 — topics split to topic0..3; optional
+    * address/topic0 predicate; optional ABI decode appending event__*
+    * columns and dropping raw topic/data columns (to_df/lib.rs:165-166).
+    */
+  def logs(spark: SparkSession, dir: String,
+      address: Option[Array[Byte]] = None,
+      eventSignature: Option[String] = None,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame = {
+    val raw = fx(spark, dir, "rpc_logs")
+    val filtered = address.map(a => raw.filter(col("address") === lit(a))).getOrElse(raw)
+    val split = filtered
+      .withColumn("topic0", get(col("topics"), lit(0)))
+      .withColumn("topic1", get(col("topics"), lit(1)))
+      .withColumn("topic2", get(col("topics"), lit(2)))
+      .withColumn("topic3", get(col("topics"), lit(3)))
+      .withColumn("n_data_bytes", length(col("data")))
+    eventSignature match {
+      case None =>
+        split.select(TableSchema.resolve(Datatypes.logs).map(col): _*)
+          .sortWithinPartitions("block_number", "log_index")
+      case Some(sig) =>
+        val event = Abi.parseEvent(sig)
+        val base = TableSchema.resolve(Datatypes.logs)
+          .filterNot(Seq("topic1", "topic2", "topic3", "data").contains)
+        val decoded = split
+          .withColumn("dec", Abi.decodeEvent(col("topics"), col("data"), sig))
+          .filter(col("dec").isNotNull) // skip-on-error, logs.rs:161
+        val eventCols = event.params.flatMap { p =>
+          val c = col(s"dec.${p.name}")
+          p.typ match {
+            case Abi.UIntT(bits) if bits > 64 =>
+              u256Reprs.map(r => U256.repr(c, r).as(s"event__${p.name}_${r.suffix}"))
+            case _ => Seq(c.as(s"event__${p.name}"))
+          }
+        }
+        decoded.select(base.map(col) ++ eventCols: _*)
+          .sortWithinPartitions("block_number", "log_index")
+    }
+  }
+
+  // null-safe topic accessor (get() returns null out of bounds; ANSI
+  // element_at/[] would throw on anonymous logs with no topics)
+  private def logTopic(i: Int): Column = get(col("topics"), lit(i - 1))
+
+  /** shared shape for erc20_transfers / erc20_approvals
+    * (datasets/erc20_transfers.rs:12-131: 3 topics + 32-byte data). */
+  private def erc20Shaped(spark: SparkSession, dir: String,
+      topic0: Array[Byte], contractCol: String,
+      u256Reprs: Seq[U256.Repr]): DataFrame =
+    fx(spark, dir, "rpc_logs")
+      .filter(logTopic(1) === lit(topic0) &&
+              size(col("topics")) === 3 && length(col("data")) === 32)
+      .select(Seq(
+        col("block_number"), col("transaction_index"), col("log_index"),
+        col("transaction_hash"), col("address").as(contractCol),
+        expr("substring(topics[1], 13, 20)").as("from_address"),
+        expr("substring(topics[2], 13, 20)").as("to_address")) ++
+        U256.expand(col("data"), "value", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("block_number", "log_index")
+
+  def erc20Transfers(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    erc20Shaped(spark, dir, Keccak.hash("Transfer(address,address,uint256)"),
+      "erc20", u256Reprs)
+
+  def erc20Approvals(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    erc20Shaped(spark, dir, Keccak.hash("Approval(address,address,uint256)"),
+      "erc20", u256Reprs)
+
+  /** datasets/erc721_transfers.rs — 4 topics disambiguate from erc20. */
+  def erc721Transfers(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    fx(spark, dir, "rpc_logs")
+      .filter(logTopic(1) === lit(Keccak.hash("Transfer(address,address,uint256)")) &&
+              size(col("topics")) === 4)
+      .select(Seq(
+        col("block_number"), col("transaction_index"), col("log_index"),
+        col("transaction_hash"), col("address").as("erc721"),
+        expr("substring(topics[1], 13, 20)").as("from_address"),
+        expr("substring(topics[2], 13, 20)").as("to_address")) ++
+        U256.expand(get(col("topics"), lit(3)), "token_id", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("block_number", "log_index")
+
+  /** datasets/traces.rs:13-289. `excludeFailed` prunes failed subtrees:
+    * a trace is dropped when any trace of the same tx with a prefix
+    * trace_address has an error (traces.rs:258-289). Failed paths per tx
+    * are few → broadcast anti-join on prefix match.
+    */
+  def traces(spark: SparkSession, dir: String,
+      excludeFailed: Boolean = false): DataFrame = {
+    val t = fx(spark, dir, "rpc_traces")
+    val out = if (!excludeFailed) t else {
+      val failed = t.filter(col("error").isNotNull)
+        .select(col("transaction_hash").as("f_tx"), col("trace_address").as("f_path"))
+      t.join(broadcast(failed),
+          col("transaction_hash") === col("f_tx") &&
+            (col("trace_address") === col("f_path") ||
+             col("trace_address").startsWith(concat(col("f_path"), lit("_"))) ||
+             col("f_path") === ""),
+          "left_anti")
+    }
+    out.select(TableSchema.resolve(Datatypes.traces).map(col): _*)
+      .sortWithinPartitions("block_number", "transaction_index")
+  }
+
+  /** datasets/native_transfers.rs:11-107 — every value movement: calls &
+    * creates with value, suicides (refund), block rewards. transfer_index
+    * enumerates per block.
+    */
+  def nativeTransfers(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame = {
+    val t = fx(spark, dir, "rpc_traces").filter(col("error").isNull)
+    val xfers = t.filter(
+      (col("action_type").isin("call", "create") && col("action_value") =!= "0") ||
+        col("action_type").isin("suicide", "reward"))
+      .withColumn("to_unified",
+        when(col("action_type") === "create", col("result_address"))
+          .otherwise(col("action_to")))
+    val w = Window.partitionBy("block_number")
+      .orderBy(col("transaction_index").asc_nulls_last, col("trace_address"))
+    xfers
+      .withColumn("transfer_index", row_number().over(w) - 1)
+      .select(Seq(
+        col("block_number"), col("transaction_index"), col("transfer_index"),
+        col("transaction_hash"), col("action_from").as("from_address"),
+        col("to_unified").as("to_address")) ++
+        U256.expand(BinaryStats.u256FromString(col("action_value")), "value", u256Reprs) :+
+        col("chain_id"): _*)
+      .sortWithinPartitions("block_number", "transfer_index")
+  }
+
+  /** datasets/contracts.rs:12-108 — one row per creation; deployer is the
+    * root caller (first trace of the tx), factory the direct creator —
+    * the order-sensitive deployer propagation done with a window over
+    * trace_address (contracts.rs:74-84).
+    */
+  def contracts(spark: SparkSession, dir: String): DataFrame = {
+    val t = fx(spark, dir, "rpc_traces").filter(col("transaction_hash").isNotNull)
+    val byTx = Window.partitionBy("transaction_hash")
+      .orderBy(length(col("trace_address")), col("trace_address"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBlock = Window.partitionBy("block_number")
+      .orderBy(col("transaction_index"), col("trace_address"))
+    t.withColumn("deployer", first(col("action_from")).over(byTx))
+      .filter(col("action_type") === "create" && col("error").isNull)
+      .withColumn("create_index", row_number().over(perBlock) - 1)
+      .select(
+        col("block_number"), col("create_index"), col("transaction_hash"),
+        col("result_address").as("contract_address"), col("deployer"),
+        col("action_from").as("factory"), col("action_init").as("init_code"),
+        col("result_code").as("code"),
+        Keccak256.keccak256(col("action_init")).as("init_code_hash"),
+        length(col("action_init")).as("n_init_code_bytes"),
+        length(col("result_code")).as("n_code_bytes"),
+        Keccak256.keccak256(col("result_code")).as("code_hash"),
+        col("chain_id"))
+      .sortWithinPartitions("block_number", "create_index")
+  }
+
+  /** datasets/four_byte_counts.rs — per-tx selector histogram, derived
+    * from traces via groupBy (the reference's only aggregation-shaped
+    * dataset; map-side partial agg keeps the shuffle tiny).
+    */
+  def fourByteCounts(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_traces")
+      .filter(col("transaction_hash").isNotNull && length(col("action_input")) >= 4)
+      .groupBy(col("block_number"), col("transaction_index"),
+        col("transaction_hash"),
+        expr("substring(action_input, 1, 4)").as("signature"),
+        length(col("action_input")).cast("long").as("size"))
+      .agg(count(lit(1)).as("count"))
+      .withColumn("chain_id", lit(GenFixtures.ChainId))
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  /** datasets/address_appearances.rs:15-344 — union of address mentions
+    * across blocks/txs/logs/traces with relationship labels (an unpivot).
+    */
+  def addressAppearances(spark: SparkSession, dir: String): DataFrame = {
+    def shape(df: DataFrame, addr: Column, rel: String,
+        bn: Column = col("block_number"),
+        txIdx: Column = col("transaction_index"),
+        txHash: Column = col("transaction_hash")): DataFrame =
+      df.select(bn.as("block_number"), txIdx.as("transaction_index"),
+        txHash.as("transaction_hash"), addr.as("address"),
+        lit(rel).as("relationship"), col("chain_id"))
+        .filter(col("address").isNotNull)
+    val blocksDf = fx(spark, dir, "rpc_blocks")
+    val txsDf = fx(spark, dir, "rpc_transactions")
+    val logsDf = fx(spark, dir, "rpc_logs")
+    val tracesDf = fx(spark, dir, "rpc_traces")
+    val sigT = lit(Keccak.hash("Transfer(address,address,uint256)"))
+    val transferLogs = logsDf.filter(get(col("topics"), lit(0)) === sigT &&
+      size(col("topics")) >= 3)
+    shape(blocksDf, col("author"), "miner",
+        txIdx = lit(null).cast("int"), txHash = lit(null).cast("binary"))
+      .unionByName(shape(txsDf, col("from_address"), "tx_from"))
+      .unionByName(shape(txsDf, col("to_address"), "tx_to"))
+      .unionByName(shape(logsDf, col("address"), "log_address"))
+      .unionByName(shape(transferLogs, expr("substring(topics[1], 13, 20)"), "erc20_transfer_from"))
+      .unionByName(shape(transferLogs, expr("substring(topics[2], 13, 20)"), "erc20_transfer_to"))
+      .unionByName(shape(tracesDf, col("action_from"), "trace_from"))
+      .unionByName(shape(tracesDf, col("action_to"), "trace_to"))
+      .unionByName(shape(tracesDf, col("result_address"), "trace_created"))
+      .sortWithinPartitions("block_number", "transaction_index", "address", "relationship")
+  }
+
+  /** point-lookup family (balances/codes/nonces/slots, datasets/balances.rs
+    * family) — projections of account state at sampled blocks. */
+  def balances(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    fx(spark, dir, "rpc_accounts")
+      .select(Seq(col("block_number"), col("address")) ++
+        U256.expand(col("balance"), "balance", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("block_number", "address")
+
+  def nonces(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_accounts")
+      .select("block_number", "address", "nonce", "chain_id")
+      .sortWithinPartitions("block_number", "address")
+
+  def codes(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_accounts")
+      .select("block_number", "address", "code", "chain_id")
+      .sortWithinPartitions("block_number", "address")
+
+  def slots(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    fx(spark, dir, "rpc_storage")
+      .select(Seq(col("block_number"), col("address"), col("slot")) ++
+        U256.expand(col("value"), "value", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("block_number", "address", "slot")
+
+  /** state-diff family (multi_datasets/state_diffs.rs:8-75) — one shared
+    * scan would feed all four at once via persist(); as standalone
+    * datasets each projects its own fixture table. */
+  def storageDiffs(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    fx(spark, dir, "rpc_storage_diffs")
+      .select(Seq(col("block_number"), col("transaction_index"),
+        col("transaction_hash"), col("address"), col("slot")) ++
+        U256.expand(col("from_value"), "from_value", u256Reprs) ++
+        U256.expand(col("to_value"), "to_value", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  def balanceDiffs(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    fx(spark, dir, "rpc_balance_diffs")
+      .select(Seq(col("block_number"), col("transaction_index"),
+        col("transaction_hash"), col("address")) ++
+        U256.expand(col("from_value"), "from_value", u256Reprs) ++
+        U256.expand(col("to_value"), "to_value", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  def nonceDiffs(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_nonce_diffs")
+      .select("block_number", "transaction_index", "transaction_hash",
+        "address", "from_value", "to_value", "chain_id")
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  def codeDiffs(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_code_diffs")
+      .select("block_number", "transaction_index", "transaction_hash",
+        "address", "from_value", "to_value", "chain_id")
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  /** datasets/eth_calls.rs:11-82 — call results + keccak of calldata and
+    * output. */
+  def ethCalls(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_calls")
+      .select(
+        col("block_number"), col("contract_address"), col("call_data"),
+        Keccak256.keccak256(col("call_data")).as("call_data_hash"),
+        col("output_data"),
+        Keccak256.keccak256(col("output_data")).as("output_data_hash"),
+        col("chain_id"))
+      .sortWithinPartitions("block_number", "contract_address")
+
+  /** datasets/erc20_metadata.rs:8-93 — pivot the three metadata calls into
+    * one row per contract; ABI string decode + control-char scrub
+    * (erc20_metadata.rs:37-40). */
+  def erc20Metadata(spark: SparkSession, dir: String): DataFrame = {
+    val calls = fx(spark, dir, "rpc_calls")
+    def sel(selector: Array[Byte]): Column = col("call_data") === lit(selector)
+    // ABI-encoded string return: word1=offset(32), word2=len, then bytes.
+    def abiStr(c: Column): Column = {
+      val len = expr(s"CAST(conv(hex(substring(${c.toString}, 61, 4)), 16, 10) AS INT)")
+      regexp_replace(
+        expr(s"CAST(substring(${c.toString}, 65, CAST(conv(hex(substring(${c.toString}, 61, 4)), 16, 10) AS INT)) AS STRING)"),
+        "[\\x00-\\x1F\\x7F]", "")
+    }
+    calls
+      .groupBy(col("block_number"), col("contract_address").as("erc20"), col("chain_id"))
+      .agg(
+        min(when(sel(GenFixtures.selName), col("output_data"))).as("name_raw"),
+        min(when(sel(GenFixtures.selSymbol), col("output_data"))).as("symbol_raw"),
+        min(when(sel(GenFixtures.selDecimals), col("output_data"))).as("decimals_raw"))
+      .filter(col("name_raw").isNotNull)
+      .select(
+        col("block_number"), col("erc20"),
+        abiStr(col("name_raw")).as("name"),
+        abiStr(col("symbol_raw")).as("symbol"),
+        U256.toU32(col("decimals_raw")).cast("int").as("decimals"),
+        col("chain_id"))
+      .sortWithinPartitions("symbol", "block_number")
+  }
+
+  /** datasets/erc20_supplies.rs — totalSupply per contract/block. */
+  def erc20Supplies(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    fx(spark, dir, "rpc_calls")
+      .filter(col("call_data") === lit(GenFixtures.selTotalSupply))
+      .select(Seq(col("block_number"), col("contract_address").as("erc20")) ++
+        U256.expand(col("output_data"), "total_supply", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("erc20", "block_number")
+
+  /** datasets/erc20_balances.rs:8-58 — balanceOf(address) results; the
+    * queried address is recovered from the calldata tail. */
+  def erc20Balances(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    fx(spark, dir, "rpc_calls")
+      .filter(expr("substring(call_data, 1, 4)") === lit(GenFixtures.selBalanceOf) &&
+        length(col("call_data")) === 36)
+      .select(Seq(col("block_number"), col("contract_address").as("erc20"),
+        expr("substring(call_data, 17, 20)").as("address")) ++
+        U256.expand(col("output_data"), "balance", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("erc20", "block_number", "address")
+}

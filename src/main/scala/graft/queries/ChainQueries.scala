@@ -1,0 +1,293 @@
+package graft.queries
+
+import graft.chain.{ChainDatasets => CD, GenFixtures}
+import graft.functions.U256
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract entries for the chain datasets (SURVEY §2.1), running
+  * over the deterministic chain fixtures at /root/repo/fixtures/chain
+  * (they ignore the sf dir — the chain tables are scale-independent).
+  *
+  * Oracle SQL reads the same parquet via read_parquet() with byte-level
+  * blob slicing through hex/unhex (this DuckDB build lacks blob substring).
+  * Columns DuckDB cannot express (keccak hashes, u256 decimal strings from
+  * binary) are covered by ScalaTest specs instead and kept out of the
+  * oracle-facing projections.
+  */
+object ChainQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val FixDir = "/root/repo/fixtures/chain"
+  private def rp(name: String) =
+    s"read_parquet('$FixDir/$name.parquet/*.parquet')"
+
+  /** byte-slice of a blob column in DuckDB SQL: 1-based offset/len */
+  private def bs(c: String, off: Int, len: Int): String =
+    s"unhex(substring(hex($c), ${2 * (off - 1) + 1}, ${2 * len}))"
+
+  private val sigTransferHex = GenFixtures.sigTransfer.map("%02x".format(_)).mkString
+  private val sigApprovalHex = GenFixtures.sigApproval.map("%02x".format(_)).mkString
+
+  val defs: Map[String, Q] = Map(
+    "chain_blocks" -> ((s, _) => CD.blocks(s, FixDir)),
+    "chain_transactions" -> { (s, _) =>
+      CD.transactions(s, FixDir).select(
+        "block_number", "transaction_index", "transaction_hash",
+        "from_address", "to_address", "value", "gas_limit", "gas_used",
+        "gas_price", "transaction_type", "success", "n_input_bytes",
+        "n_input_zero_bytes", "chain_id")
+    },
+    "chain_transactions_exclude_failed" -> { (s, _) =>
+      CD.transactions(s, FixDir, excludeFailed = true)
+        .select("block_number", "transaction_index", "transaction_hash",
+          "success", "gas_price", "chain_id")
+    },
+    "chain_logs" -> ((s, _) => CD.logs(s, FixDir)),
+    "chain_logs_decoded" -> { (s, _) =>
+      CD.logs(s, FixDir,
+        eventSignature = Some("Transfer(address indexed from, address indexed to, uint256 value)"),
+        u256Reprs = Seq(U256.Binary))
+    },
+    "chain_erc20_transfers" -> ((s, _) =>
+      CD.erc20Transfers(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_erc20_approvals" -> ((s, _) =>
+      CD.erc20Approvals(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_erc721_transfers" -> ((s, _) =>
+      CD.erc721Transfers(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_traces" -> ((s, _) => CD.traces(s, FixDir)),
+    "chain_traces_exclude_failed" -> ((s, _) =>
+      CD.traces(s, FixDir, excludeFailed = true)
+        .select("block_number", "transaction_index", "transaction_hash",
+          "trace_address", "action_type", "error", "chain_id")),
+    "chain_native_transfers" -> ((s, _) =>
+      CD.nativeTransfers(s, FixDir, u256Reprs = Seq(U256.Str))),
+    "chain_contracts" -> ((s, _) =>
+      CD.contracts(s, FixDir)
+        .select("block_number", "create_index", "transaction_hash",
+          "contract_address", "deployer", "factory", "n_init_code_bytes",
+          "n_code_bytes", "chain_id")),
+    "chain_four_byte_counts" -> ((s, _) => CD.fourByteCounts(s, FixDir)),
+    "chain_address_appearances" -> ((s, _) => CD.addressAppearances(s, FixDir)),
+    "chain_balances" -> ((s, _) =>
+      CD.balances(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_nonces" -> ((s, _) => CD.nonces(s, FixDir)),
+    "chain_slots" -> ((s, _) =>
+      CD.slots(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_storage_diffs" -> ((s, _) =>
+      CD.storageDiffs(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_eth_calls" -> ((s, _) =>
+      CD.ethCalls(s, FixDir)
+        .select("block_number", "contract_address", "call_data",
+          "output_data", "chain_id")),
+    "chain_erc20_metadata" -> ((s, _) => CD.erc20Metadata(s, FixDir)),
+    "chain_erc20_supplies" -> ((s, _) =>
+      CD.erc20Supplies(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_erc20_balances" -> ((s, _) =>
+      CD.erc20Balances(s, FixDir, u256Reprs = Seq(U256.Binary)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "chain_blocks" ->
+      s"""SELECT block_number, block_hash, parent_hash, author, gas_used,
+        | gas_limit, extra_data, timestamp, difficulty, size,
+        | base_fee_per_gas, chain_id
+        |FROM ${rp("rpc_blocks")}""".stripMargin,
+    "chain_transactions" ->
+      s"""SELECT t.block_number, t.transaction_index, t.transaction_hash,
+        | t.from_address, t.to_address, t.value, t.gas_limit,
+        | r.gas_used AS gas_used,
+        | CASE WHEN t.transaction_type = 2
+        |      THEN b.base_fee_per_gas + least(t.max_priority_fee_per_gas,
+        |             t.max_fee_per_gas - b.base_fee_per_gas)
+        |      ELSE t.gas_price END AS gas_price,
+        | t.transaction_type, r.status = 1 AS success,
+        | octet_length(t.input) AS n_input_bytes,
+        | CAST(len(list_filter(range(0, octet_length(t.input)),
+        |   i -> substring(hex(t.input), 2*i + 1, 2) = '00')) AS INT)
+        |   AS n_input_zero_bytes,
+        | t.chain_id
+        |FROM ${rp("rpc_transactions")} t
+        |JOIN ${rp("rpc_receipts")} r USING (transaction_hash)
+        |JOIN ${rp("rpc_blocks")} b ON t.block_number = b.block_number""".stripMargin,
+    "chain_transactions_exclude_failed" ->
+      s"""SELECT t.block_number, t.transaction_index, t.transaction_hash,
+        | r.status = 1 AS success,
+        | CASE WHEN t.transaction_type = 2
+        |      THEN b.base_fee_per_gas + least(t.max_priority_fee_per_gas,
+        |             t.max_fee_per_gas - b.base_fee_per_gas)
+        |      ELSE t.gas_price END AS gas_price,
+        | t.chain_id
+        |FROM ${rp("rpc_transactions")} t
+        |JOIN ${rp("rpc_receipts")} r USING (transaction_hash)
+        |JOIN ${rp("rpc_blocks")} b ON t.block_number = b.block_number
+        |WHERE r.status = 1""".stripMargin,
+    "chain_logs" ->
+      s"""SELECT block_number, transaction_index, log_index, transaction_hash,
+        | address, topics[1] AS topic0, topics[2] AS topic1,
+        | topics[3] AS topic2, topics[4] AS topic3, data,
+        | octet_length(data) AS n_data_bytes, chain_id
+        |FROM ${rp("rpc_logs")}""".stripMargin,
+    "chain_logs_decoded" ->
+      s"""SELECT block_number, transaction_index, log_index, transaction_hash,
+        | address, topics[1] AS topic0,
+        | ${bs("topics[2]", 13, 20)} AS event__from,
+        | ${bs("topics[3]", 13, 20)} AS event__to,
+        | data AS event__value_binary,
+        | octet_length(data) AS n_data_bytes, chain_id
+        |FROM ${rp("rpc_logs")}
+        |WHERE len(topics) = 3 AND topics[1] = unhex('$sigTransferHex')
+        |  AND octet_length(data) >= 32""".stripMargin,
+    "chain_erc20_transfers" ->
+      s"""SELECT block_number, transaction_index, log_index, transaction_hash,
+        | address AS erc20,
+        | ${bs("topics[2]", 13, 20)} AS from_address,
+        | ${bs("topics[3]", 13, 20)} AS to_address,
+        | data AS value_binary, chain_id
+        |FROM ${rp("rpc_logs")}
+        |WHERE len(topics) = 3 AND topics[1] = unhex('$sigTransferHex')
+        |  AND octet_length(data) = 32""".stripMargin,
+    "chain_erc20_approvals" ->
+      s"""SELECT block_number, transaction_index, log_index, transaction_hash,
+        | address AS erc20,
+        | ${bs("topics[2]", 13, 20)} AS from_address,
+        | ${bs("topics[3]", 13, 20)} AS to_address,
+        | data AS value_binary, chain_id
+        |FROM ${rp("rpc_logs")}
+        |WHERE len(topics) = 3 AND topics[1] = unhex('$sigApprovalHex')
+        |  AND octet_length(data) = 32""".stripMargin,
+    "chain_erc721_transfers" ->
+      s"""SELECT block_number, transaction_index, log_index, transaction_hash,
+        | address AS erc721,
+        | ${bs("topics[2]", 13, 20)} AS from_address,
+        | ${bs("topics[3]", 13, 20)} AS to_address,
+        | topics[4] AS token_id_binary, chain_id
+        |FROM ${rp("rpc_logs")}
+        |WHERE len(topics) = 4 AND topics[1] = unhex('$sigTransferHex')""".stripMargin,
+    "chain_traces" ->
+      s"""SELECT action_from, action_to, action_value, action_gas,
+        | action_input, action_call_type, action_init, action_reward_type,
+        | action_type, result_gas_used, result_output, result_code,
+        | result_address, trace_address, subtraces, error, block_number,
+        | transaction_index, transaction_hash, chain_id
+        |FROM ${rp("rpc_traces")}""".stripMargin,
+    "chain_traces_exclude_failed" ->
+      s"""SELECT block_number, transaction_index, transaction_hash,
+        | trace_address, action_type, error, chain_id
+        |FROM ${rp("rpc_traces")} t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM ${rp("rpc_traces")} f
+        |  WHERE f.error IS NOT NULL AND f.transaction_hash = t.transaction_hash
+        |    AND (t.trace_address = f.trace_address
+        |         OR starts_with(t.trace_address, f.trace_address || '_')
+        |         OR f.trace_address = ''))""".stripMargin,
+    "chain_native_transfers" ->
+      s"""WITH x AS (
+        | SELECT *,
+        |  CASE WHEN action_type = 'create' THEN result_address
+        |       ELSE action_to END AS to_unified
+        | FROM ${rp("rpc_traces")}
+        | WHERE error IS NULL
+        |   AND ((action_type IN ('call', 'create') AND action_value <> '0')
+        |        OR action_type IN ('suicide', 'reward')))
+        |SELECT block_number, transaction_index,
+        | CAST(row_number() OVER (PARTITION BY block_number
+        |   ORDER BY transaction_index ASC NULLS LAST, trace_address) - 1 AS INT)
+        |   AS transfer_index,
+        | transaction_hash, action_from AS from_address,
+        | to_unified AS to_address, action_value AS value_string, chain_id
+        |FROM x""".stripMargin,
+    "chain_contracts" ->
+      s"""WITH t AS (
+        | SELECT *, first_value(action_from) OVER (
+        |   PARTITION BY transaction_hash
+        |   ORDER BY length(trace_address), trace_address
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS deployer
+        | FROM ${rp("rpc_traces")} WHERE transaction_hash IS NOT NULL)
+        |SELECT block_number,
+        | CAST(row_number() OVER (PARTITION BY block_number
+        |   ORDER BY transaction_index, trace_address) - 1 AS INT) AS create_index,
+        | transaction_hash, result_address AS contract_address, deployer,
+        | action_from AS factory,
+        | octet_length(action_init) AS n_init_code_bytes,
+        | octet_length(result_code) AS n_code_bytes, chain_id
+        |FROM t WHERE action_type = 'create' AND error IS NULL""".stripMargin,
+    "chain_four_byte_counts" ->
+      s"""SELECT block_number, transaction_index, transaction_hash,
+        | ${bs("action_input", 1, 4)} AS signature,
+        | CAST(octet_length(action_input) AS BIGINT) AS "size",
+        | count(*) AS "count", CAST(${GenFixtures.ChainId} AS BIGINT) AS chain_id
+        |FROM ${rp("rpc_traces")}
+        |WHERE transaction_hash IS NOT NULL AND octet_length(action_input) >= 4
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "chain_address_appearances" ->
+      s"""SELECT block_number, CAST(NULL AS INT) AS transaction_index,
+        |  CAST(NULL AS BLOB) AS transaction_hash, author AS address,
+        |  'miner' AS relationship, chain_id FROM ${rp("rpc_blocks")}
+        |UNION ALL SELECT block_number, transaction_index, transaction_hash,
+        |  from_address, 'tx_from', chain_id FROM ${rp("rpc_transactions")}
+        |UNION ALL SELECT block_number, transaction_index, transaction_hash,
+        |  to_address, 'tx_to', chain_id FROM ${rp("rpc_transactions")}
+        |  WHERE to_address IS NOT NULL
+        |UNION ALL SELECT block_number, transaction_index, transaction_hash,
+        |  address, 'log_address', chain_id FROM ${rp("rpc_logs")}
+        |UNION ALL SELECT block_number, transaction_index, transaction_hash,
+        |  ${bs("topics[2]", 13, 20)}, 'erc20_transfer_from', chain_id
+        |  FROM ${rp("rpc_logs")}
+        |  WHERE len(topics) >= 3 AND topics[1] = unhex('$sigTransferHex')
+        |UNION ALL SELECT block_number, transaction_index, transaction_hash,
+        |  ${bs("topics[3]", 13, 20)}, 'erc20_transfer_to', chain_id
+        |  FROM ${rp("rpc_logs")}
+        |  WHERE len(topics) >= 3 AND topics[1] = unhex('$sigTransferHex')
+        |UNION ALL SELECT block_number, transaction_index, transaction_hash,
+        |  action_from, 'trace_from', chain_id FROM ${rp("rpc_traces")}
+        |  WHERE action_from IS NOT NULL
+        |UNION ALL SELECT block_number, transaction_index, transaction_hash,
+        |  action_to, 'trace_to', chain_id FROM ${rp("rpc_traces")}
+        |  WHERE action_to IS NOT NULL
+        |UNION ALL SELECT block_number, transaction_index, transaction_hash,
+        |  result_address, 'trace_created', chain_id FROM ${rp("rpc_traces")}
+        |  WHERE result_address IS NOT NULL""".stripMargin,
+    "chain_balances" ->
+      s"""SELECT block_number, address, balance AS balance_binary, chain_id
+        |FROM ${rp("rpc_accounts")}""".stripMargin,
+    "chain_nonces" ->
+      s"""SELECT block_number, address, nonce, chain_id
+        |FROM ${rp("rpc_accounts")}""".stripMargin,
+    "chain_slots" ->
+      s"""SELECT block_number, address, slot, value AS value_binary, chain_id
+        |FROM ${rp("rpc_storage")}""".stripMargin,
+    "chain_storage_diffs" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, address,
+        | slot, from_value AS from_value_binary, to_value AS to_value_binary,
+        | chain_id
+        |FROM ${rp("rpc_storage_diffs")}""".stripMargin,
+    "chain_eth_calls" ->
+      s"""SELECT block_number, contract_address, call_data, output_data, chain_id
+        |FROM ${rp("rpc_calls")}""".stripMargin,
+    "chain_erc20_metadata" ->
+      s"""WITH g AS (
+        | SELECT block_number, contract_address AS erc20, chain_id,
+        |  min(CASE WHEN call_data = unhex('06fdde03') THEN output_data END) AS name_raw,
+        |  min(CASE WHEN call_data = unhex('95d89b41') THEN output_data END) AS symbol_raw,
+        |  min(CASE WHEN call_data = unhex('313ce567') THEN output_data END) AS decimals_raw
+        | FROM ${rp("rpc_calls")}
+        | GROUP BY 1, 2, 3)
+        |SELECT block_number, erc20,
+        | regexp_replace(decode(${bs("name_raw", 65, 9999)}), '[\\x00-\\x1f\\x7f]', '', 'g') AS name,
+        | regexp_replace(decode(${bs("symbol_raw", 65, 9999)}), '[\\x00-\\x1f\\x7f]', '', 'g') AS symbol,
+        | CAST('0x' || hex(${bs("decimals_raw", 29, 4)}) AS INT) AS decimals,
+        | chain_id
+        |FROM g WHERE name_raw IS NOT NULL""".stripMargin,
+    "chain_erc20_supplies" ->
+      s"""SELECT block_number, contract_address AS erc20,
+        | output_data AS total_supply_binary, chain_id
+        |FROM ${rp("rpc_calls")} WHERE call_data = unhex('18160ddd')""".stripMargin,
+    "chain_erc20_balances" ->
+      s"""SELECT block_number, contract_address AS erc20,
+        | ${bs("call_data", 17, 20)} AS address,
+        | output_data AS balance_binary, chain_id
+        |FROM ${rp("rpc_calls")}
+        |WHERE ${bs("call_data", 1, 4)} = unhex('70a08231')
+        |  AND octet_length(call_data) = 36""".stripMargin
+  )
+}

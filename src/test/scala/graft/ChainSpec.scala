@@ -1,0 +1,169 @@
+package graft
+
+import java.math.BigInteger
+
+import graft.chain.{ChainDatasets, Datatypes, GenFixtures, TableSchema}
+import graft.functions.{Keccak, U256}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's schema-selection unit tests
+  * (cryo types/schemas.rs:239-380) against our registry. */
+class DatatypesSpec extends AnyFunSuite {
+
+  test("registry declares all 37 scalar datasets") {
+    assert(Datatypes.all.size == 37)
+    assert(Datatypes.all.map(_.name).distinct.size == 37)
+  }
+
+  test("aliases resolve to their datasets") {
+    assert(Datatypes("txs").name == "transactions")
+    assert(Datatypes("events").name == "logs")
+    assert(Datatypes("4byte_counts").name == "four_byte_counts")
+    assert(Datatypes("storages").name == "slots")
+    assert(Datatypes("slot_diffs").name == "storage_diffs")
+    assert(Datatypes("js_traces").name == "javascript_traces")
+    intercept[IllegalArgumentException] { Datatypes("nope") }
+  }
+
+  test("every dataset carries chain_id and sorts by declared columns") {
+    Datatypes.all.foreach { d =>
+      assert(d.columnNames.contains("chain_id"), d.name)
+      assert(d.sortColumns.forall(d.columnNames.contains), d.name)
+      assert(d.u256Columns.forall(d.columnNames.contains), d.name)
+    }
+  }
+
+  test("multis cover known members") {
+    Datatypes.multis.values.flatten.foreach { m =>
+      assert(Datatypes.byName.contains(m), m)
+    }
+    assert(Datatypes.multis("state_diffs").size == 4)
+  }
+
+  test("default selection excludes declared-excluded columns in order") {
+    val used = TableSchema.resolve(Datatypes.blocks)
+    assert(used.head == "block_number" && used.last == "chain_id")
+    assert(!used.contains("logs_bloom") && !used.contains("state_root"))
+    // declaration order preserved
+    assert(used == Datatypes.blocks.columnNames.filter(used.contains))
+  }
+
+  test("include adds, exclude removes, all wildcard") {
+    val ds = Datatypes.blocks
+    assert(TableSchema.resolve(ds, include = Seq("logs_bloom")).contains("logs_bloom"))
+    assert(!TableSchema.resolve(ds, exclude = Seq("gas_used")).contains("gas_used"))
+    assert(TableSchema.resolve(ds, include = Seq("all")) == ds.columnNames)
+    // unknown include is skipped permissively (schemas.rs semantics)
+    assert(TableSchema.resolve(ds, include = Seq("not_a_column")) ==
+      TableSchema.resolve(ds))
+  }
+
+  test("explicit columns keep user order; unknown errors; all wildcard") {
+    val ds = Datatypes.blocks
+    assert(TableSchema.resolve(ds, columns = Some(Seq("gas_used", "block_number"))) ==
+      Seq("gas_used", "block_number"))
+    assert(TableSchema.resolve(ds, columns = Some(Seq("all"))) == ds.columnNames)
+    intercept[IllegalArgumentException] {
+      TableSchema.resolve(ds, columns = Some(Seq("bogus")))
+    }
+  }
+
+  test("default sort drops transaction_index when log_index present") {
+    assert(TableSchema.defaultSort(Datatypes.logs) == Seq("block_number", "log_index"))
+    assert(TableSchema.defaultSort(Datatypes.transactions) ==
+      Seq("block_number", "transaction_index"))
+  }
+}
+
+/** Semantic invariants of the chain dataset transforms over the
+  * deterministic fixtures. */
+class ChainDatasetsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  private val dir = graft.queries.ChainQueries.FixDir
+
+  test("transactions: EIP-1559 effective gas price and success flag") {
+    val t = ChainDatasets.transactions(spark, dir)
+    val type2 = t.filter(col("transaction_type") === 2).collect()
+    assert(type2.nonEmpty)
+    // effective price never exceeds max_fee
+    val raw = ChainDatasets.fx(spark, dir, "rpc_transactions")
+      .filter(col("max_fee_per_gas").isNotNull)
+      .select("transaction_hash", "max_fee_per_gas").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString) -> r.getLong(1)).toMap
+    type2.foreach { r =>
+      val h = r.getAs[Array[Byte]]("transaction_hash").map("%02x".format(_)).mkString
+      assert(r.getAs[Long]("gas_price") <= raw(h), s"gas_price>max_fee for $h")
+    }
+    val failed = t.filter(!col("success")).count()
+    assert(failed > 0 &&
+      ChainDatasets.transactions(spark, dir, excludeFailed = true)
+        .filter(!col("success")).count() == 0)
+  }
+
+  test("decoded logs: value_string equals decimal of raw data") {
+    val dec = ChainDatasets.logs(spark, dir,
+      eventSignature = Some("Transfer(address indexed from, address indexed to, uint256 value)"),
+      u256Reprs = Seq(U256.Binary, U256.Str)).collect()
+    assert(dec.nonEmpty)
+    dec.foreach { r =>
+      val bin = r.getAs[Array[Byte]]("event__value_binary")
+      assert(r.getAs[String]("event__value_string") == new BigInteger(1, bin).toString)
+    }
+  }
+
+  test("erc20 transfers exclude malformed and 4-topic logs") {
+    val n20 = ChainDatasets.erc20Transfers(spark, dir).count()
+    val n721 = ChainDatasets.erc721Transfers(spark, dir).count()
+    val rawTransferTopic = ChainDatasets.fx(spark, dir, "rpc_logs")
+      .filter(get(col("topics"), lit(0)) === lit(Keccak.hash("Transfer(address,address,uint256)")))
+      .count()
+    assert(n20 > 0 && n721 > 0)
+    assert(n20 + n721 < rawTransferTopic) // malformed 31-byte rows dropped
+  }
+
+  test("trace subtree pruning removes failed nodes and their descendants") {
+    val kept = ChainDatasets.traces(spark, dir, excludeFailed = true)
+      .select("transaction_hash", "trace_address").collect()
+      .map(r => (Option(r.getAs[Array[Byte]](0)).map(_.toSeq), r.getString(1)))
+    val failed = ChainDatasets.fx(spark, dir, "rpc_traces")
+      .filter(col("error").isNotNull)
+      .select("transaction_hash", "trace_address").collect()
+      .map(r => (Option(r.getAs[Array[Byte]](0)).map(_.toSeq), r.getString(1)))
+    assert(failed.nonEmpty)
+    failed.foreach { case (tx, fpath) =>
+      kept.filter(_._1 == tx).foreach { case (_, path) =>
+        assert(path != fpath, s"failed node kept: $fpath")
+        assert(!path.startsWith(fpath + "_"), s"descendant of failed $fpath kept: $path")
+        assert(fpath.nonEmpty, s"tx with failed root retained rows")
+      }
+    }
+  }
+
+  test("contracts: deployer is root sender; factory creates differ") {
+    val c = ChainDatasets.contracts(spark, dir).collect()
+    assert(c.nonEmpty)
+    // factory-created contracts (non-root creates) have factory != deployer
+    val factoryCreates = c.filter(r =>
+      !java.util.Arrays.equals(r.getAs[Array[Byte]]("deployer"), r.getAs[Array[Byte]]("factory")))
+    assert(factoryCreates.nonEmpty, "fixtures plant factory creates")
+    // code_hash is keccak(code)
+    c.take(5).foreach { r =>
+      val code = r.getAs[Array[Byte]]("code")
+      if (code != null)
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("code_hash"), Keccak.hash(code)))
+    }
+  }
+
+  test("erc20 metadata scrubs control characters") {
+    val names = ChainDatasets.erc20Metadata(spark, dir)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("Alpha Token", "BetaToken", "Gamma"))
+  }
+
+  test("native transfers include rewards and suicides with correct endpoints") {
+    val nt = ChainDatasets.nativeTransfers(spark, dir, Seq(U256.Str)).collect()
+    assert(nt.exists(_.isNullAt(1))) // reward rows: null transaction_index
+    assert(nt.forall(r => BigInt(r.getAs[String]("value_string")) >= 0))
+  }
+}

