@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.EventsOps.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.SimilarityOps.defs ++
+      graft.queries.MultimodalOps.defs ++
       graft.queries.ChainQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.EventsOps.oracles ++
       graft.queries.TextOps.oracles ++
       graft.queries.SimilarityOps.oracles ++
+      graft.queries.MultimodalOps.oracles ++
       graft.queries.ChainQueries.oracles
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * processed with `mapPartitions` in batch shape — the pattern a real
+  * image/audio pipeline uses at 100 TB (binary column stays columnar in
+  * parquet; decode runs per-partition with library handles reused across
+  * rows; only extracted features shuffle, never raw bytes).
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
+  * so `decodeStub` derives deterministic fake dimensions from the payload
+  * header bytes. The Spark-side contract — schema, partition batching,
+  * feature extraction signature — is real and oracle-checked; swapping
+  * `decodeStub` for an actual codec (e.g. via mapInPandas + Pillow on the
+  * PySpark surface) changes no plumbing.
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** assets = documents' text bytes as opaque binary payloads (scales
+    * with sf; no extra fixture needed). */
+  private def assets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+        lit("application/octet-stream").as("mime"))
+
+  /** STUB decode: fake dimensions from the first payload bytes. A real
+    * implementation calls an image codec here. */
+  def decodeStub(content: Array[Byte]): (Int, Int) = {
+    val w = if (content.length > 0) (content(0) & 0xff) + 1 else 1
+    val h = if (content.length > 1) (content(1) & 0xff) + 1 else 1
+    (w, h)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("fake_width", IntegerType, nullable = false),
+    StructField("fake_height", IntegerType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  val defs: Map[String, Q] = Map(
+    // Per-partition imperative feature extraction over binary payloads:
+    // metadata via (stubbed) decode + a 16-bin byte histogram. The
+    // mapPartitions boundary is where batch-level resources (codec
+    // handles, model sessions) live in a real pipeline.
+    "q_mm_features" -> { (s, dir) =>
+      val out = assets(s, dir).rdd.mapPartitions { it =>
+        // batch-level resources (codec handles, model sessions) would be
+        // opened once here, reused for every row of the partition
+        it.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val content = r.getAs[Array[Byte]]("content")
+          val mime = r.getAs[String]("mime")
+          val (w, h) = decodeStub(content)
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < content.length) {
+            hist((content(i) & 0xff) >> 4) += 1
+            i += 1
+          }
+          Row(id, mime, content.length, w, h, hist.toSeq)
+        }
+      }
+      val flat = Seq(col("doc_id"), col("mime"), col("n_bytes"),
+        col("fake_width"), col("fake_height")) ++
+        (0 until 16).map(i => col("hist")(i).as(s"hist_$i"))
+      s.createDataFrame(out, featureSchema).select(flat: _*)
+    }
+  )
+
+  /** oracle: the same histogram/dimensions computed in SQL over hex pairs
+    * (documents' text is ASCII, so UTF-8 bytes == code units). */
+  val oracles: Map[String, String] = Map(
+    "q_mm_features" -> {
+      val hist = (0 until 16).map(i =>
+        s"""CAST(len(list_filter(range(0, octet_length(c)),
+           | j -> CAST('0x' || substring(hex(c), 2*j + 1, 1) AS INT) = $i)) AS BIGINT) AS hist_$i"""
+          .stripMargin).mkString(",\n ")
+      s"""SELECT doc_id, 'application/octet-stream' AS mime,
+        | octet_length(c) AS n_bytes,
+        | CAST('0x' || substring(hex(c), 1, 2) AS INT) + 1 AS fake_width,
+        | CAST('0x' || substring(hex(c), 3, 2) AS INT) + 1 AS fake_height,
+        | $hist
+        |FROM (SELECT doc_id, encode(text) AS c FROM documents)""".stripMargin
+    }
+  )
+}

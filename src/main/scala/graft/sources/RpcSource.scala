@@ -1,0 +1,264 @@
+package graft.sources
+
+import java.math.BigInteger
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import graft.chain.BlockSyntax
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** JSON-RPC source config — mirrors the reference's `Source` concurrency
+  * envelope (cryo types/sources.rs:44-61, defaults 110-114):
+  * per-executor request concurrency, token-bucket rate limiting, retries
+  * with exponential backoff (args.rs:101-107), and range batching
+  * (inner_request_size) for range-capable endpoints like eth_getLogs.
+  */
+case class RpcConfig(
+    url: String,
+    chainId: Long = 1,
+    maxConcurrentRequests: Int = 100,
+    requestsPerSecond: Int = 0, // 0 = unlimited (args.rs:97-99)
+    maxRetries: Int = 5,
+    initialBackoffMs: Long = 500,
+    innerRequestSize: Long = 100)
+
+/** Executor-side helpers: deterministic, dependency-free JSON-RPC request
+  * building and hex decoding (unit-testable without a live node). */
+object RpcCodec {
+  def hexQuantity(n: Long): String = "0x" + java.lang.Long.toHexString(n)
+
+  def parseHexLong(s: String): Long =
+    if (s == null || s == "0x") 0L
+    else java.lang.Long.parseLong(s.stripPrefix("0x"), 16)
+
+  def parseHexBytes(s: String): Array[Byte] = {
+    if (s == null) return null
+    val h0 = s.stripPrefix("0x")
+    val h = if (h0.length % 2 == 1) "0" + h0 else h0
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** 32-byte big-endian from a hex quantity of any width */
+  def parseHexU256(s: String): Array[Byte] = {
+    if (s == null) return null
+    val bi = new BigInteger(s.stripPrefix("0x"), 16)
+    graft.functions.U256.toBytes32(bi)
+  }
+
+  def getBlockRequest(id: Long, blockNumber: Long, fullTxs: Boolean): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getBlockByNumber","params":["${hexQuantity(blockNumber)}",$fullTxs]}"""
+
+  def getLogsRequest(id: Long, fromBlock: Long, toBlock: Long,
+      address: Option[String], topic0: Option[String]): String = {
+    val addr = address.map(a => s""","address":"$a"""").getOrElse("")
+    val t0 = topic0.map(t => s""","topics":["$t"]""").getOrElse("")
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getLogs","params":[{"fromBlock":"${hexQuantity(fromBlock)}","toBlock":"${hexQuantity(toBlock)}"$addr$t0}]}"""
+  }
+
+  /** batch JSON-RPC body */
+  def batch(requests: Seq[String]): String = requests.mkString("[", ",", "]")
+}
+
+/** Simple token bucket for per-executor rate limiting (the reference's
+  * governor limiter, sources.rs:986-997). Thread-safe enough for one
+  * partition-iterator thread. */
+final class TokenBucket(ratePerSecond: Int) extends Serializable {
+  private var last = System.nanoTime()
+  private var tokens = math.max(1.0, ratePerSecond.toDouble)
+  def acquire(): Unit = {
+    if (ratePerSecond <= 0) return
+    while ({
+      val now = System.nanoTime()
+      tokens = math.min(ratePerSecond.toDouble,
+        tokens + (now - last) * 1e-9 * ratePerSecond)
+      last = now
+      tokens < 1.0
+    }) Thread.sleep(5)
+    tokens -= 1.0
+  }
+}
+
+/** Distributed JSON-RPC extraction: a driver DataFrame of request params
+  * partitioned into chunks → `mapPartitions` with a per-partition HTTP
+  * client → rows shaped exactly like the `rpc_*` bronze tables the
+  * dataset transforms consume (graft.chain.ChainDatasets). Freezing from
+  * a live node is: RpcSource materializes bronze, transforms project
+  * silver — same code path as the fixtures.
+  *
+  * Parallelism model (SURVEY §3 mapping): Spark tasks = cryo's chunk
+  * fan-out; per-partition sequential requests with rate limit + retries =
+  * cryo's per-request semaphore; no shuffle anywhere — each partition
+  * fetches a disjoint block range.
+  */
+class RpcSource(config: RpcConfig) extends Serializable {
+
+  private def retrying[T](f: => T): T = {
+    var attempt = 0
+    var backoff = config.initialBackoffMs
+    var last: Throwable = null
+    while (attempt <= config.maxRetries) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e
+          Thread.sleep(backoff)
+          backoff *= 2 // exponential (args.rs:101-107)
+          attempt += 1
+      }
+    }
+    throw last
+  }
+
+  private def post(client: HttpClient, body: String): String = {
+    val req = HttpRequest.newBuilder(URI.create(config.url))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"RPC HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** Fetch block headers for a range into the rpc_blocks shape. One task
+    * per `tasksPerPartition` blocks; requests batched `innerRequestSize`
+    * per HTTP round trip. */
+  def fetchBlocks(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val conf = config
+    val rdd = spark.sparkContext
+      .range(range.start, range.endExclusive, numSlices = numPartitions)
+      .mapPartitions { nums =>
+        val client = HttpClient.newHttpClient()
+        val bucket = new TokenBucket(conf.requestsPerSecond)
+        nums.grouped(conf.innerRequestSize.toInt).flatMap { group =>
+          bucket.acquire()
+          val body = RpcCodec.batch(group.zipWithIndex.map { case (n, i) =>
+            RpcCodec.getBlockRequest(i, n, fullTxs = false)
+          }.toSeq)
+          val json = retrying(post(client, body))
+          val JArray(results) = JsonMethods.parse(json): @unchecked
+          results.iterator.map { r =>
+            implicit val fmt: Formats = DefaultFormats
+            val b = (r \ "result").asInstanceOf[JObject]
+            def str(k: String): String = (b \ k) match {
+              case JString(s) => s; case _ => null
+            }
+            Row(
+              RpcCodec.parseHexLong(str("number")).toInt,
+              RpcCodec.parseHexBytes(str("hash")),
+              RpcCodec.parseHexBytes(str("parentHash")),
+              RpcCodec.parseHexBytes(str("sha3Uncles")),
+              RpcCodec.parseHexBytes(str("miner")),
+              RpcCodec.parseHexBytes(str("stateRoot")),
+              RpcCodec.parseHexBytes(str("transactionsRoot")),
+              RpcCodec.parseHexBytes(str("receiptsRoot")),
+              RpcCodec.parseHexLong(str("gasUsed")),
+              RpcCodec.parseHexLong(str("gasLimit")),
+              RpcCodec.parseHexBytes(str("extraData")),
+              RpcCodec.parseHexBytes(str("logsBloom")),
+              RpcCodec.parseHexLong(str("timestamp")).toInt,
+              RpcCodec.parseHexLong(str("difficulty")),
+              RpcCodec.parseHexLong(str("size")),
+              RpcCodec.parseHexBytes(str("mixHash")),
+              RpcCodec.parseHexBytes(str("nonce")),
+              Option(str("baseFeePerGas")).map(s => java.lang.Long.valueOf(RpcCodec.parseHexLong(s))).orNull,
+              RpcCodec.parseHexBytes(str("withdrawalsRoot")),
+              Option(str("totalDifficulty")).map(RpcCodec.parseHexU256).orNull,
+              conf.chainId)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, RpcSource.blocksSchema)
+  }
+
+  /** Fetch logs over block ranges (range-batched per innerRequestSize —
+    * the use_block_ranges path, cryo datasets/logs.rs:58-60; address and
+    * topic0 predicates push down into the server-side filter,
+    * types/rpc_params.rs:99-131). */
+  def fetchLogs(spark: SparkSession, range: BlockSyntax.Range,
+      address: Option[String] = None, topic0: Option[String] = None,
+      numPartitions: Int = 32): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val conf = config
+    val starts = range.start until range.endExclusive by conf.innerRequestSize
+    val rdd = spark.sparkContext
+      .parallelize(starts, math.min(numPartitions, starts.size).max(1))
+      .mapPartitions { ss =>
+        val client = HttpClient.newHttpClient()
+        val bucket = new TokenBucket(conf.requestsPerSecond)
+        ss.flatMap { s0 =>
+          bucket.acquire()
+          val to = math.min(s0 + conf.innerRequestSize, range.endExclusive) - 1
+          val json = retrying(post(client,
+            RpcCodec.getLogsRequest(1, s0, to, address, topic0)))
+          val results = (JsonMethods.parse(json) \ "result") match {
+            case JArray(xs) => xs; case _ => Nil
+          }
+          results.iterator.map { r =>
+            def str(k: String): String = (r \ k) match {
+              case JString(v) => v; case _ => null
+            }
+            val topics = (r \ "topics") match {
+              case JArray(ts) => ts.collect { case JString(t) => RpcCodec.parseHexBytes(t) }
+              case _ => Nil
+            }
+            val data = RpcCodec.parseHexBytes(str("data"))
+            Row(
+              RpcCodec.parseHexLong(str("blockNumber")).toInt,
+              RpcCodec.parseHexLong(str("transactionIndex")).toInt,
+              RpcCodec.parseHexLong(str("logIndex")).toInt,
+              RpcCodec.parseHexBytes(str("transactionHash")),
+              RpcCodec.parseHexBytes(str("blockHash")),
+              RpcCodec.parseHexBytes(str("address")),
+              topics, data,
+              if (data == null) 0 else data.length,
+              conf.chainId)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, RpcSource.logsSchema)
+  }
+
+  /** Materialize the bronze tables for a range under `outDir` — after
+    * this, every ChainDatasets transform runs unchanged against outDir. */
+  def freezeBronze(spark: SparkSession, range: BlockSyntax.Range,
+      outDir: String): Unit = {
+    fetchBlocks(spark, range).write.mode("overwrite")
+      .parquet(s"$outDir/rpc_blocks.parquet")
+    fetchLogs(spark, range).write.mode("overwrite")
+      .parquet(s"$outDir/rpc_logs.parquet")
+  }
+}
+
+object RpcSource {
+  private def f(n: String, t: DataType, nullable: Boolean = true) = StructField(n, t, nullable)
+  val blocksSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("block_hash", BinaryType, false),
+    f("parent_hash", BinaryType, false), f("uncles_hash", BinaryType),
+    f("author", BinaryType), f("state_root", BinaryType),
+    f("transactions_root", BinaryType), f("receipts_root", BinaryType),
+    f("gas_used", LongType), f("gas_limit", LongType),
+    f("extra_data", BinaryType), f("logs_bloom", BinaryType),
+    f("timestamp", IntegerType, false), f("difficulty", LongType),
+    f("size", LongType), f("mix_hash", BinaryType), f("nonce", BinaryType),
+    f("base_fee_per_gas", LongType), f("withdrawals_root", BinaryType),
+    f("total_difficulty", BinaryType), f("chain_id", LongType, false)))
+  val logsSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("transaction_index", IntegerType, false),
+    f("log_index", IntegerType, false), f("transaction_hash", BinaryType, false),
+    f("block_hash", BinaryType), f("address", BinaryType, false),
+    f("topics", ArrayType(BinaryType, containsNull = false), false),
+    f("data", BinaryType), f("n_data_bytes", IntegerType),
+    f("chain_id", LongType, false)))
+}

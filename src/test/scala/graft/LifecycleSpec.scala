@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.chain.{BlockSyntax, Freeze}
+import graft.chain.BlockSyntax.{Numbers, Range}
+import graft.sources.RpcCodec
+import graft.streaming.FollowMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's block-syntax parsing tests
+  * (cryo cli/parse/blocks.rs:394-717 coverage classes). */
+class BlockSyntaxSpec extends AnyFunSuite {
+  private val latest = 18000000L
+
+  test("plain numbers, separators, magnitude suffixes") {
+    assert(BlockSyntax.parseNumber("123", latest) == 123)
+    assert(BlockSyntax.parseNumber("1_000", latest) == 1000)
+    assert(BlockSyntax.parseNumber("5K", latest) == 5000)
+    assert(BlockSyntax.parseNumber("15.5M", latest) == 15500000)
+    assert(BlockSyntax.parseNumber("1B", latest) == 1000000000)
+    assert(BlockSyntax.parseNumber("latest", latest) == latest)
+    intercept[IllegalArgumentException] { BlockSyntax.parseNumber("1.5K1", latest) }
+  }
+
+  test("ranges: a:b, open ends, a:+n, -n:b") {
+    assert(BlockSyntax.parse("10:20", latest) == Range(10, 20))
+    assert(BlockSyntax.parse(":100", latest) == Range(0, 100))
+    assert(BlockSyntax.parse("17M:", latest) == Range(17000000, latest + 1))
+    assert(BlockSyntax.parse("100:+50", latest) == Range(100, 150))
+    assert(BlockSyntax.parse("-50:1000", latest) == Range(951, 1001))
+  }
+
+  test("sampling a:b/n and striding a:b:k") {
+    val Numbers(sampled) = BlockSyntax.parse("0:100/5", latest): @unchecked
+    assert(sampled.size == 5 && sampled.head == 0 && sampled.last == 99)
+    val Numbers(strided) = BlockSyntax.parse("0:100:25", latest): @unchecked
+    assert(strided == Seq(0L, 25L, 50L, 75L))
+  }
+
+  test("subchunking with and without alignment") {
+    assert(BlockSyntax.subchunk(Range(0, 2500), 1000) ==
+      Seq(Range(0, 1000), Range(1000, 2000), Range(2000, 2500)))
+    // align snaps to multiples and drops partial edges (number_chunk.rs:76-89)
+    assert(BlockSyntax.subchunk(Range(450, 2600), 1000, align = true) ==
+      Seq(Range(1000, 2000)))
+    assert(BlockSyntax.subchunkByCount(Range(0, 10), 3) ==
+      Seq(Range(0, 4), Range(4, 8), Range(8, 10)))
+  }
+
+  test("reorg buffer clamps the end") {
+    assert(BlockSyntax.applyReorgBuffer(Range(0, 1000), latest = 900, buffer = 100) ==
+      Some(Range(0, 801)))
+    assert(BlockSyntax.applyReorgBuffer(Range(850, 1000), latest = 900, buffer = 100).isEmpty)
+  }
+}
+
+class FreezeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  private val fixDir = graft.queries.ChainQueries.FixDir
+
+  test("freeze writes named chunk files, skips on rerun, overwrites on demand") {
+    val out = Files.createTempDirectory("graft_freeze").toString
+    val spec = Freeze.FreezeSpec(
+      datasets = Seq("blocks", "logs"),
+      blocks = Range(1000, 1060),
+      chunkSize = 25,
+      outputDir = out)
+    val r1 = Freeze.freeze(spark, fixDir, spec)
+    assert(r1.completed.size == 6 && r1.skipped.isEmpty) // 3 chunks × 2 datasets
+    assert(Files.exists(Paths.get(out, "ethereum__blocks__00001000_to_00001024.parquet")))
+    assert(Files.exists(Paths.get(out, "ethereum__logs__00001050_to_00001059.parquet")))
+    // chunk files are readable and block-partitioned
+    val chunk = spark.read.parquet(s"$out/ethereum__blocks__00001025_to_00001049.parquet")
+    val bns = chunk.select("block_number").collect().map(_.getInt(0))
+    assert(bns.nonEmpty && bns.forall(n => n >= 1025 && n <= 1049))
+    // idempotent rerun: everything skipped (freeze.rs:92-110)
+    val r2 = Freeze.freeze(spark, fixDir, spec)
+    assert(r2.completed.isEmpty && r2.skipped.size == 6)
+    // overwrite forces rewrite
+    val r3 = Freeze.freeze(spark, fixDir, spec.copy(overwrite = true))
+    assert(r3.completed.size == 6)
+    // labeled run uses the label in names
+    val r4 = Freeze.freeze(spark, fixDir,
+      spec.copy(label = Some("test"), nChunks = Some(2)))
+    assert(r4.completed.exists(_.contains("__test__")))
+  }
+
+  test("collect returns one in-memory DataFrame filtered to blocks") {
+    val df = Freeze.collect(spark, fixDir, "txs", Range(1010, 1020))
+    assert(df.columns.contains("gas_price"))
+    val bns = df.select("block_number").distinct().collect().map(_.getInt(0))
+    assert(bns.forall(n => n >= 1010 && n < 1020))
+  }
+}
+
+class RpcCodecSpec extends AnyFunSuite {
+  test("request bodies are well-formed JSON-RPC") {
+    assert(RpcCodec.getBlockRequest(7, 255, fullTxs = true) ==
+      """{"jsonrpc":"2.0","id":7,"method":"eth_getBlockByNumber","params":["0xff",true]}""")
+    val logs = RpcCodec.getLogsRequest(1, 16, 31, Some("0xabc"), Some("0xddf2"))
+    assert(logs.contains(""""fromBlock":"0x10""""))
+    assert(logs.contains(""""toBlock":"0x1f""""))
+    assert(logs.contains(""""address":"0xabc""""))
+    assert(RpcCodec.batch(Seq("{}", "{}")) == "[{},{}]")
+  }
+
+  test("hex decoding: quantities, bytes, u256") {
+    assert(RpcCodec.parseHexLong("0x10") == 16)
+    assert(RpcCodec.parseHexLong("0x") == 0)
+    assert(RpcCodec.parseHexBytes("0x0a1b").toSeq == Seq(0x0a.toByte, 0x1b.toByte))
+    assert(RpcCodec.parseHexBytes("0xabc").toSeq == Seq(0x0a.toByte, 0xbc.toByte)) // odd-width pad
+    val u = RpcCodec.parseHexU256("0xff")
+    assert(u.length == 32 && (u(31) & 0xff) == 255)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("follow-mode windowed aggregation over an append-only directory") {
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    val chk = Files.createTempDirectory("graft_stream_chk").toString
+    val batch = Tables(spark, sf, "events")
+    batch.write.mode("overwrite").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, batch.schema,
+      maxFilesPerTrigger = 2)
+    val agg = FollowMode.windowedCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("follow_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select sum(n_events) from follow_out").collect()(0).getLong(0)
+      assert(got == batch.count())
+    } finally q.stop()
+  }
+}
