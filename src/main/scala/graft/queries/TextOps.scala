@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for LLM-training-data pipelines, over the
   * `documents` table (doc_id, text, lang, source, n_chars).
@@ -19,11 +20,41 @@ object TextOps {
   private def toks: Column = split(col("text"), " ")
 
   /** distinct word-3-gram shingles of the token array (1-indexed like
-    * DuckDB's lists, so the SQL mirrors exactly). */
+    * DuckDB's lists, so the SQL mirrors exactly).
+    *
+    * MUST be applied to a bound `toks` attribute behind a projection
+    * barrier, never to `split(text)` inline: projection collapse would
+    * inline the split into every element_at of the lambda, re-tokenizing
+    * the whole document per shingle — O(n²) per doc (measured 10× slower).
+    */
   private def shingles(t: Column): Column =
     array_distinct(transform(
       sequence(lit(1), size(t) - 2),
       i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+
+  /** (doc_id, sh) with the tokens materialized behind a repartition
+    * barrier (see shingles note). The shuffle is by doc_id — at scale
+    * this is the same boundary the downstream groupBy/join needs anyway. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .repartition(col("doc_id"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+
+  /** flat (doc_id, shingle) rows via explode + window lead — the
+    * scale-correct shingling: no arrays held in memory, one md5 per
+    * shingle downstream, vectorized aggregates instead of array lambdas. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(toks))
+      .withColumnRenamed("col", "tok")
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+  }
 
   private val duckShingles =
     "list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
@@ -47,6 +78,17 @@ object TextOps {
 
   private def duckStopCount(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** minhash affine hash family h_i(x) = (a_i·x + b_i) mod P over a base
+    * md5-derived hash reduced mod M. Constants sized so a_i·x < 2^61 —
+    * no 64-bit overflow (DuckDB bigint overflow errors; Spark wraps;
+    * staying under the limit keeps both engines exact and identical). */
+  private val MinhashMod = 2147483647L // 2^31 - 1
+  private val MinhashP = 2305843009213693951L // 2^61 - 1
+  private val MinhashA = Array(999999937L, 899999963L, 799999999L, 699999999L,
+    599999971L, 499999993L, 399999959L, 299999977L)
+  private val MinhashB = Array(15485863L, 32452843L, 49979687L, 67867967L,
+    86028121L, 104395301L, 122949823L, 141650939L)
 
   /** deterministic argmax with fixed priority en > fr > de > es */
   private val argmaxSql =
@@ -104,9 +146,7 @@ object TextOps {
     // pair choice keeps the oracle exact; the LSH query below finds real
     // candidate pairs at scale).
     "q_doc_ngram_jaccard" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"), shingles(toks).as("sh"))
+      val d = shingled(s, dir)
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, "id_a")
@@ -118,35 +158,48 @@ object TextOps {
 
     // MinHash signatures (8 hashes over word-3-gram shingles).
     "q_doc_minhash_sig" -> { (s, dir) =>
-      val base = Tables(s, dir, "documents")
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"), shingles(toks).as("sh"))
-      (0 until 8).foldLeft(base) { (df, i) =>
+      (0 until 8).foldLeft(shingled(s, dir)) { (df, i) =>
         df.withColumn(s"sig$i", minhashSig(col("sh"), i))
       }.drop("sh")
     },
 
     // MinHash-LSH near-dup candidates: 4 bands × 2 rows, bucket-join on
     // band hash (the scale path: shuffle on band key, no all-pairs scan),
-    // then exact Jaccard verification on candidates. a<b dedups pairs.
+    // then exact Jaccard verification on candidates only. Cost shape for
+    // 100 TB: ONE md5 per shingle (the 8 hash functions are affine
+    // transforms of that base hash — a standard minhash family), bands
+    // carry only (doc_id, band_hash) into the self-join, candidate pairs
+    // are id-only before distinct, and shingle arrays are joined back just
+    // for the surviving candidates.
     "q_doc_minhash_pairs" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"), shingles(toks).as("sh"))
-      val sigs = (0 until 8).foldLeft(d) { (df, i) =>
-        df.withColumn(s"sig$i", minhashSig(col("sh"), i))
-      }
-      val banded = sigs.select(col("doc_id"), col("sh"),
+      // flat-row formulation: one md5 per (doc, shingle) row, signatures
+      // via 8 partially-aggregated MINs (duplicate shingles can't change a
+      // min, so no distinct needed), id-only candidate pairs, shingle sets
+      // rebuilt only for surviving candidates.
+      val rows = shingleRows(s, dir)
+      val hashedRows = rows.select(col("doc_id"),
+        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashMod).as("h"))
+      val sigs = hashedRows.groupBy("doc_id").agg(
+        min((col("h") * MinhashA(0) + MinhashB(0)) % MinhashP).as("sig0"),
+        (1 until 8).map(i =>
+          min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"sig$i")): _*)
+      val banded = sigs.select(col("doc_id"),
         array((0 until 4).map(bnd =>
           struct(lit(bnd).as("band_idx"),
-            md5(concat(col(s"sig${2 * bnd}"), col(s"sig${2 * bnd + 1}"))).as("band_hash"))): _*).as("bands"))
-        .select(col("doc_id"), col("sh"), explode(col("bands")).as("b"))
-        .select(col("doc_id"), col("sh"), col("b.band_idx"), col("b.band_hash"))
-      val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      l.join(r, Seq("band_idx", "band_hash"))
+            md5(concat_ws("_", col(s"sig${2 * bnd}"), col(s"sig${2 * bnd + 1}"))).as("band_hash"))): _*).as("bands"))
+        .select(col("doc_id"), explode(col("bands")).as("b"))
+        .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+      val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+      val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
+      val pairs = l.join(r, Seq("band_idx", "band_hash"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+        .select("id_a", "id_b").distinct()
+      val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      val candSets = rows.join(broadcast(candIds), "doc_id")
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+      val shA = candSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = candSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      pairs.join(shA, "id_a").join(shB, "id_b")
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -214,23 +267,31 @@ object TextOps {
         |      FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3)""".stripMargin,
     "q_doc_minhash_pairs" ->
       s"""WITH d AS (
-        | SELECT doc_id, sh, ${(0 until 8).map(i => s"${duckMinhashSig(i)} AS sig$i").mkString(", ")}
-        | FROM (SELECT doc_id, $duckShingles AS sh
-        |       FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3)),
+        | SELECT doc_id, $duckShingles AS sh
+        | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
+        |hashed AS (
+        | SELECT doc_id,
+        |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MinhashMod) AS hs
+        | FROM d),
+        |sigs AS (
+        | SELECT doc_id, ${(0 until 8).map(i =>
+             s"list_min(list_transform(hs, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP)) AS sig$i")
+             .mkString(", ")}
+        | FROM hashed),
         |banded AS (
         | ${(0 until 4).map(b =>
-             s"SELECT doc_id, sh, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM d")
+             s"SELECT doc_id, $b AS band_idx, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band_hash FROM sigs")
              .mkString("\n UNION ALL ")}),
         |pairs AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         | FROM banded a JOIN banded b
         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b,
-        | CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
-        |FROM pairs
-        |WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5""".stripMargin,
+        | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        |FROM pairs JOIN d sa ON sa.doc_id = id_a JOIN d sb ON sb.doc_id = id_b
+        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin,
     "q_doc_simhash" ->
       s"""WITH tok AS (
         | SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
