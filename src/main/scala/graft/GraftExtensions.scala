@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+
+/** SQL surface for the custom expression layer. Two entry points:
+  *
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` registers the
+  *    functions at session build (the production path for SQL users);
+  *  - runtime: `Graft.registerFunctions(spark)` for an existing session.
+  *
+  * After registration: `keccak256(bin)`, `u256_string(bin)`, `u256_f64`,
+  * `u256_u64`, `u256_u32`, `u256_d128`, `u256_from_string(str)`,
+  * `zero_byte_count(bin)`, `decode_event(topics, data, 'Sig(...)')`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    Graft.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object Graft {
+  private def literalString(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "keccak256" -> (es => Keccak256(es.head)),
+    "u256_string" -> (es => U256ToString(es.head)),
+    "u256_f64" -> (es => U256ToDouble(es.head)),
+    "u256_d128" -> (es => U256ToDecimal(es.head)),
+    "u256_u64" -> (es => U256WrapLong(es.head, 8)),
+    "u256_u32" -> (es => U256WrapLong(es.head, 4)),
+    "u256_from_string" -> (es => U256FromString(es.head)),
+    "zero_byte_count" -> (es => ZeroByteCount(es.head)),
+    "decode_event" -> (es =>
+      DecodeEvent(es(0), es(1), literalString(es(2), "event signature"))))
+
+  /** register on an already-built session */
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -327,6 +327,57 @@ object ChainDatasets {
         "address", "from_value", "to_value", "chain_id")
       .sortWithinPartitions("block_number", "transaction_index")
 
+  /** geth prestate-diff family (multi_datasets/geth_state_diffs.rs):
+    * pre FULL OUTER post per (tx, address[, slot]) with blank-state fill
+    * (geth_state_diffs.rs:117-144) — the reference's only real join.
+    * The join keys carry block/tx context, so USING-style join coalesces
+    * them; one shuffle on the composite key, emitted rows only where the
+    * value actually changed.
+    */
+  private def gethDiff(spark: SparkSession, dir: String, valueCol: String,
+      withSlot: Boolean, zero: Column,
+      project: (DataFrame, Seq[U256.Repr]) => DataFrame,
+      u256Reprs: Seq[U256.Repr]): DataFrame = {
+    val base = fx(spark, dir, "rpc_geth_prestate")
+      .filter(if (withSlot) col("slot").isNotNull else col("slot").isNull)
+      .filter(col(valueCol).isNotNull)
+    val keys = Seq("block_number", "transaction_index", "transaction_hash",
+      "address") ++ (if (withSlot) Seq("slot") else Nil) :+ "chain_id"
+    val pre = base.filter(col("phase") === "pre")
+      .select(keys.map(col) :+ col(valueCol).as("pre_value"): _*)
+    val post = base.filter(col("phase") === "post")
+      .select(keys.map(col) :+ col(valueCol).as("post_value"): _*)
+    val joined = pre.join(post, keys, "full_outer")
+      .withColumn("from_value", coalesce(col("pre_value"), zero))
+      .withColumn("to_value", coalesce(col("post_value"), zero))
+      .filter(col("from_value") =!= col("to_value"))
+    project(joined, u256Reprs)
+      .sortWithinPartitions("block_number", "transaction_index")
+  }
+
+  private def u256DiffProject(withSlot: Boolean)(df: DataFrame, reprs: Seq[U256.Repr]): DataFrame =
+    df.select(Seq(col("block_number"), col("transaction_index"),
+      col("transaction_hash"), col("address")) ++
+      (if (withSlot) Seq(col("slot")) else Nil) ++
+      U256.expand(col("from_value"), "from_value", reprs) ++
+      U256.expand(col("to_value"), "to_value", reprs) :+ col("chain_id"): _*)
+
+  def gethBalanceDiffs(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    gethDiff(spark, dir, "balance", withSlot = false,
+      lit(new Array[Byte](32)), u256DiffProject(withSlot = false), u256Reprs)
+
+  def gethStorageDiffs(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    gethDiff(spark, dir, "slot_value", withSlot = true,
+      lit(new Array[Byte](32)), u256DiffProject(withSlot = true), u256Reprs)
+
+  def gethNonceDiffs(spark: SparkSession, dir: String): DataFrame =
+    gethDiff(spark, dir, "nonce", withSlot = false, lit(0L),
+      (df, _) => df.select("block_number", "transaction_index",
+        "transaction_hash", "address", "from_value", "to_value", "chain_id"),
+      Seq.empty)
+
   /** datasets/eth_calls.rs:11-82 — call results + keccak of calldata and
     * output. */
   def ethCalls(spark: SparkSession, dir: String): DataFrame =

@@ -344,5 +344,53 @@ object GenFixtures {
       f("block_number", I, false), f("contract_address", B, false),
       f("call_data", B, false), f("output_data", B), f("chain_id", L, false))),
       callRows.toSeq)
+
+    // ---- geth prestate-tracer diffMode (pre/post account + storage rows) ----
+    // fresh RNG so earlier tables stay byte-identical across generator edits
+    val grnd = new JRandom(43)
+    val gethRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def acct(t: Tx, phase: String, a: Array[Byte], bal: BigInteger,
+        nonce: java.lang.Long, code: Array[Byte]): Row =
+      Row(t.bn, t.idx, t.hash, phase, a,
+        if (bal == null) null else u256(bal), nonce, code, null, null, ChainId)
+    def stor(t: Tx, phase: String, a: Array[Byte], slot: Array[Byte], v: BigInteger): Row =
+      Row(t.bn, t.idx, t.hash, phase, a, null, null, null, slot, u256(v), ChainId)
+    txs.foreach { t =>
+      val pre = new BigInteger("7000000000000000000")
+      gethRows += acct(t, "pre", t.from, pre, 5L + t.idx, null)
+      gethRows += acct(t, "post", t.from, pre.subtract(t.value.min(pre)), 6L + t.idx, null)
+      if (t.to != null) {
+        if (grnd.nextBoolean()) {
+          // receiver existed: balance Changed
+          gethRows += acct(t, "pre", t.to, BigInteger.valueOf(900), null, null)
+          gethRows += acct(t, "post", t.to, BigInteger.valueOf(900).add(t.value.min(pre)), null, null)
+        } else {
+          // receiver created by transfer: post-only (Added — zero-filled pre)
+          gethRows += acct(t, "post", t.to, t.value.min(pre), null, null)
+        }
+      }
+      if (grnd.nextInt(5) == 0) {
+        // selfdestructed account: pre-only (Removed — zero-filled post)
+        gethRows += acct(t, "pre", addr(19), BigInteger.valueOf(1234), 9L, null)
+      }
+      (0 until grnd.nextInt(3)).foreach { k =>
+        val slot = Keccak.hash(s"gp${t.bn}-${t.idx}-$k")
+        grnd.nextInt(3) match {
+          case 0 => // Added: post only
+            gethRows += stor(t, "post", token(k % 3), slot, BigInteger.valueOf(500 + k))
+          case 1 => // Removed: pre only
+            gethRows += stor(t, "pre", token(k % 3), slot, BigInteger.valueOf(600 + k))
+          case _ => // Changed
+            gethRows += stor(t, "pre", token(k % 3), slot, BigInteger.valueOf(1 + k))
+            gethRows += stor(t, "post", token(k % 3), slot, BigInteger.valueOf(100 + k))
+        }
+      }
+    }
+    write("rpc_geth_prestate", StructType(Seq(
+      f("block_number", I, false), f("transaction_index", I, false),
+      f("transaction_hash", B, false), f("phase", S, false),
+      f("address", B, false), f("balance", B), f("nonce", L), f("code", B),
+      f("slot", B), f("slot_value", B), f("chain_id", L, false))),
+      gethRows.toSeq)
   }
 }

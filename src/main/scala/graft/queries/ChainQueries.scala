@@ -79,6 +79,11 @@ object ChainQueries {
       CD.ethCalls(s, FixDir)
         .select("block_number", "contract_address", "call_data",
           "output_data", "chain_id")),
+    "chain_geth_balance_diffs" -> ((s, _) =>
+      CD.gethBalanceDiffs(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_geth_storage_diffs" -> ((s, _) =>
+      CD.gethStorageDiffs(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_geth_nonce_diffs" -> ((s, _) => CD.gethNonceDiffs(s, FixDir)),
     "chain_erc20_metadata" -> ((s, _) => CD.erc20Metadata(s, FixDir)),
     "chain_erc20_supplies" -> ((s, _) =>
       CD.erc20Supplies(s, FixDir, u256Reprs = Seq(U256.Binary))),
@@ -264,6 +269,48 @@ object ChainQueries {
     "chain_eth_calls" ->
       s"""SELECT block_number, contract_address, call_data, output_data, chain_id
         |FROM ${rp("rpc_calls")}""".stripMargin,
+    "chain_geth_balance_diffs" ->
+      s"""WITH base AS (
+        | SELECT * FROM ${rp("rpc_geth_prestate")} WHERE slot IS NULL AND balance IS NOT NULL),
+        |pre AS (SELECT block_number, transaction_index, transaction_hash, address,
+        |        chain_id, balance AS pre_value FROM base WHERE phase = 'pre'),
+        |post AS (SELECT block_number, transaction_index, transaction_hash, address,
+        |        chain_id, balance AS post_value FROM base WHERE phase = 'post')
+        |SELECT block_number, transaction_index, transaction_hash, address,
+        | coalesce(pre_value, unhex(repeat('00', 32))) AS from_value_binary,
+        | coalesce(post_value, unhex(repeat('00', 32))) AS to_value_binary,
+        | chain_id
+        |FROM pre FULL OUTER JOIN post
+        | USING (block_number, transaction_index, transaction_hash, address, chain_id)
+        |WHERE coalesce(pre_value, unhex(repeat('00', 32)))
+        |   <> coalesce(post_value, unhex(repeat('00', 32)))""".stripMargin,
+    "chain_geth_storage_diffs" ->
+      s"""WITH base AS (
+        | SELECT * FROM ${rp("rpc_geth_prestate")} WHERE slot IS NOT NULL AND slot_value IS NOT NULL),
+        |pre AS (SELECT block_number, transaction_index, transaction_hash, address, slot,
+        |        chain_id, slot_value AS pre_value FROM base WHERE phase = 'pre'),
+        |post AS (SELECT block_number, transaction_index, transaction_hash, address, slot,
+        |        chain_id, slot_value AS post_value FROM base WHERE phase = 'post')
+        |SELECT block_number, transaction_index, transaction_hash, address, slot,
+        | coalesce(pre_value, unhex(repeat('00', 32))) AS from_value_binary,
+        | coalesce(post_value, unhex(repeat('00', 32))) AS to_value_binary,
+        | chain_id
+        |FROM pre FULL OUTER JOIN post
+        | USING (block_number, transaction_index, transaction_hash, address, slot, chain_id)
+        |WHERE coalesce(pre_value, unhex(repeat('00', 32)))
+        |   <> coalesce(post_value, unhex(repeat('00', 32)))""".stripMargin,
+    "chain_geth_nonce_diffs" ->
+      s"""WITH base AS (
+        | SELECT * FROM ${rp("rpc_geth_prestate")} WHERE slot IS NULL AND nonce IS NOT NULL),
+        |pre AS (SELECT block_number, transaction_index, transaction_hash, address,
+        |        chain_id, nonce AS pre_value FROM base WHERE phase = 'pre'),
+        |post AS (SELECT block_number, transaction_index, transaction_hash, address,
+        |        chain_id, nonce AS post_value FROM base WHERE phase = 'post')
+        |SELECT block_number, transaction_index, transaction_hash, address,
+        | coalesce(pre_value, 0) AS from_value, coalesce(post_value, 0) AS to_value, chain_id
+        |FROM pre FULL OUTER JOIN post
+        | USING (block_number, transaction_index, transaction_hash, address, chain_id)
+        |WHERE coalesce(pre_value, 0) <> coalesce(post_value, 0)""".stripMargin,
     "chain_erc20_metadata" ->
       s"""WITH g AS (
         | SELECT block_number, contract_address AS erc20, chain_id,

@@ -215,6 +215,99 @@ object Relational {
         .withColumn("nation_n", count(lit(1)).over(w))
         .filter(m(col("c_acctbal")) * col("nation_n") > col("nation_sum"))
         .select("c_custkey", "c_nationkey")
+    },
+
+    // TPC-H Q2 shape: min-per-group via window min, then equality filter
+    // (decorrelated form of the MIN subquery — one shuffle, no rescan).
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val w = Window.partitionBy("l_partkey")
+      l.select(col("l_partkey"), col("l_suppkey"), m(col("l_extendedprice")).as("price"))
+        .withColumn("min_price", min(col("price")).over(w))
+        .filter(col("price") === col("min_price"))
+        .groupBy("l_partkey")
+        .agg(min(col("l_suppkey")).as("cheapest_suppkey"),
+             fin(min(col("price")), 2).as("min_price"))
+    },
+
+    // TPC-H Q13 shape: left outer join + two-level aggregation
+    // (orders-per-customer distribution, keeping zero-order customers).
+    "q13_order_distribution" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q18 shape: HAVING on a big aggregate, then join back.
+    "q18_large_orders" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val big = l.groupBy("l_orderkey")
+        .agg(fin(sum(m(col("l_quantity"))), 2).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("orderdate"), col("total_qty"))
+    },
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicates (OR of ANDs)
+    // — exercises predicate normalization/pushdown.
+    "q19_disjunctive_revenue" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 30) && col("p_size").between(1, 20)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 40) && col("p_size").between(1, 30)))
+        .agg(fin(sum(m(col("l_extendedprice")) * onem(col("l_discount"))), 4).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    },
+
+    // TPC-H Q22 shape: anti-join + set membership on a computed key with a
+    // global-aggregate threshold (bal*N > totalsum in exact decimals).
+    "q22_idle_customers" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val positive = c.filter(m(col("c_acctbal")) > 0)
+      val stats = positive.agg(
+        sum(m(col("c_acctbal"))).as("total"), count(lit(1)).as("n")).collect()(0)
+      val total = stats.getDecimal(0)
+      val n = stats.getLong(1)
+      // "idle" = at most one order (the testdata has no zero-order
+      // customers at sf0.01, so a pure anti-join would verify nothing)
+      val orderCounts = o.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.filter(col("c_nationkey") % 5 === 0)
+        .filter(m(col("c_acctbal")) * n > lit(total))
+        .join(orderCounts, col("c_custkey") === col("o_custkey"), "left_outer")
+        .filter(coalesce(col("n_orders"), lit(0L)) <= 1)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), fin(sum(m(col("c_acctbal"))), 2).as("totacctbal"))
+    },
+
+    // As-of join (event-time alignment): for each purchase, the same
+    // user's latest prior click. Implemented with the union+window trick —
+    // one shuffle on user_id, no range join blowup — identical
+    // formulation on the DuckDB side for exact parity (Spark has no
+    // native ASOF join; this is the scalable composition).
+    "q_events_asof_click" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("purchase_id"), lit(0).as("kind"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"), lit(1).as("kind"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_ts",
+          max(when(col("kind") === 0, col("ts"))).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("purchase_id"), col("ts").as("purchase_ts"),
+          col("last_click_ts"))
     }
   )
 
@@ -320,6 +413,57 @@ object Relational {
         | SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
         |  sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS nation_sum,
         |  count(*) OVER (PARTITION BY c_nationkey) AS nation_n
-        | FROM customer) WHERE bal * nation_n > nation_sum""".stripMargin
+        | FROM customer) WHERE bal * nation_n > nation_sum""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """SELECT l_partkey, min(l_suppkey) AS cheapest_suppkey,
+        | CAST(min(price) AS DECIMAL(38,2)) AS min_price
+        |FROM (SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |       min(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS min_price
+        |      FROM lineitem)
+        |WHERE price = min_price GROUP BY l_partkey""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS orderdate, total_qty
+        |FROM orders JOIN (
+        | SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
+        |ON o_orderkey = big.l_orderkey""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue, count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey % 5 = 0
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+        |       WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |  AND coalesce((SELECT count(*) FROM orders WHERE o_custkey = c_custkey), 0) <= 1
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_events_asof_click" ->
+      """SELECT user_id, purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        | CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
+        |FROM (
+        | SELECT user_id, ts, purchase_id, kind,
+        |  max(CASE WHEN kind = 0 THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, kind
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        | FROM (
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT) AS purchase_id, 0 AS kind
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id AS purchase_id, 1 AS kind
+        |  FROM events WHERE event_type = 'purchase'))
+        |WHERE kind = 1""".stripMargin
   )
 }

@@ -39,6 +39,12 @@ object SimilarityOps {
     (0 until 16).map(i =>
       s"(CASE WHEN embedding[${i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
 
+  /** dot / sum-of-squares over arbitrary DuckDB list columns */
+  private def duckDotCols(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * $b[i]), (x, y) -> x + y)"
+  private def duckSS(c: String): String =
+    s"list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q)"
+
   val defs: Map[String, Q] = Map(
     // Vector norms — scan-only array fold, whole-stage codegen.
     "q_embed_norms" -> { (s, dir) =>
@@ -91,6 +97,56 @@ object SimilarityOps {
             (sqrt(sumSq(col("emb_a"))) * sqrt(sumSq(col("emb_b")))))
         .filter(col("cosine") > 0.9)
         .select("id_a", "id_b", "cosine")
+    },
+
+    // IVF cell assignment: every vector → nearest of 16 fixed centroids
+    // (vec_id < 16 stand in for trained k-means centers — the partition/
+    // probe mechanics are what scales, not the training). Centroids
+    // broadcast; one pass over candidates; rank-1 per vector.
+    "q_embed_ivf_assign" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("centroid_id").asc)
+      e.crossJoin(broadcast(cents))
+        .withColumn("cosine",
+          dot(col("embedding"), col("c_emb")) /
+            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("vec_id", "centroid_id", "cosine")
+    },
+
+    // IVF search: probe the 2 nearest cells per query, scan only vectors
+    // assigned there (the 100 TB path: cells are the partition key; a
+    // query touches nprobe/ncells of the data), exact top-3 re-rank.
+    "q_embed_ivf_search" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      def nearestCells(src: DataFrame, idCol: String, n: Int): DataFrame = {
+        val w = Window.partitionBy(idCol).orderBy(col("cosine").desc, col("centroid_id").asc)
+        src.crossJoin(broadcast(cents))
+          .withColumn("cosine",
+            dot(col("embedding"), col("c_emb")) /
+              (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= n)
+      }
+      val assign = nearestCells(e, "vec_id", 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"), col("centroid_id"))
+      val queries = e.filter(col("vec_id") < 10)
+      val probes = nearestCells(queries, "vec_id", 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("centroid_id"))
+      val w2 = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+      probes.join(assign, "centroid_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          dot(col("q_e"), col("c_e")) /
+            (sqrt(sumSq(col("q_e"))) * sqrt(sumSq(col("c_e")))))
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= 3)
+        .select("q_id", "c_id", "rk", "cosine")
     }
   )
 
@@ -122,6 +178,38 @@ object SimilarityOps {
         |   (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q)) *
         |    sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))) AS cosine
         | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |WHERE cosine > 0.9""".stripMargin
+        |WHERE cosine > 0.9""".stripMargin,
+    "q_embed_ivf_assign" ->
+      s"""WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        | SELECT e.vec_id, c.centroid_id,
+        |  ${duckDotCols("e.embedding", "c.c_emb")} /
+        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+        | FROM embeddings e, cents c)
+        |SELECT vec_id, centroid_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+        | FROM scored) WHERE rk = 1""".stripMargin,
+    "q_embed_ivf_search" ->
+      s"""WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  ${duckDotCols("e.embedding", "c.c_emb")} /
+        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+        | FROM embeddings e, cents c),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+        | FROM scored),
+        |assign AS (SELECT vec_id AS c_id, embedding AS c_e, centroid_id FROM ranked WHERE rk = 1),
+        |probes AS (SELECT vec_id AS q_id, embedding AS q_e, centroid_id FROM ranked
+        |           WHERE rk <= 2 AND vec_id < 10),
+        |cand AS (
+        | SELECT q_id, c_id,
+        |  ${duckDotCols("q_e", "c_e")} / (sqrt(${duckSS("q_e")}) * sqrt(${duckSS("c_e")})) AS cosine
+        | FROM probes JOIN assign USING (centroid_id) WHERE q_id <> c_id)
+        |SELECT q_id, c_id, rk, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        | FROM cand) WHERE rk <= 3""".stripMargin
   )
 }

@@ -206,6 +206,25 @@ object TextOps {
         .filter(col("jaccard") >= 0.5)
     },
 
+    // TF-IDF-style top terms: term frequency per doc ⋈ document frequency
+    // per term, ranked by tf/df (a single double division — IEEE-exact in
+    // both engines; log-based idf is avoided because transcendental
+    // functions are not bit-portable across engines). Two shuffles:
+    // groupBy (doc,term) with partial aggregation, then broadcast of the
+    // tiny df table.
+    "q_doc_top_terms" -> { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+      tf.join(broadcast(df_), "term")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df")
+    },
+
     // SimHash (16-bit): per-token 60-bit md5 hash, signed bit votes,
     // reassembled fingerprint. explode + one aggregate.
     "q_doc_simhash" -> { (s, dir) =>
@@ -292,6 +311,17 @@ object TextOps {
         |FROM pairs JOIN d sa ON sa.doc_id = id_a JOIN d sb ON sb.doc_id = id_b
         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin,
+    "q_doc_top_terms" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, rk, term, tf, df FROM (
+        | SELECT doc_id, term, tf, df,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY CAST(tf AS DOUBLE) / df DESC, term ASC) AS rk
+        | FROM tf JOIN df USING (term))
+        |WHERE rk <= 3""".stripMargin,
     "q_doc_simhash" ->
       s"""WITH tok AS (
         | SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h

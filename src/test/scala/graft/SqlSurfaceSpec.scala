@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-registered custom functions end to end. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("keccak256 / u256 family / decode_event usable from SQL") {
+    Graft.registerFunctions(spark)
+    val h = spark.sql("SELECT hex(keccak256(encode('abc', 'UTF-8'))) AS h")
+      .collect()(0).getString(0).toLowerCase
+    assert(h == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+
+    val s = spark.sql(
+      "SELECT u256_string(u256_from_string('123456789')) AS s").collect()(0).getString(0)
+    assert(s == "123456789")
+
+    assert(spark.sql("SELECT u256_u64(u256_from_string('18446744073709551617')) AS w")
+      .collect()(0).getLong(0) == 1L) // 2^64 + 1 wraps to 1
+
+    val logsDir = graft.queries.ChainQueries.FixDir + "/rpc_logs.parquet"
+    spark.read.parquet(logsDir).createOrReplaceTempView("sql_logs")
+    val decoded = spark.sql(
+      """SELECT dec.value AS v FROM (
+        |  SELECT decode_event(topics, data,
+        |    'Transfer(address indexed from, address indexed to, uint256 value)') AS dec
+        |  FROM sql_logs) WHERE dec IS NOT NULL""".stripMargin)
+    assert(decoded.count() > 0)
+
+    // non-literal signature is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT decode_event(topics, data, CAST(rand() AS STRING)) FROM sql_logs")
+        .collect()
+    }
+    assert(err.getMessage.contains("string literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("string literal"))
+  }
+}
