@@ -372,6 +372,13 @@ object ChainDatasets {
     gethDiff(spark, dir, "slot_value", withSlot = true,
       lit(new Array[Byte](32)), u256DiffProject(withSlot = true), u256Reprs)
 
+  def gethCodeDiffs(spark: SparkSession, dir: String): DataFrame =
+    gethDiff(spark, dir, "code", withSlot = false,
+      lit(Array.emptyByteArray),
+      (df, _) => df.select("block_number", "transaction_index",
+        "transaction_hash", "address", "from_value", "to_value", "chain_id"),
+      Seq.empty)
+
   def gethNonceDiffs(spark: SparkSession, dir: String): DataFrame =
     gethDiff(spark, dir, "nonce", withSlot = false, lit(0L),
       (df, _) => df.select("block_number", "transaction_index",
@@ -427,6 +434,120 @@ object ChainDatasets {
       .select(Seq(col("block_number"), col("contract_address").as("erc20")) ++
         U256.expand(col("output_data"), "total_supply", u256Reprs) :+ col("chain_id"): _*)
       .sortWithinPartitions("erc20", "block_number")
+
+  /** datasets/vm_traces.rs:13-133 — one row per EVM opcode step (the
+    * recursive sub-call flatten already happened at bronze time). */
+  def vmTraces(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_vm_traces")
+      .select("block_number", "transaction_index", "pc", "cost", "used",
+        "push", "mem_off", "mem_data", "storage_key", "storage_val", "op",
+        "chain_id")
+      .sortWithinPartitions("block_number", "transaction_index", "pc")
+
+  /** datasets/geth_opcodes.rs:14-167 — struct-log opcode trace. The
+    * memory/stack/storage columns are off by default and toggle the
+    * tracer's fetch options (schema-pruned IO: the flags are only read —
+    * and at RPC time only requested — when the schema asks for them,
+    * geth_opcodes.rs:44-59). */
+  def gethOpcodes(spark: SparkSession, dir: String,
+      includeMemory: Boolean = false, includeStack: Boolean = false,
+      includeStorage: Boolean = false): DataFrame = {
+    val base = Seq("block_number", "transaction_index", "pc", "op", "gas",
+      "gas_cost", "depth")
+    val opt = (if (includeMemory) Seq("memory") else Nil) ++
+      (if (includeStack) Seq("stack") else Nil) ++
+      (if (includeStorage) Seq("storage") else Nil)
+    fx(spark, dir, "rpc_geth_opcodes")
+      .select(base ++ opt :+ "chain_id" map col: _*)
+      .sortWithinPartitions("block_number", "transaction_index", "pc")
+  }
+
+  /** datasets/geth_calls.rs — flattened callTracer frames. */
+  def gethCalls(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    fx(spark, dir, "rpc_geth_calls")
+      .select(Seq(col("block_number"), col("transaction_index"),
+        col("from_address"), col("to_address")) ++
+        U256.expand(col("value"), "value", u256Reprs) ++
+        Seq(col("gas"), col("gas_used"), col("input"), col("output"),
+          col("call_type"), col("error"), col("depth"), col("chain_id")): _*)
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  /** datasets/javascript_traces.rs:10-90 — opaque user-tracer JSON
+    * strings; downstream extraction is from_json/get_json_object. */
+  def javascriptTraces(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_js_traces")
+      .select("block_number", "transaction_index", "transaction_hash",
+        "output", "chain_id")
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  /** datasets/trace_calls.rs:9-179 — call tree of a simulated call,
+    * keyed by (contract, calldata) instead of a transaction. */
+  def traceCalls(spark: SparkSession, dir: String): DataFrame =
+    fx(spark, dir, "rpc_trace_calls")
+      .select("block_number", "contract_address", "tx_call_data",
+        "action_from", "action_to", "action_value", "action_gas",
+        "action_input", "action_type", "trace_address", "subtraces",
+        "error", "chain_id")
+      .sortWithinPartitions("block_number", "trace_address")
+
+  /** state-reads family (multi_datasets/state_reads.rs:8-111) — account
+    * state touched during execution: the prestate tracer's pre-phase
+    * rows, one shared scan feeding all four tables. */
+  private def stateReads(spark: SparkSession, dir: String,
+      valueCol: String, withSlot: Boolean): DataFrame =
+    fx(spark, dir, "rpc_geth_prestate")
+      .filter(col("phase") === "pre" &&
+        (if (withSlot) col("slot").isNotNull else col("slot").isNull) &&
+        col(valueCol).isNotNull)
+
+  def balanceReads(spark: SparkSession, dir: String,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+    stateReads(spark, dir, "balance", withSlot = false)
+      .select(Seq(col("block_number"), col("transaction_index"),
+        col("transaction_hash"), col("address")) ++
+        U256.expand(col("balance"), "balance", u256Reprs) :+ col("chain_id"): _*)
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  def nonceReads(spark: SparkSession, dir: String): DataFrame =
+    stateReads(spark, dir, "nonce", withSlot = false)
+      .select("block_number", "transaction_index", "transaction_hash",
+        "address", "nonce", "chain_id")
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  def codeReads(spark: SparkSession, dir: String): DataFrame =
+    stateReads(spark, dir, "code", withSlot = false)
+      .select("block_number", "transaction_index", "transaction_hash",
+        "address", "code", "chain_id")
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  def storageReads(spark: SparkSession, dir: String): DataFrame =
+    stateReads(spark, dir, "slot_value", withSlot = true)
+      .select(col("block_number"), col("transaction_index"),
+        col("transaction_hash"), col("address"), col("slot"),
+        col("slot_value").as("value"), col("chain_id"))
+      .sortWithinPartitions("block_number", "transaction_index")
+
+  /** datasets/erc721_metadata.rs — name/symbol per NFT contract. */
+  def erc721Metadata(spark: SparkSession, dir: String): DataFrame = {
+    val calls = fx(spark, dir, "rpc_calls_erc721")
+    def sel(selector: Array[Byte]): Column = col("call_data") === lit(selector)
+    def abiStr(c: Column): Column =
+      regexp_replace(
+        expr(s"CAST(substring(${c.toString}, 65, CAST(conv(hex(substring(${c.toString}, 61, 4)), 16, 10) AS INT)) AS STRING)"),
+        "[\\x00-\\x1F\\x7F]", "")
+    calls
+      .groupBy(col("block_number"), col("contract_address").as("erc721"), col("chain_id"))
+      .agg(
+        min(when(sel(GenFixtures.selName), col("output_data"))).as("name_raw"),
+        min(when(sel(GenFixtures.selSymbol), col("output_data"))).as("symbol_raw"))
+      .filter(col("name_raw").isNotNull)
+      .select(col("block_number"), col("erc721"),
+        abiStr(col("name_raw")).as("name"),
+        abiStr(col("symbol_raw")).as("symbol"),
+        col("chain_id"))
+      .sortWithinPartitions("symbol", "block_number")
+  }
 
   /** datasets/erc20_balances.rs:8-58 — balanceOf(address) results; the
     * queried address is recovered from the calldata tail. */

@@ -373,6 +373,12 @@ object GenFixtures {
         // selfdestructed account: pre-only (Removed — zero-filled post)
         gethRows += acct(t, "pre", addr(19), BigInteger.valueOf(1234), 9L, null)
       }
+      if (t.to == null) {
+        // contract creation: code appears post-only
+        val created = Keccak.hash(s"created${t.bn}-${t.idx}").take(20)
+        gethRows += acct(t, "post", created, null, null,
+          Keccak.hash(s"gcode${t.bn}-${t.idx}"))
+      }
       (0 until grnd.nextInt(3)).foreach { k =>
         val slot = Keccak.hash(s"gp${t.bn}-${t.idx}-$k")
         grnd.nextInt(3) match {
@@ -392,5 +398,102 @@ object GenFixtures {
       f("address", B, false), f("balance", B), f("nonce", L), f("code", B),
       f("slot", B), f("slot_value", B), f("chain_id", L, false))),
       gethRows.toSeq)
+
+    // ---- opcode-level traces (parity vmTrace / geth struct-log shapes) ----
+    val vrnd = new JRandom(44)
+    val ops = Seq("PUSH1", "MSTORE", "CALLDATALOAD", "SLOAD", "SSTORE",
+      "ADD", "JUMPI", "RETURN")
+    val vmRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val opRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    txs.filter(_.idx == 0).foreach { t =>
+      var gas = 100000L
+      (0 until 8).foreach { step =>
+        val op = ops(step % ops.size)
+        val cost = 3L + vrnd.nextInt(200)
+        gas -= cost
+        val isStore = op == "SSTORE"
+        vmRows += Row(t.bn, t.idx, step.toLong * 2, cost, 100000L - gas,
+          if (op.startsWith("PUSH")) u256(step.toLong) else null,
+          if (op == "MSTORE") java.lang.Integer.valueOf(step * 32) else null,
+          if (op == "MSTORE") Keccak.hash(s"mem${t.bn}-$step").take(8) else null,
+          if (isStore) Keccak.hash(s"vsk${t.bn}-$step") else null,
+          if (isStore) u256(step.toLong + 7) else null,
+          op, ChainId)
+        opRows += Row(t.bn, t.idx, step.toLong * 2, op, gas, cost, 1,
+          s"mem$step", s"stack$step", if (isStore) s"storage$step" else null,
+          ChainId)
+      }
+    }
+    write("rpc_vm_traces", StructType(Seq(
+      f("block_number", I, false), f("transaction_index", I, false),
+      f("pc", L, false), f("cost", L), f("used", L), f("push", B),
+      f("mem_off", I), f("mem_data", B), f("storage_key", B),
+      f("storage_val", B), f("op", S, false), f("chain_id", L, false))),
+      vmRows.toSeq)
+    write("rpc_geth_opcodes", StructType(Seq(
+      f("block_number", I, false), f("transaction_index", I, false),
+      f("pc", L, false), f("op", S, false), f("gas", L), f("gas_cost", L),
+      f("depth", I), f("memory", S), f("stack", S), f("storage", S),
+      f("chain_id", L, false))),
+      opRows.toSeq)
+
+    // ---- geth callTracer frames (flattened CallFrame tree) ----
+    val gcRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    txs.filter(t => t.idx <= 1 && t.to != null).foreach { t =>
+      gcRows += Row(t.bn, t.idx, t.from, t.to, u256(t.value),
+        t.gasLimit, t.gasUsed, t.input,
+        Keccak.hash(s"gout${t.bn}-${t.idx}").take(8), "CALL",
+        if (t.status == 0) "execution reverted" else null, 0, ChainId)
+      if (vrnd.nextBoolean())
+        gcRows += Row(t.bn, t.idx, t.to, addr(7), u256(0L),
+          50000L, 21000L, selTotalSupply.clone(), u256(42L), "STATICCALL",
+          null, 1, ChainId)
+    }
+    write("rpc_geth_calls", StructType(Seq(
+      f("block_number", I, false), f("transaction_index", I, false),
+      f("from_address", B), f("to_address", B), f("value", B),
+      f("gas", L), f("gas_used", L), f("input", B), f("output", B),
+      f("call_type", S, false), f("error", S), f("depth", I, false),
+      f("chain_id", L, false))),
+      gcRows.toSeq)
+
+    // ---- user JS-tracer outputs (opaque JSON strings) ----
+    val jsRows = txs.filter(_.idx == 0).map { t =>
+      Row(t.bn, t.idx, t.hash,
+        s"""{"gasUsed": ${t.gasUsed}, "reverted": ${t.status == 0}, "steps": ${4 + t.bn % 7}}""",
+        ChainId)
+    }
+    write("rpc_js_traces", StructType(Seq(
+      f("block_number", I, false), f("transaction_index", I, false),
+      f("transaction_hash", B, false), f("output", S, false),
+      f("chain_id", L, false))),
+      jsRows.toSeq)
+
+    // ---- simulated call trees (trace_call results) ----
+    val tcRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    (0 until 3).foreach { i =>
+      val cd = selBalanceOf ++ pad32(addr(i))
+      tcRows += Row(lastBlock, token(i), cd, addr(0), token(i), "0", 90000,
+        cd, "call", "", 1, null, ChainId)
+      tcRows += Row(lastBlock, token(i), cd, token(i), addr(8), "0", 40000,
+        Array.emptyByteArray, "staticcall", "0", 0, null, ChainId)
+    }
+    write("rpc_trace_calls", StructType(Seq(
+      f("block_number", I, false), f("contract_address", B, false),
+      f("tx_call_data", B, false), f("action_from", B), f("action_to", B),
+      f("action_value", S), f("action_gas", I), f("action_input", B),
+      f("action_type", S, false), f("trace_address", S, false),
+      f("subtraces", I, false), f("error", S), f("chain_id", L, false))),
+      tcRows.toSeq)
+
+    // ---- erc721 metadata calls (separate from rpc_calls so erc20_metadata
+    //      results stay unchanged) ----
+    val nftCalls = Seq(
+      Row(lastBlock, nft, selName.clone(), abiString("Punk Apes"), ChainId),
+      Row(lastBlock, nft, selSymbol.clone(), abiString("PUNKAPE"), ChainId))
+    write("rpc_calls_erc721", StructType(Seq(
+      f("block_number", I, false), f("contract_address", B, false),
+      f("call_data", B, false), f("output_data", B), f("chain_id", L, false))),
+      nftCalls)
   }
 }

@@ -79,11 +79,33 @@ object ChainQueries {
       CD.ethCalls(s, FixDir)
         .select("block_number", "contract_address", "call_data",
           "output_data", "chain_id")),
+    "chain_balance_diffs" -> ((s, _) =>
+      CD.balanceDiffs(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_nonce_diffs" -> ((s, _) => CD.nonceDiffs(s, FixDir)),
+    "chain_code_diffs" -> ((s, _) => CD.codeDiffs(s, FixDir)),
+    "chain_codes" -> ((s, _) => CD.codes(s, FixDir)),
+    "chain_vm_traces" -> ((s, _) => CD.vmTraces(s, FixDir)),
+    "chain_geth_opcodes" -> ((s, _) => CD.gethOpcodes(s, FixDir)),
+    "chain_geth_calls" -> ((s, _) =>
+      CD.gethCalls(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_js_traces" -> { (s, _) =>
+      import org.apache.spark.sql.functions.{col, get_json_object}
+      CD.javascriptTraces(s, FixDir)
+        .withColumn("gas_used", get_json_object(col("output"), "$.gasUsed").cast("long"))
+    },
+    "chain_trace_calls" -> ((s, _) => CD.traceCalls(s, FixDir)),
+    "chain_balance_reads" -> ((s, _) =>
+      CD.balanceReads(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    "chain_nonce_reads" -> ((s, _) => CD.nonceReads(s, FixDir)),
+    "chain_code_reads" -> ((s, _) => CD.codeReads(s, FixDir)),
+    "chain_storage_reads" -> ((s, _) => CD.storageReads(s, FixDir)),
+    "chain_erc721_metadata" -> ((s, _) => CD.erc721Metadata(s, FixDir)),
     "chain_geth_balance_diffs" -> ((s, _) =>
       CD.gethBalanceDiffs(s, FixDir, u256Reprs = Seq(U256.Binary))),
     "chain_geth_storage_diffs" -> ((s, _) =>
       CD.gethStorageDiffs(s, FixDir, u256Reprs = Seq(U256.Binary))),
     "chain_geth_nonce_diffs" -> ((s, _) => CD.gethNonceDiffs(s, FixDir)),
+    "chain_geth_code_diffs" -> ((s, _) => CD.gethCodeDiffs(s, FixDir)),
     "chain_erc20_metadata" -> ((s, _) => CD.erc20Metadata(s, FixDir)),
     "chain_erc20_supplies" -> ((s, _) =>
       CD.erc20Supplies(s, FixDir, u256Reprs = Seq(U256.Binary))),
@@ -269,6 +291,75 @@ object ChainQueries {
     "chain_eth_calls" ->
       s"""SELECT block_number, contract_address, call_data, output_data, chain_id
         |FROM ${rp("rpc_calls")}""".stripMargin,
+    "chain_balance_diffs" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, address,
+        | from_value AS from_value_binary, to_value AS to_value_binary, chain_id
+        |FROM ${rp("rpc_balance_diffs")}""".stripMargin,
+    "chain_nonce_diffs" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, address,
+        | from_value, to_value, chain_id
+        |FROM ${rp("rpc_nonce_diffs")}""".stripMargin,
+    "chain_code_diffs" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, address,
+        | from_value, to_value, chain_id
+        |FROM ${rp("rpc_code_diffs")}""".stripMargin,
+    "chain_codes" ->
+      s"""SELECT block_number, address, code, chain_id
+        |FROM ${rp("rpc_accounts")}""".stripMargin,
+    "chain_vm_traces" ->
+      s"""SELECT block_number, transaction_index, pc, cost, used, push,
+        | mem_off, mem_data, storage_key, storage_val, op, chain_id
+        |FROM ${rp("rpc_vm_traces")}""".stripMargin,
+    "chain_geth_opcodes" ->
+      s"""SELECT block_number, transaction_index, pc, op, gas, gas_cost,
+        | depth, chain_id
+        |FROM ${rp("rpc_geth_opcodes")}""".stripMargin,
+    "chain_geth_calls" ->
+      s"""SELECT block_number, transaction_index, from_address, to_address,
+        | value AS value_binary, gas, gas_used, input, output, call_type,
+        | error, depth, chain_id
+        |FROM ${rp("rpc_geth_calls")}""".stripMargin,
+    "chain_js_traces" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, output,
+        | CAST(output->>'gasUsed' AS BIGINT) AS gas_used, chain_id
+        |FROM ${rp("rpc_js_traces")}""".stripMargin,
+    "chain_trace_calls" ->
+      s"""SELECT block_number, contract_address, tx_call_data, action_from,
+        | action_to, action_value, action_gas, action_input, action_type,
+        | trace_address, subtraces, error, chain_id
+        |FROM ${rp("rpc_trace_calls")}""".stripMargin,
+    "chain_balance_reads" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, address,
+        | balance AS balance_binary, chain_id
+        |FROM ${rp("rpc_geth_prestate")}
+        |WHERE phase = 'pre' AND slot IS NULL AND balance IS NOT NULL""".stripMargin,
+    "chain_nonce_reads" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, address,
+        | nonce, chain_id
+        |FROM ${rp("rpc_geth_prestate")}
+        |WHERE phase = 'pre' AND slot IS NULL AND nonce IS NOT NULL""".stripMargin,
+    "chain_code_reads" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, address,
+        | code, chain_id
+        |FROM ${rp("rpc_geth_prestate")}
+        |WHERE phase = 'pre' AND slot IS NULL AND code IS NOT NULL""".stripMargin,
+    "chain_storage_reads" ->
+      s"""SELECT block_number, transaction_index, transaction_hash, address,
+        | slot, slot_value AS value, chain_id
+        |FROM ${rp("rpc_geth_prestate")}
+        |WHERE phase = 'pre' AND slot IS NOT NULL AND slot_value IS NOT NULL""".stripMargin,
+    "chain_erc721_metadata" ->
+      s"""WITH g AS (
+        | SELECT block_number, contract_address AS erc721, chain_id,
+        |  min(CASE WHEN call_data = unhex('06fdde03') THEN output_data END) AS name_raw,
+        |  min(CASE WHEN call_data = unhex('95d89b41') THEN output_data END) AS symbol_raw
+        | FROM ${rp("rpc_calls_erc721")}
+        | GROUP BY 1, 2, 3)
+        |SELECT block_number, erc721,
+        | regexp_replace(decode(${bs("name_raw", 65, 9999)}), '[\\x00-\\x1f\\x7f]', '', 'g') AS name,
+        | regexp_replace(decode(${bs("symbol_raw", 65, 9999)}), '[\\x00-\\x1f\\x7f]', '', 'g') AS symbol,
+        | chain_id
+        |FROM g WHERE name_raw IS NOT NULL""".stripMargin,
     "chain_geth_balance_diffs" ->
       s"""WITH base AS (
         | SELECT * FROM ${rp("rpc_geth_prestate")} WHERE slot IS NULL AND balance IS NOT NULL),
@@ -299,6 +390,19 @@ object ChainQueries {
         | USING (block_number, transaction_index, transaction_hash, address, slot, chain_id)
         |WHERE coalesce(pre_value, unhex(repeat('00', 32)))
         |   <> coalesce(post_value, unhex(repeat('00', 32)))""".stripMargin,
+    "chain_geth_code_diffs" ->
+      s"""WITH base AS (
+        | SELECT * FROM ${rp("rpc_geth_prestate")} WHERE slot IS NULL AND code IS NOT NULL),
+        |pre AS (SELECT block_number, transaction_index, transaction_hash, address,
+        |        chain_id, code AS pre_value FROM base WHERE phase = 'pre'),
+        |post AS (SELECT block_number, transaction_index, transaction_hash, address,
+        |        chain_id, code AS post_value FROM base WHERE phase = 'post')
+        |SELECT block_number, transaction_index, transaction_hash, address,
+        | coalesce(pre_value, unhex('')) AS from_value,
+        | coalesce(post_value, unhex('')) AS to_value, chain_id
+        |FROM pre FULL OUTER JOIN post
+        | USING (block_number, transaction_index, transaction_hash, address, chain_id)
+        |WHERE coalesce(pre_value, unhex('')) <> coalesce(post_value, unhex(''))""".stripMargin,
     "chain_geth_nonce_diffs" ->
       s"""WITH base AS (
         | SELECT * FROM ${rp("rpc_geth_prestate")} WHERE slot IS NULL AND nonce IS NOT NULL),
