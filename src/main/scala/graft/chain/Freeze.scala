@@ -84,7 +84,7 @@ object Freeze {
   def collect(spark: SparkSession, sourceDir: String, dataset: String,
       blocks: BlockSyntax.Blocks): DataFrame = {
     val canonical = Datatypes(dataset).name
-    val df = builders(canonical)(spark, sourceDir)
+    val df = allBuilders(canonical)(spark, sourceDir)
     filterBlocks(df, blocks)
   }
 
@@ -95,6 +95,47 @@ object Freeze {
       case BlockSyntax.Numbers(ns) =>
         df.filter(col("block_number").isin(ns: _*))
     }
+
+  /** Multi-dataset collection sharing one extraction pass
+    * (cryo types/datatypes/meta.rs:23-39 clustering): the shared bronze
+    * table is persisted once; member builders hit Spark's cache manager
+    * via plan-fragment matching, so N member tables cost one scan.
+    * Call `release()` when done.
+    */
+  case class MultiResult(tables: Map[String, DataFrame], release: () => Unit)
+
+  private val multiBronze: Map[String, Seq[String]] = Map(
+    "blocks_and_transactions" -> Seq("rpc_blocks", "rpc_transactions", "rpc_receipts"),
+    "call_trace_derivatives" -> Seq("rpc_traces"),
+    "state_diffs" -> Seq("rpc_balance_diffs", "rpc_code_diffs",
+      "rpc_nonce_diffs", "rpc_storage_diffs"),
+    "geth_state_diffs" -> Seq("rpc_geth_prestate"),
+    "state_reads" -> Seq("rpc_geth_prestate"))
+
+  private val multiBuilders: Map[String, DatasetBuilder] = Map(
+    "geth_balance_diffs" -> ((s, d) => ChainDatasets.gethBalanceDiffs(s, d)),
+    "geth_code_diffs" -> ((s, d) => ChainDatasets.gethCodeDiffs(s, d)),
+    "geth_nonce_diffs" -> ((s, d) => ChainDatasets.gethNonceDiffs(s, d)),
+    "geth_storage_diffs" -> ((s, d) => ChainDatasets.gethStorageDiffs(s, d)),
+    "balance_reads" -> ((s, d) => ChainDatasets.balanceReads(s, d)),
+    "code_reads" -> ((s, d) => ChainDatasets.codeReads(s, d)),
+    "nonce_reads" -> ((s, d) => ChainDatasets.nonceReads(s, d)),
+    "storage_reads" -> ((s, d) => ChainDatasets.storageReads(s, d)))
+
+  /** every dataset buildable standalone (scalar builders + multi members) */
+  lazy val allBuilders: Map[String, DatasetBuilder] = builders ++ multiBuilders
+
+  def collectMulti(spark: SparkSession, sourceDir: String,
+      multiName: String): MultiResult = {
+    val members = Datatypes.multis.getOrElse(multiName,
+      throw new IllegalArgumentException(s"unknown multi: $multiName"))
+    val bronze = multiBronze(multiName).map(t => ChainDatasets.fx(spark, sourceDir, t))
+    bronze.foreach(_.persist())
+    val tables = members.map { m =>
+      m -> allBuilders(m)(spark, sourceDir)
+    }.toMap
+    MultiResult(tables, () => bronze.foreach(_.unpersist()))
+  }
 
   /** Chunked file extraction with skip-existing. Returns the run report
     * (freeze.rs:149-168 summary semantics). */
@@ -119,7 +160,10 @@ object Freeze {
         skipped ::= target.toString // freeze.rs:92-110 idempotent skip
       } else {
         try {
-          val df = filterBlocks(builders(canonical)(spark, sourceDir), chunk)
+          val df0 = filterBlocks(allBuilders(canonical)(spark, sourceDir), chunk)
+          // CSV/JSON force hex encoding of binary columns; parquet only
+          // under --hex (cryo cli/parse/schemas.rs:37-40 coupling)
+          val df = if (spec.format != "parquet" || spec.hex) hexifyBinary(df0) else df0
           rows += writeSingleFile(df, target, spec.format)
           completed ::= target.toString
         } catch {
@@ -132,6 +176,16 @@ object Freeze {
     val result = FreezeResult(completed.reverse, skipped.reverse, errored.reverse, rows)
     writeReport(spec, result)
     result
+  }
+
+  /** re-encode all binary columns as 0x-hex strings */
+  private def hexifyBinary(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    df.select(df.schema.fields.map { fld =>
+      if (fld.dataType == BinaryType)
+        graft.functions.HexCodec.toHex(col(fld.name)).as(fld.name)
+      else col(fld.name)
+    }.toSeq: _*)
   }
 
   /** one file per chunk via tmp dir + atomic move (export.rs:13-23) */

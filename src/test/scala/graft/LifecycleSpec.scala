@@ -87,6 +87,32 @@ class FreezeSpec extends AnyFunSuite {
     assert(r4.completed.exists(_.contains("__test__")))
   }
 
+  test("csv format forces hex encoding of binary columns") {
+    val out = Files.createTempDirectory("graft_hex").toString
+    Freeze.freeze(spark, fixDir, Freeze.FreezeSpec(
+      datasets = Seq("blocks"), blocks = Range(1000, 1010),
+      chunkSize = 10, outputDir = out, format = "csv"))
+    val f = Paths.get(out, "ethereum__blocks__00001000_to_00001009.csv")
+    assert(Files.exists(f))
+    val lines = Files.readAllLines(f)
+    assert(lines.get(0).contains("block_hash"))
+    assert(lines.get(1).matches(".*\\b0x[0-9a-f]{64}\\b.*"), lines.get(1))
+  }
+
+  test("multi-dataset collect shares one persisted bronze scan") {
+    val multi = Freeze.collectMulti(spark, fixDir, "state_reads")
+    try {
+      assert(multi.tables.keySet ==
+        Set("balance_reads", "code_reads", "nonce_reads", "storage_reads"))
+      multi.tables.values.foreach(df => assert(df.columns.contains("address")))
+      assert(multi.tables("balance_reads").count() > 0)
+      assert(multi.tables("storage_reads").count() > 0)
+      // the shared bronze table is cached → member plans reuse it
+      val cached = spark.sharedState.cacheManager
+      assert(!cached.isEmpty, "bronze scan should be persisted")
+    } finally multi.release()
+  }
+
   test("collect returns one in-memory DataFrame filtered to blocks") {
     val df = Freeze.collect(spark, fixDir, "txs", Range(1010, 1020))
     assert(df.columns.contains("gas_price"))
