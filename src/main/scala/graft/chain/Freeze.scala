@@ -88,6 +88,18 @@ object Freeze {
     filterBlocks(df, blocks)
   }
 
+  /** Collect by transaction hashes — TimeDimension::Transactions
+    * (cryo types/queries.rs:75-80, collect_generic.rs:14-19): the unit of
+    * collection is a tx-hash list instead of a block range. Hash lists are
+    * small → an isin/broadcast-semi filter on transaction_hash. */
+  def collectByTransaction(spark: SparkSession, sourceDir: String,
+      dataset: String, txHashes: Seq[Array[Byte]]): DataFrame = {
+    val ds = Datatypes(dataset)
+    require(ds.byTransaction, s"${ds.name} does not support tx-hash collection")
+    val df = allBuilders(ds.name)(spark, sourceDir)
+    df.filter(col("transaction_hash").isin(txHashes: _*))
+  }
+
   private def filterBlocks(df: DataFrame, blocks: BlockSyntax.Blocks): DataFrame =
     blocks match {
       case BlockSyntax.Range(a, b) =>

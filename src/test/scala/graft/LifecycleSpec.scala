@@ -121,6 +121,55 @@ class FreezeSpec extends AnyFunSuite {
   }
 }
 
+/** Port of the reference's timestamp-resolution tests
+  * (cryo cli/parse/timestamps.rs:324-515 boundary classes). Fixture
+  * blocks have timestamp = 1700000000 + 12·n for n in [1000, 1060). */
+class TimestampSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.chain.TimestampSyntax
+  private def blocks = graft.chain.ChainDatasets.fx(
+    spark, graft.queries.ChainQueries.FixDir, "rpc_blocks")
+  private val t0 = 1700000000L
+
+  test("duration units and now-relative parsing") {
+    assert(TimestampSyntax.parseDuration("90s") == 90)
+    assert(TimestampSyntax.parseDuration("2m") == 120)
+    assert(TimestampSyntax.parseDuration("1h") == 3600)
+    assert(TimestampSyntax.parseDuration("1d") == 86400)
+    assert(TimestampSyntax.parseTimestamp("-1h", now = 10000000) == 10000000 - 3600)
+    assert(TimestampSyntax.parseTimestamp("1700012000", 0) == 1700012000L)
+  }
+
+  test("binary search with ≤-semantics: exact, between-blocks, before, after") {
+    val r = TimestampSyntax.resolverFor(blocks)
+    assert(r.blockAtOrBefore(t0 + 12 * 1000) == Some(1000))      // exact first
+    assert(r.blockAtOrBefore(t0 + 12 * 1030) == Some(1030))      // exact mid
+    assert(r.blockAtOrBefore(t0 + 12 * 1030 + 5) == Some(1030))  // between → floor
+    assert(r.blockAtOrBefore(t0 + 12 * 1000 - 1).isEmpty)        // before chain
+    assert(r.blockAtOrBefore(t0 + 12 * 2000) == Some(1059))      // after head → last
+  }
+
+  test("timestamp range resolves to a block range") {
+    val range = TimestampSyntax.resolveRange(
+      s"${t0 + 12 * 1005}:${t0 + 12 * 1010 + 3}", blocks, now = 0)
+    assert(range == graft.chain.BlockSyntax.Range(1005, 1011))
+  }
+
+  test("collect by transaction hashes") {
+    val hashes = graft.chain.ChainDatasets.fx(
+      spark, graft.queries.ChainQueries.FixDir, "rpc_transactions")
+      .select("transaction_hash").limit(3).collect()
+      .map(_.getAs[Array[Byte]](0)).toSeq
+    val df = graft.chain.Freeze.collectByTransaction(
+      spark, graft.queries.ChainQueries.FixDir, "txs", hashes)
+    assert(df.count() == 3)
+    intercept[IllegalArgumentException] {
+      graft.chain.Freeze.collectByTransaction(
+        spark, graft.queries.ChainQueries.FixDir, "balances", hashes)
+    }
+  }
+}
+
 class RpcCodecSpec extends AnyFunSuite {
   test("request bodies are well-formed JSON-RPC") {
     assert(RpcCodec.getBlockRequest(7, 255, fullTxs = true) ==
