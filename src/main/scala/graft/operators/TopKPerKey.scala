@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded top-k per key as a typed Aggregator — the scale-correct
+  * alternative to `row_number().over(window) <= k`:
+  *
+  * the window form shuffles EVERY row to its key's partition and sorts;
+  * this aggregator keeps a k-bounded ordered buffer per key on the map
+  * side (partial aggregation), so only k rows per key per input
+  * partition cross the shuffle. At 100 TB with k=3 that is the
+  * difference between shuffling the table and shuffling ~nothing.
+  * Results are identical to the window form (same tie-break:
+  * value desc, key asc) — oracle-checked against it.
+  */
+object TopKPerKey {
+
+  /** (score, tiebreak-id) entry */
+  case class Entry(score: Double, id: Long)
+
+  class TopKAgg(k: Int) extends Aggregator[(Long, Double, Long), List[Entry], List[Entry]] {
+    override def zero: List[Entry] = Nil
+
+    private def insert(b: List[Entry], e: Entry): List[Entry] = {
+      // k is tiny: insertion into a sorted list beats heap overhead
+      val (better, worse) = b.span(x =>
+        x.score > e.score || (x.score == e.score && x.id < e.id))
+      val merged = better ::: e :: worse
+      if (merged.length > k) merged.take(k) else merged
+    }
+
+    override def reduce(b: List[Entry], row: (Long, Double, Long)): List[Entry] =
+      insert(b, Entry(row._2, row._3))
+    override def merge(x: List[Entry], y: List[Entry]): List[Entry] =
+      y.foldLeft(x)(insert)
+    override def finish(r: List[Entry]): List[Entry] = r
+    override def bufferEncoder: Encoder[List[Entry]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[List[Entry]] = ExpressionEncoder()
+  }
+
+  /** top-k rows of `df` per `keyCol`, ordered by `scoreCol` desc with
+    * `idCol` asc tie-break; output (key, rank, id, score). */
+  def topK(spark: SparkSession, df: DataFrame, keyCol: String,
+      scoreCol: String, idCol: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Double, Long)] = df.select(
+      col(keyCol).cast("long"), col(scoreCol).cast("double"),
+      col(idCol).cast("long")).as[(Long, Double, Long)]
+    ds.groupByKey(_._1)
+      .agg(new TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (key, top) =>
+        top.zipWithIndex.map { case (e, i) => (key, i + 1, e.id, e.score) }
+      }
+      .toDF(keyCol, "rk", idCol, scoreCol)
+  }
+}

@@ -289,6 +289,19 @@ object Relational {
         .agg(count(lit(1)).as("numcust"), fin(sum(m(col("c_acctbal"))), 2).as("totacctbal"))
     },
 
+    // Same semantics as q_window_top3_per_customer but via the bounded
+    // top-k Aggregator (graft.operators.TopKPerKey): map-side k-bounded
+    // buffers mean only k rows per key per partition shuffle, vs the
+    // window form shuffling every row. Oracle = the window formulation —
+    // proving the operators agree.
+    "q_topk_agg_per_customer" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      graft.operators.TopKPerKey
+        .topK(s, o, "o_custkey", "o_totalprice", "o_orderkey", 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("totalprice"), col("rk"))
+    },
+
     // As-of join (event-time alignment): for each purchase, the same
     // user's latest prior click. Implemented with the union+window trick —
     // one shuffle on user_id, no range join blowup — identical
@@ -450,6 +463,11 @@ object Relational {
         |       WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
         |  AND coalesce((SELECT count(*) FROM orders WHERE o_custkey = c_custkey), 0) <= 1
         |GROUP BY c_nationkey""".stripMargin,
+    "q_topk_agg_per_customer" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
     "q_events_asof_click" ->
       """SELECT user_id, purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
         | CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
