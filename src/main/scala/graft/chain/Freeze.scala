@@ -35,7 +35,8 @@ object Freeze {
       label: Option[String] = None,
       overwrite: Boolean = false,
       format: String = "parquet",
-      hex: Boolean = false)
+      hex: Boolean = false,
+      partitionBy: Option[String] = None)
 
   case class FreezeResult(
       completed: Seq[String], skipped: Seq[String], errored: Seq[String],
@@ -167,21 +168,47 @@ object Freeze {
     var rows = 0L
     for (dataset <- spec.datasets; chunk <- chunks) {
       val canonical = Datatypes(dataset).name
-      val target = Paths.get(spec.outputDir, fileName(spec, canonical, chunk))
-      if (Files.exists(target) && !spec.overwrite) {
-        skipped ::= target.toString // freeze.rs:92-110 idempotent skip
-      } else {
-        try {
-          val df0 = filterBlocks(allBuilders(canonical)(spark, sourceDir), chunk)
-          // CSV/JSON force hex encoding of binary columns; parquet only
-          // under --hex (cryo cli/parse/schemas.rs:37-40 coupling)
-          val df = if (spec.format != "parquet" || spec.hex) hexifyBinary(df0) else df0
-          rows += writeSingleFile(df, target, spec.format)
-          completed ::= target.toString
-        } catch {
-          case e: Exception =>
-            System.err.println(s"[freeze] $target failed: ${e.getMessage}")
-            errored ::= target.toString
+      // multi-dim partitioning (types/partitions.rs:290-337): one file per
+      // (chunk × dim value); binary dims use the 8-hex-char prefix stub
+      // (binary_chunk.rs:16-24)
+      val dimValues: Seq[Option[Any]] = spec.partitionBy match {
+        case None => Seq(None)
+        case Some(dim) =>
+          filterBlocks(allBuilders(canonical)(spark, sourceDir), chunk)
+            .select(dim).distinct().collect().map(r => Option(r.get(0))).toSeq
+            .sortBy(_.map {
+              case b: Array[Byte] => b.map("%02x".format(_)).mkString
+              case v => v.toString
+            }.getOrElse(""))
+      }
+      for (dimValue <- dimValues) {
+        val stub = dimValue.map {
+          case b: Array[Byte] => "__" + b.take(4).map("%02x".format(_)).mkString
+          case v => "__" + v.toString
+        }.getOrElse("")
+        val name = fileName(spec, canonical, chunk)
+          .replace(s"__${chunkStub(chunk)}", s"$stub"+ s"__${chunkStub(chunk)}")
+        val target = Paths.get(spec.outputDir, name)
+        if (Files.exists(target) && !spec.overwrite) {
+          skipped ::= target.toString // freeze.rs:92-110 idempotent skip
+        } else {
+          try {
+            val base = filterBlocks(allBuilders(canonical)(spark, sourceDir), chunk)
+            val df0 = (spec.partitionBy, dimValue) match {
+              case (Some(dim), Some(v)) => base.filter(col(dim) === lit(v))
+              case (Some(dim), None) => base.filter(col(dim).isNull)
+              case _ => base
+            }
+            // CSV/JSON force hex encoding of binary columns; parquet only
+            // under --hex (cryo cli/parse/schemas.rs:37-40 coupling)
+            val df = if (spec.format != "parquet" || spec.hex) hexifyBinary(df0) else df0
+            rows += writeSingleFile(df, target, spec.format)
+            completed ::= target.toString
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[freeze] $target failed: ${e.getMessage}")
+              errored ::= target.toString
+          }
         }
       }
     }

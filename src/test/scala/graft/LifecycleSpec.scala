@@ -113,6 +113,22 @@ class FreezeSpec extends AnyFunSuite {
     } finally multi.release()
   }
 
+  test("partition-by dim splits chunk files per value with hex-prefix stubs") {
+    val out = Files.createTempDirectory("graft_pby").toString
+    val r = Freeze.freeze(spark, fixDir, Freeze.FreezeSpec(
+      datasets = Seq("erc20_transfers"), blocks = Range(1000, 1060),
+      chunkSize = 60, outputDir = out, partitionBy = Some("erc20")))
+    assert(r.completed.size >= 2) // several token contracts
+    val names = r.completed.map(p => Paths.get(p).getFileName.toString)
+    assert(names.forall(_.matches("ethereum__erc20_transfers__[0-9a-f]{8}__00001000_to_00001059\\.parquet")))
+    // each file holds exactly one contract
+    names.foreach { n =>
+      val contracts = spark.read.parquet(s"$out/$n")
+        .select("erc20").distinct().count()
+      assert(contracts == 1)
+    }
+  }
+
   test("collect returns one in-memory DataFrame filtered to blocks") {
     val df = Freeze.collect(spark, fixDir, "txs", Range(1010, 1020))
     assert(df.columns.contains("gas_price"))
