@@ -109,10 +109,18 @@ object ChainDatasets {
     * (datasets/erc20_transfers.rs:12-131: 3 topics + 32-byte data). */
   private def erc20Shaped(spark: SparkSession, dir: String,
       topic0: Array[Byte], contractCol: String,
-      u256Reprs: Seq[U256.Repr]): DataFrame =
-    fx(spark, dir, "rpc_logs")
+      u256Reprs: Seq[U256.Repr],
+      from: Option[Array[Byte]] = None,
+      to: Option[Array[Byte]] = None): DataFrame = {
+    val base = fx(spark, dir, "rpc_logs")
       .filter(logTopic(1) === lit(topic0) &&
               size(col("topics")) === 3 && length(col("data")) === 32)
+    // from/to entity filters push into the topic positions — on a live
+    // node these become server-side eth_getLogs topic filters
+    // (datasets/erc20_transfers.rs:61-71 pushdown)
+    val f1 = from.map(a => base.filter(logTopic(2) === lit(GenFixtures.pad32(a)))).getOrElse(base)
+    val f2 = to.map(a => f1.filter(logTopic(3) === lit(GenFixtures.pad32(a)))).getOrElse(f1)
+    f2
       .select(Seq(
         col("block_number"), col("transaction_index"), col("log_index"),
         col("transaction_hash"), col("address").as(contractCol),
@@ -120,11 +128,14 @@ object ChainDatasets {
         expr("substring(topics[2], 13, 20)").as("to_address")) ++
         U256.expand(col("data"), "value", u256Reprs) :+ col("chain_id"): _*)
       .sortWithinPartitions("block_number", "log_index")
+  }
 
   def erc20Transfers(spark: SparkSession, dir: String,
-      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs,
+      from: Option[Array[Byte]] = None,
+      to: Option[Array[Byte]] = None): DataFrame =
     erc20Shaped(spark, dir, Keccak.hash("Transfer(address,address,uint256)"),
-      "erc20", u256Reprs)
+      "erc20", u256Reprs, from, to)
 
   def erc20Approvals(spark: SparkSession, dir: String,
       u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =

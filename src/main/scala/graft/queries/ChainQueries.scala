@@ -50,6 +50,16 @@ object ChainQueries {
     },
     "chain_erc20_transfers" -> ((s, _) =>
       CD.erc20Transfers(s, FixDir, u256Reprs = Seq(U256.Binary))),
+    // hex output mode (--hex / CSV coupling): binary → 0x-prefixed strings
+    "chain_logs_hex" -> { (s, _) =>
+      import org.apache.spark.sql.types.BinaryType
+      val df = CD.logs(s, FixDir)
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == BinaryType)
+          graft.functions.HexCodec.toHex(org.apache.spark.sql.functions.col(f.name)).as(f.name)
+        else org.apache.spark.sql.functions.col(f.name)
+      }.toSeq: _*)
+    },
     "chain_erc20_approvals" -> ((s, _) =>
       CD.erc20Approvals(s, FixDir, u256Reprs = Seq(U256.Binary))),
     "chain_erc721_transfers" -> ((s, _) =>
@@ -164,6 +174,17 @@ object ChainQueries {
         |FROM ${rp("rpc_logs")}
         |WHERE len(topics) = 3 AND topics[1] = unhex('$sigTransferHex')
         |  AND octet_length(data) >= 32""".stripMargin,
+    "chain_logs_hex" -> {
+      def hx(c: String) = s"'0x' || lower(hex($c)) AS $c"
+      s"""SELECT block_number, transaction_index, log_index,
+        | ${hx("transaction_hash")}, ${hx("address")},
+        | ${hx("topics[1]").replace("AS topics[1]", "AS topic0")},
+        | ${hx("topics[2]").replace("AS topics[2]", "AS topic1")},
+        | ${hx("topics[3]").replace("AS topics[3]", "AS topic2")},
+        | ${hx("topics[4]").replace("AS topics[4]", "AS topic3")},
+        | ${hx("data")}, octet_length(data) AS n_data_bytes, chain_id
+        |FROM ${rp("rpc_logs")}""".stripMargin
+    },
     "chain_erc20_transfers" ->
       s"""SELECT block_number, transaction_index, log_index, transaction_hash,
         | address AS erc20,
