@@ -28,7 +28,76 @@ object ChainQueries {
   private val sigTransferHex = GenFixtures.sigTransfer.map("%02x".format(_)).mkString
   private val sigApprovalHex = GenFixtures.sigApproval.map("%02x".format(_)).mkString
 
-  val defs: Map[String, Q] = Map(
+  /** Oracle-facing projection: every binary column → '0x…' lowercase hex
+    * string (cryo's ColumnEncoding::Hex). The driver's comparator converts
+    * the DuckDB side to pandas, where raw BLOBs arrive as unhashable
+    * bytearrays and crash its sort (VERDICT r1: 38 of the 41 chain entries
+    * died this way). Raw-binary outputs stay covered by ScalaTest specs;
+    * the driver gate compares the hex form on BOTH sides. */
+  private def hexAll(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.BinaryType
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == BinaryType)
+        graft.functions.HexCodec.toHex(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
+
+  /** Binary output columns per oracle query (verified via DuckDB DESCRIBE
+    * over every oracle) — drives the SELECT * REPLACE hex wrapper below so
+    * the DuckDB side emits the same '0x…' strings as hexAll. */
+  private val binCols: Map[String, Seq[String]] = Map(
+    "chain_blocks" -> Seq("block_hash", "parent_hash", "author", "extra_data"),
+    "chain_transactions" -> Seq("transaction_hash", "from_address", "to_address", "value"),
+    "chain_transactions_exclude_failed" -> Seq("transaction_hash"),
+    "chain_logs" -> Seq("transaction_hash", "address", "topic0", "topic1", "topic2", "topic3", "data"),
+    "chain_logs_decoded" -> Seq("transaction_hash", "address", "topic0", "event__from", "event__to", "event__value_binary"),
+    "chain_erc20_transfers" -> Seq("transaction_hash", "erc20", "from_address", "to_address", "value_binary"),
+    "chain_erc20_approvals" -> Seq("transaction_hash", "erc20", "from_address", "to_address", "value_binary"),
+    "chain_erc721_transfers" -> Seq("transaction_hash", "erc721", "from_address", "to_address", "token_id_binary"),
+    "chain_traces" -> Seq("action_from", "action_to", "action_input", "action_init", "result_output", "result_code", "result_address", "transaction_hash"),
+    "chain_traces_exclude_failed" -> Seq("transaction_hash"),
+    "chain_native_transfers" -> Seq("transaction_hash", "from_address", "to_address"),
+    "chain_contracts" -> Seq("transaction_hash", "contract_address", "deployer", "factory"),
+    "chain_four_byte_counts" -> Seq("transaction_hash", "signature"),
+    "chain_address_appearances" -> Seq("transaction_hash", "address"),
+    "chain_balances" -> Seq("address", "balance_binary"),
+    "chain_nonces" -> Seq("address"),
+    "chain_slots" -> Seq("address", "slot", "value_binary"),
+    "chain_storage_diffs" -> Seq("transaction_hash", "address", "slot", "from_value_binary", "to_value_binary"),
+    "chain_eth_calls" -> Seq("contract_address", "call_data", "output_data"),
+    "chain_balance_diffs" -> Seq("transaction_hash", "address", "from_value_binary", "to_value_binary"),
+    "chain_nonce_diffs" -> Seq("transaction_hash", "address"),
+    "chain_code_diffs" -> Seq("transaction_hash", "address", "from_value", "to_value"),
+    "chain_codes" -> Seq("address", "code"),
+    "chain_vm_traces" -> Seq("push", "mem_data", "storage_key", "storage_val"),
+    "chain_geth_calls" -> Seq("from_address", "to_address", "value_binary", "input", "output"),
+    "chain_js_traces" -> Seq("transaction_hash"),
+    "chain_trace_calls" -> Seq("contract_address", "tx_call_data", "action_from", "action_to", "action_input"),
+    "chain_balance_reads" -> Seq("transaction_hash", "address", "balance_binary"),
+    "chain_nonce_reads" -> Seq("transaction_hash", "address"),
+    "chain_code_reads" -> Seq("transaction_hash", "address", "code"),
+    "chain_storage_reads" -> Seq("transaction_hash", "address", "slot", "value"),
+    "chain_erc721_metadata" -> Seq("erc721"),
+    "chain_geth_balance_diffs" -> Seq("transaction_hash", "address", "from_value_binary", "to_value_binary"),
+    "chain_geth_storage_diffs" -> Seq("transaction_hash", "address", "slot", "from_value_binary", "to_value_binary"),
+    "chain_geth_nonce_diffs" -> Seq("transaction_hash", "address"),
+    "chain_geth_code_diffs" -> Seq("transaction_hash", "address", "from_value", "to_value"),
+    "chain_erc20_metadata" -> Seq("erc20"),
+    "chain_erc20_supplies" -> Seq("erc20", "total_supply_binary"),
+    "chain_erc20_balances" -> Seq("erc20", "address", "balance_binary")
+  )
+
+  private def hexWrap(name: String, sql: String): String =
+    binCols.get(name) match {
+      case Some(cols) =>
+        val rep = cols.map(c => s"'0x' || lower(hex($c)) AS $c").mkString(", ")
+        s"SELECT * REPLACE ($rep) FROM (\n$sql\n) hx"
+      case None => sql
+    }
+
+  private val rawDefs: Map[String, Q] = Map(
     "chain_blocks" -> ((s, _) => CD.blocks(s, FixDir)),
     "chain_transactions" -> { (s, _) =>
       CD.transactions(s, FixDir).select(
@@ -123,7 +192,14 @@ object ChainQueries {
       CD.erc20Balances(s, FixDir, u256Reprs = Seq(U256.Binary)))
   )
 
-  val oracles: Map[String, String] = Map(
+  /** driver-facing entries: raw transforms behind the comparator-safe hex
+    * projection (a no-op for entries with no binary output, e.g.
+    * chain_logs_hex / chain_geth_opcodes). */
+  val defs: Map[String, Q] = rawDefs.map { case (k, f) =>
+    k -> ((s: SparkSession, d: String) => hexAll(f(s, d)))
+  }
+
+  private val rawOracles: Map[String, String] = Map(
     "chain_blocks" ->
       s"""SELECT block_number, block_hash, parent_hash, author, gas_used,
         | gas_limit, extra_data, timestamp, difficulty, size,
@@ -462,4 +538,8 @@ object ChainQueries {
         |WHERE ${bs("call_data", 1, 4)} = unhex('70a08231')
         |  AND octet_length(call_data) = 36""".stripMargin
   )
+
+  val oracles: Map[String, String] = rawOracles.map { case (k, v) =>
+    k -> hexWrap(k, v)
+  }
 }

@@ -24,7 +24,8 @@ object EventsOps {
       Tables(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-             sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+             sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
+               .cast("double").as("total_value"))
     },
 
     // Sessionization: 30-min inactivity gap splits sessions. Single shuffle
@@ -86,7 +87,8 @@ object EventsOps {
           sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
           sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
-          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("total_value"))
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
+            .cast("double").as("total_value"))
     }
   )
 
@@ -94,7 +96,7 @@ object EventsOps {
     "q_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_sessionize" ->
       """WITH flagged AS (
@@ -108,7 +110,8 @@ object EventsOps {
         |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         | FROM flagged)
-        |SELECT user_id, session_seq, count(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events,
         | min(ts) AS session_start, max(ts) AS session_end
         |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
     "q_events_funnel" ->
@@ -129,12 +132,12 @@ object EventsOps {
         | FROM events) WHERE rn = 1""".stripMargin,
     "q_events_user_matrix" ->
       """SELECT user_id,
-        | sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        | sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id""".stripMargin
   )
 }

@@ -26,8 +26,17 @@ object Relational {
   /** percentage-like column (discount/tax, 2-decimal in [0,1]) */
   private def onem(c: Column): Column = (lit(1) - c.cast("decimal(4,2)")).cast("decimal(4,2)")
   private def onep(c: Column): Column = (lit(1) + c.cast("decimal(4,2)")).cast("decimal(4,2)")
-  /** pin aggregate output type (lossless: widens precision, keeps scale) */
-  private def fin(c: Column, s: Int): Column = c.cast(s"decimal(38,$s)")
+  /** Final output cast for decimal aggregates: pin the scale, then emit
+    * DOUBLE. The *arithmetic* stays in the exact decimal domain; only the
+    * output representation converts. Rationale (driver comparator): the
+    * driver converts the DuckDB oracle via pandas `.df()`, which turns
+    * DECIMAL into float64, while Spark's parquet decimal survives as
+    * Decimal objects — same value, different hash. Converting BOTH sides
+    * decimal→double yields identical float64 bits (correctly-rounded
+    * conversion of the same exact decimal; unscaled values at gate scale
+    * fit in 2^53). */
+  private def fin(c: Column, s: Int): Column =
+    c.cast(s"decimal(38,$s)").cast("double")
 
   val defs: Map[String, Q] = Map(
     // TPC-H Q1 shape: full-table scan + hash aggregate. Partial (map-side)
@@ -51,7 +60,11 @@ object Relational {
       val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+        // date → midnight timestamp: pyarrow date32 arrives in pandas as
+        // datetime.date objects while DuckDB DATE arrives as datetime64 —
+        // same value, different hash. Timestamps convert identically.
+        .groupBy(col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("timestamp").as("orderdate"))
         .agg(fin(sum(m(col("l_extendedprice")) * onem(col("l_discount"))), 4).as("revenue"))
     },
 
@@ -108,7 +121,8 @@ object Relational {
 
     "q_topk_orders" -> { (s, dir) =>
       Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), m(col("o_totalprice")).as("totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          m(col("o_totalprice")).cast("double").as("totalprice"))
         .orderBy(col("totalprice").desc, col("o_orderkey").asc)
         .limit(10)
     },
@@ -130,7 +144,8 @@ object Relational {
       Tables(s, dir, "orders")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), m(col("o_totalprice")).as("totalprice"), col("rk"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          m(col("o_totalprice")).cast("double").as("totalprice"), col("rk"))
     },
 
     // Anti-join (NOT EXISTS).
@@ -158,7 +173,7 @@ object Relational {
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"rr_$t"))
       s.sql(
         """SELECT r_name, n_name,
-          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales,
+          | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_sales,
           | count(*) AS n_orders
           |FROM rr_orders JOIN rr_customer ON o_custkey = c_custkey
           | JOIN rr_nation ON c_nationkey = n_nationkey
@@ -251,7 +266,8 @@ object Relational {
         .filter(col("total_qty") > 300)
       o.join(big, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderdate").cast("date").as("orderdate"), col("total_qty"))
+          col("o_orderdate").cast("date").cast("timestamp").as("orderdate"),
+          col("total_qty"))
     },
 
     // TPC-H Q19 shape: disjunctive multi-attribute predicates (OR of ANDs)
@@ -273,16 +289,16 @@ object Relational {
     "q22_idle_customers" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
       val o = Tables(s, dir, "orders")
-      val positive = c.filter(m(col("c_acctbal")) > 0)
-      val stats = positive.agg(
-        sum(m(col("c_acctbal"))).as("total"), count(lit(1)).as("n")).collect()(0)
-      val total = stats.getDecimal(0)
-      val n = stats.getLong(1)
+      // global threshold as a broadcast 1-row aggregate cross-join: stays
+      // a single lazy plan (no driver-side collect / extra job).
+      val stats = c.filter(m(col("c_acctbal")) > 0).agg(
+        sum(m(col("c_acctbal"))).as("bal_total"), count(lit(1)).as("bal_n"))
       // "idle" = at most one order (the testdata has no zero-order
       // customers at sf0.01, so a pure anti-join would verify nothing)
       val orderCounts = o.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
       c.filter(col("c_nationkey") % 5 === 0)
-        .filter(m(col("c_acctbal")) * n > lit(total))
+        .crossJoin(broadcast(stats))
+        .filter(m(col("c_acctbal")) * col("bal_n") > col("bal_total"))
         .join(orderCounts, col("c_custkey") === col("o_custkey"), "left_outer")
         .filter(coalesce(col("n_orders"), lit(0L)) <= 1)
         .groupBy(col("c_nationkey"))
@@ -299,7 +315,8 @@ object Relational {
       graft.operators.TopKPerKey
         .topK(s, o, "o_custkey", "o_totalprice", "o_orderkey", 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("totalprice"), col("rk"))
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("totalprice"),
+          col("rk"))
     },
 
     // As-of join (event-time alignment): for each purchase, the same
@@ -330,21 +347,21 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS sum_disc_price,
-        | CAST(sum($revenueExpr * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(sum($revenueExpr * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-        | CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue
+      s"""SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate,
+        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1998-07-01'
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
-        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)""".stripMargin,
+        |GROUP BY o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
@@ -352,7 +369,7 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT r_name, n_name,
-        | CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue
+        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -360,30 +377,30 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "q6_revenue_forecast" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name,
-        | CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue
+        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q_topk_orders" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         |FROM orders ORDER BY totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_window_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_total
         |FROM orders""".stripMargin,
     "q_window_top3_per_customer" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rk
+      """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         | FROM orders) WHERE rk <= 3""".stripMargin,
@@ -394,7 +411,7 @@ object Relational {
       """SELECT p_partkey, p_brand FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
     "q_rollup_regional_sales" ->
-      """SELECT r_name, n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales,
+      """SELECT r_name, n_name, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_sales,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -402,19 +419,19 @@ object Relational {
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "q_status_mix" ->
       """SELECT o_orderpriority,
-        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS sales_f
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        | CAST(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS sales_f
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_segment_stats" ->
       """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,
-        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_sales
+        | count(*) AS n_orders, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_sales
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "q_part_type_share" ->
       """SELECT p_type, count(*) AS n_parts,
-        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_retail,
+        | CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_retail,
         | min(p_size) AS min_size, max(p_size) AS max_size
         |FROM part GROUP BY p_type""".stripMargin,
     "q_union_nation_keys" ->
@@ -429,7 +446,7 @@ object Relational {
         | FROM customer) WHERE bal * nation_n > nation_sum""".stripMargin,
     "q2_min_cost_supplier" ->
       """SELECT l_partkey, min(l_suppkey) AS cheapest_suppkey,
-        | CAST(min(price) AS DECIMAL(38,2)) AS min_price
+        | CAST(CAST(min(price) AS DECIMAL(38,2)) AS DOUBLE) AS min_price
         |FROM (SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
         |       min(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS min_price
         |      FROM lineitem)
@@ -441,20 +458,20 @@ object Relational {
         | GROUP BY c_custkey)
         |GROUP BY c_count""".stripMargin,
     "q18_large_orders" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS orderdate, total_qty
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate, total_qty
         |FROM orders JOIN (
-        | SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        | SELECT l_orderkey, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
         | FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
         |ON o_orderkey = big.l_orderkey""".stripMargin,
     "q19_disjunctive_revenue" ->
-      s"""SELECT CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS revenue, count(*) AS n_rows
+      s"""SELECT CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, count(*) AS n_rows
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30)""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_nationkey, count(*) AS numcust,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+        | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
         |FROM customer
         |WHERE c_nationkey % 5 = 0
         |  AND CAST(c_acctbal AS DECIMAL(18,2)) *
@@ -464,7 +481,7 @@ object Relational {
         |  AND coalesce((SELECT count(*) FROM orders WHERE o_custkey = c_custkey), 0) <= 1
         |GROUP BY c_nationkey""".stripMargin,
     "q_topk_agg_per_customer" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rk
+      """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         | FROM orders) WHERE rk <= 3""".stripMargin,

@@ -41,20 +41,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("q1 aggregates to the 6 flag/status groups with exact decimal sums") {
+  test("q1 aggregates to the 6 flag/status groups (comparator-safe doubles)") {
+    // aggregates stay decimal internally; the final output cast is DOUBLE
+    // so the driver's pandas comparator sees float64 on both sides
     val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
     assert(rows.nonEmpty && rows.size <= 6)
     rows.values.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("sum_qty").scale == 2)
-      assert(r.getAs[java.math.BigDecimal]("sum_charge").scale == 6)
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("sum_charge") > 0)
     }
   }
 
   test("q_topk_orders returns exactly 10 ordered rows") {
     val prices = SparkEntry.queries("q_topk_orders")(spark, sf)
-      .collect().map(_.getAs[java.math.BigDecimal]("totalprice"))
+      .collect().map(_.getAs[Double]("totalprice"))
     assert(prices.length == 10)
-    assert(prices.sliding(2).forall(p => p(0).compareTo(p(1)) >= 0))
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
   }
 }
