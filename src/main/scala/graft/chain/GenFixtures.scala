@@ -368,6 +368,15 @@ object GenFixtures {
           // receiver created by transfer: post-only (Added — zero-filled pre)
           gethRows += acct(t, "post", t.to, t.value.min(pre), null, null)
         }
+        // callee code read: prestate default-mode includes the called
+        // contract's bytecode; identical pre/post → surfaces in code_reads
+        // but never in code_diffs. Deterministic from the address and no
+        // RNG draws, so every pre-existing row stays byte-identical
+        // (append-only fixture discipline).
+        val calleeCode =
+          Keccak.hash("ccode" + t.to.map("%02x".format(_)).mkString).take(24)
+        gethRows += acct(t, "pre", t.to, null, null, calleeCode)
+        gethRows += acct(t, "post", t.to, null, null, calleeCode)
       }
       if (grnd.nextInt(5) == 0) {
         // selfdestructed account: pre-only (Removed — zero-filled post)
