@@ -26,8 +26,14 @@ object ChainDatasets {
   }
 
   /** datasets/transactions.rs:14-318 — tx ⋈ receipt, EIP-1559 effective
-    * gas price, input-byte stats, success flag. Receipts and block base
-    * fees are dimension-sized per chunk → broadcast joins.
+    * gas price, input-byte stats, success flag.
+    *
+    * Scale note: receipts is TX-cardinality (one row per transaction) —
+    * at 100 TB a broadcast would OOM the driver, so the tx⋈receipt join is
+    * left unhinted and AQE picks SMJ/shuffled-hash on transaction_hash
+    * (cryo zips per-chunk, where both sides are chunk-sized; whole-table
+    * we must shuffle). blocks IS chunk-sized (one row per block, ~1/200th
+    * of tx rows) → the base-fee join stays broadcast.
     */
   def transactions(spark: SparkSession, dir: String,
       excludeFailed: Boolean = false): DataFrame = {
@@ -36,7 +42,7 @@ object ChainDatasets {
     val baseFees = fx(spark, dir, "rpc_blocks")
       .select(col("block_number").as("bf_bn"), col("base_fee_per_gas"))
     val joined = txs
-      .join(broadcast(receipts.withColumnRenamed("gas_used", "receipt_gas_used")),
+      .join(receipts.withColumnRenamed("gas_used", "receipt_gas_used"),
         Seq("transaction_hash"), "left")
       .join(broadcast(baseFees), col("block_number") === col("bf_bn"), "left")
     // effective gas price (transactions.rs:287-302):

