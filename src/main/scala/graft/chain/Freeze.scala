@@ -36,7 +36,15 @@ object Freeze {
       overwrite: Boolean = false,
       format: String = "parquet",
       hex: Boolean = false,
-      partitionBy: Option[String] = None)
+      partitionBy: Option[String] = None,
+      /** chunk collection order (cli/parse/partitions.rs:110-123):
+        * normal | reverse | random (seeded for reproducibility) */
+      chunkOrder: String = "normal",
+      chunkOrderSeed: Long = 0,
+      /** chunk-file writes in flight at once (freeze.rs:85-87 semaphore) */
+      maxConcurrentChunks: Int = 4,
+      /** recorded in the run report (reports.rs cli_command/args) */
+      cliCommand: Option[String] = None)
 
   case class FreezeResult(
       completed: Seq[String], skipped: Seq[String], errored: Seq[String],
@@ -150,70 +158,128 @@ object Freeze {
     MultiResult(tables, () => bronze.foreach(_.unpersist()))
   }
 
+  private sealed trait TaskOutcome
+  private case class Completed(path: String, rows: Long) extends TaskOutcome
+  private case class Skipped(path: String) extends TaskOutcome
+  private case class Errored(path: String) extends TaskOutcome
+
   /** Chunked file extraction with skip-existing. Returns the run report
-    * (freeze.rs:149-168 summary semantics). */
+    * (freeze.rs:149-168 summary semantics).
+    *
+    * Scale shape (fixes from r1's plan audit): one Spark job per output
+    * file with NO pre-count (row counts come from an `observe` metric on
+    * the write itself), up to `maxConcurrentChunks` chunk jobs in flight
+    * (cryo's semaphore, freeze.rs:85-87), and partition-by dim values
+    * discovered in ONE job per dataset (a broadcast range-join against the
+    * chunk table) instead of a driver collect per chunk.
+    */
   def freeze(spark: SparkSession, sourceDir: String, spec: FreezeSpec): FreezeResult = {
     Files.createDirectories(Paths.get(spec.outputDir))
+    val tStart = java.time.LocalDateTime.now()
+    writeReport(spec, tStart, None)
     val range = spec.blocks match {
       case r: BlockSyntax.Range => r
       case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)
     }
-    val chunks = spec.nChunks match {
+    val ordered = spec.nChunks match {
       case Some(n) => BlockSyntax.subchunkByCount(range, n)
       case None => BlockSyntax.subchunk(range, spec.chunkSize, spec.align)
     }
-    var completed = List.empty[String]
-    var skipped = List.empty[String]
-    var errored = List.empty[String]
-    var rows = 0L
-    for (dataset <- spec.datasets; chunk <- chunks) {
-      val canonical = Datatypes(dataset).name
-      // multi-dim partitioning (types/partitions.rs:290-337): one file per
-      // (chunk × dim value); binary dims use the 8-hex-char prefix stub
-      // (binary_chunk.rs:16-24)
-      val dimValues: Seq[Option[Any]] = spec.partitionBy match {
-        case None => Seq(None)
-        case Some(dim) =>
-          filterBlocks(allBuilders(canonical)(spark, sourceDir), chunk)
-            .select(dim).distinct().collect().map(r => Option(r.get(0))).toSeq
-            .sortBy(_.map {
-              case b: Array[Byte] => b.map("%02x".format(_)).mkString
-              case v => v.toString
-            }.getOrElse(""))
-      }
-      for (dimValue <- dimValues) {
-        val stub = dimValue.map {
-          case b: Array[Byte] => "__" + b.take(4).map("%02x".format(_)).mkString
-          case v => "__" + v.toString
-        }.getOrElse("")
-        val name = fileName(spec, canonical, chunk)
-          .replace(s"__${chunkStub(chunk)}", s"$stub"+ s"__${chunkStub(chunk)}")
-        val target = Paths.get(spec.outputDir, name)
-        if (Files.exists(target) && !spec.overwrite) {
-          skipped ::= target.toString // freeze.rs:92-110 idempotent skip
-        } else {
-          try {
-            val base = filterBlocks(allBuilders(canonical)(spark, sourceDir), chunk)
-            val df0 = (spec.partitionBy, dimValue) match {
-              case (Some(dim), Some(v)) => base.filter(col(dim) === lit(v))
-              case (Some(dim), None) => base.filter(col(dim).isNull)
-              case _ => base
-            }
-            // CSV/JSON force hex encoding of binary columns; parquet only
-            // under --hex (cryo cli/parse/schemas.rs:37-40 coupling)
-            val df = if (spec.format != "parquet" || spec.hex) hexifyBinary(df0) else df0
-            rows += writeSingleFile(df, target, spec.format)
-            completed ::= target.toString
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[freeze] $target failed: ${e.getMessage}")
-              errored ::= target.toString
-          }
-        }
-      }
+    // chunk collection order (cli/parse/partitions.rs:110-123)
+    val chunks = spec.chunkOrder match {
+      case "normal" => ordered
+      case "reverse" => ordered.reverse
+      case "random" => new scala.util.Random(spec.chunkOrderSeed).shuffle(ordered)
+      case other => throw new IllegalArgumentException(
+        s"invalid chunk order '$other', use normal, reverse, or random")
     }
-    val result = FreezeResult(completed.reverse, skipped.reverse, errored.reverse, rows)
-    writeReport(spec, result)
+    // multi-dim partitioning (types/partitions.rs:290-337): one file per
+    // (chunk × dim value present in that chunk); binary dims use the
+    // 8-hex-char prefix stub (binary_chunk.rs:16-24). All (chunk, value)
+    // combos for a dataset come from a single aggregation job: the tiny
+    // chunk-boundary table broadcast-range-joins the scan, so discovery
+    // cost is one pass per dataset, not one driver collect per chunk.
+    def dimValuesByChunk(canonical: String): Map[Int, Seq[Option[Any]]] =
+      spec.partitionBy match {
+        case None => chunks.indices.map(_ -> Seq(Option.empty[Any])).toMap
+        case Some(dim) =>
+          import spark.implicits._
+          val bounds = chunks.zipWithIndex
+            .map { case (c, i) => (i, c.start, c.endExclusive) }
+            .toDF("chunk_idx", "c_start", "c_end")
+          filterBlocks(allBuilders(canonical)(spark, sourceDir), range)
+            .join(broadcast(bounds),
+              col("block_number") >= col("c_start") &&
+                col("block_number") < col("c_end"))
+            .select(col("chunk_idx"), col(dim).as("dim_value"))
+            .distinct().collect()
+            .groupBy(_.getInt(0))
+            .map { case (idx, rs) =>
+              idx -> rs.map(r => Option(r.get(1))).toSeq.sortBy(_.map {
+                case b: Array[Byte] => b.map("%02x".format(_)).mkString
+                case v => v.toString
+              }.getOrElse(""))
+            }
+      }
+    // build the ordered task list up front (skip decisions are driver-side)
+    val tasks = for {
+      dataset <- spec.datasets
+      canonical = Datatypes(dataset).name
+      dims = dimValuesByChunk(canonical)
+      (chunk, idx) <- chunks.zipWithIndex
+      dimValue <- dims.getOrElse(idx, Seq.empty)
+    } yield {
+      val stub = dimValue.map {
+        case b: Array[Byte] => "__" + b.take(4).map("%02x".format(_)).mkString
+        case v => "__" + v.toString
+      }.getOrElse("")
+      val name = fileName(spec, canonical, chunk)
+        .replace(s"__${chunkStub(chunk)}", s"$stub" + s"__${chunkStub(chunk)}")
+      (canonical, chunk, dimValue, Paths.get(spec.outputDir, name))
+    }
+    def runTask(canonical: String, chunk: BlockSyntax.Range,
+        dimValue: Option[Any], target: Path): TaskOutcome =
+      if (Files.exists(target) && !spec.overwrite) {
+        Skipped(target.toString) // freeze.rs:92-110 idempotent skip
+      } else try {
+        val base = filterBlocks(allBuilders(canonical)(spark, sourceDir), chunk)
+        val df0 = (spec.partitionBy, dimValue) match {
+          case (Some(dim), Some(v)) => base.filter(col(dim) === lit(v))
+          case (Some(dim), None) => base.filter(col(dim).isNull)
+          case _ => base
+        }
+        // CSV/JSON force hex encoding of binary columns; parquet only
+        // under --hex (cryo cli/parse/schemas.rs:37-40 coupling)
+        val df = if (spec.format != "parquet" || spec.hex) hexifyBinary(df0) else df0
+        Completed(target.toString, writeSingleFile(df, target, spec.format))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[freeze] $target failed: ${e.getMessage}")
+          Errored(target.toString)
+      }
+    // cryo keeps a bounded number of chunks in flight; Spark schedules the
+    // concurrent jobs' stages across the same executor pool
+    val outcomes: Seq[TaskOutcome] =
+      if (spec.maxConcurrentChunks <= 1 || tasks.size <= 1)
+        tasks.map { case (c, ch, dv, t) => runTask(c, ch, dv, t) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          spec.maxConcurrentChunks)
+        try {
+          val futures = tasks.map { case (c, ch, dv, t) =>
+            pool.submit(new java.util.concurrent.Callable[TaskOutcome] {
+              def call(): TaskOutcome = runTask(c, ch, dv, t)
+            })
+          }
+          futures.map(_.get()) // preserves task order regardless of finish order
+        } finally pool.shutdown()
+      }
+    val result = FreezeResult(
+      outcomes.collect { case Completed(p, _) => p },
+      outcomes.collect { case Skipped(p) => p },
+      outcomes.collect { case Errored(p) => p },
+      outcomes.collect { case Completed(_, n) => n }.sum)
+    writeReport(spec, tStart, Some(result))
     result
   }
 
@@ -227,11 +293,16 @@ object Freeze {
     }.toSeq: _*)
   }
 
-  /** one file per chunk via tmp dir + atomic move (export.rs:13-23) */
+  /** one file per chunk via tmp dir + atomic move (export.rs:13-23).
+    * The row count rides the write job as an `observe` metric — the chunk
+    * is computed exactly once (r1 pre-counted with df.count(), doubling
+    * every chunk's work). */
   private def writeSingleFile(df: DataFrame, target: Path, format: String): Long = {
     val tmp = target.resolveSibling(target.getFileName.toString + "._tmp")
-    val n = df.count()
-    val writer = df.coalesce(1).write.mode("overwrite")
+    val obs = org.apache.spark.sql.Observation(
+      s"freeze_${target.getFileName}_${System.nanoTime()}")
+    val writer = df.observe(obs, count(lit(1)).as("rows"))
+      .coalesce(1).write.mode("overwrite")
     format match {
       case "parquet" => writer.parquet(tmp.toString)
       case "csv" => writer.option("header", "true").csv(tmp.toString)
@@ -242,7 +313,7 @@ object Freeze {
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(tmp)
-    n
+    obs.get("rows").asInstanceOf[Long]
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -253,14 +324,42 @@ object Freeze {
     Files.deleteIfExists(p)
   }
 
-  /** JSON run report (types/reports.rs:25-100) */
-  private def writeReport(spec: FreezeSpec, r: FreezeResult): Unit = {
-    val dir = Paths.get(spec.outputDir, ".graft", "reports")
+  /** library version recorded in run reports (reports.rs cryo_version) */
+  val Version = "0.2.0"
+
+  private def reportStamp(t: java.time.LocalDateTime): String =
+    t.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd_HH-mm-ss.SSSSSS"))
+
+  def reportDir(spec: FreezeSpec): Path =
+    Paths.get(spec.outputDir, ".graft", "reports")
+
+  /** Two-phase JSON run report (types/reports.rs:25-100): an
+    * `incomplete_{t_start}.json` marker (results: null) is written when the
+    * run starts; on completion the final `{t_start}.json` replaces it and
+    * the marker is deleted — a crash leaves the marker behind as evidence. */
+  private def writeReport(spec: FreezeSpec, tStart: java.time.LocalDateTime,
+      result: Option[FreezeResult]): Unit = {
+    val dir = reportDir(spec)
     Files.createDirectories(dir)
-    def arr(xs: Seq[String]) = xs.map(x => "\"" + x.replace("\\", "\\\\") + "\"").mkString("[", ",", "]")
+    def s(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def arr(xs: Seq[String]) = xs.map(s).mkString("[", ",", "]")
+    val results = result match {
+      case None => "null"
+      case Some(r) =>
+        s"""{"completed_paths":${arr(r.completed)},"errored_paths":${arr(r.errored)},
+           |"n_skipped":${r.skipped.size},"rows":${r.rows}}""".stripMargin
+    }
     val json =
-      s"""{"datasets":${arr(spec.datasets)},"completed":${arr(r.completed)},
-         |"skipped":${arr(r.skipped)},"errored":${arr(r.errored)},"rows":${r.rows}}""".stripMargin
-    Files.writeString(dir.resolve(s"report_${spec.network}_${math.abs(json.hashCode)}.json"), json)
+      s"""{"graft_version":${s(Version)},
+         |"cli_command":${spec.cliCommand.map(s).getOrElse("null")},
+         |"args":{"datasets":${arr(spec.datasets)},"network":${s(spec.network)},
+         |"format":${s(spec.format)},"chunk_order":${s(spec.chunkOrder)}},
+         |"results":$results}""".stripMargin
+    val stamp = reportStamp(tStart)
+    val name = if (result.isDefined) s"$stamp.json" else s"incomplete_$stamp.json"
+    Files.writeString(dir.resolve(name), json)
+    if (result.isDefined)
+      Files.deleteIfExists(dir.resolve(s"incomplete_$stamp.json"))
   }
 }

@@ -129,6 +129,43 @@ class FreezeSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk collection order: normal, reverse, random (seeded)") {
+    def stubs(order: String, seed: Long = 0): Seq[String] = {
+      val out = Files.createTempDirectory(s"graft_ord_$order").toString
+      val r = Freeze.freeze(spark, fixDir, Freeze.FreezeSpec(
+        datasets = Seq("blocks"), blocks = Range(1000, 1060),
+        chunkSize = 20, outputDir = out,
+        chunkOrder = order, chunkOrderSeed = seed))
+      r.completed.map(p => p.substring(p.indexOf("__000") + 2))
+    }
+    val normal = stubs("normal")
+    assert(normal == normal.sorted)
+    assert(stubs("reverse") == normal.reverse)
+    val rand = stubs("random", seed = 7)
+    assert(rand.toSet == normal.toSet)
+    assert(stubs("random", seed = 7) == rand) // seeded → reproducible
+    intercept[IllegalArgumentException] {
+      stubs("sideways")
+    }
+  }
+
+  test("run report: final report written, incomplete marker removed") {
+    val out = Files.createTempDirectory("graft_report").toString
+    Freeze.freeze(spark, fixDir, Freeze.FreezeSpec(
+      datasets = Seq("blocks"), blocks = Range(1000, 1020),
+      chunkSize = 20, outputDir = out,
+      cliCommand = Some("graft freeze blocks -b 1000:1020")))
+    val dir = Paths.get(out, ".graft", "reports")
+    val reports = Files.list(dir).toArray.map(_.toString).toSeq
+    assert(reports.size == 1, reports)
+    assert(!reports.head.contains("incomplete_"))
+    val body = Files.readString(Paths.get(reports.head))
+    assert(body.contains("\"graft_version\""))
+    assert(body.contains("graft freeze blocks -b 1000:1020"))
+    assert(body.contains("\"completed_paths\""))
+    assert(body.contains("\"n_skipped\":0"))
+  }
+
   test("collect returns one in-memory DataFrame filtered to blocks") {
     val df = Freeze.collect(spark, fixDir, "txs", Range(1010, 1020))
     assert(df.columns.contains("gas_price"))
