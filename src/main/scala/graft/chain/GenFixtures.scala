@@ -57,19 +57,24 @@ object GenFixtures {
       gasLimit: Long, gasPrice: java.lang.Long, maxFee: java.lang.Long,
       maxPriority: java.lang.Long, gasUsed: Long, status: Int)
 
+  /** args: [outDir] [nBlocks] — nBlocks scales every table linearly, so
+    * `runMain graft.chain.GenFixtures fixtures/chain_sf0.1 6000` emits a
+    * bench-scale variant while the default stays the canonical 60-block
+    * correctness fixture the oracle SQL reads. */
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/root/repo/fixtures/chain"
+    val nb = if (args.length > 1) args(1).toInt else NBlocks
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out)
+    generate(spark, out, nb)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, out: String): Unit = {
+  def generate(spark: SparkSession, out: String, nBlocks: Int = NBlocks): Unit = {
     val rnd = new JRandom(42)
     val B = BinaryType; val I = IntegerType; val L = LongType; val S = StringType
 
@@ -80,7 +85,7 @@ object GenFixtures {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     // ---- blocks ----
-    val blockRows = (0 until NBlocks).map { i =>
+    val blockRows = (0 until nBlocks).map { i =>
       val n = FirstBlock + i
       Row(n, Keccak.hash(s"block$n"), Keccak.hash(s"block${n - 1}"),
         Keccak.hash("uncles"), addr(n % 5), Keccak.hash(s"state$n"),
@@ -108,7 +113,7 @@ object GenFixtures {
 
     // ---- transactions + receipts ----
     val txs = scala.collection.mutable.ArrayBuffer.empty[Tx]
-    (0 until NBlocks).foreach { i =>
+    (0 until nBlocks).foreach { i =>
       val n = FirstBlock + i
       val nTx = rnd.nextInt(6)
       (0 until nTx).foreach { t =>
@@ -239,7 +244,7 @@ object GenFixtures {
       }
     }
     // block reward rows (tx-less traces)
-    (0 until NBlocks).foreach { i =>
+    (0 until nBlocks).foreach { i =>
       val n = FirstBlock + i
       traceRows += Row(null, addr(n % 5), "2000000000000000000",
         null, null, null, null, "block", "reward", null, null, null, null,
@@ -300,7 +305,7 @@ object GenFixtures {
 
     // ---- point-lookup account state ----
     val acctRows = for {
-      i <- 0 until NBlocks by 10
+      i <- 0 until nBlocks by 10
       a <- 0 until 8
     } yield {
       val n = FirstBlock + i
@@ -312,7 +317,7 @@ object GenFixtures {
       f("nonce", L), f("code", B), f("chain_id", L, false))),
       acctRows)
     val storageRows = for {
-      i <- 0 until NBlocks by 10
+      i <- 0 until nBlocks by 10
       tk <- 0 until 3
       sl <- 0 until 3
     } yield Row(FirstBlock + i, token(tk), Keccak.hash(s"gslot$sl"),
@@ -326,7 +331,7 @@ object GenFixtures {
     val names = Seq("Alpha Token", "BetaToken", "Gamma") // control char scrub case
     val symbols = Seq("ALP", "BET", "GAM")
     val callRows = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val lastBlock = FirstBlock + NBlocks - 1
+    val lastBlock = FirstBlock + nBlocks - 1
     (0 until 3).foreach { i =>
       callRows += Row(lastBlock, token(i), selName.clone(), abiString(names(i)), ChainId)
       callRows += Row(lastBlock, token(i), selSymbol.clone(), abiString(symbols(i)), ChainId)
