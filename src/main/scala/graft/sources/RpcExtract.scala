@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.Row
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Pure JSON-RPC response → bronze-row parsers for the extract phase of
+  * every major dataset family — the offline-testable half of live
+  * extraction (no egress in CI: request builders + these parsers are
+  * unit-tested against canned node responses; the HTTP loop in RpcSource
+  * composes them unchanged).
+  *
+  * Shapes mirror the reference's per-dataset extract/transform pairs:
+  * transactions (cryo datasets/transactions.rs:124-135 block-with-txs +
+  * receipt zip), traces (datasets/traces.rs trace_block), eth_call
+  * batches (datasets/eth_calls.rs), geth prestate/call/opcode tracers
+  * (datasets/geth_state_diffs.rs, geth_calls.rs, geth_opcodes.rs).
+  * Output rows land in the exact rpc_* bronze schemas the ChainDatasets
+  * transforms consume, so live extraction and fixtures share one path.
+  */
+object RpcExtract {
+
+  private def jstr(v: JValue, k: String): String = (v \ k) match {
+    case JString(s) => s; case _ => null
+  }
+  private def hexB(v: JValue, k: String): Array[Byte] =
+    RpcCodec.parseHexBytes(jstr(v, k))
+  private def jlong(v: JValue, k: String): Option[Long] = (v \ k) match {
+    case JInt(n) => Some(n.toLong)
+    case JString(s) => Some(RpcCodec.parseHexLong(s))
+    case _ => None
+  }
+  private def boxL(o: Option[Long]): java.lang.Long =
+    o.map(java.lang.Long.valueOf).orNull
+  private def boxI(o: Option[Long]): java.lang.Integer =
+    o.map(n => java.lang.Integer.valueOf(n.toInt)).orNull
+
+  /** rpc_transactions rows from one eth_getBlockByNumber(fullTxs=true)
+    * response (transactions.rs:124-130). */
+  def blockTransactions(body: String, chainId: Long): Seq[Row] = {
+    val res = JsonMethods.parse(body) \ "result"
+    val bn = jlong(res, "number").getOrElse(0L).toInt
+    val ts = jlong(res, "timestamp").getOrElse(0L).toInt
+    val blockHash = hexB(res, "hash")
+    (res \ "transactions") match {
+      case JArray(txs) => txs.map { t =>
+        Row(bn,
+          jlong(t, "transactionIndex").getOrElse(0L).toInt,
+          hexB(t, "hash"), blockHash,
+          jlong(t, "nonce").getOrElse(0L),
+          hexB(t, "from"), hexB(t, "to"),
+          Option(jstr(t, "value")).map(RpcCodec.parseHexU256).orNull,
+          hexB(t, "input"),
+          jlong(t, "gas").getOrElse(0L),
+          boxL(jlong(t, "gasPrice")),
+          boxL(jlong(t, "maxFeePerGas")),
+          boxL(jlong(t, "maxPriorityFeePerGas")),
+          jlong(t, "type").getOrElse(0L).toInt,
+          hexB(t, "r"), hexB(t, "s"),
+          jlong(t, "v").map(v => java.lang.Boolean.valueOf(v % 2 == 1)).orNull,
+          ts, chainId)
+      }
+      case _ => Nil
+    }
+  }
+
+  /** rpc_receipts rows from one eth_getBlockReceipts response
+    * (transactions.rs:131-135 receipt phase). */
+  def blockReceipts(body: String): Seq[Row] =
+    (JsonMethods.parse(body) \ "result") match {
+      case JArray(rs) => rs.map { r =>
+        Row(hexB(r, "transactionHash"),
+          jlong(r, "gasUsed").getOrElse(0L),
+          jlong(r, "status").getOrElse(1L).toInt)
+      }
+      case _ => Nil
+    }
+
+  /** rpc_traces rows from one trace_block response (traces.rs:45-90):
+    * flat parity traces with `_`-joined trace addresses, decimal-string
+    * values, and reward recipients folded into action_to. */
+  def traceBlock(body: String, chainId: Long): Seq[Row] =
+    (JsonMethods.parse(body) \ "result") match {
+      case JArray(ts) => ts.map { t =>
+        val action = t \ "action"
+        val result = t \ "result"
+        val typ = jstr(t, "type")
+        val traceAddr = (t \ "traceAddress") match {
+          case JArray(xs) => xs.collect { case JInt(i) => i }.mkString("_")
+          case _ => ""
+        }
+        Row(
+          hexB(action, "from"),
+          if (typ == "reward") hexB(action, "author") else hexB(action, "to"),
+          Option(jstr(action, "value"))
+            .map(v => new BigInteger(v.stripPrefix("0x"), 16).toString).orNull,
+          boxI(jlong(action, "gas")),
+          hexB(action, "input"),
+          jstr(action, "callType"),
+          hexB(action, "init"),
+          jstr(action, "rewardType"),
+          typ,
+          boxI(jlong(result, "gasUsed")),
+          hexB(result, "output"),
+          hexB(result, "code"),
+          hexB(result, "address"),
+          traceAddr,
+          jlong(t, "subtraces").getOrElse(0L).toInt,
+          jstr(t, "error"),
+          jlong(t, "blockNumber").getOrElse(0L).toInt,
+          hexB(t, "blockHash"),
+          boxI(jlong(t, "transactionPosition")),
+          hexB(t, "transactionHash"),
+          chainId)
+      }
+      case _ => Nil
+    }
+
+  /** one rpc_calls row from an eth_call response (the request's
+    * block/contract/calldata travel alongside — eth_calls.rs:48-63). */
+  def ethCallRow(blockNumber: Int, contract: Array[Byte],
+      callData: Array[Byte], body: String, chainId: Long): Row = {
+    val out = (JsonMethods.parse(body) \ "result") match {
+      case JString(s) => RpcCodec.parseHexBytes(s)
+      case _ => null
+    }
+    Row(blockNumber, contract, callData, out, chainId)
+  }
+
+  /** rpc_geth_prestate rows from one debug_traceBlockByNumber
+    * prestateTracer(diffMode) response (geth_state_diffs.rs:36-112):
+    * per tx × phase × address one account row (balance/nonce/code) plus
+    * one row per touched storage slot. */
+  def gethPrestateBlock(body: String, blockNumber: Int,
+      chainId: Long): Seq[Row] = {
+    val results = (JsonMethods.parse(body) \ "result") match {
+      case JArray(xs) => xs; case _ => Nil
+    }
+    results.zipWithIndex.flatMap { case (txr, idx) =>
+      val txHash = hexB(txr, "txHash")
+      val res = txr \ "result"
+      Seq("pre", "post").flatMap { phase =>
+        (res \ phase) match {
+          case JObject(accounts) => accounts.flatMap { case (addrHex, acct) =>
+            val address = RpcCodec.parseHexBytes(addrHex)
+            val bal = Option(jstr(acct, "balance")).map(RpcCodec.parseHexU256).orNull
+            val nonce = boxL(jlong(acct, "nonce"))
+            val code = hexB(acct, "code")
+            val acctRow =
+              if (bal != null || nonce != null || code != null)
+                Seq(Row(blockNumber, idx, txHash, phase, address,
+                  bal, nonce, code, null, null, chainId))
+              else Nil
+            val storRows = (acct \ "storage") match {
+              case JObject(slots) => slots.map { case (slotHex, v) =>
+                Row(blockNumber, idx, txHash, phase, address,
+                  null, null, null, RpcCodec.parseHexU256(slotHex),
+                  (v match {
+                    case JString(s) => RpcCodec.parseHexU256(s)
+                    case _ => null
+                  }), chainId)
+              }
+              case _ => Nil
+            }
+            acctRow ++ storRows
+          }
+          case _ => Nil
+        }
+      }
+    }
+  }
+
+  /** rpc_geth_calls rows from one debug_traceBlockByNumber callTracer
+    * response: the nested CallFrame tree flattened depth-first
+    * (geth_calls.rs:33-84). */
+  def gethCallFrames(body: String, blockNumber: Int,
+      chainId: Long): Seq[Row] = {
+    def flatten(frame: JValue, txIdx: Int, depth: Int): Seq[Row] = {
+      val row = Row(blockNumber, txIdx,
+        hexB(frame, "from"), hexB(frame, "to"),
+        Option(jstr(frame, "value")).map(RpcCodec.parseHexU256).orNull,
+        jlong(frame, "gas").getOrElse(0L),
+        jlong(frame, "gasUsed").getOrElse(0L),
+        hexB(frame, "input"), hexB(frame, "output"),
+        Option(jstr(frame, "type")).map(_.toLowerCase).getOrElse("call"),
+        jstr(frame, "error"), depth, chainId)
+      val children = (frame \ "calls") match {
+        case JArray(cs) => cs.flatMap(flatten(_, txIdx, depth + 1))
+        case _ => Nil
+      }
+      row +: children
+    }
+    (JsonMethods.parse(body) \ "result") match {
+      case JArray(txs) => txs.zipWithIndex.flatMap { case (t, i) =>
+        flatten(t \ "result", i, 0)
+      }
+      case _ => Nil
+    }
+  }
+
+  /** rpc_geth_opcodes rows from one debug_traceTransaction default
+    * struct-log response (geth_opcodes.rs:43-78). */
+  def gethOpcodes(body: String, blockNumber: Int, txIndex: Int,
+      chainId: Long): Seq[Row] =
+    (JsonMethods.parse(body) \ "result" \ "structLogs") match {
+      case JArray(ls) => ls.map { l =>
+        Row(blockNumber, txIndex,
+          jlong(l, "pc").getOrElse(0L),
+          jstr(l, "op"),
+          jlong(l, "gas").getOrElse(0L),
+          jlong(l, "gasCost").getOrElse(0L),
+          boxI(jlong(l, "depth")),
+          null, null, null, // memory/stack/storage omitted unless requested
+          chainId)
+      }
+      case _ => Nil
+    }
+}

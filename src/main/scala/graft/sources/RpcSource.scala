@@ -63,6 +63,48 @@ object RpcCodec {
     s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getLogs","params":[{"fromBlock":"${hexQuantity(fromBlock)}","toBlock":"${hexQuantity(toBlock)}"$addr$t0}]}"""
   }
 
+  def getBlockReceiptsRequest(id: Long, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getBlockReceipts","params":["${hexQuantity(blockNumber)}"]}"""
+
+  def getTransactionReceiptRequest(id: Long, txHash: String): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getTransactionReceipt","params":["$txHash"]}"""
+
+  /** trace_block — the parity trace family's extract call
+    * (cryo datasets/traces.rs extract). */
+  def traceBlockRequest(id: Long, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"trace_block","params":["${hexQuantity(blockNumber)}"]}"""
+
+  /** eth_call at a block (cryo datasets/eth_calls.rs extract). */
+  def ethCallRequest(id: Long, to: String, data: String, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_call","params":[{"to":"$to","data":"$data"},"${hexQuantity(blockNumber)}"]}"""
+
+  /** debug_traceBlockByNumber with an optional named tracer:
+    * prestateTracer(+diffMode) for state diffs/reads, callTracer for call
+    * frames, none = struct-log opcodes (cryo geth_* dataset extracts). */
+  def debugTraceBlockRequest(id: Long, blockNumber: Long,
+      tracer: Option[String] = None, diffMode: Boolean = false): String = {
+    val cfg = tracer match {
+      case Some(t) if diffMode =>
+        s""",{"tracer":"$t","tracerConfig":{"diffMode":true}}"""
+      case Some(t) => s""",{"tracer":"$t"}"""
+      case None => ",{}"
+    }
+    s"""{"jsonrpc":"2.0","id":$id,"method":"debug_traceBlockByNumber","params":["${hexQuantity(blockNumber)}"$cfg]}"""
+  }
+
+  def debugTraceTransactionRequest(id: Long, txHash: String): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"debug_traceTransaction","params":["$txHash",{}]}"""
+
+  // point-lookup state requests (cryo datasets/{balances,codes,nonces,storages}.rs)
+  def getBalanceRequest(id: Long, address: String, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getBalance","params":["$address","${hexQuantity(blockNumber)}"]}"""
+  def getCodeRequest(id: Long, address: String, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getCode","params":["$address","${hexQuantity(blockNumber)}"]}"""
+  def getTransactionCountRequest(id: Long, address: String, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getTransactionCount","params":["$address","${hexQuantity(blockNumber)}"]}"""
+  def getStorageAtRequest(id: Long, address: String, slot: String, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getStorageAt","params":["$address","$slot","${hexQuantity(blockNumber)}"]}"""
+
   /** batch JSON-RPC body */
   def batch(requests: Seq[String]): String = requests.mkString("[", ",", "]")
 }
@@ -230,14 +272,123 @@ class RpcSource(config: RpcConfig) extends Serializable {
     spark.createDataFrame(rdd, RpcSource.logsSchema)
   }
 
+  /** Generic per-block fetch: one JSON-RPC request per block, parsed by a
+    * pure RpcExtract function into bronze rows. Partitions fetch disjoint
+    * block ranges; no shuffle. */
+  private def fetchPerBlock(spark: SparkSession, range: BlockSyntax.Range,
+      schema: StructType, numPartitions: Int)(
+      request: Long => String)(
+      parse: (String, Long) => Seq[Row]): DataFrame = {
+    val conf = config
+    val rdd = spark.sparkContext
+      .range(range.start, range.endExclusive, numSlices = numPartitions)
+      .mapPartitions { nums =>
+        val client = HttpClient.newHttpClient()
+        val bucket = new TokenBucket(conf.requestsPerSecond)
+        nums.flatMap { n =>
+          bucket.acquire()
+          parse(retrying(post(client, request(n))), n)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** rpc_transactions via eth_getBlockByNumber(fullTxs=true)
+    * (transactions.rs:124-130). */
+  def fetchTransactions(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.transactionsSchema, numPartitions)(
+      n => RpcCodec.getBlockRequest(n, n, fullTxs = true))(
+      (body, _) => RpcExtract.blockTransactions(body, config.chainId))
+
+  /** rpc_receipts via eth_getBlockReceipts (transactions.rs:131-135). */
+  def fetchReceipts(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.receiptsSchema, numPartitions)(
+      n => RpcCodec.getBlockReceiptsRequest(n, n))(
+      (body, _) => RpcExtract.blockReceipts(body))
+
+  /** rpc_traces via trace_block (traces.rs extract). */
+  def fetchTraces(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.tracesSchema, numPartitions)(
+      n => RpcCodec.traceBlockRequest(n, n))(
+      (body, _) => RpcExtract.traceBlock(body, config.chainId))
+
+  /** rpc_geth_prestate via debug_traceBlockByNumber(prestateTracer,
+    * diffMode) (geth_state_diffs.rs extract). */
+  def fetchGethPrestate(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.gethPrestateSchema, numPartitions)(
+      n => RpcCodec.debugTraceBlockRequest(n, n,
+        tracer = Some("prestateTracer"), diffMode = true))(
+      (body, n) => RpcExtract.gethPrestateBlock(body, n.toInt, config.chainId))
+
+  /** rpc_geth_calls via debug_traceBlockByNumber(callTracer)
+    * (geth_calls.rs extract). */
+  def fetchGethCalls(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.gethCallsSchema, numPartitions)(
+      n => RpcCodec.debugTraceBlockRequest(n, n, tracer = Some("callTracer")))(
+      (body, n) => RpcExtract.gethCallFrames(body, n.toInt, config.chainId))
+
+  /** rpc_calls via batched eth_call: the (contract, calldata) cross
+    * product at each sampled block (eth_calls.rs extract; the param
+    * cross-product of cli/parse/args). */
+  def fetchEthCalls(spark: SparkSession, blocks: Seq[Long],
+      calls: Seq[(String, String)], numPartitions: Int = 32): DataFrame = {
+    val conf = config
+    val work = for (b <- blocks; (to, data) <- calls) yield (b, to, data)
+    val rdd = spark.sparkContext
+      .parallelize(work, math.min(numPartitions, work.size).max(1))
+      .mapPartitions { items =>
+        val client = HttpClient.newHttpClient()
+        val bucket = new TokenBucket(conf.requestsPerSecond)
+        items.grouped(conf.innerRequestSize.toInt).flatMap { group =>
+          bucket.acquire()
+          val body = RpcCodec.batch(group.zipWithIndex.map { case ((b, to, data), i) =>
+            RpcCodec.ethCallRequest(i, to, data, b)
+          })
+          val json = retrying(post(client, body))
+          val results = JsonMethods_parse(json)
+          group.zip(results).map { case ((b, to, data), res) =>
+            RpcExtract.ethCallRow(b.toInt, RpcCodec.parseHexBytes(to),
+              RpcCodec.parseHexBytes(data), res, conf.chainId)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, RpcSource.callsSchema)
+  }
+
+  /** split a batched JSON-RPC response into per-request bodies, in id
+    * order (ids are the batch indices) */
+  private def JsonMethods_parse(json: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json) match {
+      case JArray(xs) => xs.sortBy(x => (x \ "id") match {
+        case JInt(i) => i.toLong; case _ => 0L
+      }).map(x => JsonMethods.compact(JsonMethods.render(JObject("result" -> (x \ "result")))))
+      case _ => Nil
+    }
+  }
+
   /** Materialize the bronze tables for a range under `outDir` — after
     * this, every ChainDatasets transform runs unchanged against outDir. */
   def freezeBronze(spark: SparkSession, range: BlockSyntax.Range,
       outDir: String): Unit = {
     fetchBlocks(spark, range).write.mode("overwrite")
       .parquet(s"$outDir/rpc_blocks.parquet")
+    fetchTransactions(spark, range).write.mode("overwrite")
+      .parquet(s"$outDir/rpc_transactions.parquet")
+    fetchReceipts(spark, range).write.mode("overwrite")
+      .parquet(s"$outDir/rpc_receipts.parquet")
     fetchLogs(spark, range).write.mode("overwrite")
       .parquet(s"$outDir/rpc_logs.parquet")
+    fetchTraces(spark, range).write.mode("overwrite")
+      .parquet(s"$outDir/rpc_traces.parquet")
+    fetchGethPrestate(spark, range).write.mode("overwrite")
+      .parquet(s"$outDir/rpc_geth_prestate.parquet")
   }
 }
 
@@ -260,5 +411,46 @@ object RpcSource {
     f("block_hash", BinaryType), f("address", BinaryType, false),
     f("topics", ArrayType(BinaryType, containsNull = false), false),
     f("data", BinaryType), f("n_data_bytes", IntegerType),
+    f("chain_id", LongType, false)))
+  val transactionsSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("transaction_index", IntegerType, false),
+    f("transaction_hash", BinaryType, false), f("block_hash", BinaryType),
+    f("nonce", LongType), f("from_address", BinaryType), f("to_address", BinaryType),
+    f("value", BinaryType), f("input", BinaryType), f("gas_limit", LongType),
+    f("gas_price", LongType), f("max_fee_per_gas", LongType),
+    f("max_priority_fee_per_gas", LongType), f("transaction_type", IntegerType),
+    f("r", BinaryType), f("s", BinaryType), f("v", BooleanType),
+    f("timestamp", IntegerType), f("chain_id", LongType, false)))
+  val receiptsSchema: StructType = StructType(Seq(
+    f("transaction_hash", BinaryType, false), f("gas_used", LongType),
+    f("status", IntegerType)))
+  val tracesSchema: StructType = StructType(Seq(
+    f("action_from", BinaryType), f("action_to", BinaryType),
+    f("action_value", StringType), f("action_gas", IntegerType),
+    f("action_input", BinaryType), f("action_call_type", StringType),
+    f("action_init", BinaryType), f("action_reward_type", StringType),
+    f("action_type", StringType, false), f("result_gas_used", IntegerType),
+    f("result_output", BinaryType), f("result_code", BinaryType),
+    f("result_address", BinaryType), f("trace_address", StringType, false),
+    f("subtraces", IntegerType, false), f("error", StringType),
+    f("block_number", IntegerType, false), f("block_hash", BinaryType),
+    f("transaction_index", IntegerType), f("transaction_hash", BinaryType),
+    f("chain_id", LongType, false)))
+  val gethPrestateSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("transaction_index", IntegerType, false),
+    f("transaction_hash", BinaryType), f("phase", StringType, false),
+    f("address", BinaryType, false), f("balance", BinaryType),
+    f("nonce", LongType), f("code", BinaryType), f("slot", BinaryType),
+    f("slot_value", BinaryType), f("chain_id", LongType, false)))
+  val gethCallsSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("transaction_index", IntegerType, false),
+    f("from_address", BinaryType), f("to_address", BinaryType),
+    f("value", BinaryType), f("gas", LongType), f("gas_used", LongType),
+    f("input", BinaryType), f("output", BinaryType),
+    f("call_type", StringType, false), f("error", StringType),
+    f("depth", IntegerType, false), f("chain_id", LongType, false)))
+  val callsSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("contract_address", BinaryType, false),
+    f("call_data", BinaryType, false), f("output_data", BinaryType),
     f("chain_id", LongType, false)))
 }

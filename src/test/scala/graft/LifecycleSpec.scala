@@ -224,6 +224,8 @@ class TimestampSpec extends AnyFunSuite {
 }
 
 class RpcCodecSpec extends AnyFunSuite {
+  import graft.sources.RpcExtract
+
   test("request bodies are well-formed JSON-RPC") {
     assert(RpcCodec.getBlockRequest(7, 255, fullTxs = true) ==
       """{"jsonrpc":"2.0","id":7,"method":"eth_getBlockByNumber","params":["0xff",true]}""")
@@ -232,6 +234,133 @@ class RpcCodecSpec extends AnyFunSuite {
     assert(logs.contains(""""toBlock":"0x1f""""))
     assert(logs.contains(""""address":"0xabc""""))
     assert(RpcCodec.batch(Seq("{}", "{}")) == "[{},{}]")
+  }
+
+  test("extract-phase request builders cover the dataset families") {
+    assert(RpcCodec.getBlockReceiptsRequest(1, 16) ==
+      """{"jsonrpc":"2.0","id":1,"method":"eth_getBlockReceipts","params":["0x10"]}""")
+    assert(RpcCodec.traceBlockRequest(2, 255).contains(""""method":"trace_block","params":["0xff"]"""))
+    assert(RpcCodec.ethCallRequest(3, "0xabc", "0x18160ddd", 16) ==
+      """{"jsonrpc":"2.0","id":3,"method":"eth_call","params":[{"to":"0xabc","data":"0x18160ddd"},"0x10"]}""")
+    assert(RpcCodec.debugTraceBlockRequest(4, 16, Some("prestateTracer"), diffMode = true)
+      .contains(""""tracer":"prestateTracer","tracerConfig":{"diffMode":true}"""))
+    assert(RpcCodec.debugTraceBlockRequest(5, 16, Some("callTracer"))
+      .contains(""""tracer":"callTracer""""))
+    assert(RpcCodec.getStorageAtRequest(6, "0xa", "0x1", 16)
+      .contains(""""method":"eth_getStorageAt","params":["0xa","0x1","0x10"]"""))
+    assert(RpcCodec.getBalanceRequest(7, "0xa", 16).contains("eth_getBalance"))
+    assert(RpcCodec.getCodeRequest(8, "0xa", 16).contains("eth_getCode"))
+    assert(RpcCodec.getTransactionCountRequest(9, "0xa", 16).contains("eth_getTransactionCount"))
+  }
+
+  test("blockTransactions parses a full-tx block into rpc_transactions rows") {
+    val body =
+      """{"jsonrpc":"2.0","id":1,"result":{"number":"0x10","hash":"0xaa","timestamp":"0x65",
+        |"transactions":[
+        | {"transactionIndex":"0x0","hash":"0x01","nonce":"0x5","from":"0x1111","to":"0x2222",
+        |  "value":"0xde0b6b3a7640000","input":"0x18160ddd","gas":"0x5208",
+        |  "gasPrice":"0x2cb417800","type":"0x0","r":"0x0a","s":"0x0b","v":"0x1b"},
+        | {"transactionIndex":"0x1","hash":"0x02","nonce":"0x6","from":"0x3333","to":null,
+        |  "value":"0x0","input":"0x60806040","gas":"0x7a120",
+        |  "maxFeePerGas":"0x3b9aca00","maxPriorityFeePerGas":"0x3b9aca0",
+        |  "type":"0x2","r":"0x0c","s":"0x0d","v":"0x0"}
+        |]}}""".stripMargin
+    val rows = RpcExtract.blockTransactions(body, chainId = 1)
+    assert(rows.size == 2)
+    val t0 = rows(0)
+    assert(t0.getInt(0) == 16 && t0.getInt(1) == 0)
+    assert(t0.getAs[Array[Byte]](7).length == 32) // u256-padded
+    assert(t0.getAs[java.lang.Long](10) == 12000000000L)
+    assert(t0.getAs[Boolean](16)) // 0x1b is odd
+    assert(t0.getInt(17) == 0x65)  // timestamp from the block
+    val t1 = rows(1)
+    assert(t1.getAs[Array[Byte]](6) == null)
+    assert(t1.getInt(13) == 2 && t1.getAs[java.lang.Long](10) == null)
+    assert(t1.getAs[java.lang.Long](11) == 1000000000L)
+  }
+
+  test("blockReceipts parses eth_getBlockReceipts into rpc_receipts rows") {
+    val body =
+      """{"result":[{"transactionHash":"0x01","gasUsed":"0x5208","status":"0x1"},
+        |           {"transactionHash":"0x02","gasUsed":"0x1","status":"0x0"}]}""".stripMargin
+    val rows = RpcExtract.blockReceipts(body)
+    assert(rows.map(_.getLong(1)) == Seq(21000L, 1L))
+    assert(rows.map(_.getInt(2)) == Seq(1, 0))
+  }
+
+  test("traceBlock flattens parity traces with _ addresses and decimal values") {
+    val body =
+      """{"result":[
+        | {"action":{"from":"0x11","to":"0x22","value":"0xde0b6b3a7640000","gas":"0x100",
+        |   "input":"0xabcd","callType":"call"},
+        |  "result":{"gasUsed":"0x80","output":"0x01"},
+        |  "traceAddress":[0,2],"subtraces":1,"type":"call",
+        |  "blockNumber":16,"blockHash":"0xaa","transactionPosition":3,"transactionHash":"0x01"},
+        | {"action":{"author":"0x33","rewardType":"block","value":"0x1bc16d674ec80000"},
+        |  "traceAddress":[],"subtraces":0,"type":"reward","blockNumber":16,"blockHash":"0xaa"}
+        |]}""".stripMargin
+    val rows = RpcExtract.traceBlock(body, chainId = 1)
+    assert(rows.size == 2)
+    val call = rows(0)
+    assert(call.getString(2) == "1000000000000000000") // decimal string value
+    assert(call.getString(13) == "0_2")                // _-joined trace address
+    assert(call.getString(8) == "call" && call.getInt(14) == 1)
+    assert(call.getAs[java.lang.Integer](18) == 3)
+    val reward = rows(1)
+    assert(reward.getString(8) == "reward" && reward.getString(13) == "")
+    assert(reward.getAs[Array[Byte]](1) != null) // author → to
+    assert(reward.getString(2) == "2000000000000000000")
+  }
+
+  test("ethCallRow pairs request context with the call output") {
+    val row = RpcExtract.ethCallRow(16, Array[Byte](0xaa.toByte),
+      Array[Byte](0x18, 0x16, 0x0d, 0xdd.toByte),
+      """{"result":"0x0000002a"}""", chainId = 1)
+    assert(row.getInt(0) == 16)
+    assert(row.getAs[Array[Byte]](3).toSeq == Seq[Byte](0, 0, 0, 0x2a))
+  }
+
+  test("gethPrestateBlock emits account + storage rows per phase") {
+    val body =
+      """{"result":[{"txHash":"0x01","result":{
+        | "pre":{"0x1111":{"balance":"0x64","nonce":5,
+        |                  "storage":{"0x01":"0x0a"}}},
+        | "post":{"0x1111":{"balance":"0xc8"},
+        |         "0x2222":{"code":"0x6080"}}}}]}""".stripMargin
+    val rows = RpcExtract.gethPrestateBlock(body, blockNumber = 16, chainId = 1)
+    assert(rows.size == 4) // pre acct + pre slot + 2 post accts
+    val preAcct = rows.find(r => r.getString(3) == "pre" && r.get(8) == null).get
+    assert(preAcct.getAs[java.lang.Long](6) == 5L)
+    assert(preAcct.getAs[Array[Byte]](5).length == 32)
+    val slot = rows.find(r => r.get(8) != null).get
+    assert(slot.getString(3) == "pre" && slot.getAs[Array[Byte]](9).length == 32)
+    val created = rows.find(r => r.getString(3) == "post" &&
+      r.getAs[Array[Byte]](7) != null).get
+    assert(created.getAs[Array[Byte]](7).toSeq == Seq[Byte](0x60, 0x80.toByte))
+  }
+
+  test("gethCallFrames flattens the callTracer tree depth-first") {
+    val body =
+      """{"result":[{"result":{
+        | "type":"CALL","from":"0x11","to":"0x22","value":"0x0","gas":"0x100",
+        | "gasUsed":"0x80","input":"0xab",
+        | "calls":[{"type":"STATICCALL","from":"0x22","to":"0x33","gas":"0x50",
+        |           "gasUsed":"0x20","input":"0xcd","error":"execution reverted"}]}}]}""".stripMargin
+    val rows = RpcExtract.gethCallFrames(body, blockNumber = 16, chainId = 1)
+    assert(rows.size == 2)
+    assert(rows(0).getInt(11) == 0 && rows(0).getString(9) == "call")
+    assert(rows(1).getInt(11) == 1 && rows(1).getString(9) == "staticcall")
+    assert(rows(1).getString(10) == "execution reverted")
+  }
+
+  test("gethOpcodes parses struct logs") {
+    val body =
+      """{"result":{"structLogs":[
+        | {"pc":0,"op":"PUSH1","gas":100000,"gasCost":3,"depth":1},
+        | {"pc":2,"op":"MSTORE","gas":99997,"gasCost":12,"depth":1}]}}""".stripMargin
+    val rows = RpcExtract.gethOpcodes(body, blockNumber = 16, txIndex = 0, chainId = 1)
+    assert(rows.map(_.getString(3)) == Seq("PUSH1", "MSTORE"))
+    assert(rows(1).getLong(5) == 12L)
   }
 
   test("hex decoding: quantities, bytes, u256") {
