@@ -1,7 +1,10 @@
 package graft
 
-import graft.chain.{BlockSyntax, Datatypes, Freeze}
-import org.apache.spark.sql.SparkSession
+import graft.chain.{BlockSyntax, ChainDatasets, Datatypes, Freeze, TableSchema, TimestampSyntax}
+import graft.functions.U256
+import graft.sources.RpcCodec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** CLI surface mirroring the reference's flag vocabulary
   * (cryo cli/args.rs:20-267 subset), so a reference user's invocation
@@ -12,12 +15,49 @@ import org.apache.spark.sql.SparkSession
   *     [--chunk-size N] [--n-chunks N] [--align] [--reorg-buffer N]
   *     [--network NAME] [--label L] [--overwrite] [--csv|--json] [--hex]
   *     [--dry-run] [--latest N]
+  *     [--contract A] [--address A] [--to-address A] [--topic0..3 H]
+  *     [--columns c…|all] [--include-columns c…] [--exclude-columns c…]
+  *     [--u256-types t…] [--sort c…] [--txs h…] [--timestamps T1:T2]
+  *     [--partition-by col] [--chunk-order normal|reverse|random]
+  *     [--max-concurrent-chunks N]
   *
   * Dataset aliases (txs, events, 4byte_counts, …) resolve via the
-  * registry; multi names expand to their members.
+  * registry; multi names expand to their members. Entity flags remap per
+  * dataset exactly like the reference's query-alias table
+  * (cli/parse/query.rs:31-108): --contract hits the dataset's
+  * contract-ish column (logs.address, erc20_transfers.erc20, …).
   */
 object Cli {
+
+  /** --contract alias remapping (parse/query.rs:31-108) */
+  private val contractCol: Map[String, String] = Map(
+    "logs" -> "address",
+    "erc20_transfers" -> "erc20", "erc20_approvals" -> "erc20",
+    "erc20_metadata" -> "erc20", "erc20_supplies" -> "erc20",
+    "erc20_balances" -> "erc20",
+    "erc721_transfers" -> "erc721", "erc721_metadata" -> "erc721",
+    "contracts" -> "contract_address",
+    "eth_calls" -> "contract_address", "trace_calls" -> "contract_address")
+
+  private val u256Suffixes =
+    Seq("binary", "string", "f32", "f64", "u32", "u64", "d128").map("_" + _)
+
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(args, spark).foreach { r =>
+      println(s"completed: ${r.completed.size} file(s), skipped: ${r.skipped.size}, " +
+        s"errored: ${r.errored.size}, rows: ${r.rows}")
+    } finally spark.stop()
+  }
+
+  /** Parse flags + execute; returns None for --dry-run. Separated from
+    * main so specs can drive every flag against a shared session. */
+  def run(args: Array[String], spark: SparkSession): Option[Freeze.FreezeResult] = {
     var datasets = List.empty[String]
     var blocks = "0:"
     var sourceDir = "fixtures/chain"
@@ -33,6 +73,30 @@ object Cli {
     var hex = false
     var dryRun = false
     var latest = 0L
+    var contract: Option[String] = None
+    var addressF: Option[String] = None
+    var toAddress: Option[String] = None
+    val topics = Array.fill[Option[String]](4)(None)
+    var explicitCols: Option[Seq[String]] = None
+    var includeCols = Seq.empty[String]
+    var excludeCols = Seq.empty[String]
+    var u256Types: Option[Seq[String]] = None
+    var sortCols = Seq.empty[String]
+    var txHashes = Seq.empty[String]
+    var timestamps: Option[String] = None
+    var partitionBy: Option[String] = None
+    var chunkOrder = "normal"
+    var maxConcurrentChunks = 4
+
+    // multi-value flags consume tokens until the next `--flag`
+    def multi(from: Int): (Seq[String], Int) = {
+      var j = from
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (j < args.length && !args(j).startsWith("--")) {
+        out += args(j); j += 1
+      }
+      (out.toSeq, j - 1)
+    }
 
     var i = 0
     while (i < args.length) {
@@ -52,6 +116,21 @@ object Cli {
         case "--hex" => hex = true
         case "--dry-run" => dryRun = true
         case "--latest" => latest = args(i + 1).toLong; i += 1
+        case "--contract" => contract = Some(args(i + 1)); i += 1
+        case "--address" => addressF = Some(args(i + 1)); i += 1
+        case "--to-address" => toAddress = Some(args(i + 1)); i += 1
+        case t if t.startsWith("--topic") && t.length == 8 =>
+          topics(t.charAt(7) - '0') = Some(args(i + 1)); i += 1
+        case "--columns" => val (v, j) = multi(i + 1); explicitCols = Some(v); i = j
+        case "--include-columns" => val (v, j) = multi(i + 1); includeCols = v; i = j
+        case "--exclude-columns" => val (v, j) = multi(i + 1); excludeCols = v; i = j
+        case "--u256-types" => val (v, j) = multi(i + 1); u256Types = Some(v); i = j
+        case "--sort" => val (v, j) = multi(i + 1); sortCols = v; i = j
+        case "--txs" => val (v, j) = multi(i + 1); txHashes = v; i = j
+        case "--timestamps" => timestamps = Some(args(i + 1)); i += 1
+        case "--partition-by" => partitionBy = Some(args(i + 1)); i += 1
+        case "--chunk-order" => chunkOrder = args(i + 1); i += 1
+        case "--max-concurrent-chunks" => maxConcurrentChunks = args(i + 1).toInt; i += 1
         case flag if flag.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $flag")
         case ds => datasets ::= ds
@@ -65,20 +144,101 @@ object Cli {
       Datatypes.multis.getOrElse(d, Seq(Datatypes(d).name))
     }.distinct
 
+    val reprs: Seq[U256.Repr] = u256Types.map(_.map {
+      case "binary" => U256.Binary
+      case "string" => U256.Str
+      case "f32" => U256.F32
+      case "f64" => U256.F64
+      case "u32" => U256.U32
+      case "u64" => U256.U64
+      case "d128" => U256.D128
+      case other => throw new IllegalArgumentException(s"unknown u256 type: $other")
+    }).getOrElse(U256.defaultReprs)
+
+    /** wrap a dataset builder with the entity / column / sort flags */
+    def decorate(name: String)(df0: DataFrame): DataFrame = {
+      var df = df0
+      def filt(c: String, hexVal: String): Unit =
+        if (df.columns.contains(c))
+          df = df.filter(col(c) === lit(RpcCodec.parseHexBytes(hexVal)))
+      contract.foreach(v => filt(contractCol.getOrElse(name, "contract_address"), v))
+      addressF.foreach(v => filt("address", v))
+      toAddress.foreach(v => filt("to_address", v))
+      (0 until 4).foreach(k => topics(k).foreach(v => filt(s"topic$k", v)))
+      if (explicitCols.isDefined || includeCols.nonEmpty || excludeCols.nonEmpty) {
+        val used = TableSchema.resolve(Datatypes(name),
+          includeCols, excludeCols, explicitCols)
+        // canonical names → physical columns (u256 columns are expanded
+        // with _binary/_string/… suffixes by the builders)
+        val keep = df.columns.filter { pc =>
+          used.contains(pc) || u256Suffixes.exists(sfx =>
+            pc.endsWith(sfx) && used.contains(pc.dropRight(sfx.length)))
+        }
+        df = df.select(keep.map(col).toSeq: _*)
+      }
+      if (sortCols.nonEmpty)
+        df = df.sortWithinPartitions(sortCols.map(col): _*)
+      df
+    }
+
+    // validate explicit column lists eagerly (schemas.rs: unknown names in
+    // --columns are an error, not a per-chunk failure)
+    explicitCols.foreach { cols =>
+      expanded.foreach(n =>
+        TableSchema.resolve(Datatypes(n), Seq.empty, Seq.empty, Some(cols)))
+    }
+
+    val overrides: Map[String, Freeze.DatasetBuilder] =
+      expanded.map { name =>
+        name -> ((s: SparkSession, d: String) =>
+          decorate(name)(Freeze.builderWith(name, reprs,
+            includeCols, excludeCols, explicitCols)(s, d)))
+      }.toMap
+
+    // TimeDimension::Transactions: a tx-hash list replaces the block range
+    // (types/queries.rs:75-80) — one file per dataset, hash-prefix stub
+    if (txHashes.nonEmpty) {
+      val hashes = txHashes.map(RpcCodec.parseHexBytes)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+      val completed = expanded.map { name =>
+        val df = decorate(name)(
+          Freeze.collectByTransaction(spark, sourceDir, name, hashes.toSeq))
+        val stub = txHashes.head.stripPrefix("0x").take(8) + s"_${txHashes.size}txs"
+        val target = java.nio.file.Paths.get(outputDir,
+          s"${network}__${name}__txs_$stub.$format")
+        Freeze.writeOneFile(df, target, format)
+        target.toString
+      }
+      return Some(Freeze.FreezeResult(completed, Nil, Nil, -1))
+    }
+
     val maxFixtureBlock =
       if (latest > 0) latest
       else graft.chain.GenFixtures.FirstBlock + graft.chain.GenFixtures.NBlocks - 1L
-    var range = BlockSyntax.parse(blocks, maxFixtureBlock) match {
-      case r: BlockSyntax.Range => r
-      case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)
+    var range = timestamps match {
+      // --timestamps T1:T2 → block range via the ≤-semantics binary search
+      // (cli/parse/timestamps.rs)
+      case Some(ts) =>
+        val blocksDf = ChainDatasets.fx(spark, sourceDir, "rpc_blocks")
+        TimestampSyntax.resolveRange(ts, blocksDf,
+          now = System.currentTimeMillis() / 1000)
+      case None =>
+        BlockSyntax.parse(blocks, maxFixtureBlock) match {
+          case r: BlockSyntax.Range => r
+          case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)
+        }
     }
     if (reorgBuffer > 0) {
-      range = BlockSyntax.applyReorgBuffer(range, maxFixtureBlock, reorgBuffer)
-        .getOrElse { println("nothing to collect after reorg buffer"); return }
+      BlockSyntax.applyReorgBuffer(range, maxFixtureBlock, reorgBuffer) match {
+        case Some(r) => range = r
+        case None => println("nothing to collect after reorg buffer"); return None
+      }
     }
 
     val spec = Freeze.FreezeSpec(expanded, range, chunkSize, nChunks, align,
-      reorgBuffer, outputDir, network, label, overwrite, format, hex)
+      reorgBuffer, outputDir, network, label, overwrite, format, hex,
+      partitionBy, chunkOrder, chunkOrderSeed = 0, maxConcurrentChunks,
+      cliCommand = Some(("graft" +: args.toSeq).mkString(" ")))
 
     if (dryRun) {
       val chunks = nChunks.map(n => BlockSyntax.subchunkByCount(range, n))
@@ -87,18 +247,9 @@ object Cli {
       println(s"[dry-run] blocks: $range → ${chunks.size} chunk(s)")
       for (d <- expanded; c <- chunks)
         println("  " + Freeze.fileName(spec, d, c))
-      return
+      return None
     }
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val r = Freeze.freeze(spark, sourceDir, spec)
-    println(s"completed: ${r.completed.size} file(s), skipped: ${r.skipped.size}, " +
-      s"errored: ${r.errored.size}, rows: ${r.rows}")
-    spark.stop()
+    Some(Freeze.freeze(spark, sourceDir, spec, overrides))
   }
 }

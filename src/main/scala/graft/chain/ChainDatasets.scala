@@ -17,11 +17,14 @@ object ChainDatasets {
   def fx(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** datasets/blocks.rs:11-125 — header projection. */
-  def blocks(spark: SparkSession, dir: String): DataFrame = {
+  /** datasets/blocks.rs:11-125 — header projection; include/exclude/
+    * columns follow the effective-schema rules (types/schemas.rs). */
+  def blocks(spark: SparkSession, dir: String,
+      include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
+      columns: Option[Seq[String]] = None): DataFrame = {
     val ds = Datatypes.blocks
     fx(spark, dir, "rpc_blocks")
-      .select(TableSchema.resolve(ds).map(col): _*)
+      .select(TableSchema.resolve(ds, include, exclude, columns).map(col): _*)
       .sortWithinPartitions("block_number")
   }
 
@@ -36,7 +39,9 @@ object ChainDatasets {
     * of tx rows) → the base-fee join stays broadcast.
     */
   def transactions(spark: SparkSession, dir: String,
-      excludeFailed: Boolean = false): DataFrame = {
+      excludeFailed: Boolean = false,
+      include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
+      columns: Option[Seq[String]] = None): DataFrame = {
     val txs = fx(spark, dir, "rpc_transactions")
     val receipts = fx(spark, dir, "rpc_receipts")
     val baseFees = fx(spark, dir, "rpc_blocks")
@@ -63,7 +68,8 @@ object ChainDatasets {
         length(col("input")) - BinaryStats.zeroByteCount(col("input")))
     val filtered = if (excludeFailed) out.filter(col("success")) else out
     filtered
-      .select(TableSchema.resolve(Datatypes.transactions).map(col): _*)
+      .select(TableSchema.resolve(Datatypes.transactions, include, exclude, columns)
+        .map(col): _*)
       .sortWithinPartitions("block_number", "transaction_index")
   }
 
@@ -74,7 +80,9 @@ object ChainDatasets {
   def logs(spark: SparkSession, dir: String,
       address: Option[Array[Byte]] = None,
       eventSignature: Option[String] = None,
-      u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame = {
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs,
+      include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
+      columns: Option[Seq[String]] = None): DataFrame = {
     val raw = fx(spark, dir, "rpc_logs")
     val filtered = address.map(a => raw.filter(col("address") === lit(a))).getOrElse(raw)
     val split = filtered
@@ -85,7 +93,8 @@ object ChainDatasets {
       .withColumn("n_data_bytes", length(col("data")))
     eventSignature match {
       case None =>
-        split.select(TableSchema.resolve(Datatypes.logs).map(col): _*)
+        split.select(TableSchema.resolve(Datatypes.logs, include, exclude, columns)
+            .map(col): _*)
           .sortWithinPartitions("block_number", "log_index")
       case Some(sig) =>
         val event = Abi.parseEvent(sig)

@@ -146,6 +146,37 @@ object Freeze {
   /** every dataset buildable standalone (scalar builders + multi members) */
   lazy val allBuilders: Map[String, DatasetBuilder] = builders ++ multiBuilders
 
+  /** builder with a caller-chosen u256 representation set (--u256-types,
+    * cryo cli/args.rs u256_types) for the datasets that expand u256
+    * columns; others fall back to the standard builder. */
+  def builderWith(name: String, reprs: Seq[graft.functions.U256.Repr],
+      include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
+      columns: Option[Seq[String]] = None): DatasetBuilder = {
+    import graft.chain.{ChainDatasets => CD}
+    name match {
+      case "blocks" => (s, d) => CD.blocks(s, d, include, exclude, columns)
+      case "transactions" => (s, d) =>
+        CD.transactions(s, d, include = include, exclude = exclude, columns = columns)
+      case "logs" => (s, d) => CD.logs(s, d, u256Reprs = reprs,
+        include = include, exclude = exclude, columns = columns)
+      case "erc20_transfers" => (s, d) => CD.erc20Transfers(s, d, u256Reprs = reprs)
+      case "erc20_approvals" => (s, d) => CD.erc20Approvals(s, d, u256Reprs = reprs)
+      case "erc721_transfers" => (s, d) => CD.erc721Transfers(s, d, u256Reprs = reprs)
+      case "native_transfers" => (s, d) => CD.nativeTransfers(s, d, u256Reprs = reprs)
+      case "balances" => (s, d) => CD.balances(s, d, u256Reprs = reprs)
+      case "slots" => (s, d) => CD.slots(s, d, u256Reprs = reprs)
+      case "storage_diffs" => (s, d) => CD.storageDiffs(s, d, u256Reprs = reprs)
+      case "balance_diffs" => (s, d) => CD.balanceDiffs(s, d, u256Reprs = reprs)
+      case "erc20_supplies" => (s, d) => CD.erc20Supplies(s, d, u256Reprs = reprs)
+      case "erc20_balances" => (s, d) => CD.erc20Balances(s, d, u256Reprs = reprs)
+      case "geth_balance_diffs" => (s, d) => CD.gethBalanceDiffs(s, d, u256Reprs = reprs)
+      case "geth_storage_diffs" => (s, d) => CD.gethStorageDiffs(s, d, u256Reprs = reprs)
+      case "geth_calls" => (s, d) => CD.gethCalls(s, d, u256Reprs = reprs)
+      case "balance_reads" => (s, d) => CD.balanceReads(s, d, u256Reprs = reprs)
+      case other => allBuilders(other)
+    }
+  }
+
   def collectMulti(spark: SparkSession, sourceDir: String,
       multiName: String): MultiResult = {
     val members = Datatypes.multis.getOrElse(multiName,
@@ -173,7 +204,10 @@ object Freeze {
     * discovered in ONE job per dataset (a broadcast range-join against the
     * chunk table) instead of a driver collect per chunk.
     */
-  def freeze(spark: SparkSession, sourceDir: String, spec: FreezeSpec): FreezeResult = {
+  def freeze(spark: SparkSession, sourceDir: String, spec: FreezeSpec,
+      overrides: Map[String, DatasetBuilder] = Map.empty): FreezeResult = {
+    def builderOf(canonical: String): DatasetBuilder =
+      overrides.getOrElse(canonical, allBuilders(canonical))
     Files.createDirectories(Paths.get(spec.outputDir))
     val tStart = java.time.LocalDateTime.now()
     writeReport(spec, tStart, None)
@@ -207,7 +241,7 @@ object Freeze {
           val bounds = chunks.zipWithIndex
             .map { case (c, i) => (i, c.start, c.endExclusive) }
             .toDF("chunk_idx", "c_start", "c_end")
-          filterBlocks(allBuilders(canonical)(spark, sourceDir), range)
+          filterBlocks(builderOf(canonical)(spark, sourceDir), range)
             .join(broadcast(bounds),
               col("block_number") >= col("c_start") &&
                 col("block_number") < col("c_end"))
@@ -242,7 +276,7 @@ object Freeze {
       if (Files.exists(target) && !spec.overwrite) {
         Skipped(target.toString) // freeze.rs:92-110 idempotent skip
       } else try {
-        val base = filterBlocks(allBuilders(canonical)(spark, sourceDir), chunk)
+        val base = filterBlocks(builderOf(canonical)(spark, sourceDir), chunk)
         val df0 = (spec.partitionBy, dimValue) match {
           case (Some(dim), Some(v)) => base.filter(col(dim) === lit(v))
           case (Some(dim), None) => base.filter(col(dim).isNull)
@@ -292,6 +326,10 @@ object Freeze {
       else col(fld.name)
     }.toSeq: _*)
   }
+
+  /** single-file write for non-chunked collection modes (e.g. --txs) */
+  def writeOneFile(df: DataFrame, target: Path, format: String): Long =
+    writeSingleFile(df, target, format)
 
   /** one file per chunk via tmp dir + atomic move (export.rs:13-23).
     * The row count rides the write job as an `observe` metric — the chunk

@@ -223,6 +223,101 @@ class TimestampSpec extends AnyFunSuite {
   }
 }
 
+/** Flag-by-flag coverage of the CLI surface (cryo cli/args.rs:20-267):
+  * each case drives graft.Cli.run end-to-end over the fixtures and
+  * inspects the written files. */
+class CliSpec extends AnyFunSuite {
+  import SparkTestSession._
+  private val fixDir = graft.queries.ChainQueries.FixDir
+  private def hx(b: Array[Byte]) = "0x" + b.map("%02x".format(_)).mkString
+
+  private def runCli(extra: String*): (String, Seq[String]) = {
+    val out = Files.createTempDirectory("graft_cli").toString
+    val base = Array("--source-dir", fixDir, "--output-dir", out,
+      "--chunk-size", "60", "--blocks", "1000:1060")
+    val r = Cli.run(base ++ extra, spark)
+    (out, r.map(_.completed).getOrElse(Nil))
+  }
+
+  test("--contract filters erc20_transfers to one token") {
+    val t0 = graft.chain.GenFixtures.token(0)
+    val (out, done) = runCli("erc20_transfers", "--contract", hx(t0))
+    assert(done.size == 1)
+    val df = spark.read.parquet(done.head)
+    assert(df.count() > 0)
+    val ercs = df.select("erc20").distinct().collect().map(_.getAs[Array[Byte]](0))
+    assert(ercs.length == 1 && ercs.head.toSeq == t0.toSeq)
+    assert(out.nonEmpty)
+  }
+
+  test("--address + --topic0 filter logs server-side-style") {
+    val sig = graft.chain.GenFixtures.sigTransfer
+    val t0 = graft.chain.GenFixtures.token(0)
+    val (_, done) = runCli("logs", "--address", hx(t0), "--topic0", hx(sig))
+    val df = spark.read.parquet(done.head)
+    assert(df.count() > 0)
+    assert(df.select("address").distinct().count() == 1)
+    assert(df.select("topic0").distinct().count() == 1)
+  }
+
+  test("--columns picks an explicit projection; unknown column errors") {
+    val (_, done) = runCli("blocks", "--columns", "block_number", "gas_used")
+    val df = spark.read.parquet(done.head)
+    assert(df.columns.toSeq == Seq("block_number", "gas_used"))
+    intercept[IllegalArgumentException] {
+      runCli("blocks", "--columns", "no_such_column")
+    }
+  }
+
+  test("--include-columns / --exclude-columns adjust the default set") {
+    val (_, d1) = runCli("blocks", "--include-columns", "mix_hash")
+    assert(spark.read.parquet(d1.head).columns.contains("mix_hash"))
+    val (_, d2) = runCli("blocks", "--exclude-columns", "extra_data")
+    assert(!spark.read.parquet(d2.head).columns.contains("extra_data"))
+  }
+
+  test("--u256-types controls value representations") {
+    val (_, done) = runCli("erc20_transfers", "--u256-types", "string", "f64")
+    val cols = spark.read.parquet(done.head).columns.toSeq
+    assert(cols.contains("value_string") && cols.contains("value_f64"))
+    assert(!cols.contains("value_binary"))
+  }
+
+  test("--sort orders rows within the output file") {
+    val (_, done) = runCli("blocks", "--sort", "gas_used")
+    val gas = spark.read.parquet(done.head)
+      .collect().map(_.getAs[Long]("gas_used"))
+    assert(gas.sameElements(gas.sorted))
+  }
+
+  test("--txs collects by transaction hash into one file") {
+    val hashes = graft.chain.ChainDatasets.fx(spark, fixDir, "rpc_transactions")
+      .select("transaction_hash").limit(2).collect()
+      .map(r => hx(r.getAs[Array[Byte]](0)))
+    val (_, done) = runCli("txs", "--txs", hashes(0), hashes(1))
+    assert(done.size == 1 && done.head.contains("__txs_"))
+    assert(spark.read.parquet(done.head).count() == 2)
+  }
+
+  test("--timestamps resolves a block range via the fixture timestamps") {
+    // fixture blocks: timestamp = 1700000000 + 12n for n in [1000, 1060)
+    val t0 = 1700000000L
+    val (_, done) = runCli("blocks",
+      "--timestamps", s"${t0 + 12 * 1005}:${t0 + 12 * 1010}")
+    assert(done.size == 1, done)
+    val bns = spark.read.parquet(done.head)
+      .select("block_number").collect().map(_.getInt(0))
+    assert(bns.min == 1005 && bns.max == 1010)
+  }
+
+  test("--partition-by and --chunk-order pass through to freeze") {
+    val (_, done) = runCli("erc20_transfers",
+      "--partition-by", "erc20", "--chunk-order", "reverse")
+    assert(done.size >= 2)
+    assert(done.forall(_.matches(".*erc20_transfers__[0-9a-f]{8}__00001000_to_00001059\\.parquet")))
+  }
+}
+
 class RpcCodecSpec extends AnyFunSuite {
   import graft.sources.RpcExtract
 
