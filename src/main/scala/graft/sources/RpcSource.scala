@@ -24,6 +24,52 @@ case class RpcConfig(
     initialBackoffMs: Long = 500,
     innerRequestSize: Long = 100)
 
+object RpcConfig {
+  /** URL resolution chain (cryo types/sources.rs:119-150): explicit flag →
+    * MESC config (MESC_PATH / ~/.mesc/mesc.json default_endpoint) →
+    * ETH_RPC_URL env. Env and config injectable for offline tests. */
+  def resolveUrl(flag: Option[String],
+      env: Map[String, String] = sys.env,
+      mescPathOverride: Option[String] = None): String = {
+    flag.filter(_.nonEmpty).getOrElse {
+      val mescPath = mescPathOverride
+        .orElse(env.get("MESC_PATH"))
+        .getOrElse(System.getProperty("user.home") + "/.mesc/mesc.json")
+      val fromMesc: Option[String] =
+        if (new java.io.File(mescPath).isFile) {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val cfg = JsonMethods.parse(new java.io.File(mescPath))
+          (cfg \ "default_endpoint") match {
+            case JString(name) => (cfg \ "endpoints" \ name \ "url") match {
+              case JString(u) => Some(u)
+              case _ => Some(name) // default_endpoint may be a literal url
+            }
+            case _ => None
+          }
+        } else None
+      fromMesc
+        .orElse(env.get("ETH_RPC_URL").filter(_.nonEmpty))
+        .getOrElse(throw new IllegalArgumentException(
+          "no RPC url: pass --rpc, configure MESC, or set ETH_RPC_URL"))
+    }
+  }
+
+  def chainIdRequest(id: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_chainId","params":[]}"""
+
+  /** parse the eth_chainId response — the autodetection half of
+    * sources.rs:119-150 (used when no --network is given). */
+  def parseChainId(body: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(body) \ "result") match {
+      case JString(s) => RpcCodec.parseHexLong(s)
+      case _ => throw new IllegalArgumentException(s"bad eth_chainId response")
+    }
+  }
+}
+
 /** Executor-side helpers: deterministic, dependency-free JSON-RPC request
   * building and hex decoding (unit-testable without a live node). */
 object RpcCodec {

@@ -458,6 +458,24 @@ class RpcCodecSpec extends AnyFunSuite {
     assert(rows(1).getLong(5) == 12L)
   }
 
+  test("rpc url resolution chain: flag > MESC > ETH_RPC_URL") {
+    import graft.sources.RpcConfig
+    assert(RpcConfig.resolveUrl(Some("http://flag:1"), Map.empty) == "http://flag:1")
+    val mesc = Files.createTempFile("mesc", ".json")
+    Files.writeString(mesc,
+      """{"default_endpoint":"local_node",
+        |"endpoints":{"local_node":{"url":"http://mesc:8545","chain_id":"1"}}}""".stripMargin)
+    assert(RpcConfig.resolveUrl(None, Map("ETH_RPC_URL" -> "http://env:2"),
+      mescPathOverride = Some(mesc.toString)) == "http://mesc:8545")
+    assert(RpcConfig.resolveUrl(None, Map("ETH_RPC_URL" -> "http://env:2"),
+      mescPathOverride = Some("/nonexistent")) == "http://env:2")
+    intercept[IllegalArgumentException] {
+      RpcConfig.resolveUrl(None, Map.empty, Some("/nonexistent"))
+    }
+    assert(RpcConfig.chainIdRequest(1).contains("eth_chainId"))
+    assert(RpcConfig.parseChainId("""{"result":"0x89"}""") == 137L)
+  }
+
   test("hex decoding: quantities, bytes, u256") {
     assert(RpcCodec.parseHexLong("0x10") == 16)
     assert(RpcCodec.parseHexLong("0x") == 0)
