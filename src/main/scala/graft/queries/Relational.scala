@@ -319,6 +319,21 @@ object Relational {
           col("rk"))
     },
 
+    // Skew-mitigated join via the SaltedJoin operator: the large side's
+    // key is salted (deterministic xxhash), the small side replicated per
+    // salt, joined on (key, salt). Result set is IDENTICAL to the plain
+    // join — the oracle is the unsalted formulation, proving it. For the
+    // single-hot-key shapes AQE's skew split can't fix in SMJ.
+    "q_salted_join_orders" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.SaltedJoin.join(o, c, "o_custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct(col("o_custkey")).as("n_customers"))
+    },
+
     // As-of join (event-time alignment): for each purchase, the same
     // user's latest prior click. Implemented with the union+window trick —
     // one shuffle on user_id, no range join blowup — identical
@@ -485,6 +500,11 @@ object Relational {
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         | FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_salted_join_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | count(DISTINCT o_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_events_asof_click" ->
       """SELECT user_id, purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
         | CAST(last_click_ts AS TIMESTAMP) AS last_click_ts

@@ -38,6 +38,56 @@ object FollowMode {
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast("decimal(18,4)")).as("total_value"))
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(seq: Int, start: java.sql.Timestamp,
+      last: java.sql.Timestamp, n: Int)
+  case class SessionOut(user_id: Long, session_seq: Int, n_events: Int,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Stateful streaming sessionization — the incremental form of
+    * EventsOps.q_events_sessionize (30-min inactivity gap) via
+    * `flatMapGroupsWithState`: per-user state carries the OPEN session
+    * (seq, start, last, count) across micro-batches, so a session spanning
+    * two batches keeps one sequence number; each batch emits the sessions
+    * it closed plus the updated open one (Update semantics — readers take
+    * the latest row per (user_id, session_seq)). At 100 TB this is the
+    * shape that replaces the batch window function: state is
+    * per-key-bounded and there is no global sort.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.select(col("user_id"), col("ts")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // event iterators are unordered within a batch → sort by event time
+          val sorted = evs.map(_.ts).toArray.sortBy(micros)
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          sorted.foreach { ts =>
+            if (st == null) {
+              st = SessionState(1, ts, ts, 1)
+            } else if (micros(ts) - micros(st.last) > gapUs) {
+              out += SessionOut(uid, st.seq, st.n, st.start, st.last) // closed
+              st = SessionState(st.seq + 1, ts, ts, 1)
+            } else {
+              st = st.copy(last = ts, n = st.n + 1)
+            }
+          }
+          if (st != null) {
+            out += SessionOut(uid, st.seq, st.n, st.start, st.last) // open
+            state.update(st)
+          }
+          out.iterator
+      }
+  }
+
   /** write an append-only parquet sink with checkpoint (exactly-once per
     * micro-batch; restart-safe like freeze's skip-existing). */
   def sink(df: DataFrame, outDir: String, checkpoint: String,

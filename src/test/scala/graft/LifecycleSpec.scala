@@ -489,6 +489,32 @@ class RpcCodecSpec extends AnyFunSuite {
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("stateful streaming sessionization matches the batch window form") {
+    val src = Files.createTempDirectory("graft_sess_src").toString
+    val batch = Tables(spark, sf, "events")
+    batch.write.mode("overwrite").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, batch.schema,
+      maxFilesPerTrigger = 1000) // one micro-batch → final rows are sessions
+    val sessions = FollowMode.sessionize(spark, stream.toDF(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("update")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // latest row per (user_id, session_seq) == the batch sessionization
+      val got = spark.sql(
+        """SELECT user_id, session_seq, n_events, session_start, session_end
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+          |        ORDER BY n_events DESC) rn FROM sess_out) WHERE rn = 1""".stripMargin)
+      val want = graft.queries.EventsOps.defs("q_events_sessionize")(spark, sf)
+      assert(got.count() == want.count())
+      val g = got.orderBy("user_id", "session_seq").collect().map(_.toSeq)
+      val w = want.select("user_id", "session_seq", "n_events",
+        "session_start", "session_end")
+        .orderBy("user_id", "session_seq").collect().map(_.toSeq)
+      assert(g.sameElements(w))
+    } finally q.stop()
+  }
+
   test("follow-mode windowed aggregation over an append-only directory") {
     val src = Files.createTempDirectory("graft_stream_src").toString
     val chk = Files.createTempDirectory("graft_stream_chk").toString
