@@ -90,6 +90,7 @@ object TextOps {
     * no 64-bit overflow (DuckDB bigint overflow errors; Spark wraps;
     * staying under the limit keeps both engines exact and identical). */
   private val MinhashMod = 2147483647L // 2^31 - 1
+  private val RollMod = 4294967291L // largest prime < 2^32
   private val MinhashP = 2305843009213693951L // 2^61 - 1
   private val MinhashA = Array(999999937L, 899999963L, 799999999L, 699999999L,
     599999971L, 499999993L, 399999959L, 299999977L)
@@ -226,6 +227,35 @@ object TextOps {
         .filter(col("jaccard") >= 0.5)
     },
 
+    // Subword ("BPE-ish") token counting: a regex pre-tokenizer in the
+    // GPT-2 spirit — letter runs, single digits, punctuation runs — as a
+    // second token-count signal next to the whitespace tokenizer. The
+    // character-class pattern means Java and RE2 regex semantics agree.
+    "q_doc_bpe_tokens" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"), lit(0))).as("n_subword_tokens"))
+    },
+
+    // Polynomial rolling-hash fingerprint over the token stream:
+    // h = fold(h*B + md5int(tok) mod M) mod P — a sequential left fold on
+    // BOTH engines (bit-identical), the order-sensitive complement of the
+    // orderless md5 fingerprint. P is a sub-2^32 prime so h*B + x stays
+    // well under 2^63: DuckDB ERRORS on int64 overflow (Spark wraps).
+    "q_doc_rolling_fp" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .repartition(col("doc_id")) // projection barrier, see shingles note
+        .select(col("doc_id"),
+          aggregate(
+            transform(col("toks"), t =>
+              conv(substring(md5(t), 1, 15), 16, 10).cast("long") % MinhashMod),
+            lit(0L),
+            (h, x) => (h * 1000003L + x) % RollMod).as("rolling_fp"))
+    },
+
     // TF-IDF-style top terms: term frequency per doc ⋈ document frequency
     // per term, ranked by tf/df (a single double division — IEEE-exact in
     // both engines; log-based idf is avoided because transcendental
@@ -331,6 +361,17 @@ object TextOps {
         |FROM pairs JOIN d sa ON sa.doc_id = id_a JOIN d sb ON sb.doc_id = id_b
         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin,
+    "q_doc_bpe_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+')) AS n_subword_tokens
+        |FROM documents""".stripMargin,
+    "q_doc_rolling_fp" ->
+      s"""SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+        |     t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $MinhashMod)),
+        |   (h, x) -> (h * 1000003 + x) % $RollMod) AS rolling_fp
+        |FROM documents""".stripMargin,
     "q_doc_top_terms" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
