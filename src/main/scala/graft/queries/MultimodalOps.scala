@@ -71,6 +71,53 @@ object MultimodalOps {
         col("fake_width"), col("fake_height")) ++
         (0 until 16).map(i => col("hist")(i).as(s"hist_$i"))
       s.createDataFrame(out, featureSchema).select(flat: _*)
+    },
+
+    // "Resize": downsample the payload to a fixed-length strip by sampling
+    // 8 evenly-spaced bytes (a real pipeline resamples pixel grids the
+    // same way — fixed output shape regardless of input size). Same
+    // mapPartitions batch boundary as q_mm_features.
+    "q_mm_resize" -> { (s, dir) =>
+      val schema = StructType(
+        StructField("doc_id", LongType, nullable = false) +:
+        StructField("n_bytes", IntegerType, nullable = false) +:
+        (0 until 8).map(j => StructField(s"s_$j", IntegerType, nullable = false)))
+      val out = assets(s, dir).rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val c = r.getAs[Array[Byte]]("content")
+          val samples = (0 until 8).map { j =>
+            if (c.isEmpty) 0 else c(j * c.length / 8) & 0xff
+          }
+          Row.fromSeq(id +: c.length +: samples)
+        }
+      }
+      s.createDataFrame(out, schema)
+    },
+
+    // "Frame sampling": treat the payload as fixed-size frames (256 B) and
+    // extract the first byte of the first/middle/last frame — the video
+    // keyframe-sampling shape (decode only the sampled frames, never the
+    // whole stream).
+    "q_mm_frame_sample" -> { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("f_first", IntegerType, nullable = false),
+        StructField("f_mid", IntegerType, nullable = false),
+        StructField("f_last", IntegerType, nullable = false)))
+      val F = 256
+      val out = assets(s, dir).rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val c = r.getAs[Array[Byte]]("content")
+          val n = math.max(1, (c.length + F - 1) / F)
+          def at(frame: Int): Int =
+            if (c.isEmpty) 0 else c(math.min(frame * F, c.length - 1)) & 0xff
+          Row(id, n, at(0), at((n - 1) / 2), at(n - 1))
+        }
+      }
+      s.createDataFrame(out, schema)
     }
   )
 
@@ -88,6 +135,25 @@ object MultimodalOps {
         | CAST('0x' || substring(hex(c), 3, 2) AS INT) + 1 AS fake_height,
         | $hist
         |FROM (SELECT doc_id, encode(text) AS c FROM documents)""".stripMargin
-    }
+    },
+    "q_mm_resize" -> {
+      val samples = (0 until 8).map(j =>
+        s"""CASE WHEN octet_length(c) = 0 THEN 0
+           | ELSE CAST('0x' || substring(hex(c), 2*(($j*octet_length(c))//8) + 1, 2) AS INT)
+           | END AS s_$j""".stripMargin).mkString(",\n ")
+      s"""SELECT doc_id, octet_length(c) AS n_bytes,
+        | $samples
+        |FROM (SELECT doc_id, encode(text) AS c FROM documents)""".stripMargin
+    },
+    "q_mm_frame_sample" ->
+      """WITH a AS (
+        | SELECT doc_id, encode(text) AS c,
+        |  greatest(1, CAST((octet_length(encode(text)) + 255) // 256 AS INT)) AS n_frames
+        | FROM documents)
+        |SELECT doc_id, n_frames,
+        | CAST('0x' || substring(hex(c), 2*least(0*256, octet_length(c)-1) + 1, 2) AS INT) AS f_first,
+        | CAST('0x' || substring(hex(c), 2*least(((n_frames-1)//2)*256, octet_length(c)-1) + 1, 2) AS INT) AS f_mid,
+        | CAST('0x' || substring(hex(c), 2*least((n_frames-1)*256, octet_length(c)-1) + 1, 2) AS INT) AS f_last
+        |FROM a""".stripMargin
   )
 }
