@@ -88,6 +88,40 @@ object FollowMode {
       }
   }
 
+  /** Incremental freeze: follow the chain head and materialize completed
+    * chunks as cryo-named files. Each micro-batch advances a high-water
+    * mark over the observed block numbers and re-runs `Freeze.freeze` for
+    * every chunk fully below it — skip-existing makes the repetition
+    * exactly-once per file, and a restart resumes from whatever files
+    * already exist (the same idempotence the batch lifecycle has). The
+    * stream carries only block numbers; the freeze jobs re-read bronze. */
+  def incrementalFreeze(spark: SparkSession, sourceDir: String,
+      spec: graft.chain.Freeze.FreezeSpec,
+      blockStream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.chain.{BlockSyntax, Freeze}
+    val lo = spec.blocks match {
+      case BlockSyntax.Range(a, _) => a
+      case BlockSyntax.Numbers(ns) => ns.min
+    }
+    val seenHead = new java.util.concurrent.atomic.AtomicLong(lo - 1)
+    blockStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val mx = batch.agg(max(col("block_number"))).collect()(0)
+      if (!mx.isNullAt(0)) {
+        val head: Long = mx.get(0) match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+        }
+        val hi = seenHead.accumulateAndGet(head, math.max(_, _))
+        // freeze only chunks whose end is at or below the observed head
+        val end = lo + ((hi + 1 - lo) / spec.chunkSize) * spec.chunkSize
+        if (end > lo)
+          Freeze.freeze(spark, sourceDir,
+            spec.copy(blocks = BlockSyntax.Range(lo, end)))
+      }
+      ()
+    }
+  }
+
   /** write an append-only parquet sink with checkpoint (exactly-once per
     * micro-batch; restart-safe like freeze's skip-existing). */
   def sink(df: DataFrame, outDir: String, checkpoint: String,

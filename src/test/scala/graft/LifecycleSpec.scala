@@ -515,6 +515,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental freeze follows the head and writes completed chunks once") {
+    val fixDir = graft.queries.ChainQueries.FixDir
+    val src = Files.createTempDirectory("graft_if_src").toString
+    val out = Files.createTempDirectory("graft_if_out").toString
+    val blocks = graft.chain.ChainDatasets.fx(spark, fixDir, "rpc_blocks")
+    // several files → several micro-batches, out-of-order arrival possible
+    blocks.select("block_number").repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src,
+      blocks.select("block_number").schema, maxFilesPerTrigger = 1)
+    val spec = graft.chain.Freeze.FreezeSpec(
+      datasets = Seq("blocks"), blocks = Range(1000, 1060),
+      chunkSize = 25, outputDir = out)
+    val q = FollowMode.incrementalFreeze(spark, fixDir, spec, stream)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_if_chk").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // head 1059 → chunks [1000,1025) and [1025,1050) complete; [1050,1060)
+    // is a partial chunk and must NOT be frozen yet
+    val written = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(written.map(p => p.substring(p.indexOf("__000") + 2)) ==
+      Seq("00001000_to_00001024.parquet", "00001025_to_00001049.parquet"))
+  }
+
   test("follow-mode windowed aggregation over an append-only directory") {
     val src = Files.createTempDirectory("graft_stream_src").toString
     val chk = Files.createTempDirectory("graft_stream_chk").toString
