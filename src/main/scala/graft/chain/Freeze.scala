@@ -91,13 +91,35 @@ object Freeze {
     "erc20_balances" -> ((s, d) => ChainDatasets.erc20Balances(s, d)))
 
   /** In-memory collect — the library API of the reference
-    * (cryo collect.rs:5-30): one dataset, no files. */
+    * (cryo collect.rs:5-30): one dataset, no files. Takes the same
+    * schema/representation options as the CLI. */
   def collect(spark: SparkSession, sourceDir: String, dataset: String,
-      blocks: BlockSyntax.Blocks): DataFrame = {
+      blocks: BlockSyntax.Blocks,
+      u256Reprs: Seq[graft.functions.U256.Repr] = graft.functions.U256.defaultReprs,
+      include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
+      columns: Option[Seq[String]] = None,
+      hex: Boolean = false): DataFrame = {
     val canonical = Datatypes(dataset).name
-    val df = allBuilders(canonical)(spark, sourceDir)
+    val df0 = builderWith(canonical, u256Reprs, include, exclude, columns)(
+      spark, sourceDir)
+    val df = if (hex) hexifyBinary(df0) else df0
     filterBlocks(df, blocks)
   }
+
+  /** chain_id → canonical network name for file naming when --network is
+    * not given (cryo cli/parse/file_output.rs:62-90; public chain ids). */
+  val networkNames: Map[Long, String] = Map(
+    1L -> "ethereum", 5L -> "goerli", 10L -> "optimism", 56L -> "bnb",
+    69L -> "optimism_kovan", 100L -> "gnosis", 137L -> "polygon",
+    420L -> "optimism_goerli", 1101L -> "polygon_zkevm",
+    8453L -> "base", 10200L -> "gnosis_chidao", 17000L -> "holesky",
+    42161L -> "arbitrum", 42170L -> "arbitrum_nova",
+    43114L -> "avalanche", 80001L -> "polygon_mumbai",
+    84531L -> "base_goerli", 7777777L -> "zora",
+    11155111L -> "sepolia")
+
+  def networkName(chainId: Long): String =
+    networkNames.getOrElse(chainId, s"network_$chainId")
 
   /** Collect by transaction hashes — TimeDimension::Transactions
     * (cryo types/queries.rs:75-80, collect_generic.rs:14-19): the unit of

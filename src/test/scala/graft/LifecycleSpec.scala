@@ -172,6 +172,25 @@ class FreezeSpec extends AnyFunSuite {
     val bns = df.select("block_number").distinct().collect().map(_.getInt(0))
     assert(bns.forall(n => n >= 1010 && n < 1020))
   }
+
+  test("collect honors column/u256/hex options like the CLI") {
+    import graft.functions.U256
+    val df = Freeze.collect(spark, fixDir, "erc20_transfers", Range(1000, 1060),
+      u256Reprs = Seq(U256.Str), hex = true)
+    assert(df.columns.contains("value_string") && !df.columns.contains("value_binary"))
+    // hex projection: binary columns became 0x strings
+    val erc = df.select("erc20").limit(1).collect()(0).getString(0)
+    assert(erc.startsWith("0x") && erc.length == 42)
+    val cols = Freeze.collect(spark, fixDir, "blocks", Range(1000, 1010),
+      columns = Some(Seq("block_number", "gas_used"))).columns.toSeq
+    assert(cols == Seq("block_number", "gas_used"))
+  }
+
+  test("network name resolves from chain id with fallback") {
+    assert(Freeze.networkName(1) == "ethereum")
+    assert(Freeze.networkName(137) == "polygon")
+    assert(Freeze.networkName(424242) == "network_424242")
+  }
 }
 
 /** Port of the reference's timestamp-resolution tests
