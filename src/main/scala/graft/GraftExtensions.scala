@@ -34,6 +34,7 @@ object Graft {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "keccak256" -> (es => Keccak256(es.head)),
     "u256_string" -> (es => U256ToString(es.head)),
+    "i256_string" -> (es => I256ToString(es.head)),
     "u256_f64" -> (es => U256ToDouble(es.head)),
     "u256_d128" -> (es => U256ToDecimal(es.head)),
     "u256_u64" -> (es => U256WrapLong(es.head, 8)),

@@ -90,6 +90,18 @@ case class U256ToString(child: Expression) extends U256Unary {
   override def prettyName: String = "u256_string"
 }
 
+/** 32-byte big-endian TWO'S-COMPLEMENT signed → decimal string — the
+  * reference's I256 conversion path (types/conversions.rs:7-48): int256
+  * ABI values above 64 bits keep their sign, unlike the unsigned u256
+  * family. BigInteger(byte[]) is two's complement by definition. */
+case class I256ToString(child: Expression) extends U256Unary {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(new BigInteger(v.asInstanceOf[Array[Byte]]).toString)
+  override protected def withNewChildInternal(c: Expression): I256ToString = copy(c)
+  override def prettyName: String = "i256_string"
+}
+
 /** unsigned big-endian → double (correctly rounded, like the reference's
   * primitive cast). */
 case class U256ToDouble(child: Expression) extends U256Unary {

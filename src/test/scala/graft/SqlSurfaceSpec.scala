@@ -19,6 +19,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT u256_u64(u256_from_string('18446744073709551617')) AS w")
       .collect()(0).getLong(0) == 1L) // 2^64 + 1 wraps to 1
 
+    // i256: all-ones word is -1 under two's complement, 2^256-1 unsigned
+    assert(spark.sql("SELECT i256_string(unhex(repeat('ff', 32))) AS s")
+      .collect()(0).getString(0) == "-1")
+    assert(spark.sql("SELECT u256_string(unhex(repeat('ff', 32))) AS s")
+      .collect()(0).getString(0) ==
+      BigInt(2).pow(256).-(1).toString)
+    assert(spark.sql("SELECT i256_string(u256_from_string('123')) AS s")
+      .collect()(0).getString(0) == "123") // positive values agree
+
     val logsDir = graft.queries.ChainQueries.FixDir + "/rpc_logs.parquet"
     spark.read.parquet(logsDir).createOrReplaceTempView("sql_logs")
     val decoded = spark.sql(
