@@ -103,10 +103,23 @@ object RpcCodec {
     s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getBlockByNumber","params":["${hexQuantity(blockNumber)}",$fullTxs]}"""
 
   def getLogsRequest(id: Long, fromBlock: Long, toBlock: Long,
-      address: Option[String], topic0: Option[String]): String = {
+      address: Option[String], topic0: Option[String]): String =
+    getLogsRequestTopics(id, fromBlock, toBlock, address,
+      Seq(topic0, None, None, None))
+
+  /** full topic0..3 position filter (types/rpc_params.rs:99-131): trailing
+    * null positions are trimmed; interior wildcards serialize as null. */
+  def getLogsRequestTopics(id: Long, fromBlock: Long, toBlock: Long,
+      address: Option[String], topics: Seq[Option[String]]): String = {
     val addr = address.map(a => s""","address":"$a"""").getOrElse("")
-    val t0 = topic0.map(t => s""","topics":["$t"]""").getOrElse("")
-    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getLogs","params":[{"fromBlock":"${hexQuantity(fromBlock)}","toBlock":"${hexQuantity(toBlock)}"$addr$t0}]}"""
+    val trimmed = topics.reverse.dropWhile(_.isEmpty).reverse
+    val ts =
+      if (trimmed.isEmpty) ""
+      else trimmed.map {
+        case Some(t) => s""""$t""""
+        case None => "null"
+      }.mkString(""","topics":[""", ",", "]")
+    s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getLogs","params":[{"fromBlock":"${hexQuantity(fromBlock)}","toBlock":"${hexQuantity(toBlock)}"$addr$ts}]}"""
   }
 
   def getBlockReceiptsRequest(id: Long, blockNumber: Long): String =

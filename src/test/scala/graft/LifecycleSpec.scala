@@ -129,6 +129,20 @@ class FreezeSpec extends AnyFunSuite {
     }
   }
 
+  test("a failing chunk lands in errored, other work continues") {
+    val out = Files.createTempDirectory("graft_err").toString
+    val boom: Freeze.DatasetBuilder = (_, _) => throw new RuntimeException("boom")
+    val r = Freeze.freeze(spark, fixDir, Freeze.FreezeSpec(
+      datasets = Seq("blocks", "logs"), blocks = Range(1000, 1040),
+      chunkSize = 20, outputDir = out),
+      overrides = Map("logs" -> boom))
+    assert(r.completed.size == 2 && r.errored.size == 2) // blocks ok, logs boom
+    assert(r.errored.forall(_.contains("__logs__")))
+    val dir = Paths.get(out, ".graft", "reports")
+    val body = Files.readString(Files.list(dir).toArray.head.asInstanceOf[java.nio.file.Path])
+    assert(body.contains("errored_paths") && body.contains("__logs__"))
+  }
+
   test("chunk collection order: normal, reverse, random (seeded)") {
     def stubs(order: String, seed: Long = 0): Seq[String] = {
       val out = Files.createTempDirectory(s"graft_ord_$order").toString
@@ -508,6 +522,14 @@ class RpcCodecSpec extends AnyFunSuite {
     val rows = RpcExtract.gethOpcodes(body, blockNumber = 16, txIndex = 0, chainId = 1)
     assert(rows.map(_.getString(3)) == Seq("PUSH1", "MSTORE"))
     assert(rows(1).getLong(5) == 12L)
+  }
+
+  test("getLogs topic position filters: trailing trim, interior wildcard") {
+    val r = RpcCodec.getLogsRequestTopics(1, 0, 10, None,
+      Seq(Some("0xaa"), None, Some("0xbb"), None))
+    assert(r.contains(""""topics":["0xaa",null,"0xbb"]"""))
+    val none = RpcCodec.getLogsRequestTopics(1, 0, 10, None, Seq(None, None, None, None))
+    assert(!none.contains("topics"))
   }
 
   test("rpc url resolution chain: flag > MESC > ETH_RPC_URL") {
