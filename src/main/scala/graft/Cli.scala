@@ -105,6 +105,7 @@ object Cli {
     var chunkOrder = "normal"
     var maxConcurrentChunks = 4
     var compression: Option[String] = None
+    var subdirs = Seq.empty[String]
 
     // multi-value flags consume tokens until the next `--flag`
     def multi(from: Int): (Seq[String], Int) = {
@@ -148,6 +149,7 @@ object Cli {
         case "--timestamps" => timestamps = Some(args(i + 1)); i += 1
         case "--partition-by" => partitionBy = Some(args(i + 1)); i += 1
         case "--compression" => compression = Some(args(i + 1)); i += 1
+        case "--subdirs" => val (v, j) = multi(i + 1); subdirs = v; i = j
         case "--chunk-order" => chunkOrder = args(i + 1); i += 1
         case "--max-concurrent-chunks" => maxConcurrentChunks = args(i + 1).toInt; i += 1
         case flag if flag.startsWith("--") =>
@@ -264,7 +266,8 @@ object Cli {
       reorgBuffer, outputDir, network, label, overwrite, format, hex,
       partitionBy, chunkOrder, chunkOrderSeed = 0, compression,
       maxConcurrentChunks,
-      cliCommand = Some(("graft" +: args.toSeq).mkString(" ")))
+      cliCommand = Some(("graft" +: args.toSeq).mkString(" ")),
+      subdirs = subdirs)
 
     if (dryRun) {
       val range = blocksSpec match {

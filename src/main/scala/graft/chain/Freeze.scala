@@ -46,7 +46,10 @@ object Freeze {
       /** chunk-file writes in flight at once (freeze.rs:85-87 semaphore) */
       maxConcurrentChunks: Int = 4,
       /** recorded in the run report (reports.rs cli_command/args) */
-      cliCommand: Option[String] = None)
+      cliCommand: Option[String] = None,
+      /** output subdirectory layout (types/files.rs:63-105 --subdirs):
+        * any of "datatype", "network", or a literal custom label */
+      subdirs: Seq[String] = Seq.empty)
 
   case class FreezeResult(
       completed: Seq[String], skipped: Seq[String], errored: Seq[String],
@@ -293,7 +296,14 @@ object Freeze {
       }.getOrElse("")
       val name = fileName(spec, canonical, chunk)
         .replace(s"__${chunkStub(chunk)}", s"$stub" + s"__${chunkStub(chunk)}")
-      (canonical, chunk, dimValue, Paths.get(spec.outputDir, name))
+      val sub = spec.subdirs.map {
+        case "datatype" => canonical
+        case "network" => spec.network
+        case custom => custom
+      }
+      val dir = sub.foldLeft(Paths.get(spec.outputDir))(_.resolve(_))
+      Files.createDirectories(dir)
+      (canonical, chunk, dimValue, dir.resolve(name))
     }
     def runTask(canonical: String, chunk: BlockSyntax.Range,
         dimValue: Option[Any], target: Path): TaskOutcome =

@@ -376,6 +376,15 @@ class CliSpec extends AnyFunSuite {
     assert(done.head.endsWith(".parquet"))
   }
 
+  test("--subdirs lays files out under datatype/network directories") {
+    val (out, done) = runCli("blocks", "logs", "--subdirs", "datatype")
+    assert(done.size == 2)
+    assert(Files.exists(Paths.get(out, "blocks",
+      "ethereum__blocks__00001000_to_00001059.parquet")))
+    assert(Files.exists(Paths.get(out, "logs",
+      "ethereum__logs__00001000_to_00001059.parquet")))
+  }
+
   test("--partition-by and --chunk-order pass through to freeze") {
     val (_, done) = runCli("erc20_transfers",
       "--partition-by", "erc20", "--chunk-order", "reverse")
