@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Generator (UDTF extension point — SURVEY §2.6: "user code producing
+  * rows maps to a flatMap/UDTF (Generator)"): explode a token array into
+  * its word-n-gram shingles in ONE compiled pass per row.
+  *
+  * Why an expression and not composition: the two composable forms both
+  * pay structural overhead — the array-lambda (`transform` + `element_at`)
+  * runs interpreted per element and is subject to projection-collapse
+  * re-tokenization, and the posexplode+window form shuffle-sorts every
+  * token row just to see its neighbors. A Generator sees the whole array
+  * per input row, so neighbors are free: no shuffle, no interpreted
+  * lambda, and downstream partial aggregation (e.g. minhash MINs) shrinks
+  * the only remaining shuffle to |docs|-scale.
+  *
+  * Rows with fewer than `n` tokens yield nothing (matching the
+  * `size >= n` guards of the composed forms). Output column: `shingle`.
+  */
+case class ExplodeShingles(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"explode_shingles needs array<string>, got ${other.catalogString}")
+    }
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("shingle", StringType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < n) Iterator.empty
+    else {
+      val m = arr.numElements()
+      val toks = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+      (0 to m - n).iterator.map { start =>
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks(start + j); j += 1 }
+        InternalRow(UTF8String.concatWs(space, parts: _*))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): ExplodeShingles =
+    copy(child = c)
+  override def prettyName: String = "explode_shingles"
+}

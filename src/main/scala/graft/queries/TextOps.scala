@@ -45,21 +45,19 @@ object TextOps {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
 
-  /** flat (doc_id, shingle) rows via explode + window lead — the
-    * scale-correct shingling: no arrays held in memory, one md5 per
-    * shingle downstream, vectorized aggregates instead of array lambdas.
-    * Measured at sf0.1: this whole-stage-codegen'd form is 3-5× faster
-    * than exploding the array-lambda `shingles` (higher-order functions
-    * run interpreted per element). */
+  /** flat (doc_id, shingle) rows via the custom ExplodeShingles Generator
+    * — one compiled pass per document, NO shuffle (formulations measured
+    * at sf0.1 and rejected: posexplode+window lead shuffle-sorts every
+    * token row; the array-lambda `shingles` runs interpreted per element,
+    * 3-5× slower). Downstream groupBy(doc_id) aggregations partial-agg
+    * before their shuffle, so only |docs|-scale rows ever move. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    import org.apache.spark.sql.GraftSql
     Tables(s, dir, "documents")
-      .select(col("doc_id"), posexplode(toks))
-      .withColumnRenamed("col", "tok")
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .select(col("doc_id"),
+        GraftSql.column(
+          graft.functions.ExplodeShingles(GraftSql.expression(toks), 3))
+          .as("shingle"))
   }
 
   private val duckShingles =
@@ -215,9 +213,14 @@ object TextOps {
       // sides of the rerank so the pair table never shuffles its arrays.
       // (A flat-row join-count variant of the exact-Jaccard rerank was
       // measured 1.7× slower at sf0.1 — the array form wins here.)
-      val candSets = shingledOf(
-        Tables(s, dir, "documents").join(broadcast(candIds), "doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // feeds TWO broadcast exchanges
+      val candSets = {
+        import org.apache.spark.sql.GraftSql
+        Tables(s, dir, "documents").join(broadcast(candIds), "doc_id")
+          .select(col("doc_id"),
+            GraftSql.column(graft.functions.ExplodeShingles(
+              GraftSql.expression(toks), 3)).as("shingle"))
+          .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+      }.persist(StorageLevel.MEMORY_AND_DISK) // feeds TWO broadcast exchanges
       val shA = candSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val shB = candSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       pairs.join(broadcast(shA), "id_a").join(broadcast(shB), "id_b")

@@ -3,6 +3,37 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL-registered custom functions end to end. */
+class ExplodeShinglesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("generator yields n-grams, honors short/empty/null inputs") {
+    import org.apache.spark.sql.GraftSql
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      GraftSql.column(graft.functions.ExplodeShingles(
+        GraftSql.expression(split(col("text"), " ")), 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // only the 4-token doc yields; 2 overlapping 3-grams, in order
+    assert(out.toSeq == Seq((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("generator matches the array-lambda shingles semantics (with dupes)") {
+    import org.apache.spark.sql.GraftSql
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "x y x y x y")).toDF("id", "text") // duplicate 3-grams
+    val gen = df.select(
+      GraftSql.column(graft.functions.ExplodeShingles(
+        GraftSql.expression(split(col("text"), " ")), 3)).as("sh"))
+      .groupBy("sh").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gen == Map("x y x" -> 2, "y x y" -> 2))
+  }
+}
+
 class SqlSurfaceSpec extends AnyFunSuite {
   import SparkTestSession._
 
