@@ -202,6 +202,11 @@ object TextOps {
             md5(concat_ws("_", col(s"sig${2 * bnd}"), col(s"sig${2 * bnd + 1}"))).as("band_hash"))): _*).as("bands"))
         .select(col("doc_id"), explode(col("bands")).as("b"))
         .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+      // Banded self-join for candidate pairs. A bucket-local pair
+      // generator (groupBy + collect_list + generator) was measured 25%
+      // SLOWER at sf0.1: collect_list forces ObjectHashAggregate with no
+      // partial aggregation, costing more than the join's second shuffle
+      // of skinny (band, id) rows.
       val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
       val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
       val pairs = l.join(r, Seq("band_idx", "band_hash"))
