@@ -264,6 +264,24 @@ object TextOps {
             (h, x) => (h * 1000003L + x) % RollMod).as("rolling_fp"))
     },
 
+    // Benchmark decontamination: which "eval" documents share verbatim
+    // 3-grams with the "train" corpus (deterministic doc_id%10 split
+    // stands in for the train/eval partition). The shuffle key is the
+    // shingle itself — both sides distinct-reduce before the join, so at
+    // 100 TB only unique n-grams move, and the join is the standard
+    // contamination-check shape (eval set ≪ train set → broadcastable
+    // when small; here both sides shuffle on shingle).
+    "q_doc_decontaminate" -> { (s, dir) =>
+      val rows = shingleRows(s, dir)
+      val train = rows.filter(col("doc_id") % 10 =!= 0)
+        .select(col("shingle")).distinct()
+      val eval_ = rows.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("shingle")).distinct()
+      eval_.join(train, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_contaminated_shingles"))
+    },
+
     // TF-IDF-style top terms: term frequency per doc ⋈ document frequency
     // per term, ranked by tf/df (a single double division — IEEE-exact in
     // both engines; log-based idf is avoided because transcendental
@@ -380,6 +398,14 @@ object TextOps {
         |     t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $MinhashMod)),
         |   (h, x) -> (h * 1000003 + x) % $RollMod) AS rolling_fp
         |FROM documents""".stripMargin,
+    "q_doc_decontaminate" ->
+      s"""WITH d AS (
+        | SELECT doc_id, unnest($duckShingles) AS shingle
+        | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
+        |train AS (SELECT DISTINCT shingle FROM d WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT DISTINCT doc_id, shingle FROM d WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS n_contaminated_shingles
+        |FROM ev JOIN train USING (shingle) GROUP BY doc_id""".stripMargin,
     "q_doc_top_terms" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
