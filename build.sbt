@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run stdout must reach the console undecorated: the driver
+// parses Bench's final {"metric":...} JSON line at column 0, and sbt's
+// default LoggedOutput strategy prefixes every line with "[info] ".
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
