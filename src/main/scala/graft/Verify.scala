@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Keep the DuckDB oracle on the same chain-fixture dir the Spark
+    // entries resolve for this sf (see ChainQueries.chainDir).
+    graft.queries.ChainQueries.setOracleSfDir(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -173,8 +173,14 @@ object ChainDatasets {
 
   /** datasets/traces.rs:13-289. `excludeFailed` prunes failed subtrees:
     * a trace is dropped when any trace of the same tx with a prefix
-    * trace_address has an error (traces.rs:258-289). Failed paths per tx
-    * are few → broadcast anti-join on prefix match.
+    * trace_address has an error (traces.rs:258-289). The anti-join is
+    * deliberately unhinted: `failed` is fact-cardinality (a sizeable
+    * fraction of mainnet traces sit under reverted subtrees), so a
+    * forced broadcast OOMs the driver at cluster scale. Both sides key
+    * on transaction_hash, so Catalyst plans a shuffled join on the tx
+    * hash with the prefix predicates as join-side filters; AQE still
+    * broadcasts when runtime stats say the failed side is genuinely
+    * small.
     */
   def traces(spark: SparkSession, dir: String,
       excludeFailed: Boolean = false): DataFrame = {
@@ -182,7 +188,7 @@ object ChainDatasets {
     val out = if (!excludeFailed) t else {
       val failed = t.filter(col("error").isNotNull)
         .select(col("transaction_hash").as("f_tx"), col("trace_address").as("f_path"))
-      t.join(broadcast(failed),
+      t.join(failed,
           col("transaction_hash") === col("f_tx") &&
             (col("trace_address") === col("f_path") ||
              col("trace_address").startsWith(concat(col("f_path"), lit("_"))) ||

@@ -51,9 +51,12 @@ object TextOps {
     * token row; the array-lambda `shingles` runs interpreted per element,
     * 3-5× slower). Downstream groupBy(doc_id) aggregations partial-agg
     * before their shuffle, so only |docs|-scale rows ever move. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(Tables(s, dir, "documents"))
+
+  private def shingleRowsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSql
-    Tables(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         GraftSql.column(
           graft.functions.ExplodeShingles(GraftSql.expression(toks), 3))
@@ -63,13 +66,21 @@ object TextOps {
   private val duckShingles =
     "list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 
-  /** minhash component i: lexicographic min over shingles of a 16-hex-char
-    * md5-derived hash — string min avoids hex→int portability issues. */
-  private def minhashSig(sh: Column, i: Int): Column =
-    array_min(transform(sh, s => substring(md5(concat(lit(s"$i:"), s)), 1, 16)))
-
-  private def duckMinhashSig(i: Int): String =
-    s"list_min(list_transform(sh, s -> substr(md5('$i:' || s), 1, 16)))"
+  /** MinHash signatures over flat (doc_id, shingle) rows: ONE md5 per
+    * shingle reduced mod MinhashMod, then 8 affine transforms
+    * h_i(x) = (a_i·x + b_i) mod P aggregated with partial-agg MIN — only
+    * |docs|-scale rows cross the shuffle. Duplicate shingles can't change
+    * a min, so no distinct is needed. This is 3-5× faster than the
+    * interpreted array-lambda formulation (higher-order functions run
+    * per-element interpreted; the Generator path is one compiled pass). */
+  private def affineSigsOf(rows: DataFrame): DataFrame = {
+    val hashed = rows.select(col("doc_id"),
+      (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashMod).as("h"))
+    hashed.groupBy("doc_id").agg(
+      min((col("h") * MinhashA(0) + MinhashB(0)) % MinhashP).as("sig0"),
+      (1 until 8).map(i =>
+        min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"sig$i")): _*)
+  }
 
   private val stop = Map(
     "en" -> Seq("the", "a", "of"),
@@ -94,6 +105,99 @@ object TextOps {
     599999971L, 499999993L, 399999959L, 299999977L)
   private val MinhashB = Array(15485863L, 32452843L, 49979687L, 67867967L,
     86028121L, 104395301L, 122949823L, 141650939L)
+
+  /** LSH bucket-size cap: a band bucket holding more than this many docs
+    * is dropped from pair generation (standard LSH hygiene). A degenerate
+    * band — empty/boilerplate docs sharing a signature — otherwise makes
+    * the band self-join quadratic: one 1M-doc bucket alone would emit
+    * 5·10^11 candidate pairs. Docs dense enough to blow the cap are
+    * near-identical clusters the exact-dedup pass already collapses; the
+    * cap is mirrored in the DuckDB oracle so both engines define the SAME
+    * capped-LSH semantics at every scale. */
+  val LshBucketCap = 64
+
+  /** Rerank-side broadcast guard: candidate shingle sets are broadcast
+    * only when the surviving candidate-doc count is at most this; above
+    * it the rerank falls back to shuffled joins (shingle sets are KB-sized
+    * per doc — an unguarded broadcast OOMs the driver if an adversarial
+    * corpus yields millions of LSH survivors). */
+  val RerankBroadcastMaxDocs = 50000L
+
+  /** MinHash-LSH near-dup candidate pairs: 4 bands × 2 rows, bucket-join
+    * on band hash (the scale path: shuffle on band key, no all-pairs
+    * scan), then exact Jaccard verification on candidates only. Cost
+    * shape for 100 TB: ONE md5 per shingle (the 8 hash functions are
+    * affine transforms of that base hash — a standard minhash family),
+    * bands carry only (doc_id, band_hash) into the self-join, oversized
+    * buckets are capped (LshBucketCap), candidate pairs are id-only
+    * before distinct, and shingle arrays are joined back just for the
+    * surviving candidates — broadcast only under RerankBroadcastMaxDocs.
+    *
+    * Persist strategy (r1's slowest query, 5.4s): cache only the TINY
+    * shared stages — sigs (one row per doc) feeds the banded self-join
+    * twice, pairs feeds candIds + the final join. The bulk shingle rows
+    * are scanned exactly once (into sigs); candidate shingle sets are
+    * rebuilt by re-shingling ONLY the candidate docs (a semi-join on the
+    * documents scan), not by caching 10M+ rows. */
+  def minhashPairsOf(docs: DataFrame, bucketCap: Int = LshBucketCap,
+      broadcastMaxDocs: Long = RerankBroadcastMaxDocs): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = affineSigsOf(shingleRowsOf(docs))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"),
+      array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band_idx"),
+          md5(concat_ws("_", col(s"sig${2 * bnd}"), col(s"sig${2 * bnd + 1}"))).as("band_hash"))): _*).as("bands"))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    // Cap hot buckets BEFORE the self-join: a window count over the band
+    // key shares the self-join's shuffle partitioning (band_idx,
+    // band_hash), so the cap costs no extra exchange on the build side.
+    val capped = banded
+      .withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
+    // Banded self-join for candidate pairs. A bucket-local pair
+    // generator (groupBy + collect_list + generator) was measured 25%
+    // SLOWER at sf0.1: collect_list forces ObjectHashAggregate with no
+    // partial aggregation, costing more than the join's second shuffle
+    // of skinny (band, id) rows.
+    val l = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+    val r = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
+    val pairs = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The broadcast decision needs the real survivor count — pairs is
+    // persisted, so this is a cheap scalar action on a tiny table, the
+    // price of never broadcasting an unbounded set.
+    val nCand = candIds.count()
+    val small = nCand <= broadcastMaxDocs
+    // candidate sets are LSH-survivor-sized (≪ corpus) → broadcast both
+    // sides of the rerank so the pair table never shuffles its arrays.
+    // (A flat-row join-count variant of the exact-Jaccard rerank was
+    // measured 1.7× slower at sf0.1 — the array form wins here.)
+    val candSets = {
+      import org.apache.spark.sql.GraftSql
+      docs.join(if (small) broadcast(candIds) else candIds, "doc_id")
+        .select(col("doc_id"),
+          GraftSql.column(graft.functions.ExplodeShingles(
+            GraftSql.expression(toks), 3)).as("shingle"))
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    }.persist(StorageLevel.MEMORY_AND_DISK) // feeds TWO broadcast exchanges
+    val shA = candSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = candSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    pairs
+      .join(if (small) broadcast(shA) else shA, "id_a")
+      .join(if (small) broadcast(shB) else shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
 
   /** deterministic argmax with fixed priority en > fr > de > es */
   private val argmaxSql =
@@ -161,11 +265,12 @@ object TextOps {
         .withColumn("jaccard", col("n_shared").cast("double") / col("n_union"))
     },
 
-    // MinHash signatures (8 hashes over word-3-gram shingles).
+    // MinHash signatures (8 affine hashes over word-3-gram shingles) —
+    // the same flat-row Generator + partial-agg-MIN pipeline the pairs
+    // query uses (the array-lambda form it replaced ran interpreted and
+    // regressed 1.84→2.74s at sf0.1).
     "q_doc_minhash_sig" -> { (s, dir) =>
-      (0 until 8).foldLeft(shingled(s, dir)) { (df, i) =>
-        df.withColumn(s"sig$i", minhashSig(col("sh"), i))
-      }.drop("sh")
+      affineSigsOf(shingleRows(s, dir))
     },
 
     // MinHash-LSH near-dup candidates: 4 bands × 2 rows, bucket-join on
@@ -177,62 +282,7 @@ object TextOps {
     // are id-only before distinct, and shingle arrays are joined back just
     // for the surviving candidates.
     "q_doc_minhash_pairs" -> { (s, dir) =>
-      // flat-row formulation: one md5 per (doc, shingle) row, signatures
-      // via 8 partially-aggregated MINs (duplicate shingles can't change a
-      // min, so no distinct needed), id-only candidate pairs, shingle sets
-      // rebuilt only for surviving candidates.
-      // Persist strategy (r1's slowest query, 5.4s): cache only the TINY
-      // shared stages — sigs (one row per doc) feeds the banded self-join
-      // twice, pairs feeds candIds + the final join. The bulk shingle rows
-      // are scanned exactly once (into sigs); candidate shingle sets are
-      // rebuilt by re-shingling ONLY the candidate docs (a broadcast
-      // semi-join on the documents scan), not by caching 10M+ rows.
-      import org.apache.spark.storage.StorageLevel
-      val rows = shingleRows(s, dir)
-      val hashedRows = rows.select(col("doc_id"),
-        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashMod).as("h"))
-      val sigs = hashedRows.groupBy("doc_id").agg(
-        min((col("h") * MinhashA(0) + MinhashB(0)) % MinhashP).as("sig0"),
-        (1 until 8).map(i =>
-          min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"sig$i")): _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val banded = sigs.select(col("doc_id"),
-        array((0 until 4).map(bnd =>
-          struct(lit(bnd).as("band_idx"),
-            md5(concat_ws("_", col(s"sig${2 * bnd}"), col(s"sig${2 * bnd + 1}"))).as("band_hash"))): _*).as("bands"))
-        .select(col("doc_id"), explode(col("bands")).as("b"))
-        .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
-      // Banded self-join for candidate pairs. A bucket-local pair
-      // generator (groupBy + collect_list + generator) was measured 25%
-      // SLOWER at sf0.1: collect_list forces ObjectHashAggregate with no
-      // partial aggregation, costing more than the join's second shuffle
-      // of skinny (band, id) rows.
-      val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
-      val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
-      val pairs = l.join(r, Seq("band_idx", "band_hash"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-      // candidate sets are LSH-survivor-sized (≪ corpus) → broadcast both
-      // sides of the rerank so the pair table never shuffles its arrays.
-      // (A flat-row join-count variant of the exact-Jaccard rerank was
-      // measured 1.7× slower at sf0.1 — the array form wins here.)
-      val candSets = {
-        import org.apache.spark.sql.GraftSql
-        Tables(s, dir, "documents").join(broadcast(candIds), "doc_id")
-          .select(col("doc_id"),
-            GraftSql.column(graft.functions.ExplodeShingles(
-              GraftSql.expression(toks), 3)).as("shingle"))
-          .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
-      }.persist(StorageLevel.MEMORY_AND_DISK) // feeds TWO broadcast exchanges
-      val shA = candSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val shB = candSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      pairs.join(broadcast(shA), "id_a").join(broadcast(shB), "id_b")
-        .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      minhashPairsOf(Tables(s, dir, "documents"))
     },
 
     // Subword ("BPE-ish") token counting: a regex pre-tokenizer in the
@@ -357,9 +407,17 @@ object TextOps {
         |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_doc_minhash_sig" ->
-      s"""SELECT doc_id, ${(0 until 8).map(i => s"${duckMinhashSig(i)} AS sig$i").mkString(", ")}
-        |FROM (SELECT doc_id, $duckShingles AS sh
-        |      FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3)""".stripMargin,
+      s"""WITH d AS (
+        | SELECT doc_id, $duckShingles AS sh
+        | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
+        |hashed AS (
+        | SELECT doc_id,
+        |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MinhashMod) AS hs
+        | FROM d)
+        |SELECT doc_id, ${(0 until 8).map(i =>
+             s"list_min(list_transform(hs, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP)) AS sig$i")
+             .mkString(", ")}
+        |FROM hashed""".stripMargin,
     "q_doc_minhash_pairs" ->
       s"""WITH d AS (
         | SELECT doc_id, $duckShingles AS sh
@@ -377,9 +435,14 @@ object TextOps {
         | ${(0 until 4).map(b =>
              s"SELECT doc_id, $b AS band_idx, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band_hash FROM sigs")
              .mkString("\n UNION ALL ")}),
+        |capped AS (
+        | SELECT doc_id, band_idx, band_hash FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+        |  FROM banded)
+        | WHERE bsz <= $LshBucketCap),
         |pairs AS (
         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM banded a JOIN banded b
+        | FROM capped a JOIN capped b
         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b,
         | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

@@ -32,6 +32,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket cap drops degenerate buckets, keeps small clusters") {
+    import spark.implicits._
+    // 20 identical clones: every band bucket has size 20 — over the cap
+    // of 8, so the would-be 190 quadratic pairs are all suppressed.
+    val clones = (1 to 20).map(i => (100L + i, "alpha beta gamma delta epsilon zeta eta theta"))
+    // one genuine duplicate pair: bucket size 2, under the cap.
+    val dup = Seq((1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"))
+    // unrelated singletons share no shingles with anything.
+    val singles = (1 to 5).map(i => (200L + i, s"u$i$i v$i w$i x$i y$i z$i"))
+    val docs = (clones ++ dup ++ singles).toDF("doc_id", "text")
+    val res = graft.queries.TextOps.minhashPairsOf(docs, bucketCap = 8).collect()
+    val ids = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids == Set((1L, 2L)))
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
