@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions.{col, lit}
   *     --source-dir fixtures/chain --output-dir /tmp/out \
   *     [--chunk-size N] [--n-chunks N] [--align] [--reorg-buffer N]
   *     [--network NAME] [--label L] [--overwrite] [--csv|--json] [--hex]
+  *     [--row-group-size N] [--n-row-groups N] [--no-stats]
   *     [--dry-run] [--latest N]
-  *     [--contract A] [--address A] [--to-address A] [--topic0..3 H]
+  *     [--contract A…] [--address A…] [--to-address A…] [--topic0..3 H…]
+  *     [--call-data HEX…] [--function SELECTOR…] [--inputs HEX…]
   *     [--columns c…|all] [--include-columns c…] [--exclude-columns c…]
   *     [--u256-types t…] [--sort c…] [--txs h…] [--timestamps T1:T2]
   *     [--partition-by col] [--chunk-order normal|reverse|random]
@@ -90,10 +92,13 @@ object Cli {
     var hex = false
     var dryRun = false
     var latest = 0L
-    var contract: Option[String] = None
-    var addressF: Option[String] = None
-    var toAddress: Option[String] = None
-    val topics = Array.fill[Option[String]](4)(None)
+    var contract = Seq.empty[String]
+    var addressF = Seq.empty[String]
+    var toAddress = Seq.empty[String]
+    val topics = Array.fill[Seq[String]](4)(Seq.empty)
+    var callDatas = Seq.empty[String]
+    var functions = Seq.empty[String]
+    var inputsHex = Seq.empty[String]
     var explicitCols: Option[Seq[String]] = None
     var includeCols = Seq.empty[String]
     var excludeCols = Seq.empty[String]
@@ -106,6 +111,9 @@ object Cli {
     var maxConcurrentChunks = 4
     var compression: Option[String] = None
     var subdirs = Seq.empty[String]
+    var rowGroupSize: Option[Int] = None
+    var nRowGroups: Option[Int] = None
+    var noStats = false
 
     // multi-value flags consume tokens until the next `--flag`
     def multi(from: Int): (Seq[String], Int) = {
@@ -135,11 +143,14 @@ object Cli {
         case "--hex" => hex = true
         case "--dry-run" => dryRun = true
         case "--latest" => latest = args(i + 1).toLong; i += 1
-        case "--contract" => contract = Some(args(i + 1)); i += 1
-        case "--address" => addressF = Some(args(i + 1)); i += 1
-        case "--to-address" => toAddress = Some(args(i + 1)); i += 1
+        case "--contract" => val (v, j) = multi(i + 1); contract = v; i = j
+        case "--address" => val (v, j) = multi(i + 1); addressF = v; i = j
+        case "--to-address" => val (v, j) = multi(i + 1); toAddress = v; i = j
         case t if t.startsWith("--topic") && t.length == 8 =>
-          topics(t.charAt(7) - '0') = Some(args(i + 1)); i += 1
+          val (v, j) = multi(i + 1); topics(t.charAt(7) - '0') = v; i = j
+        case "--call-data" => val (v, j) = multi(i + 1); callDatas = v; i = j
+        case "--function" => val (v, j) = multi(i + 1); functions = v; i = j
+        case "--inputs" => val (v, j) = multi(i + 1); inputsHex = v; i = j
         case "--columns" => val (v, j) = multi(i + 1); explicitCols = Some(v); i = j
         case "--include-columns" => val (v, j) = multi(i + 1); includeCols = v; i = j
         case "--exclude-columns" => val (v, j) = multi(i + 1); excludeCols = v; i = j
@@ -149,6 +160,9 @@ object Cli {
         case "--timestamps" => timestamps = Some(args(i + 1)); i += 1
         case "--partition-by" => partitionBy = Some(args(i + 1)); i += 1
         case "--compression" => compression = Some(args(i + 1)); i += 1
+        case "--row-group-size" => rowGroupSize = Some(args(i + 1).toInt); i += 1
+        case "--n-row-groups" => nRowGroups = Some(args(i + 1).toInt); i += 1
+        case "--no-stats" => noStats = true
         case "--subdirs" => val (v, j) = multi(i + 1); subdirs = v; i = j
         case "--chunk-order" => chunkOrder = args(i + 1); i += 1
         case "--max-concurrent-chunks" => maxConcurrentChunks = args(i + 1).toInt; i += 1
@@ -181,16 +195,36 @@ object Cli {
       case other => throw new IllegalArgumentException(s"unknown u256 type: $other")
     }).getOrElse(U256.defaultReprs)
 
+    // calldata composition (cli/parse/partitions.rs:136-174): --call-data
+    // raw, or --function selector hex [× --inputs hex] cross-product.
+    val composedCallData: Seq[String] =
+      (callDatas, functions, inputsHex) match {
+        case (Seq(), Seq(), Seq()) => Seq.empty
+        case (cd, Seq(), Seq()) => cd
+        case (Seq(), f, Seq()) => f
+        case (Seq(), Seq(), _) => throw new IllegalArgumentException(
+          "must specify function if specifying inputs")
+        case (Seq(), f, ins) =>
+          for { ff <- f; ii <- ins }
+            yield ff + ii.stripPrefix("0x").stripPrefix("0X")
+        case _ => throw new IllegalArgumentException(
+          "cannot specify both call_data and function/inputs")
+      }
+
     /** wrap a dataset builder with the entity / column / sort flags */
     def decorate(name: String)(df0: DataFrame): DataFrame = {
       var df = df0
-      def filt(c: String, hexVal: String): Unit =
-        if (df.columns.contains(c))
-          df = df.filter(col(c) === lit(RpcCodec.parseHexBytes(hexVal)))
-      contract.foreach(v => filt(contractCol.getOrElse(name, "contract_address"), v))
-      addressF.foreach(v => filt("address", v))
-      toAddress.foreach(v => filt("to_address", v))
-      (0 until 4).foreach(k => topics(k).foreach(v => filt(s"topic$k", v)))
+      def filt(c: String, hexVals: Seq[String]): Unit =
+        if (hexVals.nonEmpty && df.columns.contains(c)) {
+          val vals = hexVals.map(RpcCodec.parseHexBytes)
+          df = if (vals.size == 1) df.filter(col(c) === lit(vals.head))
+          else df.filter(col(c).isin(vals: _*))
+        }
+      filt(contractCol.getOrElse(name, "contract_address"), contract)
+      filt("address", addressF)
+      filt("to_address", toAddress)
+      (0 until 4).foreach(k => filt(s"topic$k", topics(k)))
+      filt("call_data", composedCallData)
       if (explicitCols.isDefined || includeCols.nonEmpty || excludeCols.nonEmpty) {
         val used = TableSchema.resolve(Datatypes(name),
           includeCols, excludeCols, explicitCols)
@@ -262,10 +296,38 @@ object Cli {
         blocksSpec = BlockSyntax.Numbers(kept)
     }
 
+    // cryo semantics: when the partition dim has user-supplied entity
+    // values, those values ARE the partition list (cross-producted with
+    // every block chunk) — no data-driven discovery
+    // (types/partitions.rs:290-337,340-404).
+    val partitionValues: Seq[Any] = partitionBy.toSeq.flatMap { dim =>
+      val fromEntity: Seq[String] = dim match {
+        case "address" => addressF
+        case "to_address" => toAddress
+        case "call_data" => composedCallData
+        case t if t.startsWith("topic") && t.length == 6 =>
+          topics(t.charAt(5) - '0')
+        case _ => Seq.empty
+      }
+      val fromContract =
+        if (contract.nonEmpty && expanded.exists(n =>
+          contractCol.getOrElse(n, "contract_address") == dim)) contract
+        else Seq.empty
+      (if (fromEntity.nonEmpty) fromEntity else fromContract)
+        .map(RpcCodec.parseHexBytes)
+    }
+
+    // --row-group-size wins; --n-row-groups derives rows per group from
+    // the block chunk size (file_output.rs:139-150 div_ceil semantics)
+    val rowGroupRows: Option[Int] = rowGroupSize.orElse(
+      nRowGroups.map(n => ((chunkSize + n - 1) / n).toInt))
+
     val spec = Freeze.FreezeSpec(expanded, blocksSpec, chunkSize, nChunks, align,
       reorgBuffer, outputDir, network, label, overwrite, format, hex,
-      partitionBy, chunkOrder, chunkOrderSeed = 0, compression,
-      maxConcurrentChunks,
+      partitionBy, partitionValues = partitionValues,
+      chunkOrder = chunkOrder, chunkOrderSeed = 0, compression = compression,
+      rowGroupSize = rowGroupRows, noStats = noStats,
+      maxConcurrentChunks = maxConcurrentChunks,
       cliCommand = Some(("graft" +: args.toSeq).mkString(" ")),
       subdirs = subdirs)
 

@@ -37,12 +37,29 @@ object Freeze {
       format: String = "parquet",
       hex: Boolean = false,
       partitionBy: Option[String] = None,
+      /** user-supplied values for the partition dim (cryo semantics:
+        * partition values come from CLI entity chunk lists,
+        * types/partitions.rs:290-337 — never discovered from data).
+        * When non-empty each chunk cross-products these values; when
+        * empty, values are discovered from the scan, bounded by
+        * `maxDiscoveredPartitions`. */
+      partitionValues: Seq[Any] = Seq.empty,
+      /** hard cap on discovered (chunk, value) partition combos — a
+        * high-cardinality dim (`--partition-by address`) would otherwise
+        * collect an unbounded list to the driver. */
+      maxDiscoveredPartitions: Int = 10000,
       /** chunk collection order (cli/parse/partitions.rs:110-123):
         * normal | reverse | random (seeded for reproducibility) */
       chunkOrder: String = "normal",
       chunkOrderSeed: Long = 0,
       /** parquet/csv/json compression codec (args.rs --compression) */
       compression: Option[String] = None,
+      /** rows per parquet row group (file_output.rs:139-150 --row-group-size
+        * / --n-row-groups): maps to parquet.block.row.count.limit */
+      rowGroupSize: Option[Int] = None,
+      /** omit column statistics (args.rs --no-stats):
+        * parquet.column.statistics.enabled=false */
+      noStats: Boolean = false,
       /** chunk-file writes in flight at once (freeze.rs:85-87 semaphore) */
       maxConcurrentChunks: Int = 4,
       /** recorded in the run report (reports.rs cli_command/args) */
@@ -263,17 +280,31 @@ object Freeze {
     def dimValuesByChunk(canonical: String): Map[Int, Seq[Option[Any]]] =
       spec.partitionBy match {
         case None => chunks.indices.map(_ -> Seq(Option.empty[Any])).toMap
+        // cryo semantics: user-supplied dim values (CLI entity lists)
+        // cross-product every chunk — no data-driven discovery at all
+        // (types/partitions.rs:290-337,340-404).
+        case Some(_) if spec.partitionValues.nonEmpty =>
+          chunks.indices
+            .map(_ -> spec.partitionValues.map(Option(_))).toMap
         case Some(dim) =>
           import spark.implicits._
           val bounds = chunks.zipWithIndex
             .map { case (c, i) => (i, c.start, c.endExclusive) }
             .toDF("chunk_idx", "c_start", "c_end")
-          filterBlocks(builderOf(canonical)(spark, sourceDir), range)
+          // limit BEFORE collect: bounds the driver-side list, so a
+          // high-cardinality dim fails fast instead of OOMing the driver.
+          val collected = filterBlocks(builderOf(canonical)(spark, sourceDir), range)
             .join(broadcast(bounds),
               col("block_number") >= col("c_start") &&
                 col("block_number") < col("c_end"))
             .select(col("chunk_idx"), col(dim).as("dim_value"))
-            .distinct().collect()
+            .distinct().limit(spec.maxDiscoveredPartitions + 1).collect()
+          require(collected.length <= spec.maxDiscoveredPartitions,
+            s"--partition-by $dim: more than ${spec.maxDiscoveredPartitions} " +
+              "(chunk, value) partitions discovered; pass explicit values " +
+              "via the matching entity flag (--address/--contract/--topic0) " +
+              "or raise maxDiscoveredPartitions")
+          collected
             .groupBy(_.getInt(0))
             .map { case (idx, rs) =>
               idx -> rs.map(r => Option(r.get(1))).toSeq.sortBy(_.map {
@@ -327,7 +358,8 @@ object Freeze {
         // under --hex (cryo cli/parse/schemas.rs:37-40 coupling)
         val df = if (spec.format != "parquet" || spec.hex) hexifyBinary(df0) else df0
         Completed(target.toString,
-          writeSingleFile(df, target, spec.format, spec.compression))
+          writeSingleFile(df, target, spec.format, spec.compression,
+            spec.rowGroupSize, spec.noStats))
       } catch {
         case e: Exception =>
           System.err.println(s"[freeze] $target failed: ${e.getMessage}")
@@ -378,14 +410,22 @@ object Freeze {
     * is computed exactly once (r1 pre-counted with df.count(), doubling
     * every chunk's work). */
   private def writeSingleFile(df: DataFrame, target: Path, format: String,
-      compression: Option[String] = None): Long = {
+      compression: Option[String] = None, rowGroupSize: Option[Int] = None,
+      noStats: Boolean = false): Long = {
     val tmp = target.resolveSibling(target.getFileName.toString + "._tmp")
     val obs = org.apache.spark.sql.Observation(
       s"freeze_${target.getFileName}_${System.nanoTime()}")
     val writer0 = df.observe(obs, count(lit(1)).as("rows"))
       .coalesce(1).write.mode("overwrite")
-    val writer = compression.map(c => writer0.option("compression", c))
+    var writer = compression.map(c => writer0.option("compression", c))
       .getOrElse(writer0)
+    // Spark forwards unrecognized write options into the per-job hadoop
+    // conf, where parquet-mr reads them (prepareWrite →
+    // newHadoopConfWithOptions).
+    rowGroupSize.foreach(n =>
+      writer = writer.option("parquet.block.row.count.limit", n.toString))
+    if (noStats)
+      writer = writer.option("parquet.column.statistics.enabled", "false")
     format match {
       case "parquet" => writer.parquet(tmp.toString)
       case "csv" => writer.option("header", "true").csv(tmp.toString)

@@ -293,6 +293,52 @@ class CliSpec extends AnyFunSuite {
     assert(df.select("topic0").distinct().count() == 1)
   }
 
+  test("multi-value --contract + --partition-by writes one file per value") {
+    val t0 = graft.chain.GenFixtures.token(0)
+    val t1 = graft.chain.GenFixtures.token(1)
+    val (_, done) = runCli("erc20_transfers", "--contract", hx(t0), hx(t1),
+      "--partition-by", "erc20")
+    // 1 block chunk × 2 user-supplied values — no data-driven discovery
+    assert(done.size == 2)
+    val seen = done.map { p =>
+      val df = spark.read.parquet(p)
+      val ercs = df.select("erc20").distinct().collect()
+        .map(_.getAs[Array[Byte]](0).toSeq)
+      assert(df.count() > 0 && ercs.length == 1)
+      ercs.head
+    }.toSet
+    assert(seen == Set(t0.toSeq, t1.toSeq))
+  }
+
+  test("--function + --inputs compose the eth_calls calldata filter") {
+    import org.apache.spark.sql.functions.{col, octet_length}
+    val calls = spark.read.parquet(s"$fixDir/rpc_calls.parquet")
+    val cd = calls.filter(octet_length(col("call_data")) === 36)
+      .select("call_data").head.getAs[Array[Byte]](0)
+    val sel = hx(cd.take(4))
+    val inp = cd.drop(4).map("%02x".format(_)).mkString
+    val (_, done) = runCli("eth_calls", "--function", sel, "--inputs", "0x" + inp)
+    val df = spark.read.parquet(done.head)
+    assert(df.count() > 0)
+    val cds = df.select("call_data").distinct().collect()
+      .map(_.getAs[Array[Byte]](0).toSeq)
+    assert(cds.length == 1 && cds.head == cd.toSeq)
+  }
+
+  test("--inputs without --function errors; partition discovery is capped") {
+    intercept[IllegalArgumentException] {
+      runCli("eth_calls", "--inputs", "0xdeadbeef")
+    }
+    val out = Files.createTempDirectory("graft_cap").toString
+    val e = intercept[IllegalArgumentException] {
+      Freeze.freeze(spark, fixDir, Freeze.FreezeSpec(
+        datasets = Seq("transactions"), blocks = Range(1000, 1060),
+        chunkSize = 60, outputDir = out,
+        partitionBy = Some("transaction_hash"), maxDiscoveredPartitions = 10))
+    }
+    assert(e.getMessage.contains("partitions discovered"))
+  }
+
   test("--columns picks an explicit projection; unknown column errors") {
     val (_, done) = runCli("blocks", "--columns", "block_number", "gas_used")
     val df = spark.read.parquet(done.head)
@@ -374,6 +420,37 @@ class CliSpec extends AnyFunSuite {
     val df = spark.read.parquet(done.head)
     assert(df.count() == 60)
     assert(done.head.endsWith(".parquet"))
+  }
+
+  test("--row-group-size / --n-row-groups / --no-stats shape the footer") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def footer(p: String) = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), new Configuration()))
+      try r.getFooter.getBlocks
+      finally r.close()
+    }
+    // 60 block rows at 20 rows per group → 3 row groups
+    val (_, done) = runCli("blocks", "--row-group-size", "20")
+    assert(footer(done.head).size == 3)
+    // --n-row-groups derives rows/group from the chunk size: 60/2 = 30
+    val (_, done2) = runCli("blocks", "--n-row-groups", "2")
+    assert(footer(done2.head).size == 2)
+    // --no-stats drops column min/max statistics from every chunk
+    val (_, done3) = runCli("blocks", "--no-stats")
+    import scala.jdk.CollectionConverters._
+    val cols = footer(done3.head).asScala.flatMap(_.getColumns.asScala)
+    assert(cols.nonEmpty && cols.forall { c =>
+      val s = c.getStatistics
+      s == null || s.isEmpty
+    })
+    val (_, done4) = runCli("blocks")
+    val colsWith = footer(done4.head).asScala.flatMap(_.getColumns.asScala)
+    assert(colsWith.exists { c =>
+      val s = c.getStatistics; s != null && !s.isEmpty
+    })
   }
 
   test("--subdirs lays files out under datatype/network directories") {
