@@ -200,6 +200,76 @@ object RpcExtract {
     }
   }
 
+  /** the four rpc_*_diffs bronze row sets parsed from one
+    * trace_replayBlockTransactions(stateDiff) response. */
+  case class StateDiffRows(balances: Seq[Row], codes: Seq[Row],
+      nonces: Seq[Row], storage: Seq[Row])
+
+  private val zero32 = new Array[Byte](32)
+
+  /** Parity stateDiff → the four diff families in one pass
+    * (multi_datasets/state_diffs.rs:8-75). Delta mapping follows
+    * balance_diffs.rs:85-91: "=" unchanged → skip, "+" added → (0, v),
+    * "-" removed → (v, 0), "*" changed → (from, to); an added-but-empty
+    * code entry is skipped (code_diffs.rs:87-92). */
+  def stateDiffBlock(body: String, blockNumber: Int,
+      chainId: Long): StateDiffRows = {
+    val results = (JsonMethods.parse(body) \ "result") match {
+      case JArray(xs) => xs; case _ => Nil
+    }
+    val bal = Seq.newBuilder[Row]; val cod = Seq.newBuilder[Row]
+    val non = Seq.newBuilder[Row]; val sto = Seq.newBuilder[Row]
+    // one delta object has exactly one key: "+", "-", or "*"
+    def delta(v: JValue): Option[(JValue, JValue)] = v match {
+      case JObject(List((k, value))) => k match {
+        case "+" => Some((JNothing, value))
+        case "-" => Some((value, JNothing))
+        case "*" => Some((value \ "from", value \ "to"))
+        case _ => None
+      }
+      case _ => None // JString("=") unchanged
+    }
+    def str(v: JValue): String = v match {
+      case JString(s) => s; case _ => null
+    }
+    def u256(v: JValue): Array[Byte] =
+      Option(str(v)).map(RpcCodec.parseHexU256).getOrElse(zero32)
+    def hexLong(v: JValue): Long =
+      Option(str(v)).map(RpcCodec.parseHexLong).getOrElse(0L)
+    def bytes(v: JValue): Array[Byte] =
+      Option(str(v)).map(RpcCodec.parseHexBytes).getOrElse(Array.empty[Byte])
+    results.zipWithIndex.foreach { case (tx, txIdx) =>
+      val txHash = hexB(tx, "transactionHash")
+      (tx \ "stateDiff") match {
+        case JObject(addrs) => addrs.foreach { case (addrHex, d) =>
+          val addr = RpcCodec.parseHexBytes(addrHex)
+          delta(d \ "balance").foreach { case (f, t) =>
+            bal += Row(blockNumber, txIdx, txHash, addr, u256(f), u256(t), chainId)
+          }
+          delta(d \ "nonce").foreach { case (f, t) =>
+            non += Row(blockNumber, txIdx, txHash, addr, hexLong(f), hexLong(t), chainId)
+          }
+          delta(d \ "code").foreach { case (f, t) =>
+            val added = f == JNothing
+            if (!(added && bytes(t).isEmpty))
+              cod += Row(blockNumber, txIdx, txHash, addr, bytes(f), bytes(t), chainId)
+          }
+          (d \ "storage") match {
+            case JObject(slots) => slots.foreach { case (slotHex, sd) =>
+              delta(sd).foreach { case (f, t) =>
+                sto += Row(blockNumber, txIdx, txHash, addr,
+                  RpcCodec.parseHexU256(slotHex), u256(f), u256(t), chainId)
+              }
+            }
+            case _ => ()
+          }
+        }
+        case _ => ()
+      }
+    }
+    StateDiffRows(bal.result(), cod.result(), non.result(), sto.result())
+  }
+
   /** rpc_geth_opcodes rows from one debug_traceTransaction default
     * struct-log response (geth_opcodes.rs:43-78). */
   def gethOpcodes(body: String, blockNumber: Int, txIndex: Int,

@@ -133,6 +133,12 @@ object RpcCodec {
   def traceBlockRequest(id: Long, blockNumber: Long): String =
     s"""{"jsonrpc":"2.0","id":$id,"method":"trace_block","params":["${hexQuantity(blockNumber)}"]}"""
 
+  /** trace_replayBlockTransactions(stateDiff) — the parity state-diff
+    * multi family's extract call (cryo multi_datasets/state_diffs.rs,
+    * source trace_block_state_diffs). */
+  def traceReplayBlockRequest(id: Long, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"trace_replayBlockTransactions","params":["${hexQuantity(blockNumber)}",["stateDiff"]]}"""
+
   /** eth_call at a block (cryo datasets/eth_calls.rs extract). */
   def ethCallRequest(id: Long, to: String, data: String, blockNumber: Long): String =
     s"""{"jsonrpc":"2.0","id":$id,"method":"eth_call","params":[{"to":"$to","data":"$data"},"${hexQuantity(blockNumber)}"]}"""
@@ -331,12 +337,14 @@ class RpcSource(config: RpcConfig) extends Serializable {
     spark.createDataFrame(rdd, RpcSource.logsSchema)
   }
 
-  /** Generic per-block fetch: one JSON-RPC request per block, parsed by a
-    * pure RpcExtract function into bronze rows. Partitions fetch disjoint
-    * block ranges; no shuffle. */
+  /** Generic per-block fetch: `innerRequestSize` blocks batched into one
+    * JSON-RPC array per HTTP round trip (sources.rs:110 — the same
+    * batching fetchBlocks uses), split back per-request in id order and
+    * parsed by a pure RpcExtract function into bronze rows. Partitions
+    * fetch disjoint block ranges; no shuffle. */
   private def fetchPerBlock(spark: SparkSession, range: BlockSyntax.Range,
       schema: StructType, numPartitions: Int)(
-      request: Long => String)(
+      request: (Long, Long) => String)(
       parse: (String, Long) => Seq[Row]): DataFrame = {
     val conf = config
     val rdd = spark.sparkContext
@@ -344,9 +352,16 @@ class RpcSource(config: RpcConfig) extends Serializable {
       .mapPartitions { nums =>
         val client = HttpClient.newHttpClient()
         val bucket = new TokenBucket(conf.requestsPerSecond)
-        nums.flatMap { n =>
+        nums.grouped(conf.innerRequestSize.toInt).flatMap { group =>
           bucket.acquire()
-          parse(retrying(post(client, request(n))), n)
+          val blocks = group.toSeq
+          val body = RpcCodec.batch(blocks.zipWithIndex.map {
+            case (n, i) => request(i, n)
+          })
+          val json = retrying(post(client, body))
+          blocks.zip(RpcSource.splitBatch(json)).flatMap {
+            case (n, part) => parse(part, n)
+          }
         }
       }
     spark.createDataFrame(rdd, schema)
@@ -357,21 +372,21 @@ class RpcSource(config: RpcConfig) extends Serializable {
   def fetchTransactions(spark: SparkSession, range: BlockSyntax.Range,
       numPartitions: Int = 32): DataFrame =
     fetchPerBlock(spark, range, RpcSource.transactionsSchema, numPartitions)(
-      n => RpcCodec.getBlockRequest(n, n, fullTxs = true))(
+      (i, n) => RpcCodec.getBlockRequest(i, n, fullTxs = true))(
       (body, _) => RpcExtract.blockTransactions(body, config.chainId))
 
   /** rpc_receipts via eth_getBlockReceipts (transactions.rs:131-135). */
   def fetchReceipts(spark: SparkSession, range: BlockSyntax.Range,
       numPartitions: Int = 32): DataFrame =
     fetchPerBlock(spark, range, RpcSource.receiptsSchema, numPartitions)(
-      n => RpcCodec.getBlockReceiptsRequest(n, n))(
+      (i, n) => RpcCodec.getBlockReceiptsRequest(i, n))(
       (body, _) => RpcExtract.blockReceipts(body))
 
   /** rpc_traces via trace_block (traces.rs extract). */
   def fetchTraces(spark: SparkSession, range: BlockSyntax.Range,
       numPartitions: Int = 32): DataFrame =
     fetchPerBlock(spark, range, RpcSource.tracesSchema, numPartitions)(
-      n => RpcCodec.traceBlockRequest(n, n))(
+      (i, n) => RpcCodec.traceBlockRequest(i, n))(
       (body, _) => RpcExtract.traceBlock(body, config.chainId))
 
   /** rpc_geth_prestate via debug_traceBlockByNumber(prestateTracer,
@@ -379,7 +394,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
   def fetchGethPrestate(spark: SparkSession, range: BlockSyntax.Range,
       numPartitions: Int = 32): DataFrame =
     fetchPerBlock(spark, range, RpcSource.gethPrestateSchema, numPartitions)(
-      n => RpcCodec.debugTraceBlockRequest(n, n,
+      (i, n) => RpcCodec.debugTraceBlockRequest(i, n,
         tracer = Some("prestateTracer"), diffMode = true))(
       (body, n) => RpcExtract.gethPrestateBlock(body, n.toInt, config.chainId))
 
@@ -388,8 +403,52 @@ class RpcSource(config: RpcConfig) extends Serializable {
   def fetchGethCalls(spark: SparkSession, range: BlockSyntax.Range,
       numPartitions: Int = 32): DataFrame =
     fetchPerBlock(spark, range, RpcSource.gethCallsSchema, numPartitions)(
-      n => RpcCodec.debugTraceBlockRequest(n, n, tracer = Some("callTracer")))(
+      (i, n) => RpcCodec.debugTraceBlockRequest(i, n, tracer = Some("callTracer")))(
       (body, n) => RpcExtract.gethCallFrames(body, n.toInt, config.chainId))
+
+  /** The four rpc_*_diffs bronzes via ONE trace_replayBlockTransactions
+    * (stateDiff) pass (multi_datasets/state_diffs.rs:8-75): the response
+    * is parsed once into a tagged union RDD, persisted, and projected
+    * into the per-family bronze shapes — the node is hit once per block,
+    * not once per family. Caller unpersists via the returned handle. */
+  def fetchStateDiffs(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): Map[String, DataFrame] = {
+    val conf = config
+    val unified = fetchPerBlock(spark, range,
+      RpcSource.stateDiffUnionSchema, numPartitions)(
+      (i, n) => RpcCodec.traceReplayBlockRequest(i, n)) { (body, n) =>
+      val d = RpcExtract.stateDiffBlock(body, n.toInt, conf.chainId)
+      def tag(kind: String, rs: Seq[Row]): Seq[Row] = rs.map { r =>
+        // normalize each family's shape into the union row
+        kind match {
+          case "storage" => Row(kind, r.getInt(0), r.getInt(1), r.get(2),
+            r.get(3), r.get(4), r.get(5), r.get(6), null, null, conf.chainId)
+          case "nonce" => Row(kind, r.getInt(0), r.getInt(1), r.get(2),
+            r.get(3), null, null, null, r.get(4), r.get(5), conf.chainId)
+          case k => Row(k, r.getInt(0), r.getInt(1), r.get(2),
+            r.get(3), null, r.get(4), r.get(5), null, null, conf.chainId)
+        }
+      }
+      tag("balance", d.balances) ++ tag("code", d.codes) ++
+        tag("nonce", d.nonces) ++ tag("storage", d.storage)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.functions.col
+    val common = Seq(col("block_number"), col("transaction_index"),
+      col("transaction_hash"), col("address"))
+    Map(
+      "rpc_balance_diffs" -> unified.filter(col("kind") === "balance")
+        .select(common ++ Seq(col("from_bin").as("from_value"),
+          col("to_bin").as("to_value"), col("chain_id")): _*),
+      "rpc_code_diffs" -> unified.filter(col("kind") === "code")
+        .select(common ++ Seq(col("from_bin").as("from_value"),
+          col("to_bin").as("to_value"), col("chain_id")): _*),
+      "rpc_nonce_diffs" -> unified.filter(col("kind") === "nonce")
+        .select(common ++ Seq(col("from_long").as("from_value"),
+          col("to_long").as("to_value"), col("chain_id")): _*),
+      "rpc_storage_diffs" -> unified.filter(col("kind") === "storage")
+        .select(common ++ Seq(col("slot"), col("from_bin").as("from_value"),
+          col("to_bin").as("to_value"), col("chain_id")): _*))
+  }
 
   /** rpc_calls via batched eth_call: the (contract, calldata) cross
     * product at each sampled block (eth_calls.rs extract; the param
@@ -409,7 +468,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
             RpcCodec.ethCallRequest(i, to, data, b)
           })
           val json = retrying(post(client, body))
-          val results = JsonMethods_parse(json)
+          val results = RpcSource.splitBatch(json)
           group.zip(results).map { case ((b, to, data), res) =>
             RpcExtract.ethCallRow(b.toInt, RpcCodec.parseHexBytes(to),
               RpcCodec.parseHexBytes(data), res, conf.chainId)
@@ -417,19 +476,6 @@ class RpcSource(config: RpcConfig) extends Serializable {
         }
       }
     spark.createDataFrame(rdd, RpcSource.callsSchema)
-  }
-
-  /** split a batched JSON-RPC response into per-request bodies, in id
-    * order (ids are the batch indices) */
-  private def JsonMethods_parse(json: String): Seq[String] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    JsonMethods.parse(json) match {
-      case JArray(xs) => xs.sortBy(x => (x \ "id") match {
-        case JInt(i) => i.toLong; case _ => 0L
-      }).map(x => JsonMethods.compact(JsonMethods.render(JObject("result" -> (x \ "result")))))
-      case _ => Nil
-    }
   }
 
   /** Materialize the bronze tables for a range under `outDir` — after
@@ -448,10 +494,27 @@ class RpcSource(config: RpcConfig) extends Serializable {
       .parquet(s"$outDir/rpc_traces.parquet")
     fetchGethPrestate(spark, range).write.mode("overwrite")
       .parquet(s"$outDir/rpc_geth_prestate.parquet")
+    val diffs = fetchStateDiffs(spark, range)
+    diffs.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
   }
 }
 
 object RpcSource {
+  /** split a batched JSON-RPC response into per-request bodies, in id
+    * order (ids are the batch indices) */
+  def splitBatch(json: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json) match {
+      case JArray(xs) => xs.sortBy(x => (x \ "id") match {
+        case JInt(i) => i.toLong; case _ => 0L
+      }).map(x => JsonMethods.compact(JsonMethods.render(JObject("result" -> (x \ "result")))))
+      case _ => Nil
+    }
+  }
+
   private def f(n: String, t: DataType, nullable: Boolean = true) = StructField(n, t, nullable)
   val blocksSchema: StructType = StructType(Seq(
     f("block_number", IntegerType, false), f("block_hash", BinaryType, false),
@@ -511,5 +574,14 @@ object RpcSource {
   val callsSchema: StructType = StructType(Seq(
     f("block_number", IntegerType, false), f("contract_address", BinaryType, false),
     f("call_data", BinaryType, false), f("output_data", BinaryType),
+    f("chain_id", LongType, false)))
+  /** tagged union of the four state-diff families — one fetch pass,
+    * projected into the per-family bronze shapes by fetchStateDiffs */
+  val stateDiffUnionSchema: StructType = StructType(Seq(
+    f("kind", StringType, false),
+    f("block_number", IntegerType, false), f("transaction_index", IntegerType, false),
+    f("transaction_hash", BinaryType), f("address", BinaryType, false),
+    f("slot", BinaryType), f("from_bin", BinaryType), f("to_bin", BinaryType),
+    f("from_long", LongType), f("to_long", LongType),
     f("chain_id", LongType, false)))
 }

@@ -1,0 +1,252 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import graft.chain.BlockSyntax
+import graft.sources.{RpcConfig, RpcSource}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Loop-level tests for the composed live-RPC fetch paths: a stub
+  * JSON-RPC node on 127.0.0.1 (JDK HttpServer — zero egress) serves a
+  * deterministic 4-block chain, and each fetch* loop is driven
+  * end-to-end through Spark mapPartitions → HTTP → parser → bronze
+  * DataFrame. The stub also counts HTTP round trips, proving
+  * inner_request_size batching (cryo sources.rs:110).
+  */
+class RpcLoopSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def h64(n: Long): String = "0x" + "%064x".format(n)
+  private def h40(n: Long): String = "0x" + "%040x".format(n)
+
+  /** canned result JSON for one request, by method */
+  private def result(method: String, params: JValue): String = {
+    def p(i: Int): JValue = params match {
+      case JArray(xs) if xs.size > i => xs(i); case _ => JNothing
+    }
+    def hexParam(i: Int): Long = p(i) match {
+      case JString(s) => java.lang.Long.parseLong(s.stripPrefix("0x"), 16)
+      case _ => 0L
+    }
+    method match {
+      case "eth_getBlockByNumber" =>
+        val bn = hexParam(0)
+        val fullTxs = p(1) == JBool(true)
+        val txs =
+          if (!fullTxs) "[]"
+          else (0 until 2).map { i =>
+            s"""{"transactionIndex":"0x$i","hash":"${h64(bn * 10 + i)}",
+               |"nonce":"0x1","from":"${h40(bn)}","to":"${h40(bn + 1)}",
+               |"value":"0xde0b6b3a7640000","input":"0x","gas":"0x5208",
+               |"gasPrice":"0x3b9aca00","type":"0x0","r":"0x1","s":"0x2",
+               |"v":"0x1b"}""".stripMargin.replace("\n", "")
+          }.mkString("[", ",", "]")
+        s"""{"number":"0x${bn.toHexString}","hash":"${h64(bn)}",
+           |"parentHash":"${h64(bn - 1)}","miner":"${h40(99)}",
+           |"gasUsed":"0xa410","gasLimit":"0x1c9c380","extraData":"0x",
+           |"timestamp":"0x${(1700000000L + bn * 12).toHexString}",
+           |"difficulty":"0x0","size":"0x220","nonce":"0x0000000000000000",
+           |"baseFeePerGas":"0x3b9aca00",
+           |"transactions":$txs}""".stripMargin.replace("\n", "")
+      case "eth_getBlockReceipts" =>
+        val bn = hexParam(0)
+        (0 until 2).map { i =>
+          s"""{"transactionHash":"${h64(bn * 10 + i)}","gasUsed":"0x5208","status":"0x1"}"""
+        }.mkString("[", ",", "]")
+      case "trace_block" =>
+        val bn = hexParam(0)
+        (0 until 2).map { i =>
+          s"""{"action":{"from":"${h40(bn)}","to":"${h40(bn + 1)}",
+             |"value":"0x1","gas":"0x5208","input":"0x","callType":"call"},
+             |"result":{"gasUsed":"0x5208","output":"0x"},
+             |"traceAddress":[],"subtraces":0,"type":"call",
+             |"blockNumber":$bn,"blockHash":"${h64(bn)}",
+             |"transactionPosition":$i,
+             |"transactionHash":"${h64(bn * 10 + i)}"}""".stripMargin.replace("\n", "")
+        }.mkString("[", ",", "]")
+      case "debug_traceBlockByNumber" =>
+        val bn = hexParam(0)
+        val tracer = (p(1) \ "tracer") match {
+          case JString(t) => t; case _ => ""
+        }
+        if (tracer == "callTracer")
+          (0 until 2).map { i =>
+            s"""{"txHash":"${h64(bn * 10 + i)}","result":{
+               |"from":"${h40(bn)}","to":"${h40(bn + 1)}","value":"0x1",
+               |"gas":"0x5208","gasUsed":"0x5208","input":"0x","output":"0x",
+               |"type":"CALL","calls":[{"from":"${h40(bn + 1)}",
+               |"to":"${h40(bn + 2)}","gas":"0x100","gasUsed":"0x100",
+               |"input":"0x","type":"STATICCALL"}]}}""".stripMargin.replace("\n", "")
+          }.mkString("[", ",", "]")
+        else // prestateTracer diffMode
+          (0 until 2).map { i =>
+            s"""{"txHash":"${h64(bn * 10 + i)}","result":{
+               |"pre":{"${h40(bn)}":{"balance":"0x100","nonce":1}},
+               |"post":{"${h40(bn)}":{"balance":"0xff","nonce":2}}}}"""
+              .stripMargin.replace("\n", "")
+          }.mkString("[", ",", "]")
+      case "trace_replayBlockTransactions" =>
+        val bn = hexParam(0)
+        (0 until 2).map { i =>
+          s"""{"transactionHash":"${h64(bn * 10 + i)}","stateDiff":{
+             |"${h40(bn)}":{
+             |  "balance":{"*":{"from":"0x100","to":"0xff"}},
+             |  "nonce":{"*":{"from":"0x1","to":"0x2"}},
+             |  "code":"=",
+             |  "storage":{"${h64(7)}":{"+":"${h64(42)}"}}},
+             |"${h40(bn + 1)}":{
+             |  "balance":{"+":"0x5"},
+             |  "nonce":"=",
+             |  "code":{"+":"0x6080"},
+             |  "storage":{}}}}""".stripMargin.replace("\n", "")
+        }.mkString("[", ",", "]")
+      case "eth_call" =>
+        s""""${h64(1234)}""""
+      case other =>
+        throw new IllegalArgumentException(s"stub: unknown method $other")
+    }
+  }
+
+  /** serve canned JSON-RPC (single or batch), counting round trips */
+  private def withStub[T](f: (String, AtomicInteger) => T): T = {
+    val posts = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      posts.incrementAndGet()
+      val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      def one(req: JValue): String = {
+        val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+        val JString(method) = (req \ "method"): @unchecked
+        s"""{"jsonrpc":"2.0","id":$id,"result":${result(method, req \ "params")}}"""
+      }
+      val resp = JsonMethods.parse(body) match {
+        case JArray(reqs) => reqs.map(one).mkString("[", ",", "]")
+        case req => one(req)
+      }
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/", posts)
+    finally server.stop(0)
+  }
+
+  private val range = BlockSyntax.Range(16, 20) // 4 blocks
+
+  private def src(url: String, batchSize: Long = 2) =
+    new RpcSource(RpcConfig(url, chainId = 1, innerRequestSize = batchSize,
+      maxRetries = 0))
+
+  test("fetchBlocks: batched headers land in the bronze shape") {
+    withStub { (url, posts) =>
+      val df = src(url).fetchBlocks(spark, range, numPartitions = 1)
+      val rows = df.collect().sortBy(_.getInt(0))
+      assert(rows.map(_.getInt(0)).toSeq == Seq(16, 17, 18, 19))
+      assert(rows.head.getAs[Long]("gas_used") == 0xa410L)
+      assert(rows.head.getAs[Int]("timestamp") == 1700000000 + 16 * 12)
+      // 4 blocks at innerRequestSize=2 → 2 HTTP round trips, not 4
+      assert(posts.get() == 2)
+    }
+  }
+
+  test("fetchTransactions: full-tx blocks flatten, batched") {
+    withStub { (url, posts) =>
+      val df = src(url).fetchTransactions(spark, range, numPartitions = 1)
+      val rows = df.collect()
+      assert(rows.length == 8) // 2 txs × 4 blocks
+      assert(posts.get() == 2)
+      val r0 = rows.sortBy(r => (r.getInt(0), r.getInt(1))).head
+      assert(r0.getInt(0) == 16 && r0.getInt(1) == 0)
+      assert(r0.getAs[Int]("timestamp") == 1700000000 + 16 * 12)
+    }
+  }
+
+  test("fetchReceipts + fetchTraces: per-block families batch and parse") {
+    withStub { (url, posts) =>
+      val s = src(url)
+      assert(s.fetchReceipts(spark, range, numPartitions = 1).count() == 8)
+      assert(s.fetchTraces(spark, range, numPartitions = 1).count() == 8)
+      assert(posts.get() == 4) // 2 batched round trips per family
+    }
+  }
+
+  test("fetchGethCalls: call frames flatten depth-first") {
+    withStub { (url, _) =>
+      val df = src(url).fetchGethCalls(spark, range, numPartitions = 1)
+      val rows = df.collect()
+      assert(rows.length == 16) // (root + 1 nested) × 2 txs × 4 blocks
+      assert(rows.map(_.getAs[Int]("depth")).toSet == Set(0, 1))
+      assert(rows.map(_.getAs[String]("call_type")).toSet == Set("call", "staticcall"))
+    }
+  }
+
+  test("fetchStateDiffs: one replay pass feeds all four diff bronzes") {
+    withStub { (url, posts) =>
+      val diffs = src(url).fetchStateDiffs(spark, range, numPartitions = 1)
+      // per block: 2 txs × (addr1: balance,nonce,storage; addr2: balance,code)
+      assert(diffs("rpc_balance_diffs").count() == 16)
+      assert(diffs("rpc_nonce_diffs").count() == 8)
+      assert(diffs("rpc_code_diffs").count() == 8)
+      assert(diffs("rpc_storage_diffs").count() == 8)
+      // the union RDD is persisted: four materializations, one fetch pass
+      assert(posts.get() == 2)
+      val bal = diffs("rpc_balance_diffs")
+        .filter(org.apache.spark.sql.functions.col("block_number") === 16)
+        .collect().sortBy(r => (r.getInt(1), BigInt(r.getAs[Array[Byte]]("address"))))
+      // "+" added balance → from_value is the 32-byte zero
+      val added = bal.filter(_.getAs[Array[Byte]]("from_value").forall(_ == 0))
+      assert(added.nonEmpty)
+      assert(added.head.getAs[Array[Byte]]("to_value").last == 5.toByte)
+    }
+  }
+
+  test("fetchEthCalls: batched calls pair request context with outputs") {
+    withStub { (url, posts) =>
+      val calls = Seq((h40(7), "0x18160ddd"), (h40(8), "0x06fdde03"))
+      val df = src(url).fetchEthCalls(spark, Seq(16L, 17L), calls, numPartitions = 1)
+      val rows = df.collect()
+      assert(rows.length == 4) // 2 blocks × 2 calls
+      assert(rows.forall(_.getAs[Array[Byte]]("output_data").length == 32))
+      assert(rows.forall(r => BigInt(r.getAs[Array[Byte]]("output_data")) == 1234))
+      assert(posts.get() == 2) // 4 calls at innerRequestSize=2
+    }
+  }
+
+  test("retries: a flaky first response is retried with backoff") {
+    val fails = new AtomicInteger(2)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      if (fails.getAndDecrement() > 0) {
+        exchange.sendResponseHeaders(503, -1); exchange.close()
+      } else {
+        val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val resp = JsonMethods.parse(body) match {
+          case JArray(reqs) => reqs.map { req =>
+            val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+            s"""{"jsonrpc":"2.0","id":$id,"result":${result("eth_getBlockByNumber", req \ "params")}}"""
+          }.mkString("[", ",", "]")
+          case _ => "[]"
+        }
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes); exchange.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val cfg = RpcConfig(url, chainId = 1, innerRequestSize = 4,
+        maxRetries = 3, initialBackoffMs = 10)
+      val df = new RpcSource(cfg).fetchBlocks(spark, range, numPartitions = 1)
+      assert(df.count() == 4)
+    } finally server.stop(0)
+  }
+}
