@@ -432,16 +432,19 @@ object ChainDatasets {
   /** datasets/erc20_metadata.rs:8-93 — pivot the three metadata calls into
     * one row per contract; ABI string decode + control-char scrub
     * (erc20_metadata.rs:37-40). */
+  /** ABI-encoded string return decode (word1=offset(32), word2=len, then
+    * bytes): length is the low 4 bytes of word 2, data starts at byte 65
+    * (1-indexed); control chars scrubbed (erc20_metadata.rs:37-40).
+    * Typed Column ops, not SQL-text interpolation — survives renames. */
+  private def abiStr(c: Column): Column = {
+    val len = conv(hex(substring(c, 61, 4)), 16, 10).cast("int")
+    regexp_replace(c.substr(lit(65), len).cast("string"),
+      "[\\x00-\\x1F\\x7F]", "")
+  }
+
   def erc20Metadata(spark: SparkSession, dir: String): DataFrame = {
     val calls = fx(spark, dir, "rpc_calls")
     def sel(selector: Array[Byte]): Column = col("call_data") === lit(selector)
-    // ABI-encoded string return: word1=offset(32), word2=len, then bytes.
-    def abiStr(c: Column): Column = {
-      val len = expr(s"CAST(conv(hex(substring(${c.toString}, 61, 4)), 16, 10) AS INT)")
-      regexp_replace(
-        expr(s"CAST(substring(${c.toString}, 65, CAST(conv(hex(substring(${c.toString}, 61, 4)), 16, 10) AS INT)) AS STRING)"),
-        "[\\x00-\\x1F\\x7F]", "")
-    }
     calls
       .groupBy(col("block_number"), col("contract_address").as("erc20"), col("chain_id"))
       .agg(
@@ -564,10 +567,6 @@ object ChainDatasets {
   def erc721Metadata(spark: SparkSession, dir: String): DataFrame = {
     val calls = fx(spark, dir, "rpc_calls_erc721")
     def sel(selector: Array[Byte]): Column = col("call_data") === lit(selector)
-    def abiStr(c: Column): Column =
-      regexp_replace(
-        expr(s"CAST(substring(${c.toString}, 65, CAST(conv(hex(substring(${c.toString}, 61, 4)), 16, 10) AS INT)) AS STRING)"),
-        "[\\x00-\\x1F\\x7F]", "")
     calls
       .groupBy(col("block_number"), col("contract_address").as("erc721"), col("chain_id"))
       .agg(
