@@ -44,6 +44,69 @@ object Cli {
   private val u256Suffixes =
     Seq("binary", "string", "f32", "f64", "u32", "u64", "d128").map("_" + _)
 
+  val Version = "0.1.0"
+
+  /** one remembered default command per output directory
+    * (cryo remember.rs: <output>/.cryo/remembered_command.json) */
+  private case class Remembered(version: String, command: Seq[String])
+
+  private def rememberPath(outputDir: String) =
+    java.nio.file.Paths.get(outputDir, ".graft", "remembered_command.json")
+
+  private def saveRemembered(outputDir: String, command: Seq[String]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val p = rememberPath(outputDir)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, JsonMethods.compact(JsonMethods.render(
+      ("graft_version" -> Version) ~ ("command" -> command))))
+  }
+
+  private def loadRemembered(outputDir: String): Option[Remembered] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = rememberPath(outputDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      val v = (j \ "graft_version") match { case JString(s) => s; case _ => "" }
+      val cmd = (j \ "command") match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      Some(Remembered(v, cmd))
+    }
+  }
+
+  /** intro summary before collection (summaries.rs print_cryo_intro) */
+  private def printIntro(spec: Freeze.FreezeSpec, nChunks: Int,
+      sourceDir: String): Unit = {
+    println("graft parameters")
+    println(s"- version: $Version")
+    println(s"- datatypes: ${spec.datasets.mkString(", ")}")
+    println(s"- blocks: ${spec.blocks}")
+    println(s"- chunks: $nChunks (chunk size ${spec.chunkSize})")
+    println(s"- network: ${spec.network}")
+    println(s"- source: $sourceDir")
+    println(s"- output dir: ${spec.outputDir}")
+    println(s"- format: ${spec.format}" +
+      spec.compression.map(c => s" ($c)").getOrElse(""))
+    println(s"- max concurrent chunks: ${spec.maxConcurrentChunks}")
+  }
+
+  /** conclusion summary (summaries.rs print_cryo_conclusion) */
+  private def printConclusion(r: Freeze.FreezeResult, nTasks: Int,
+      seconds: Double): Unit = {
+    def pct(n: Int) = if (nTasks == 0) 0 else 100 * n / nTasks
+    println("collection summary")
+    println(f"- total duration: $seconds%.3f seconds")
+    println(s"- total chunks: $nTasks")
+    println(s"- chunks errored: ${r.errored.size} / $nTasks (${pct(r.errored.size)}%)")
+    println(s"- chunks skipped: ${r.skipped.size} / $nTasks (${pct(r.skipped.size)}%)")
+    println(s"- chunks collected: ${r.completed.size} / $nTasks (${pct(r.completed.size)}%)")
+    println(s"- rows written: ${r.rows}")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -114,6 +177,7 @@ object Cli {
     var rowGroupSize: Option[Int] = None
     var nRowGroups: Option[Int] = None
     var noStats = false
+    var remember = false
 
     // multi-value flags consume tokens until the next `--flag`
     def multi(from: Int): (Seq[String], Int) = {
@@ -166,13 +230,30 @@ object Cli {
         case "--subdirs" => val (v, j) = multi(i + 1); subdirs = v; i = j
         case "--chunk-order" => chunkOrder = args(i + 1); i += 1
         case "--max-concurrent-chunks" => maxConcurrentChunks = args(i + 1).toInt; i += 1
+        case "--remember" => remember = true
         case flag if flag.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $flag")
         case ds => datasets ::= ds
       }
       i += 1
     }
-    require(datasets.nonEmpty, "no datasets given")
+    // No datasets → replay the remembered command for this output dir
+    // (cryo run.rs:39-51, remember.rs): current flags are appended after
+    // the remembered ones, so they take precedence in re-parsing.
+    if (datasets.isEmpty) {
+      val remembered = loadRemembered(outputDir).getOrElse(
+        throw new IllegalArgumentException("either 1) specify datasets to " +
+          "collect or 2) specify a command to remember with --remember"))
+      if (remembered.version != Version)
+        System.err.println("remembered command comes from a different " +
+          "graft version, proceed with caution")
+      println(s"remembering previous command: graft ${remembered.command.mkString(" ")}")
+      return run(remembered.command.toArray ++ args, spark)
+    }
+    if (remember) {
+      println("remembering this command for future use")
+      saveRemembered(outputDir, args.filterNot(_ == "--remember"))
+    }
     // --sort none disables the custom sort; a custom sort applies to
     // single-datatype runs only (cryo cli/parse/schemas.rs:167-194)
     if (sortCols == Seq("none")) sortCols = Seq.empty
@@ -345,6 +426,16 @@ object Cli {
       return None
     }
 
-    Some(Freeze.freeze(spark, sourceDir, spec, overrides))
+    val fullRange = blocksSpec match {
+      case r: BlockSyntax.Range => r
+      case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)
+    }
+    val chunkCount = nChunks.map(n => BlockSyntax.subchunkByCount(fullRange, n))
+      .getOrElse(BlockSyntax.subchunk(fullRange, chunkSize, align)).size
+    printIntro(spec, chunkCount, sourceDir)
+    val t0 = System.nanoTime()
+    val result = Freeze.freeze(spark, sourceDir, spec, overrides)
+    printConclusion(result, chunkCount * expanded.size, (System.nanoTime() - t0) / 1e9)
+    Some(result)
   }
 }

@@ -453,6 +453,27 @@ class CliSpec extends AnyFunSuite {
     })
   }
 
+  test("--remember saves a default command; dataset-less runs replay it") {
+    val out = Files.createTempDirectory("graft_rem").toString
+    // no datasets, nothing remembered → clear error
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(Array("--output-dir", out, "--blocks", "1000:1010"), spark)
+    }
+    assert(e.getMessage.contains("--remember"))
+    val r1 = Cli.run(Array("blocks", "--source-dir", fixDir,
+      "--output-dir", out, "--chunk-size", "10",
+      "--blocks", "1000:1010", "--remember"), spark).get
+    assert(r1.completed.size == 1)
+    assert(Files.exists(Paths.get(out, ".graft", "remembered_command.json")))
+    // replay without datasets; appended flags take precedence
+    val r2 = Cli.run(Array("--output-dir", out, "--blocks", "1010:1020"), spark).get
+    assert(r2.completed.size == 1)
+    assert(r2.completed.head.contains("00001010_to_00001019"))
+    // untouched replay skips the already-written chunk (idempotence)
+    val r3 = Cli.run(Array("--output-dir", out), spark).get
+    assert(r3.skipped.size == 1 && r3.completed.isEmpty)
+  }
+
   test("--subdirs lays files out under datatype/network directories") {
     val (out, done) = runCli("blocks", "logs", "--subdirs", "datatype")
     assert(done.size == 2)
