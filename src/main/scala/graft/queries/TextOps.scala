@@ -158,6 +158,7 @@ object TextOps {
         .over(Window.partitionBy("band_idx", "band_hash")))
       .filter(col("bsz") <= bucketCap)
       .drop("bsz")
+      .persist(StorageLevel.MEMORY_AND_DISK) // skinny; feeds both join sides
     // Banded self-join for candidate pairs. A bucket-local pair
     // generator (groupBy + collect_list + generator) was measured 25%
     // SLOWER at sf0.1: collect_list forces ObjectHashAggregate with no
