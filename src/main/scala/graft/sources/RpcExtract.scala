@@ -270,19 +270,133 @@ object RpcExtract {
     StateDiffRows(bal.result(), cod.result(), non.result(), sto.result())
   }
 
+  private def structLogRow(l: JValue, blockNumber: Int, txIndex: Int,
+      chainId: Long): Row =
+    Row(blockNumber, txIndex,
+      jlong(l, "pc").getOrElse(0L),
+      jstr(l, "op"),
+      jlong(l, "gas").getOrElse(0L),
+      jlong(l, "gasCost").getOrElse(0L),
+      boxI(jlong(l, "depth")),
+      null, null, null, // memory/stack/storage omitted unless requested
+      chainId)
+
   /** rpc_geth_opcodes rows from one debug_traceTransaction default
     * struct-log response (geth_opcodes.rs:43-78). */
   def gethOpcodes(body: String, blockNumber: Int, txIndex: Int,
       chainId: Long): Seq[Row] =
     (JsonMethods.parse(body) \ "result" \ "structLogs") match {
-      case JArray(ls) => ls.map { l =>
-        Row(blockNumber, txIndex,
-          jlong(l, "pc").getOrElse(0L),
-          jstr(l, "op"),
-          jlong(l, "gas").getOrElse(0L),
-          jlong(l, "gasCost").getOrElse(0L),
-          boxI(jlong(l, "depth")),
-          null, null, null, // memory/stack/storage omitted unless requested
+      case JArray(ls) => ls.map(structLogRow(_, blockNumber, txIndex, chainId))
+      case _ => Nil
+    }
+
+  /** rpc_geth_opcodes rows for a whole block: debug_traceBlockByNumber
+    * default tracer returns one struct-log result per tx (in tx order;
+    * newer geth wraps each in {txHash, result}). */
+  def gethOpcodesBlock(body: String, blockNumber: Int,
+      chainId: Long): Seq[Row] =
+    (JsonMethods.parse(body) \ "result") match {
+      case JArray(txs) => txs.zipWithIndex.flatMap { case (t, i) =>
+        val inner = (t \ "result") match {
+          case JNothing => t
+          case r => r
+        }
+        (inner \ "structLogs") match {
+          case JArray(ls) => ls.map(structLogRow(_, blockNumber, i, chainId))
+          case _ => Nil
+        }
+      }
+      case _ => Nil
+    }
+
+  /** rpc_js_traces rows: debug_traceBlockByNumber with a custom JS
+    * tracer — each tx's tracer output is kept as its JSON text
+    * (javascript_traces.rs: the tracer defines the shape, we store it
+    * opaque). */
+  def jsTraceBlock(body: String, blockNumber: Int, chainId: Long): Seq[Row] =
+    (JsonMethods.parse(body) \ "result") match {
+      case JArray(txs) => txs.zipWithIndex.map { case (t, i) =>
+        val inner = (t \ "result") match {
+          case JNothing => t
+          case r => r
+        }
+        Row(blockNumber, i, hexB(t, "txHash"),
+          JsonMethods.compact(JsonMethods.render(inner)), chainId)
+      }
+      case _ => Nil
+    }
+
+  /** rpc_vm_traces rows from trace_replayBlockTransactions(vmTrace):
+    * recursive ops flatten (vm_traces.rs:84-132 add_ops — sub-call
+    * vmTraces inline depth-first after their caller opcode; push words
+    * concatenate big-endian like ex.push.to_vec_u8()). */
+  def vmTraceBlock(body: String, blockNumber: Int,
+      chainId: Long): Seq[Row] = {
+    val out = Seq.newBuilder[Row]
+    def addOps(vt: JValue, txIdx: Int): Unit = (vt \ "ops") match {
+      case JArray(ops) => ops.foreach { o =>
+        val ex = o \ "ex"
+        val mem = ex \ "mem"
+        val store = ex \ "store"
+        val push = (ex \ "push") match {
+          case JArray(ws) =>
+            val bs = ws.collect { case JString(w) => RpcCodec.parseHexU256(w) }
+            if (bs.isEmpty) null else bs.reduce(_ ++ _)
+          case _ => null
+        }
+        out += Row(blockNumber, txIdx,
+          jlong(o, "pc").getOrElse(0L),
+          jlong(o, "cost").getOrElse(0L),
+          boxL(jlong(ex, "used")),
+          push,
+          boxI(jlong(mem, "off")),
+          Option(jstr(mem, "data")).map(RpcCodec.parseHexBytes).orNull,
+          Option(jstr(store, "key")).map(RpcCodec.parseHexU256).orNull,
+          Option(jstr(store, "val")).map(RpcCodec.parseHexU256).orNull,
+          jstr(o, "op"),
+          chainId)
+        (o \ "sub") match {
+          case s: JObject => addOps(s, txIdx)
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
+    (JsonMethods.parse(body) \ "result") match {
+      case JArray(txs) => txs.zipWithIndex.foreach { case (t, i) =>
+        (t \ "vmTrace") match {
+          case v: JObject => addOps(v, i)
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
+    out.result()
+  }
+
+  /** rpc_trace_calls rows from one trace_call response: the simulated
+    * call's trace tree tagged with the (contract, calldata) request
+    * context (trace_calls.rs extract/transform). */
+  def traceCallRows(body: String, blockNumber: Int, contract: Array[Byte],
+      callData: Array[Byte], chainId: Long): Seq[Row] =
+    (JsonMethods.parse(body) \ "result" \ "trace") match {
+      case JArray(ts) => ts.map { t =>
+        val action = t \ "action"
+        val traceAddr = (t \ "traceAddress") match {
+          case JArray(xs) => xs.collect { case JInt(i) => i }.mkString("_")
+          case _ => ""
+        }
+        Row(blockNumber, contract, callData,
+          hexB(action, "from"),
+          hexB(action, "to"),
+          Option(jstr(action, "value"))
+            .map(v => new BigInteger(v.stripPrefix("0x"), 16).toString).orNull,
+          boxI(jlong(action, "gas")),
+          hexB(action, "input"),
+          jstr(t, "type"),
+          traceAddr,
+          jlong(t, "subtraces").getOrElse(0L).toInt,
+          jstr(t, "error"),
           chainId)
       }
       case _ => Nil

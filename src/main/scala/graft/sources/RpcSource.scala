@@ -143,6 +143,30 @@ object RpcCodec {
   def ethCallRequest(id: Long, to: String, data: String, blockNumber: Long): String =
     s"""{"jsonrpc":"2.0","id":$id,"method":"eth_call","params":[{"to":"$to","data":"$data"},"${hexQuantity(blockNumber)}"]}"""
 
+  /** trace_call with the trace tracer (cryo datasets/trace_calls.rs). */
+  def traceCallRequest(id: Long, to: String, data: String, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"trace_call","params":[{"to":"$to","data":"$data"},["trace"],"${hexQuantity(blockNumber)}"]}"""
+
+  /** trace_replayBlockTransactions(vmTrace) — the per-opcode parity trace
+    * (cryo datasets/vm_traces.rs extract). */
+  def traceReplayBlockVmRequest(id: Long, blockNumber: Long): String =
+    s"""{"jsonrpc":"2.0","id":$id,"method":"trace_replayBlockTransactions","params":["${hexQuantity(blockNumber)}",["vmTrace"]]}"""
+
+  /** debug_traceBlockByNumber with a custom JavaScript tracer (cryo
+    * datasets/javascript_traces.rs) — the tracer source is JSON-escaped. */
+  def debugTraceBlockJsRequest(id: Long, blockNumber: Long, js: String): String = {
+    val escaped = js.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    s"""{"jsonrpc":"2.0","id":$id,"method":"debug_traceBlockByNumber","params":["${hexQuantity(blockNumber)}",{"tracer":"$escaped"}]}"""
+  }
+
   /** debug_traceBlockByNumber with an optional named tracer:
     * prestateTracer(+diffMode) for state diffs/reads, callTracer for call
     * frames, none = struct-log opcodes (cryo geth_* dataset extracts). */
@@ -478,6 +502,128 @@ class RpcSource(config: RpcConfig) extends Serializable {
     spark.createDataFrame(rdd, RpcSource.callsSchema)
   }
 
+  /** rpc_geth_opcodes via debug_traceBlockByNumber default tracer
+    * (geth_opcodes.rs extract — struct logs per tx). */
+  def fetchGethOpcodes(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.gethOpcodesSchema, numPartitions)(
+      (i, n) => RpcCodec.debugTraceBlockRequest(i, n))(
+      (body, n) => RpcExtract.gethOpcodesBlock(body, n.toInt, config.chainId))
+
+  /** rpc_js_traces via debug_traceBlockByNumber with a user JS tracer
+    * (javascript_traces.rs extract). */
+  def fetchJsTraces(spark: SparkSession, range: BlockSyntax.Range,
+      js: String, numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.jsTracesSchema, numPartitions)(
+      (i, n) => RpcCodec.debugTraceBlockJsRequest(i, n, js))(
+      (body, n) => RpcExtract.jsTraceBlock(body, n.toInt, config.chainId))
+
+  /** rpc_vm_traces via trace_replayBlockTransactions(vmTrace)
+    * (vm_traces.rs extract). */
+  def fetchVmTraces(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.vmTracesSchema, numPartitions)(
+      (i, n) => RpcCodec.traceReplayBlockVmRequest(i, n))(
+      (body, n) => RpcExtract.vmTraceBlock(body, n.toInt, config.chainId))
+
+  /** rpc_accounts via batched point lookups: (balance, nonce, code) per
+    * (block × address) — the balances/nonces/codes dataset extracts
+    * (datasets/{balances,nonces,codes}.rs) share one bronze. Three
+    * requests per item ride one batch, ids encode item×3+field. */
+  def fetchAccounts(spark: SparkSession, blocks: Seq[Long],
+      addresses: Seq[String], numPartitions: Int = 32): DataFrame = {
+    val conf = config
+    val work = for (b <- blocks; a <- addresses) yield (b, a)
+    val rdd = spark.sparkContext
+      .parallelize(work, math.min(numPartitions, work.size).max(1))
+      .mapPartitions { items =>
+        val client = HttpClient.newHttpClient()
+        val bucket = new TokenBucket(conf.requestsPerSecond)
+        items.grouped((conf.innerRequestSize.toInt / 3).max(1)).flatMap { group =>
+          bucket.acquire()
+          val reqs = group.zipWithIndex.flatMap { case ((b, a), i) => Seq(
+            RpcCodec.getBalanceRequest(3L * i, a, b),
+            RpcCodec.getTransactionCountRequest(3L * i + 1, a, b),
+            RpcCodec.getCodeRequest(3L * i + 2, a, b))
+          }
+          val json = retrying(post(client, RpcCodec.batch(reqs)))
+          val parts = RpcSource.splitBatch(json).grouped(3).toSeq
+          group.zip(parts).map { case ((b, a), triple) =>
+            val Seq(balB, nonB, codB) = triple: @unchecked
+            def res(s: String): String = {
+              import org.json4s._
+              (org.json4s.jackson.JsonMethods.parse(s) \ "result") match {
+                case JString(x) => x; case _ => null
+              }
+            }
+            Row(b.toInt, RpcCodec.parseHexBytes(a),
+              Option(res(balB)).map(RpcCodec.parseHexU256).orNull,
+              Option(res(nonB)).map(RpcCodec.parseHexLong).getOrElse(0L),
+              Option(res(codB)).map(RpcCodec.parseHexBytes).orNull,
+              conf.chainId)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, RpcSource.accountsSchema)
+  }
+
+  /** rpc_storage via batched eth_getStorageAt over
+    * (block × (address, slot)) (datasets/storages.rs extract). */
+  def fetchStorage(spark: SparkSession, blocks: Seq[Long],
+      slots: Seq[(String, String)], numPartitions: Int = 32): DataFrame = {
+    val conf = config
+    val work = for (b <- blocks; (a, s) <- slots) yield (b, a, s)
+    val rdd = spark.sparkContext
+      .parallelize(work, math.min(numPartitions, work.size).max(1))
+      .mapPartitions { items =>
+        val client = HttpClient.newHttpClient()
+        val bucket = new TokenBucket(conf.requestsPerSecond)
+        items.grouped(conf.innerRequestSize.toInt).flatMap { group =>
+          bucket.acquire()
+          val reqs = group.zipWithIndex.map { case ((b, a, s), i) =>
+            RpcCodec.getStorageAtRequest(i, a, s, b)
+          }
+          val json = retrying(post(client, RpcCodec.batch(reqs)))
+          group.zip(RpcSource.splitBatch(json)).map { case ((b, a, s), part) =>
+            import org.json4s._
+            val v = (org.json4s.jackson.JsonMethods.parse(part) \ "result") match {
+              case JString(x) => RpcCodec.parseHexU256(x); case _ => null
+            }
+            Row(b.toInt, RpcCodec.parseHexBytes(a),
+              RpcCodec.parseHexU256(s), v, conf.chainId)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, RpcSource.storageSchema)
+  }
+
+  /** rpc_trace_calls via batched trace_call: the simulated call's trace
+    * tree per (block × (contract, calldata)) (trace_calls.rs extract). */
+  def fetchTraceCalls(spark: SparkSession, blocks: Seq[Long],
+      calls: Seq[(String, String)], numPartitions: Int = 32): DataFrame = {
+    val conf = config
+    val work = for (b <- blocks; (to, data) <- calls) yield (b, to, data)
+    val rdd = spark.sparkContext
+      .parallelize(work, math.min(numPartitions, work.size).max(1))
+      .mapPartitions { items =>
+        val client = HttpClient.newHttpClient()
+        val bucket = new TokenBucket(conf.requestsPerSecond)
+        items.grouped(conf.innerRequestSize.toInt).flatMap { group =>
+          bucket.acquire()
+          val reqs = group.zipWithIndex.map { case ((b, to, data), i) =>
+            RpcCodec.traceCallRequest(i, to, data, b)
+          }
+          val json = retrying(post(client, RpcCodec.batch(reqs)))
+          group.zip(RpcSource.splitBatch(json)).flatMap { case ((b, to, data), part) =>
+            RpcExtract.traceCallRows(part, b.toInt,
+              RpcCodec.parseHexBytes(to), RpcCodec.parseHexBytes(data),
+              conf.chainId)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, RpcSource.traceCallsSchema)
+  }
+
   /** Materialize the bronze tables for a range under `outDir` — after
     * this, every ChainDatasets transform runs unchanged against outDir. */
   def freezeBronze(spark: SparkSession, range: BlockSyntax.Range,
@@ -498,6 +644,10 @@ class RpcSource(config: RpcConfig) extends Serializable {
     diffs.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
+    fetchGethOpcodes(spark, range).write.mode("overwrite")
+      .parquet(s"$outDir/rpc_geth_opcodes.parquet")
+    fetchVmTraces(spark, range).write.mode("overwrite")
+      .parquet(s"$outDir/rpc_vm_traces.parquet")
   }
 }
 
@@ -574,6 +724,39 @@ object RpcSource {
   val callsSchema: StructType = StructType(Seq(
     f("block_number", IntegerType, false), f("contract_address", BinaryType, false),
     f("call_data", BinaryType, false), f("output_data", BinaryType),
+    f("chain_id", LongType, false)))
+  val gethOpcodesSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("transaction_index", IntegerType, false),
+    f("pc", LongType, false), f("op", StringType), f("gas", LongType),
+    f("gas_cost", LongType), f("depth", IntegerType),
+    f("memory", StringType), f("stack", StringType), f("storage", StringType),
+    f("chain_id", LongType, false)))
+  val jsTracesSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("transaction_index", IntegerType, false),
+    f("transaction_hash", BinaryType), f("output", StringType),
+    f("chain_id", LongType, false)))
+  val vmTracesSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("transaction_index", IntegerType, false),
+    f("pc", LongType, false), f("cost", LongType),
+    f("used", LongType), f("push", BinaryType),
+    f("mem_off", IntegerType), f("mem_data", BinaryType),
+    f("storage_key", BinaryType), f("storage_val", BinaryType),
+    f("op", StringType), f("chain_id", LongType, false)))
+  val accountsSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("address", BinaryType, false),
+    f("balance", BinaryType), f("nonce", LongType), f("code", BinaryType),
+    f("chain_id", LongType, false)))
+  val storageSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("address", BinaryType, false),
+    f("slot", BinaryType, false), f("value", BinaryType),
+    f("chain_id", LongType, false)))
+  val traceCallsSchema: StructType = StructType(Seq(
+    f("block_number", IntegerType, false), f("contract_address", BinaryType, false),
+    f("tx_call_data", BinaryType, false), f("action_from", BinaryType),
+    f("action_to", BinaryType), f("action_value", StringType),
+    f("action_gas", IntegerType), f("action_input", BinaryType),
+    f("action_type", StringType), f("trace_address", StringType),
+    f("subtraces", IntegerType), f("error", StringType),
     f("chain_id", LongType, false)))
   /** tagged union of the four state-diff families — one fetch pass,
     * projected into the per-family bronze shapes by fetchStateDiffs */

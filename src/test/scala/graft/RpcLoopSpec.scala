@@ -74,7 +74,19 @@ class RpcLoopSpec extends AnyFunSuite {
         val tracer = (p(1) \ "tracer") match {
           case JString(t) => t; case _ => ""
         }
-        if (tracer == "callTracer")
+        if (tracer == "")
+          // default tracer: struct logs per tx
+          (0 until 2).map { i =>
+            s"""{"txHash":"${h64(bn * 10 + i)}","result":{"structLogs":[
+               |{"pc":0,"op":"PUSH1","gas":21000,"gasCost":3,"depth":1},
+               |{"pc":2,"op":"SSTORE","gas":20997,"gasCost":20000,"depth":1}
+               |]}}""".stripMargin.replace("\n", "")
+          }.mkString("[", ",", "]")
+        else if (tracer.startsWith("{")) // custom JS tracer source
+          (0 until 2).map { i =>
+            s"""{"txHash":"${h64(bn * 10 + i)}","result":{"myCount":${bn + i}}}"""
+          }.mkString("[", ",", "]")
+        else if (tracer == "callTracer")
           (0 until 2).map { i =>
             s"""{"txHash":"${h64(bn * 10 + i)}","result":{
                |"from":"${h40(bn)}","to":"${h40(bn + 1)}","value":"0x1",
@@ -90,6 +102,34 @@ class RpcLoopSpec extends AnyFunSuite {
                |"post":{"${h40(bn)}":{"balance":"0xff","nonce":2}}}}"""
               .stripMargin.replace("\n", "")
           }.mkString("[", ",", "]")
+      case "trace_replayBlockTransactions" if (p(1) match {
+        case JArray(List(JString("vmTrace"))) => true; case _ => false
+      }) =>
+        val bn = hexParam(0)
+        (0 until 2).map { i =>
+          s"""{"transactionHash":"${h64(bn * 10 + i)}","vmTrace":{"ops":[
+             |{"pc":0,"cost":3,"op":"PUSH1",
+             | "ex":{"used":20997,"push":["${h64(7)}"]}},
+             |{"pc":2,"cost":20000,"op":"SSTORE",
+             | "ex":{"used":997,"push":[],
+             |  "store":{"key":"${h64(1)}","val":"${h64(9)}"},
+             |  "mem":{"off":64,"data":"0xdeadbeef"}},
+             | "sub":{"ops":[{"pc":0,"cost":3,"op":"STOP","ex":{"used":1,"push":[]}}]}}
+             |]}}""".stripMargin.replace("\n", "")
+        }.mkString("[", ",", "]")
+      case "trace_call" =>
+        s"""{"trace":[{"action":{"from":"${h40(1)}","to":"${h40(2)}",
+           |"value":"0x0","gas":"0x5208","input":"0x18160ddd",
+           |"callType":"call"},"traceAddress":[],"subtraces":1,
+           |"type":"call"},
+           |{"action":{"from":"${h40(2)}","to":"${h40(3)}","value":"0x1",
+           |"gas":"0x100","input":"0x","callType":"staticcall"},
+           |"traceAddress":[0],"subtraces":0,"type":"call"}]}"""
+          .stripMargin.replace("\n", "")
+      case "eth_getBalance" => s""""0x1bc16d674ec80000""""
+      case "eth_getTransactionCount" => s""""0x2a""""
+      case "eth_getCode" => s""""0x6080604052""""
+      case "eth_getStorageAt" => s""""${h64(321)}""""
       case "trace_replayBlockTransactions" =>
         val bn = hexParam(0)
         (0 until 2).map { i =>
@@ -217,6 +257,64 @@ class RpcLoopSpec extends AnyFunSuite {
       assert(rows.forall(_.getAs[Array[Byte]]("output_data").length == 32))
       assert(rows.forall(r => BigInt(r.getAs[Array[Byte]]("output_data")) == 1234))
       assert(posts.get() == 2) // 4 calls at innerRequestSize=2
+    }
+  }
+
+  test("fetchGethOpcodes + fetchJsTraces: block-level geth tracers") {
+    withStub { (url, _) =>
+      val s = src(url)
+      val ops = s.fetchGethOpcodes(spark, range, numPartitions = 1).collect()
+      assert(ops.length == 16) // 2 logs × 2 txs × 4 blocks
+      assert(ops.map(_.getAs[String]("op")).toSet == Set("PUSH1", "SSTORE"))
+      val js = s.fetchJsTraces(spark, range,
+        """{count: 0, step: function() {}, result: function() { return this.count }}""",
+        numPartitions = 1).collect()
+      assert(js.length == 8)
+      assert(js.forall(_.getAs[String]("output").contains("myCount")))
+    }
+  }
+
+  test("fetchVmTraces: parity opcode trace flattens sub-calls depth-first") {
+    withStub { (url, _) =>
+      val rows = src(url).fetchVmTraces(spark, range, numPartitions = 1).collect()
+      assert(rows.length == 24) // (2 ops + 1 sub op) × 2 txs × 4 blocks
+      val sstore = rows.filter(_.getAs[String]("op") == "SSTORE")
+      assert(sstore.forall { r =>
+        BigInt(r.getAs[Array[Byte]]("storage_val")) == 9 &&
+          r.getAs[Int]("mem_off") == 64
+      })
+      val push = rows.filter(_.getAs[String]("op") == "PUSH1")
+      assert(push.forall(r => BigInt(r.getAs[Array[Byte]]("push")) == 7))
+    }
+  }
+
+  test("fetchAccounts + fetchStorage: batched point lookups") {
+    withStub { (url, posts) =>
+      val s = src(url, batchSize = 6)
+      val accts = s.fetchAccounts(spark, Seq(16L, 17L),
+        Seq(h40(1), h40(2)), numPartitions = 1).collect()
+      assert(accts.length == 4) // 2 blocks × 2 addresses
+      assert(accts.forall(_.getAs[Long]("nonce") == 42L))
+      assert(accts.forall(r => BigInt(r.getAs[Array[Byte]]("balance")) ==
+        BigInt("2000000000000000000")))
+      val postsAfterAccounts = posts.get()
+      assert(postsAfterAccounts == 2) // 4 items × 3 reqs at 6/batch
+      val sto = s.fetchStorage(spark, Seq(16L),
+        Seq((h40(1), h64(0)), (h40(1), h64(1))), numPartitions = 1).collect()
+      assert(sto.length == 2)
+      assert(sto.forall(r => BigInt(r.getAs[Array[Byte]]("value")) == 321))
+    }
+  }
+
+  test("fetchTraceCalls: simulated call trace tagged with request context") {
+    withStub { (url, _) =>
+      val rows = src(url).fetchTraceCalls(spark, Seq(16L),
+        Seq((h40(7), "0x18160ddd")), numPartitions = 1).collect()
+      assert(rows.length == 2) // root + 1 subtrace
+      assert(rows.forall(r =>
+        r.getAs[Array[Byte]]("tx_call_data").toSeq ==
+          Seq(0x18, 0x16, 0x0d, 0xdd).map(_.toByte)))
+      assert(rows.map(_.getAs[String]("trace_address")).toSet == Set("", "0"))
     }
   }
 
