@@ -417,7 +417,11 @@ object Freeze {
       s"freeze_${target.getFileName}_${System.nanoTime()}")
     val writer0 = df.observe(obs, count(lit(1)).as("rows"))
       .coalesce(1).write.mode("overwrite")
-    var writer = compression.map(c => writer0.option("compression", c))
+    // parquet default codec is lz4 raw like the reference
+    // (args.rs:191, file_output.rs:107); csv/json keep Spark's default
+    val codec = compression.orElse(
+      if (format == "parquet") Some("lz4_raw") else None)
+    var writer = codec.map(c => writer0.option("compression", c))
       .getOrElse(writer0)
     // Spark forwards unrecognized write options into the per-job hadoop
     // conf, where parquet-mr reads them (prepareWrite →

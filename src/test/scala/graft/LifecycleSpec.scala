@@ -451,6 +451,8 @@ class CliSpec extends AnyFunSuite {
     assert(colsWith.exists { c =>
       val s = c.getStatistics; s != null && !s.isEmpty
     })
+    // default parquet codec matches the reference (lz4 raw, args.rs:191)
+    assert(colsWith.map(_.getCodec.name()).toSet == Set("LZ4_RAW"))
   }
 
   test("--remember saves a default command; dataset-less runs replay it") {
