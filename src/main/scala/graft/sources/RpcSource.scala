@@ -318,6 +318,16 @@ class RpcSource(config: RpcConfig) extends Serializable {
     * types/rpc_params.rs:99-131). */
   def fetchLogs(spark: SparkSession, range: BlockSyntax.Range,
       address: Option[String] = None, topic0: Option[String] = None,
+      numPartitions: Int = 32): DataFrame =
+    fetchLogsTopics(spark, range, address,
+      Seq(topic0, None, None, None), numPartitions)
+
+  /** fetchLogs with the full topic0..3 position filter
+    * (types/rpc_params.rs:99-131): interior wildcards are null, trailing
+    * nulls trimmed — the predicates push down into the server-side
+    * eth_getLogs filter. */
+  def fetchLogsTopics(spark: SparkSession, range: BlockSyntax.Range,
+      address: Option[String], topics: Seq[Option[String]],
       numPartitions: Int = 32): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -332,7 +342,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
           bucket.acquire()
           val to = math.min(s0 + conf.innerRequestSize, range.endExclusive) - 1
           val json = retrying(post(client,
-            RpcCodec.getLogsRequest(1, s0, to, address, topic0)))
+            RpcCodec.getLogsRequestTopics(1, s0, to, address, topics)))
           val results = (JsonMethods.parse(json) \ "result") match {
             case JArray(xs) => xs; case _ => Nil
           }

@@ -147,6 +147,33 @@ class RpcLoopSpec extends AnyFunSuite {
         }.mkString("[", ",", "]")
       case "eth_call" =>
         s""""${h64(1234)}""""
+      case "eth_getLogs" =>
+        // echo the filter back: one log per block in range carrying the
+        // requested topic0 (or a default) — proves server-side pushdown
+        val filt = p(0)
+        val from = (filt \ "fromBlock") match {
+          case JString(s) => java.lang.Long.parseLong(s.stripPrefix("0x"), 16)
+          case _ => 0L
+        }
+        val to = (filt \ "toBlock") match {
+          case JString(s) => java.lang.Long.parseLong(s.stripPrefix("0x"), 16)
+          case _ => from
+        }
+        val t0 = (filt \ "topics") match {
+          case JArray(JString(t) :: _) => t
+          case _ => h64(0xaaaa)
+        }
+        val addr = (filt \ "address") match {
+          case JString(a) => a
+          case _ => h40(5)
+        }
+        (from to to).map { bn =>
+          s"""{"blockNumber":"0x${bn.toHexString}","transactionIndex":"0x0",
+             |"logIndex":"0x0","transactionHash":"${h64(bn * 10)}",
+             |"blockHash":"${h64(bn)}","address":"$addr",
+             |"topics":["$t0","${h64(1)}"],"data":"0x01"}"""
+            .stripMargin.replace("\n", "")
+        }.mkString("[", ",", "]")
       case other =>
         throw new IllegalArgumentException(s"stub: unknown method $other")
     }
@@ -315,6 +342,22 @@ class RpcLoopSpec extends AnyFunSuite {
         r.getAs[Array[Byte]]("tx_call_data").toSeq ==
           Seq(0x18, 0x16, 0x0d, 0xdd).map(_.toByte)))
       assert(rows.map(_.getAs[String]("trace_address")).toSet == Set("", "0"))
+    }
+  }
+
+  test("fetchLogs: range-batched getLogs with topic pushdown") {
+    withStub { (url, posts) =>
+      val sig = h64(0xbeef)
+      val df = src(url).fetchLogsTopics(spark, range,
+        address = Some(h40(5)), topics = Seq(Some(sig), None, None, None),
+        numPartitions = 1)
+      val rows = df.collect()
+      assert(rows.length == 4) // 1 log per block, served per range batch
+      assert(posts.get() == 2) // 4 blocks at innerRequestSize=2 ranges
+      // the server-side filter echoed our topic0 back — pushdown proven
+      assert(rows.forall(r =>
+        r.getAs[Seq[Array[Byte]]]("topics").head.toSeq ==
+          graft.sources.RpcCodec.parseHexBytes(sig).toSeq))
     }
   }
 
