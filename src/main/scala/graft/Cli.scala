@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions.{col, lit}
   *     [--network NAME] [--label L] [--overwrite] [--csv|--json] [--hex]
   *     [--row-group-size N] [--n-row-groups N] [--no-stats]
   *     [--dry-run] [--latest N]
-  *     [--contract A…] [--address A…] [--to-address A…] [--topic0..3 H…]
+  *     [--contract A…] [--address A…] [--to-address A…] [--from-address A…]
+  *     [--slot S…] [--topic0..3 H…]
   *     [--call-data HEX…] [--function SELECTOR…] [--inputs HEX…]
+  *     [--event-signature SIG] [--exclude-failed]
+  *     [--rpc URL] [--js-tracer CODE] [--requests-per-second N]
+  *     [--max-retries N] [--initial-backoff MS] [--inner-request-size N]
+  *     [--max-concurrent-requests N]
+  *     [--no-report] [--report-dir DIR] [--verbose|--no-verbose]
+  *     [--remember]
   *     [--columns c…|all] [--include-columns c…] [--exclude-columns c…]
   *     [--u256-types t…] [--sort c…] [--txs h…] [--timestamps T1:T2]
   *     [--partition-by col] [--chunk-order normal|reverse|random]
@@ -178,6 +185,20 @@ object Cli {
     var nRowGroups: Option[Int] = None
     var noStats = false
     var remember = false
+    var fromAddress = Seq.empty[String]
+    var slotsF = Seq.empty[String]
+    var eventSignature: Option[String] = None
+    var excludeFailed = false
+    var noReport = false
+    var reportDir: Option[String] = None
+    var verbose = true
+    var rpcUrl: Option[String] = None
+    var jsTracer: Option[String] = None
+    var requestsPerSecond = 0
+    var maxRetries = 5
+    var initialBackoffMs = 500L
+    var innerRequestSize = 100L
+    var maxConcurrentRequests = 100
 
     // multi-value flags consume tokens until the next `--flag`
     def multi(from: Int): (Seq[String], Int) = {
@@ -231,6 +252,21 @@ object Cli {
         case "--chunk-order" => chunkOrder = args(i + 1); i += 1
         case "--max-concurrent-chunks" => maxConcurrentChunks = args(i + 1).toInt; i += 1
         case "--remember" => remember = true
+        case "--from-address" => val (v, j) = multi(i + 1); fromAddress = v; i = j
+        case "--slot" => val (v, j) = multi(i + 1); slotsF = v; i = j
+        case "--event-signature" => eventSignature = Some(args(i + 1)); i += 1
+        case "--exclude-failed" => excludeFailed = true
+        case "--no-report" => noReport = true
+        case "--report-dir" => reportDir = Some(args(i + 1)); i += 1
+        case "--verbose" => verbose = true
+        case "--no-verbose" => verbose = false
+        case "--rpc" => rpcUrl = Some(args(i + 1)); i += 1
+        case "--js-tracer" => jsTracer = Some(args(i + 1)); i += 1
+        case "--requests-per-second" => requestsPerSecond = args(i + 1).toInt; i += 1
+        case "--max-retries" => maxRetries = args(i + 1).toInt; i += 1
+        case "--initial-backoff" => initialBackoffMs = args(i + 1).toLong; i += 1
+        case "--inner-request-size" => innerRequestSize = args(i + 1).toLong; i += 1
+        case "--max-concurrent-requests" => maxConcurrentRequests = args(i + 1).toInt; i += 1
         case flag if flag.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $flag")
         case ds => datasets ::= ds
@@ -304,6 +340,8 @@ object Cli {
       filt(contractCol.getOrElse(name, "contract_address"), contract)
       filt("address", addressF)
       filt("to_address", toAddress)
+      filt("from_address", fromAddress)
+      filt("slot", slotsF)
       (0 until 4).foreach(k => filt(s"topic$k", topics(k)))
       filt("call_data", composedCallData)
       if (explicitCols.isDefined || includeCols.nonEmpty || excludeCols.nonEmpty) {
@@ -331,9 +369,27 @@ object Cli {
 
     val overrides: Map[String, Freeze.DatasetBuilder] =
       expanded.map { name =>
-        name -> ((s: SparkSession, d: String) =>
-          decorate(name)(Freeze.builderWith(name, reprs,
-            includeCols, excludeCols, explicitCols)(s, d)))
+        name -> ((s: SparkSession, d: String) => {
+          val base = (name, eventSignature, excludeFailed) match {
+            // --event-signature: ABI-decode logs into event__ columns
+            // (log_decoder.rs; topic1-3/data drop after decode)
+            case ("logs", Some(sig), _) =>
+              ChainDatasets.logs(s, d, eventSignature = Some(sig),
+                u256Reprs = reprs, include = includeCols,
+                exclude = excludeCols, columns = explicitCols)
+            // --exclude-failed (args.rs): failed txs / failed trace
+            // subtrees drop
+            case ("transactions", _, true) =>
+              ChainDatasets.transactions(s, d, excludeFailed = true,
+                include = includeCols, exclude = excludeCols,
+                columns = explicitCols)
+            case ("traces", _, true) =>
+              ChainDatasets.traces(s, d, excludeFailed = true)
+            case _ => Freeze.builderWith(name, reprs,
+              includeCols, excludeCols, explicitCols)(s, d)
+          }
+          decorate(name)(base)
+        })
       }.toMap
 
     // TimeDimension::Transactions: a tx-hash list replaces the block range
@@ -353,9 +409,29 @@ object Cli {
       return Some(Freeze.FreezeResult(completed, Nil, Nil, -1))
     }
 
+    // Live mode (--rpc, sources.rs:119-150): detect the chain id, resolve
+    // `latest` from the node, and materialize ONLY the bronze tables the
+    // requested datasets read under <output>/.graft/bronze — the freeze
+    // below then runs unchanged against that dir (live extraction and
+    // fixtures share one transform path).
+    val liveSource: Option[graft.sources.RpcSource] = rpcUrl.map { url =>
+      def src(cid: Long) = new graft.sources.RpcSource(
+        graft.sources.RpcConfig(url, chainId = cid,
+          maxConcurrentRequests = maxConcurrentRequests,
+          requestsPerSecond = requestsPerSecond, maxRetries = maxRetries,
+          initialBackoffMs = initialBackoffMs,
+          innerRequestSize = innerRequestSize))
+      val cid = try src(1).fetchChainId() catch { case _: Exception => 1L }
+      if (network == "ethereum") network = Freeze.networkName(cid)
+      src(cid)
+    }
+    require(liveSource.isEmpty || timestamps.isEmpty,
+      "--timestamps with --rpc is not supported; pass --blocks")
+
     val maxFixtureBlock =
       if (latest > 0) latest
-      else graft.chain.GenFixtures.FirstBlock + graft.chain.GenFixtures.NBlocks - 1L
+      else liveSource.map(_.fetchLatestBlock()).getOrElse(
+        graft.chain.GenFixtures.FirstBlock + graft.chain.GenFixtures.NBlocks - 1L)
     var blocksSpec: BlockSyntax.Blocks = timestamps match {
       // --timestamps T1:T2 → block range via the ≤-semantics binary search
       // (cli/parse/timestamps.rs)
@@ -377,6 +453,23 @@ object Cli {
         blocksSpec = BlockSyntax.Numbers(kept)
     }
 
+    liveSource.foreach { src =>
+      val range = blocksSpec match {
+        case r: BlockSyntax.Range => r
+        case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)
+      }
+      val bronzeDir = java.nio.file.Paths.get(outputDir, ".graft", "bronze")
+      java.nio.file.Files.createDirectories(bronzeDir)
+      val liveCalls = for {
+        to <- contract
+        data <- if (composedCallData.nonEmpty) composedCallData else Seq.empty[String]
+      } yield (to, data)
+      src.materializeBronze(spark, bronzeDir.toString, range, expanded,
+        addresses = addressF, slots = slotsF, calls = liveCalls,
+        jsTracer = jsTracer)
+      sourceDir = bronzeDir.toString
+    }
+
     // cryo semantics: when the partition dim has user-supplied entity
     // values, those values ARE the partition list (cross-producted with
     // every block chunk) — no data-driven discovery
@@ -385,6 +478,8 @@ object Cli {
       val fromEntity: Seq[String] = dim match {
         case "address" => addressF
         case "to_address" => toAddress
+        case "from_address" => fromAddress
+        case "slot" => slotsF
         case "call_data" => composedCallData
         case t if t.startsWith("topic") && t.length == 6 =>
           topics(t.charAt(5) - '0')
@@ -410,6 +505,7 @@ object Cli {
       rowGroupSize = rowGroupRows, noStats = noStats,
       maxConcurrentChunks = maxConcurrentChunks,
       cliCommand = Some(("graft" +: args.toSeq).mkString(" ")),
+      noReport = noReport, reportDirOverride = reportDir,
       subdirs = subdirs)
 
     if (dryRun) {
@@ -432,10 +528,11 @@ object Cli {
     }
     val chunkCount = nChunks.map(n => BlockSyntax.subchunkByCount(fullRange, n))
       .getOrElse(BlockSyntax.subchunk(fullRange, chunkSize, align)).size
-    printIntro(spec, chunkCount, sourceDir)
+    if (verbose) printIntro(spec, chunkCount, sourceDir)
     val t0 = System.nanoTime()
     val result = Freeze.freeze(spark, sourceDir, spec, overrides)
-    printConclusion(result, chunkCount * expanded.size, (System.nanoTime() - t0) / 1e9)
+    if (verbose)
+      printConclusion(result, chunkCount * expanded.size, (System.nanoTime() - t0) / 1e9)
     Some(result)
   }
 }

@@ -64,6 +64,11 @@ object Freeze {
       maxConcurrentChunks: Int = 4,
       /** recorded in the run report (reports.rs cli_command/args) */
       cliCommand: Option[String] = None,
+      /** suppress the JSON run report (args.rs --no-report) */
+      noReport: Boolean = false,
+      /** report directory override (args.rs --report-dir; default
+        * <output>/.graft/reports) */
+      reportDirOverride: Option[String] = None,
       /** output subdirectory layout (types/files.rs:63-105 --subdirs):
         * any of "datatype", "network", or a literal custom label */
       subdirs: Seq[String] = Seq.empty)
@@ -459,7 +464,8 @@ object Freeze {
       .ofPattern("yyyy-MM-dd_HH-mm-ss.SSSSSS"))
 
   def reportDir(spec: FreezeSpec): Path =
-    Paths.get(spec.outputDir, ".graft", "reports")
+    spec.reportDirOverride.map(Paths.get(_))
+      .getOrElse(Paths.get(spec.outputDir, ".graft", "reports"))
 
   /** Two-phase JSON run report (types/reports.rs:25-100): an
     * `incomplete_{t_start}.json` marker (results: null) is written when the
@@ -467,6 +473,7 @@ object Freeze {
     * the marker is deleted — a crash leaves the marker behind as evidence. */
   private def writeReport(spec: FreezeSpec, tStart: java.time.LocalDateTime,
       result: Option[FreezeResult]): Unit = {
+    if (spec.noReport) return
     val dir = reportDir(spec)
     Files.createDirectories(dir)
     def s(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

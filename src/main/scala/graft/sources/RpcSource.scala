@@ -634,6 +634,126 @@ class RpcSource(config: RpcConfig) extends Serializable {
     spark.createDataFrame(rdd, RpcSource.traceCallsSchema)
   }
 
+  /** latest block via eth_blockNumber (driver-side, one request) */
+  def fetchLatestBlock(): Long = {
+    val client = HttpClient.newHttpClient()
+    val body = retrying(post(client,
+      """{"jsonrpc":"2.0","id":1,"method":"eth_blockNumber","params":[]}"""))
+    import org.json4s._
+    (org.json4s.jackson.JsonMethods.parse(body) \ "result") match {
+      case JString(s) => RpcCodec.parseHexLong(s)
+      case _ => throw new IllegalArgumentException("bad eth_blockNumber response")
+    }
+  }
+
+  /** chain id via eth_chainId (driver-side; sources.rs:119-150 detect) */
+  def fetchChainId(): Long = {
+    val client = HttpClient.newHttpClient()
+    RpcConfig.parseChainId(retrying(post(client, RpcConfig.chainIdRequest(1))))
+  }
+
+  /** which bronze tables each dataset's transform reads (mirrors the
+    * fx() calls in ChainDatasets) */
+  private val bronzeDeps: Map[String, Set[String]] = {
+    val logsD = Set("rpc_logs")
+    val tracesD = Set("rpc_traces")
+    val prestateD = Set("rpc_geth_prestate")
+    val callsD = Set("rpc_calls")
+    val diffsD = Set("rpc_balance_diffs", "rpc_code_diffs",
+      "rpc_nonce_diffs", "rpc_storage_diffs")
+    Map(
+      "blocks" -> Set("rpc_blocks"),
+      "transactions" -> Set("rpc_transactions", "rpc_receipts", "rpc_blocks"),
+      "logs" -> logsD, "erc20_transfers" -> logsD, "erc20_approvals" -> logsD,
+      "erc721_transfers" -> logsD,
+      "traces" -> tracesD, "native_transfers" -> tracesD,
+      "contracts" -> tracesD, "four_byte_counts" -> tracesD,
+      "address_appearances" -> Set("rpc_blocks", "rpc_transactions",
+        "rpc_receipts", "rpc_logs", "rpc_traces"),
+      "balances" -> Set("rpc_accounts"), "nonces" -> Set("rpc_accounts"),
+      "codes" -> Set("rpc_accounts"), "slots" -> Set("rpc_storage"),
+      "balance_diffs" -> diffsD, "code_diffs" -> diffsD,
+      "nonce_diffs" -> diffsD, "storage_diffs" -> diffsD,
+      "geth_balance_diffs" -> prestateD, "geth_code_diffs" -> prestateD,
+      "geth_nonce_diffs" -> prestateD, "geth_storage_diffs" -> prestateD,
+      "balance_reads" -> prestateD, "code_reads" -> prestateD,
+      "nonce_reads" -> prestateD, "storage_reads" -> prestateD,
+      "eth_calls" -> callsD, "erc20_metadata" -> callsD,
+      "erc20_supplies" -> callsD, "erc20_balances" -> callsD,
+      "vm_traces" -> Set("rpc_vm_traces"),
+      "geth_opcodes" -> Set("rpc_geth_opcodes"),
+      "geth_calls" -> Set("rpc_geth_calls"),
+      "javascript_traces" -> Set("rpc_js_traces"),
+      "trace_calls" -> Set("rpc_trace_calls"))
+  }
+
+  /** Live-mode bronze materialization for a CLI run: fetch ONLY the
+    * bronze tables the requested datasets read, into `outDir` — after
+    * this every ChainDatasets transform runs unchanged against outDir.
+    * Entity-scoped bronzes (accounts/storage/calls) require the matching
+    * entity lists and fail fast with a clear message otherwise. */
+  def materializeBronze(spark: SparkSession, outDir: String,
+      range: BlockSyntax.Range, datasets: Seq[String],
+      addresses: Seq[String] = Nil, slots: Seq[String] = Nil,
+      calls: Seq[(String, String)] = Nil, jsTracer: Option[String] = None,
+      numPartitions: Int = 32): Unit = {
+    val unknown = datasets.filterNot(bronzeDeps.contains)
+    require(unknown.isEmpty,
+      s"live extraction not wired for: ${unknown.mkString(", ")}")
+    val need = datasets.flatMap(bronzeDeps).toSet
+    val blocks = range.start until range.endExclusive
+    def put(name: String)(df: => DataFrame): Unit =
+      if (need(name))
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    put("rpc_blocks")(fetchBlocks(spark, range, numPartitions))
+    put("rpc_transactions")(fetchTransactions(spark, range, numPartitions))
+    put("rpc_receipts")(fetchReceipts(spark, range, numPartitions))
+    put("rpc_logs")(fetchLogs(spark, range, numPartitions = numPartitions))
+    put("rpc_traces")(fetchTraces(spark, range, numPartitions))
+    put("rpc_geth_prestate")(fetchGethPrestate(spark, range, numPartitions))
+    put("rpc_geth_calls")(fetchGethCalls(spark, range, numPartitions))
+    put("rpc_geth_opcodes")(fetchGethOpcodes(spark, range, numPartitions))
+    put("rpc_vm_traces")(fetchVmTraces(spark, range, numPartitions))
+    if (need.exists(_.endsWith("_diffs"))) {
+      val diffs = fetchStateDiffs(spark, range, numPartitions)
+      diffs.foreach { case (name, df) =>
+        if (need(name))
+          df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
+    }
+    if (need("rpc_accounts")) {
+      require(addresses.nonEmpty,
+        "balances/nonces/codes live extraction requires --address")
+      fetchAccounts(spark, blocks, addresses, numPartitions)
+        .write.mode("overwrite").parquet(s"$outDir/rpc_accounts.parquet")
+    }
+    if (need("rpc_storage")) {
+      require(slots.nonEmpty && addresses.nonEmpty,
+        "slots live extraction requires --address and --slot")
+      val pairs = for (a <- addresses; s <- slots) yield (a, s)
+      fetchStorage(spark, blocks, pairs, numPartitions)
+        .write.mode("overwrite").parquet(s"$outDir/rpc_storage.parquet")
+    }
+    if (need("rpc_calls")) {
+      require(calls.nonEmpty,
+        "eth_calls live extraction requires --contract and --call-data/--function")
+      fetchEthCalls(spark, blocks, calls, numPartitions)
+        .write.mode("overwrite").parquet(s"$outDir/rpc_calls.parquet")
+    }
+    if (need("rpc_trace_calls")) {
+      require(calls.nonEmpty,
+        "trace_calls live extraction requires --contract and --call-data/--function")
+      fetchTraceCalls(spark, blocks, calls, numPartitions)
+        .write.mode("overwrite").parquet(s"$outDir/rpc_trace_calls.parquet")
+    }
+    if (need("rpc_js_traces")) {
+      require(jsTracer.nonEmpty,
+        "javascript_traces live extraction requires --js-tracer")
+      fetchJsTraces(spark, range, jsTracer.get, numPartitions)
+        .write.mode("overwrite").parquet(s"$outDir/rpc_js_traces.parquet")
+    }
+  }
+
   /** Materialize the bronze tables for a range under `outDir` — after
     * this, every ChainDatasets transform runs unchanged against outDir. */
   def freezeBronze(spark: SparkSession, range: BlockSyntax.Range,

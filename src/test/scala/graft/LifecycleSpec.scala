@@ -476,6 +476,38 @@ class CliSpec extends AnyFunSuite {
     assert(r3.skipped.size == 1 && r3.completed.isEmpty)
   }
 
+  test("--exclude-failed drops failed txs and failed trace subtrees") {
+    val (_, doneTx) = runCli("transactions", "--exclude-failed")
+    val expectTx = graft.chain.ChainDatasets
+      .transactions(spark, fixDir, excludeFailed = true).count()
+    assert(spark.read.parquet(doneTx.head).count() == expectTx)
+    val (_, doneTr) = runCli("traces", "--exclude-failed")
+    val expectTr = graft.chain.ChainDatasets
+      .traces(spark, fixDir, excludeFailed = true).count()
+    assert(spark.read.parquet(doneTr.head).count() == expectTr)
+    assert(expectTx < spark.read.parquet(s"$fixDir/rpc_transactions.parquet").count())
+  }
+
+  test("--event-signature decodes logs into event__ columns") {
+    val (_, done) = runCli("logs", "--event-signature",
+      "Transfer(address indexed from, address indexed to, uint256 value)")
+    val df = spark.read.parquet(done.head)
+    assert(df.columns.contains("event__from"))
+    assert(df.columns.contains("event__value_binary"))
+    // topic1-3/data drop after a successful decode (to_df/src/lib.rs:165)
+    assert(!df.columns.contains("topic1") && !df.columns.contains("data"))
+    assert(df.count() > 0)
+  }
+
+  test("--no-report suppresses reports; --report-dir redirects them") {
+    val (out, _) = runCli("blocks", "--no-report")
+    assert(!Files.exists(Paths.get(out, ".graft", "reports")))
+    val rdir = Files.createTempDirectory("graft_reports").toString
+    val (out2, _) = runCli("blocks", "--report-dir", rdir)
+    assert(!Files.exists(Paths.get(out2, ".graft", "reports")))
+    assert(new java.io.File(rdir).list().exists(_.endsWith(".json")))
+  }
+
   test("--subdirs lays files out under datatype/network directories") {
     val (out, done) = runCli("blocks", "logs", "--subdirs", "datatype")
     assert(done.size == 2)

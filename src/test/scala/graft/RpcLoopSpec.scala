@@ -147,6 +147,8 @@ class RpcLoopSpec extends AnyFunSuite {
         }.mkString("[", ",", "]")
       case "eth_call" =>
         s""""${h64(1234)}""""
+      case "eth_chainId" => "\"0x1\""
+      case "eth_blockNumber" => "\"0x13\""
       case "eth_getLogs" =>
         // echo the filter back: one log per block in range carrying the
         // requested topic0 (or a default) — proves server-side pushdown
@@ -358,6 +360,40 @@ class RpcLoopSpec extends AnyFunSuite {
       assert(rows.forall(r =>
         r.getAs[Seq[Array[Byte]]]("topics").head.toSeq ==
           graft.sources.RpcCodec.parseHexBytes(sig).toSeq))
+    }
+  }
+
+  test("--rpc live mode: the CLI freezes straight from a node") {
+    withStub { (url, _) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_live").toString
+      val r = Cli.run(Array("blocks", "transactions", "--rpc", url,
+        "--blocks", "16:20", "--chunk-size", "4", "--output-dir", out,
+        "--inner-request-size", "2", "--no-verbose"), spark).get
+      assert(r.completed.size == 2)
+      // chain id detected from the node (stub: 0x1 → ethereum)
+      assert(r.completed.forall(_.contains("ethereum__")))
+      val blocksFile = r.completed.find(_.contains("__blocks__")).get
+      assert(spark.read.parquet(blocksFile).count() == 4)
+      val txFile = r.completed.find(_.contains("__transactions__")).get
+      val txs = spark.read.parquet(txFile)
+      assert(txs.count() == 8) // 2 txs × 4 blocks, receipts joined
+      assert(txs.columns.contains("gas_used"))
+      // only the needed bronzes were materialized
+      val bronze = new java.io.File(s"$out/.graft/bronze").list().toSet
+      assert(bronze == Set("rpc_blocks.parquet", "rpc_transactions.parquet",
+        "rpc_receipts.parquet"))
+    }
+  }
+
+  test("--rpc live mode: --latest resolves from eth_blockNumber") {
+    withStub { (url, _) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_live2").toString
+      // open-ended range: 16: → latest (0x13 = 19) inclusive
+      val r = Cli.run(Array("blocks", "--rpc", url, "--blocks", "16:",
+        "--chunk-size", "10", "--output-dir", out, "--no-verbose"),
+        spark).get
+      assert(r.completed.size == 1)
+      assert(spark.read.parquet(r.completed.head).count() == 4) // 16..19
     }
   }
 
