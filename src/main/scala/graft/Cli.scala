@@ -199,6 +199,7 @@ object Cli {
     var initialBackoffMs = 500L
     var innerRequestSize = 100L
     var maxConcurrentRequests = 100
+    var computeUnitsPerSecond = 50L
 
     // multi-value flags consume tokens until the next `--flag`
     def multi(from: Int): (Seq[String], Int) = {
@@ -267,6 +268,7 @@ object Cli {
         case "--initial-backoff" => initialBackoffMs = args(i + 1).toLong; i += 1
         case "--inner-request-size" => innerRequestSize = args(i + 1).toLong; i += 1
         case "--max-concurrent-requests" => maxConcurrentRequests = args(i + 1).toInt; i += 1
+        case "--compute-units-per-second" => computeUnitsPerSecond = args(i + 1).toLong; i += 1
         case flag if flag.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $flag")
         case ds => datasets ::= ds
@@ -420,7 +422,8 @@ object Cli {
           maxConcurrentRequests = maxConcurrentRequests,
           requestsPerSecond = requestsPerSecond, maxRetries = maxRetries,
           initialBackoffMs = initialBackoffMs,
-          innerRequestSize = innerRequestSize))
+          innerRequestSize = innerRequestSize,
+          computeUnitsPerSecond = computeUnitsPerSecond))
       val cid = try src(1).fetchChainId() catch { case _: Exception => 1L }
       if (network == "ethereum") network = Freeze.networkName(cid)
       src(cid)

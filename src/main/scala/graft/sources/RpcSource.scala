@@ -22,7 +22,11 @@ case class RpcConfig(
     requestsPerSecond: Int = 0, // 0 = unlimited (args.rs:97-99)
     maxRetries: Int = 5,
     initialBackoffMs: Long = 500,
-    innerRequestSize: Long = 100)
+    innerRequestSize: Long = 100,
+    /** provider compute-units budget (args.rs:109-111, default 50):
+      * sizes the rate-limit retry backoff — a 429'd batch waits at least
+      * long enough for its compute units to refill before retrying. */
+    computeUnitsPerSecond: Long = 50)
 
 object RpcConfig {
   /** URL resolution chain (cryo types/sources.rs:119-150): explicit flag →
@@ -233,7 +237,11 @@ class RpcSource(config: RpcConfig) extends Serializable {
 
   private def retrying[T](f: => T): T = {
     var attempt = 0
-    var backoff = config.initialBackoffMs
+    // first backoff waits at least long enough for one batch's compute
+    // units to refill (1 CU/request floor; RetryBackoffLayer semantics)
+    var backoff = math.max(config.initialBackoffMs,
+      1000L * config.innerRequestSize /
+        math.max(1L, config.computeUnitsPerSecond))
     var last: Throwable = null
     while (attempt <= config.maxRetries) {
       try return f
