@@ -1,0 +1,101 @@
+"""PySpark wrapper for the graft chain-data engine — the optional Python
+surface of SURVEY §3.3 (reference: cryo crates/python, whose pyo3
+signature mirrors every CLI flag; python/cryo/_collect.py wraps output
+formats).
+
+Usage (any environment with pyspark and the graft classes on the driver
+classpath)::
+
+    from pyspark.sql import SparkSession
+    import graft
+
+    spark = (SparkSession.builder
+             .config("spark.driver.extraClassPath", "path/to/graft/classes")
+             .getOrCreate())
+
+    # in-memory collect — kwargs use the CLI flag vocabulary with
+    # underscores (blocks="1000:1020", contract=[...], u256_types=[...])
+    df = graft.collect("logs", spark=spark, source_dir="fixtures/chain",
+                       blocks="1000:1060", output_format="pandas")
+
+    # file extraction — same flags as the CLI, returns a result dict
+    res = graft.freeze("blocks", "transactions", spark=spark,
+                       source_dir="fixtures/chain", output_dir="/tmp/out",
+                       blocks="1000:1060")
+
+Both entry points build a CLI argv and hand it to the Scala side through
+the py4j gateway (graft.Cli.collectDf / graft.Cli.freezeJson), so flag
+semantics are identical to the CLI by construction — there is no second
+option parser to drift.
+"""
+
+import json
+
+__all__ = ["collect", "freeze", "cli_args"]
+
+
+def cli_args(*datatypes, **kwargs):
+    """Build a CLI argv from python kwargs (cryo's pyo3 adapter rule:
+    python name with underscores -> --flag-with-dashes; list values
+    become repeated tokens; True booleans become bare flags)."""
+    argv = [str(d) for d in datatypes]
+    for key, value in kwargs.items():
+        if value is None or value is False:
+            continue
+        flag = "--" + key.replace("_", "-")
+        if value is True:
+            argv.append(flag)
+        elif isinstance(value, (list, tuple)):
+            argv.append(flag)
+            argv.extend(str(v) for v in value)
+        else:
+            argv.extend([flag, str(value)])
+    return argv
+
+
+def _jarr(spark, argv):
+    gateway = spark.sparkContext._gateway
+    arr = gateway.new_array(gateway.jvm.java.lang.String, len(argv))
+    for i, a in enumerate(argv):
+        arr[i] = a
+    return arr
+
+
+def collect(datatype, spark=None, output_format="pandas", **kwargs):
+    """Collect one datatype in memory (cryo collect.rs:5-30 semantics:
+    exactly one datatype, no files).
+
+    output_format: "spark" (pyspark DataFrame), "pandas", "list"
+    (records), or "dict" (columns) — mirroring python/cryo/_collect.py's
+    polars/pandas/list/dict choices.
+    """
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    from pyspark.sql import DataFrame
+
+    argv = cli_args(datatype, **kwargs)
+    jdf = spark._jvm.graft.Cli.collectDf(_jarr(spark, argv), spark._jsparkSession)
+    df = DataFrame(jdf, spark)
+    if output_format == "spark":
+        return df
+    pdf = df.toPandas()
+    if output_format == "pandas":
+        return pdf
+    if output_format == "list":
+        return pdf.to_dict("records")
+    if output_format == "dict":
+        return pdf.to_dict("list")
+    raise ValueError(f"unknown output_format: {output_format}")
+
+
+def freeze(*datatypes, spark=None, **kwargs):
+    """Extract datatypes to chunked files with the full CLI flag surface.
+
+    Returns {"completed": [...], "skipped": [...], "errored": [...],
+    "rows": N}, or None for dry runs.
+    """
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    argv = cli_args(*datatypes, **kwargs)
+    out = spark._jvm.graft.Cli.freezeJson(_jarr(spark, argv), spark._jsparkSession)
+    return json.loads(out)

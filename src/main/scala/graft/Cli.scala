@@ -146,7 +146,38 @@ object Cli {
 
   /** Parse flags + execute; returns None for --dry-run. Separated from
     * main so specs can drive every flag against a shared session. */
-  def run(args: Array[String], spark: SparkSession): Option[Freeze.FreezeResult] = {
+  def run(args: Array[String], spark: SparkSession): Option[Freeze.FreezeResult] =
+    runImpl(args, spark, collectMode = false) match {
+      case Right(r) => r
+      case Left(_) => throw new IllegalStateException("unreachable")
+    }
+
+  /** In-memory collect with the full CLI flag vocabulary — the library /
+    * python surface (cryo collect.rs:5-30, crates/python
+    * collect_adapter.rs): exactly one datatype, no files, returns the
+    * decorated DataFrame. Callable from PySpark via the py4j gateway
+    * (python/graft.py). */
+  def collectDf(args: Array[String],
+      spark: SparkSession): org.apache.spark.sql.DataFrame =
+    runImpl(args, spark, collectMode = true) match {
+      case Left(df) => df
+      case Right(_) => throw new IllegalStateException("unreachable")
+    }
+
+  /** freeze with a JSON result summary — the python `freeze()` surface
+    * (py4j-friendly: plain String instead of Scala collections). */
+  def freezeJson(args: Array[String], spark: SparkSession): String =
+    run(args, spark) match {
+      case None => "null"
+      case Some(r) =>
+        def s(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        def arr(xs: Seq[String]) = xs.map(s).mkString("[", ",", "]")
+        s"""{"completed":${arr(r.completed)},"skipped":${arr(r.skipped)},""" +
+          s""""errored":${arr(r.errored)},"rows":${r.rows}}"""
+    }
+
+  private def runImpl(args: Array[String], spark: SparkSession,
+      collectMode: Boolean): Either[org.apache.spark.sql.DataFrame, Option[Freeze.FreezeResult]] = {
     var datasets = List.empty[String]
     var blocks = "0:"
     var sourceDir = "fixtures/chain"
@@ -286,7 +317,7 @@ object Cli {
         System.err.println("remembered command comes from a different " +
           "graft version, proceed with caution")
       println(s"remembering previous command: graft ${remembered.command.mkString(" ")}")
-      return run(remembered.command.toArray ++ args, spark)
+      return runImpl(remembered.command.toArray ++ args, spark, collectMode)
     }
     if (remember) {
       println("remembering this command for future use")
@@ -398,6 +429,12 @@ object Cli {
     // (types/queries.rs:75-80) — one file per dataset, hash-prefix stub
     if (txHashes.nonEmpty) {
       val hashes = txHashes.map(RpcCodec.parseHexBytes)
+      if (collectMode) {
+        require(expanded.size == 1, "collect() takes exactly one datatype")
+        val df = decorate(expanded.head)(Freeze.collectByTransaction(
+          spark, sourceDir, expanded.head, hashes.toSeq))
+        return Left(if (hex) Freeze.hexifyBinary(df) else df)
+      }
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
       val completed = expanded.map { name =>
         val df = decorate(name)(
@@ -408,7 +445,7 @@ object Cli {
         Freeze.writeOneFile(df, target, format)
         target.toString
       }
-      return Some(Freeze.FreezeResult(completed, Nil, Nil, -1))
+      return Right(Some(Freeze.FreezeResult(completed, Nil, Nil, -1)))
     }
 
     // Live mode (--rpc, sources.rs:119-150): detect the chain id, resolve
@@ -448,11 +485,11 @@ object Cli {
       case r: BlockSyntax.Range =>
         BlockSyntax.applyReorgBuffer(r, maxFixtureBlock, reorgBuffer) match {
           case Some(r2) => blocksSpec = r2
-          case None => println("nothing to collect after reorg buffer"); return None
+          case None => println("nothing to collect after reorg buffer"); return Right(None)
         }
       case BlockSyntax.Numbers(ns) =>
         val kept = ns.filter(_ <= maxFixtureBlock - reorgBuffer)
-        if (kept.isEmpty) { println("nothing to collect after reorg buffer"); return None }
+        if (kept.isEmpty) { println("nothing to collect after reorg buffer"); return Right(None) }
         blocksSpec = BlockSyntax.Numbers(kept)
     }
 
@@ -471,6 +508,15 @@ object Cli {
         addresses = addressF, slots = slotsF, calls = liveCalls,
         jsTracer = jsTracer)
       sourceDir = bronzeDir.toString
+    }
+
+    // In-memory collect: one datatype, decorated + block-filtered, no
+    // files (cryo collect.rs:5-30 single-datatype guard).
+    if (collectMode) {
+      require(expanded.size == 1, "collect() takes exactly one datatype")
+      val df = Freeze.filterBlocks(
+        overrides(expanded.head)(spark, sourceDir), blocksSpec)
+      return Left(if (hex) Freeze.hexifyBinary(df) else df)
     }
 
     // cryo semantics: when the partition dim has user-supplied entity
@@ -522,7 +568,7 @@ object Cli {
       println(s"[dry-run] blocks: $blocksSpec → ${chunks.size} chunk(s)")
       for (d <- expanded; c <- chunks)
         println("  " + Freeze.fileName(spec, d, c))
-      return None
+      return Right(None)
     }
 
     val fullRange = blocksSpec match {
@@ -536,6 +582,6 @@ object Cli {
     val result = Freeze.freeze(spark, sourceDir, spec, overrides)
     if (verbose)
       printConclusion(result, chunkCount * expanded.size, (System.nanoTime() - t0) / 1e9)
-    Some(result)
+    Right(Some(result))
   }
 }

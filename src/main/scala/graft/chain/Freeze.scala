@@ -158,7 +158,7 @@ object Freeze {
     df.filter(col("transaction_hash").isin(txHashes: _*))
   }
 
-  private def filterBlocks(df: DataFrame, blocks: BlockSyntax.Blocks): DataFrame =
+  private[graft] def filterBlocks(df: DataFrame, blocks: BlockSyntax.Blocks): DataFrame =
     blocks match {
       case BlockSyntax.Range(a, b) =>
         df.filter(col("block_number") >= a && col("block_number") < b)
@@ -397,7 +397,7 @@ object Freeze {
   }
 
   /** re-encode all binary columns as 0x-hex strings */
-  private def hexifyBinary(df: DataFrame): DataFrame = {
+  private[graft] def hexifyBinary(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.BinaryType
     df.select(df.schema.fields.map { fld =>
       if (fld.dataType == BinaryType)

@@ -455,6 +455,30 @@ class CliSpec extends AnyFunSuite {
     assert(colsWith.map(_.getCodec.name()).toSet == Set("LZ4_RAW"))
   }
 
+  test("collectDf: in-memory collect with the full flag surface") {
+    val df = Cli.collectDf(Array("blocks", "--source-dir", fixDir,
+      "--blocks", "1000:1010", "--columns", "block_number", "gas_used"), spark)
+    assert(df.columns.toSeq == Seq("block_number", "gas_used"))
+    assert(df.count() == 10)
+    // entity filter + hex re-encoding apply like the CLI
+    val t0 = graft.chain.GenFixtures.token(0)
+    val logs = Cli.collectDf(Array("logs", "--source-dir", fixDir,
+      "--blocks", "1000:1060", "--contract", hx(t0), "--hex"), spark)
+    assert(logs.count() > 0)
+    assert(logs.schema("address").dataType.typeName == "string") // hexified
+    assert(logs.select("address").distinct().count() == 1)
+    // exactly one datatype
+    intercept[IllegalArgumentException] {
+      Cli.collectDf(Array("blocks", "logs", "--source-dir", fixDir), spark)
+    }
+    // tx-hash time dimension collects in memory too
+    val someTx = spark.read.parquet(s"$fixDir/rpc_transactions.parquet")
+      .select("transaction_hash").head.getAs[Array[Byte]](0)
+    val byTx = Cli.collectDf(Array("transactions", "--source-dir", fixDir,
+      "--txs", hx(someTx)), spark)
+    assert(byTx.count() == 1)
+  }
+
   test("--remember saves a default command; dataset-less runs replay it") {
     val out = Files.createTempDirectory("graft_rem").toString
     // no datasets, nothing remembered → clear error
