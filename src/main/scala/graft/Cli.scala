@@ -51,7 +51,8 @@ object Cli {
   private val u256Suffixes =
     Seq("binary", "string", "f32", "f64", "u32", "u64", "d128").map("_" + _)
 
-  val Version = "0.1.0"
+  /** single source of truth for the version is the freeze/report layer */
+  val Version: String = Freeze.Version
 
   /** one remembered default command per output directory
     * (cryo remember.rs: <output>/.cryo/remembered_command.json) */
