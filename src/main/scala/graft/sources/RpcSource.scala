@@ -188,6 +188,17 @@ object RpcCodec {
   def debugTraceTransactionRequest(id: Long, txHash: String): String =
     s"""{"jsonrpc":"2.0","id":$id,"method":"debug_traceTransaction","params":["$txHash",{}]}"""
 
+  /** debug_traceBlockByNumber default (struct-log) tracer with the
+    * schema-driven capture flags (geth_opcodes.rs:44-59): memory/stack/
+    * storage are only captured when the schema asks for those columns —
+    * the IO-pruning half of column pruning for this dataset. */
+  def debugTraceBlockOpcodeRequest(id: Long, blockNumber: Long,
+      memory: Boolean = false, stack: Boolean = false,
+      storage: Boolean = false): String = {
+    val cfg = s"""{"enableMemory":$memory,"disableStack":${!stack},"disableStorage":${!storage}}"""
+    s"""{"jsonrpc":"2.0","id":$id,"method":"debug_traceBlockByNumber","params":["${hexQuantity(blockNumber)}",$cfg]}"""
+  }
+
   // point-lookup state requests (cryo datasets/{balances,codes,nonces,storages}.rs)
   def getBalanceRequest(id: Long, address: String, blockNumber: Long): String =
     s"""{"jsonrpc":"2.0","id":$id,"method":"eth_getBalance","params":["$address","${hexQuantity(blockNumber)}"]}"""
@@ -521,11 +532,14 @@ class RpcSource(config: RpcConfig) extends Serializable {
   }
 
   /** rpc_geth_opcodes via debug_traceBlockByNumber default tracer
-    * (geth_opcodes.rs extract — struct logs per tx). */
+    * (geth_opcodes.rs extract — struct logs per tx). The capture flags
+    * default off: memory/stack/storage cost the node dearly and are
+    * excluded from the default schema (schema-pruned fetch flags). */
   def fetchGethOpcodes(spark: SparkSession, range: BlockSyntax.Range,
-      numPartitions: Int = 32): DataFrame =
+      numPartitions: Int = 32, memory: Boolean = false,
+      stack: Boolean = false, storage: Boolean = false): DataFrame =
     fetchPerBlock(spark, range, RpcSource.gethOpcodesSchema, numPartitions)(
-      (i, n) => RpcCodec.debugTraceBlockRequest(i, n))(
+      (i, n) => RpcCodec.debugTraceBlockOpcodeRequest(i, n, memory, stack, storage))(
       (body, n) => RpcExtract.gethOpcodesBlock(body, n.toInt, config.chainId))
 
   /** rpc_js_traces via debug_traceBlockByNumber with a user JS tracer

@@ -385,6 +385,29 @@ class RpcLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("collectDf with --rpc: in-memory collect straight from a node") {
+    withStub { (url, _) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_live3").toString
+      val df = Cli.collectDf(Array("transactions", "--rpc", url,
+        "--blocks", "16:18", "--output-dir", out, "--no-verbose"), spark)
+      assert(df.count() == 4) // 2 txs × 2 blocks
+      assert(df.columns.contains("gas_used"))
+    }
+  }
+
+  test("opcode tracer request carries schema-driven capture flags") {
+    val r = graft.sources.RpcCodec.debugTraceBlockOpcodeRequest(1, 16,
+      memory = true, stack = false, storage = false)
+    assert(r.contains(""""enableMemory":true"""))
+    assert(r.contains(""""disableStack":true"""))
+    assert(r.contains(""""disableStorage":true"""))
+    val all = graft.sources.RpcCodec.debugTraceBlockOpcodeRequest(1, 16,
+      memory = false, stack = true, storage = true)
+    assert(all.contains(""""enableMemory":false"""))
+    assert(all.contains(""""disableStack":false"""))
+    assert(all.contains(""""disableStorage":false"""))
+  }
+
   test("--rpc live mode: --latest resolves from eth_blockNumber") {
     withStub { (url, _) =>
       val out = java.nio.file.Files.createTempDirectory("graft_live2").toString
