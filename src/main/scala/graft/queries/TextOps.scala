@@ -336,9 +336,12 @@ object TextOps {
     // TF-IDF-style top terms: term frequency per doc ⋈ document frequency
     // per term, ranked by tf/df (a single double division — IEEE-exact in
     // both engines; log-based idf is avoided because transcendental
-    // functions are not bit-portable across engines). Two shuffles:
-    // groupBy (doc,term) with partial aggregation, then broadcast of the
-    // tiny df table.
+    // functions are not bit-portable across engines). The tf⋈df join is
+    // deliberately UNhinted: df is vocabulary-sized — data-dependent and
+    // unbounded at corpus scale (typos alone make it grow with the data)
+    // — so a forced broadcast is the same driver-OOM class as an
+    // unguarded LSH rerank. AQE broadcasts when runtime stats are small;
+    // at scale both sides shuffle on term with partial aggregation.
     "q_doc_top_terms" -> { (s, dir) =>
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(toks).as("term"))
@@ -346,7 +349,7 @@ object TextOps {
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
-      tf.join(broadcast(df_), "term")
+      tf.join(df_, "term")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("doc_id", "rk", "term", "tf", "df")
