@@ -46,6 +46,35 @@ object SimilarityOps {
   private def duckSS(c: String): String =
     s"list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q)"
 
+  /** Sign-LSH bucket cap for near-dup pair generation — the same hygiene
+    * as TextOps.LshBucketCap: a degenerate bucket (e.g. a mass of
+    * zero-ish vectors sharing one sign pattern) otherwise makes the
+    * bucket self-join quadratic. Sized to never trip on healthy random
+    * buckets (corpus/2^bits), only on pathological skew; mirrored in
+    * the DuckDB oracle so both engines define capped semantics. */
+  val EmbBucketCap = 10000
+
+  /** bucketed near-dup pipeline (see q_embed_neardup) — parameterized so
+    * specs can plant degenerate buckets. */
+  def neardupOf(embeddings: DataFrame, bits: Int = 6,
+      threshold: Double = 0.25, bucketCap: Int = EmbBucketCap): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), bits).as("bucket"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) /
+          (sqrt(sumSq(col("emb_a"))) * sqrt(sumSq(col("emb_b")))))
+      .filter(col("cosine") > threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   val defs: Map[String, Q] = Map(
     // Vector norms — scan-only array fold, whole-stage codegen.
     "q_embed_norms" -> { (s, dir) =>
@@ -91,18 +120,7 @@ object SimilarityOps {
     // query uses a 6-bit bucket (real candidate sets) and a threshold in
     // the attainable tail; real corpora would run 16+ bits and ~0.9.
     "q_embed_neardup" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          signBucket(col("embedding"), bits = 6).as("bucket"))
-      val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.join(b, "bucket")
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cosine",
-          dot(col("emb_a"), col("emb_b")) /
-            (sqrt(sumSq(col("emb_a"))) * sqrt(sumSq(col("emb_b")))))
-        .filter(col("cosine") > 0.25)
-        .select("id_a", "id_b", "cosine")
+      neardupOf(Tables(s, dir, "embeddings"))
     },
 
     // IVF cell assignment: every vector → nearest of 16 fixed centroids
@@ -177,7 +195,11 @@ object SimilarityOps {
         |FROM (SELECT vec_id, $duckBucket AS bucket FROM embeddings)
         |GROUP BY bucket""".stripMargin,
     "q_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${duckBucketOf(6)} AS bucket FROM embeddings)
+      s"""WITH e0 AS (SELECT vec_id, embedding, ${duckBucketOf(6)} AS bucket FROM embeddings),
+        |e AS (
+        | SELECT vec_id, embedding, bucket FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM e0)
+        | WHERE bsz <= $EmbBucketCap)
         |SELECT id_a, id_b, cosine FROM (
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ${duckDot("a", "b")} /

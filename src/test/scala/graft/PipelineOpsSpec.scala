@@ -48,6 +48,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids == Set((1L, 2L)))
   }
 
+  test("embedding near-dup bucket cap suppresses degenerate buckets") {
+    import spark.implicits._
+    // 30 identical negative vectors: one bucket of 30 — over cap 8, the
+    // 435 quadratic pairs are suppressed.
+    val clones = (1 to 30).map(i => (100L + i, Array.fill(8)(-1.0f)))
+    // one genuine near-dup pair in a different (positive-sign) bucket.
+    val pair = Seq(
+      (1L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 0.9f, 1f, 1f, 1f, 1f, 1f, 0.8f)))
+    val docs = (clones ++ pair).toDF("vec_id", "embedding")
+    val res = graft.queries.SimilarityOps
+      .neardupOf(docs, bits = 6, threshold = 0.25, bucketCap = 8).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(res.head.getDouble(2) > 0.9)
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
