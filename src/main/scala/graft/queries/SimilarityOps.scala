@@ -18,13 +18,15 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** sequential sum of squares: ((0 + x1*x1) + x2*x2) + ... */
-  private def sumSq(c: Column): Column =
-    aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x)
+  /** sequential sum of squares: ((0 + x1*x1) + x2*x2) + ... — codegen'd
+    * Catalyst expression, bit-identical fold order to the interpreted
+    * aggregate() form it replaced (see functions.VectorOps) */
+  private def sumSq(c: Column): Column = graft.functions.VectorOps.sumSq(c)
 
-  /** sequential dot product via zip_with */
+  /** sequential dot product, codegen'd (was zip_with+aggregate —
+    * interpreted per element, the minhash HOF trap on the cosine path) */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.dot(a, b)
 
   /** sign-LSH bucket from the first `bits` components (default 16) */
   private def signBucket(c: Column, bits: Int = 16): Column =

@@ -135,4 +135,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(d.getAs[Boolean]("b"))
     assert(d.getAs[String]("s") == "hello")
   }
+
+  test("vector kernels match the interpreted fold bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    import graft.functions.VectorOps
+    val vecs = Seq(
+      (1L, Array(0.1f, -2.5f, 3.75f, 0.0f), Array(1.5f, 0.25f, -1.0f, 8.125f)),
+      (2L, Array(1e10f, 1e-10f, -1e10f, 1f), Array(1f, 1f, 1f, 1f)))
+      .toDF("id", "a", "b")
+    val both = vecs.select(
+      VectorOps.dot($"a", $"b").as("dot_cg"),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v).as("dot_hof"),
+      VectorOps.sumSq($"a").as("ss_cg"),
+      aggregate($"a", lit(0.0), (acc, x) => acc + x.cast("double") * x).as("ss_hof"))
+      .collect()
+    both.foreach { r =>
+      // bit-level equality, not epsilon — the fold order is identical
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // null element nulls the result; length mismatch nulls the dot
+    val edge = Seq((1L, Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f)))
+      .toDF("id", "a", "b")
+      .select(VectorOps.dot($"a", $"b").as("d"), VectorOps.sumSq($"a").as("s"))
+      .collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    val mismatch = Seq((1L, Array(1f, 2f), Array(1f, 2f, 3f)))
+      .toDF("id", "a", "b")
+      .select(VectorOps.dot($"a", $"b").as("d")).collect()(0)
+    assert(mismatch.isNullAt(0))
+  }
 }
