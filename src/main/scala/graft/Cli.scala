@@ -188,6 +188,7 @@ object Cli {
     var align = false
     var reorgBuffer = 0L
     var network = "ethereum"
+    var networkExplicit = false
     var label: Option[String] = None
     var overwrite = false
     var format = "parquet"
@@ -253,7 +254,7 @@ object Cli {
         case "--n-chunks" => nChunks = Some(args(i + 1).toInt); i += 1
         case "--align" => align = true
         case "--reorg-buffer" => reorgBuffer = args(i + 1).toLong; i += 1
-        case "--network" => network = args(i + 1); i += 1
+        case "--network" => network = args(i + 1); networkExplicit = true; i += 1
         case "--label" => label = Some(args(i + 1)); i += 1
         case "--overwrite" => overwrite = true
         case "--csv" => format = "csv"
@@ -463,7 +464,7 @@ object Cli {
           innerRequestSize = innerRequestSize,
           computeUnitsPerSecond = computeUnitsPerSecond))
       val cid = try src(1).fetchChainId() catch { case _: Exception => 1L }
-      if (network == "ethereum") network = Freeze.networkName(cid)
+      if (!networkExplicit) network = Freeze.networkName(cid)
       src(cid)
     }
     require(liveSource.isEmpty || timestamps.isEmpty,
@@ -494,7 +495,8 @@ object Cli {
         blocksSpec = BlockSyntax.Numbers(kept)
     }
 
-    liveSource.foreach { src =>
+    // dry runs plan file layout only — no node traffic (run.rs dry path)
+    if (!dryRun) liveSource.foreach { src =>
       val range = blocksSpec match {
         case r: BlockSyntax.Range => r
         case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)

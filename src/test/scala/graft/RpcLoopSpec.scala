@@ -408,6 +408,23 @@ class RpcLoopSpec extends AnyFunSuite {
     assert(all.contains(""""disableStorage":false"""))
   }
 
+  test("--rpc: dry runs make no node traffic; explicit --network wins") {
+    withStub { (url, posts) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_dry").toString
+      val r = Cli.run(Array("blocks", "--rpc", url, "--blocks", "16:20",
+        "--chunk-size", "4", "--output-dir", out, "--dry-run",
+        "--no-verbose"), spark)
+      assert(r.isEmpty)
+      // only driver-side metadata probes (eth_chainId, eth_blockNumber)
+      // — no bronze fetches
+      assert(posts.get() <= 2)
+      val r2 = Cli.run(Array("blocks", "--rpc", url, "--blocks", "16:20",
+        "--chunk-size", "4", "--output-dir", out, "--network", "ethereum",
+        "--no-verbose"), spark).get
+      assert(r2.completed.forall(_.contains("ethereum__")))
+    }
+  }
+
   test("--rpc live mode: --latest resolves from eth_blockNumber") {
     withStub { (url, _) =>
       val out = java.nio.file.Files.createTempDirectory("graft_live2").toString
