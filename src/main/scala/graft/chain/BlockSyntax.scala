@@ -106,6 +106,7 @@ object BlockSyntax {
 
   /** split into n chunks of equal ceil size (cryo subchunks.rs:28-32) */
   def subchunkByCount(r: Range, n: Int): Seq[Range] = {
+    require(n >= 1, s"--n-chunks must be positive, got $n")
     val size = math.max(1L, (r.endExclusive - r.start + n - 1) / n)
     subchunk(r, size)
   }

@@ -5,7 +5,7 @@ import graft.sources.RpcCodec
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Property-based invariants for the driver-side parsing/chunking layer
   * (complementing the example-based suites ported from the reference's
@@ -31,14 +31,21 @@ object GraftProps extends Properties("graft") {
         chunks.map(c => c.endExclusive - c.start).sum == r.endExclusive - r.start
     }
 
-  property("subchunkByCount yields exactly n covering chunks") =
+  // div_ceil sizing yields AT MOST n chunks (ceil(total/ceil(total/n))
+  // can undershoot n — e.g. 487 blocks / 53 chunks → size 10 → 49
+  // chunks), always covering the range — the reference's semantics
+  // (subchunks.rs:28-32 recomputes from the derived size, same as here).
+  property("subchunkByCount yields at most n covering chunks") =
     forAll(rangeGen, Gen.chooseNum(1, 64)) { (r, n) =>
-      val chunks = BlockSyntax.subchunkByCount(r, n)
-      val total = r.endExclusive - r.start
-      chunks.size == math.min(n, total) &&
-        chunks.head.start == r.start &&
-        chunks.last.endExclusive == r.endExclusive &&
-        chunks.map(c => c.endExclusive - c.start).sum == total
+      // shrinking may escape the generator's bounds — invalid n rejects
+      (n >= 1) ==> {
+        val chunks = BlockSyntax.subchunkByCount(r, n)
+        val total = r.endExclusive - r.start
+        chunks.size <= math.min(n.toLong, total) &&
+          chunks.head.start == r.start &&
+          chunks.last.endExclusive == r.endExclusive &&
+          chunks.map(c => c.endExclusive - c.start).sum == total
+      }
     }
 
   // aligned subchunks snap interior boundaries to multiples of size
@@ -83,6 +90,20 @@ object GraftProps extends Properties("graft") {
         case JString(back) => back == js
         case _ => false
       }
+    }
+
+  property("u256 bytes32 round-trips any 256-bit value") =
+    forAll(Gen.listOfN(32, Gen.chooseNum(0, 255))) { byteVals =>
+      val bi = new java.math.BigInteger(1, byteVals.map(_.toByte).toArray)
+      val b = graft.functions.U256.toBytes32(bi)
+      b.length == 32 && new java.math.BigInteger(1, b) == bi
+    }
+
+  property("block range grammar parses a:b for any bounds") =
+    forAll(Gen.chooseNum(0L, 1_000_000_000L), Gen.chooseNum(1L, 1_000_000L)) {
+      (a, len) =>
+        BlockSyntax.parse(s"$a:${a + len}", latest = 0) ==
+          BlockSyntax.Range(a, a + len)
     }
 
   // every request builder emits parseable JSON-RPC with the right method
