@@ -59,6 +59,10 @@ object TextOps {
   private val duckShingles =
     "list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 
+  /** non-distinct variant: one entry per position, like the Generator */
+  private val duckShinglesAll =
+    "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+
   /** MinHash signatures over flat (doc_id, shingle) rows: ONE md5 per
     * shingle reduced mod MinhashMod, then 8 affine transforms
     * h_i(x) = (a_i·x + b_i) mod P aggregated with partial-agg MIN — only
@@ -237,6 +241,22 @@ object TextOps {
         .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
     },
 
+    // Repetition detection: the max 3-gram frequency within a document
+    // over its total shingle count — boilerplate/spam shows up as a high
+    // ratio (a standard training-data quality signal next to the
+    // stopword/length heuristics). Flat shingle rows via the Generator;
+    // two partial-agged groupBys keyed doc-side, so only |docs|-scale
+    // rows cross the second shuffle.
+    "q_doc_repetition" -> { (s, dir) =>
+      val counts = shingleRows(s, dir)
+        .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_shingles"),
+          max(col("c")).as("max_shingle_count"))
+        .withColumn("repetition_ratio",
+          col("max_shingle_count").cast("double") / col("n_shingles"))
+    },
+
     // Exact dedup: hash-groupBy on content digest; map-side partial agg
     // means only |distinct| rows shuffle at scale.
     "q_doc_dedup_exact" -> { (s, dir) =>
@@ -392,6 +412,16 @@ object TextOps {
     "q_doc_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_doc_repetition" ->
+      s"""WITH rows_ AS (
+        | SELECT doc_id, unnest($duckShinglesAll) AS shingle
+        | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
+        |counts AS (
+        | SELECT doc_id, shingle, count(*) AS c FROM rows_ GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+        | CAST(max(c) AS BIGINT) AS max_shingle_count,
+        | CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS repetition_ratio
+        |FROM counts GROUP BY doc_id""".stripMargin,
     "q_doc_ngram_jaccard" ->
       s"""WITH d AS (
         | SELECT doc_id, $duckShingles AS sh
