@@ -107,9 +107,51 @@ case class SumSqF32(child: Expression) extends UnaryExpression {
   override def prettyName: String = "sum_sq_f32"
 }
 
+/** max |x| over a float vector — the per-vector scale for symmetric int8
+  * quantization. Max is order-insensitive over exact doubles, so there
+  * is no fold-order subtlety here; codegen'd for the same interpreted-HOF
+  * reason as the kernels above. */
+case class AbsMaxF32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > acc) acc = v
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int n$a = $a.numElements();
+         |double acc$a = 0.0;
+         |for (int i$a = 0; i$a < n$a; i$a++) {
+         |  if ($a.isNullAt(i$a)) { ${ev.isNull} = true; break; }
+         |  double v$a = Math.abs((double) $a.getFloat(i$a));
+         |  if (v$a > acc$a) acc$a = v$a;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = acc$a;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): AbsMaxF32 = copy(c)
+  override def prettyName: String = "abs_max_f32"
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftSql.column(DotF32(GraftSql.expression(a), GraftSql.expression(b)))
   def sumSq(c: Column): Column =
     GraftSql.column(SumSqF32(GraftSql.expression(c)))
+  def absMax(c: Column): Column =
+    GraftSql.column(AbsMaxF32(GraftSql.expression(c)))
 }

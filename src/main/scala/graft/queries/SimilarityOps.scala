@@ -125,6 +125,24 @@ object SimilarityOps {
       neardupOf(Tables(s, dir, "embeddings"))
     },
 
+    // Symmetric int8 quantization — the storage/bandwidth half of the ANN
+    // scale story (IVF partitions the reads, quantization shrinks them
+    // 4×): per-vector scale = max|x|/127, elements floor(x/scale).
+    // Scan-shaped, no shuffle. The quantized vector serializes as a CSV
+    // string: the driver comparator hashes scalars, and floor of an
+    // IEEE double division is bit-portable where list encodings are not.
+    "q_embed_quantize" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (graft.functions.VectorOps.absMax(col("embedding")) / 127.0).as("scale"))
+      e.select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0, lit(null))
+          .otherwise(concat_ws(",",
+            transform(col("embedding"),
+              x => floor(x.cast("double") / col("scale")).cast("long").cast("string"))))
+          .as("q_csv"))
+    },
+
     // IVF cell assignment: every vector → nearest of 16 fixed centroids
     // (vec_id < 16 stand in for trained k-means centers — the partition/
     // probe mechanics are what scales, not the training). Centroids
@@ -209,6 +227,18 @@ object SimilarityOps {
         |    sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))) AS cosine
         | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cosine > 0.25""".stripMargin,
+    "q_embed_quantize" ->
+      s"""WITH scaled AS (
+        | SELECT vec_id, embedding,
+        |  list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |    (a, b) -> CASE WHEN a > b THEN a ELSE b END) / 127.0 AS scale
+        | FROM embeddings)
+        |SELECT vec_id, scale,
+        | CASE WHEN scale = 0 THEN NULL ELSE
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) / scale) AS BIGINT) AS VARCHAR)), ',')
+        | END AS q_csv
+        |FROM scaled""".stripMargin,
     "q_embed_ivf_assign" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
