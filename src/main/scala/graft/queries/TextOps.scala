@@ -197,6 +197,42 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Connected components over an undirected (id_a, id_b) pair table by
+    * iterative min-label propagation (the standard large-graph CC shape:
+    * whole-graph joins per round, no driver-side graph). Returns
+    * (doc_id, cluster_id) for every node in some pair, cluster_id = the
+    * component's min doc_id. `maxRounds` bounds the worst case (graph
+    * diameter); the loop exits the first unchanged round. */
+  def clustersOf(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val neigh = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** deterministic argmax with fixed priority en > fr > de > es */
   private val argmaxSql =
     """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
@@ -299,6 +335,19 @@ object TextOps {
       minhashPairsOf(Tables(s, dir, "documents"))
     },
 
+    // Near-dup CLUSTERS: connected components over the LSH pair graph —
+    // the step that turns pairwise candidates into dedup groups with a
+    // canonical (min-id) representative. Iterative min-label
+    // propagation: each round every node takes the min label among
+    // itself and its neighbors; rounds are whole-graph joins (no driver
+    // graph state), and the round count is the graph diameter — at
+    // corpus scale near-dup components are shallow (clusters, not
+    // chains), so a small bounded round count converges; the loop stops
+    // early the first round nothing changes.
+    "q_doc_dedup_clusters" -> { (s, dir) =>
+      clustersOf(minhashPairsOf(Tables(s, dir, "documents")))
+    },
+
     // Subword ("BPE-ish") token counting: a regex pre-tokenizer in the
     // GPT-2 spirit — letter runs, single digits, punctuation runs — as a
     // second token-count signal next to the whitespace tokenizer. The
@@ -386,6 +435,41 @@ object TextOps {
 
   private val duckToks = s"string_split(text, ' ') AS toks"
 
+  /** the full MinHash-LSH pairs oracle — shared verbatim by the
+    * clusters oracle, which wraps it as a CTE */
+  private def duckMinhashPairsSql: String =
+    s"""WITH d AS (
+        | SELECT doc_id, $duckShingles AS sh
+        | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
+        |hashed AS (
+        | SELECT doc_id,
+        |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MinhashMod) AS hs
+        | FROM d),
+        |sigs AS (
+        | SELECT doc_id, ${(0 until 8).map(i =>
+             s"list_min(list_transform(hs, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP)) AS sig$i")
+             .mkString(", ")}
+        | FROM hashed),
+        |banded AS (
+        | ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band_idx, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band_hash FROM sigs")
+             .mkString("\n UNION ALL ")}),
+        |capped AS (
+        | SELECT doc_id, band_idx, band_hash FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+        |  FROM banded)
+        | WHERE bsz <= $LshBucketCap),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM capped a JOIN capped b
+        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        |FROM pairs JOIN d sa ON sa.doc_id = id_a JOIN d sb ON sb.doc_id = id_b
+        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_doc_token_stats" ->
       s"""SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq_tokens,
@@ -445,38 +529,22 @@ object TextOps {
              s"list_min(list_transform(hs, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP)) AS sig$i")
              .mkString(", ")}
         |FROM hashed""".stripMargin,
-    "q_doc_minhash_pairs" ->
-      s"""WITH d AS (
-        | SELECT doc_id, $duckShingles AS sh
-        | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
-        |hashed AS (
-        | SELECT doc_id,
-        |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MinhashMod) AS hs
-        | FROM d),
-        |sigs AS (
-        | SELECT doc_id, ${(0 until 8).map(i =>
-             s"list_min(list_transform(hs, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP)) AS sig$i")
-             .mkString(", ")}
-        | FROM hashed),
-        |banded AS (
-        | ${(0 until 4).map(b =>
-             s"SELECT doc_id, $b AS band_idx, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band_hash FROM sigs")
-             .mkString("\n UNION ALL ")}),
-        |capped AS (
-        | SELECT doc_id, band_idx, band_hash FROM (
-        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
-        |  FROM banded)
-        | WHERE bsz <= $LshBucketCap),
-        |pairs AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM capped a JOIN capped b
-        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b,
-        | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-        |FROM pairs JOIN d sa ON sa.doc_id = id_a JOIN d sb ON sb.doc_id = id_b
-        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin,
+    "q_doc_minhash_pairs" -> duckMinhashPairsSql,
+    // min-label propagation converges to the component minimum, which is
+    // exactly what the transitive-closure min computes: every node's
+    // reachable-label set contains the component min and nothing smaller.
+    "q_doc_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs_out AS ($duckMinhashPairsSql),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs_out
+        | UNION ALL SELECT id_b, id_a FROM pairs_out),
+        |nodes AS (
+        | SELECT DISTINCT src AS doc_id FROM edges),
+        |reach(doc_id, label) AS (
+        | SELECT doc_id, doc_id FROM nodes
+        | UNION
+        | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)
+        |SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
     "q_doc_bpe_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+')) AS n_subword_tokens

@@ -64,6 +64,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.head.getDouble(2) > 0.9)
   }
 
+  test("dedup clusters: multi-hop chains collapse to the min label") {
+    import spark.implicits._
+    // two components: a 4-node chain (diameter 3 — needs >1 propagation
+    // round) and a disjoint pair; labels must be each component's min id
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val got = graft.queries.TextOps.clustersOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      7L -> 7L, 8L -> 7L))
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
