@@ -35,8 +35,13 @@ object ChainDatasets {
     * at 100 TB a broadcast would OOM the driver, so the tx⋈receipt join is
     * left unhinted and AQE picks SMJ/shuffled-hash on transaction_hash
     * (cryo zips per-chunk, where both sides are chunk-sized; whole-table
-    * we must shuffle). blocks IS chunk-sized (one row per block, ~1/200th
-    * of tx rows) → the base-fee join stays broadcast.
+    * we must shuffle). The base-fee dim (one row per block) is ALSO left
+    * unhinted: it is chunk-bounded in a freeze run but grows with chain
+    * length in whole-history collects (~20M rows on mainnet), the same
+    * unbounded-under-a-forced-hint class as receipts — AQE broadcasts it
+    * at chunk scale and shuffles it at history scale. (cryo computes the
+    * effective gas price inline per chunk, transactions.rs:287-302; no
+    * broadcast exists to mimic.)
     */
   def transactions(spark: SparkSession, dir: String,
       excludeFailed: Boolean = false,
@@ -49,7 +54,7 @@ object ChainDatasets {
     val joined = txs
       .join(receipts.withColumnRenamed("gas_used", "receipt_gas_used"),
         Seq("transaction_hash"), "left")
-      .join(broadcast(baseFees), col("block_number") === col("bf_bn"), "left")
+      .join(baseFees, col("block_number") === col("bf_bn"), "left")
     // effective gas price (transactions.rs:287-302):
     //   legacy (type 0/1): declared gas_price
     //   eip-1559 (type 2): base_fee + least(max_priority, max_fee - base_fee)

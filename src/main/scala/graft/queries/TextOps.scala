@@ -204,6 +204,7 @@ object TextOps {
     * component's min doc_id. `maxRounds` bounds the worst case (graph
     * diameter); the loop exits the first unchanged round. */
   def clustersOf(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.sql.Observation
     // Iterative algorithms MUST truncate lineage every round:
     // persist() alone only short-circuits execution — Catalyst still
     // re-analyzes the full logical plan on every action, and the plan
@@ -213,9 +214,21 @@ object TextOps {
     // localCheckpoint materializes to executor storage and cuts the
     // plan; on a cluster where executor loss matters, swap for
     // reliable checkpoint(dir).
+    //
+    // Round structure: exactly ONE action per round — the eager
+    // localCheckpoint of `next`. Convergence rides along as an
+    // Observation (CollectMetrics) aggregated inside that same job,
+    // and path halving is folded into the SAME join+groupBy as
+    // neighbor propagation by augmenting the edge set with "pointer
+    // edges" label(v) -> v: the min over {neighbor labels} ∪
+    // {label(label(v))} arrives in one aggregation, no separate
+    // grandparent join. Labels stay monotone non-increasing, so the
+    // fixpoint (= the component-min labeling) is unchanged.
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // edges' plan is a Union of two narrow projects over checkpointed
+    // p — no exchange, no need for its own checkpoint.
     val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst")
     var labels = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
@@ -223,24 +236,23 @@ object TextOps {
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
-      val neigh = edges
+      // pointer edges label(v) -> v piggyback the grandparent hop on
+      // the propagation aggregation (self-pointers v -> v round 0 are
+      // harmless: they contribute v's own label to the min)
+      val pointer = labels.select(col("label").as("src"), col("doc_id").as("dst"))
+      val neigh = edges.union(pointer)
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
-      val viaEdges = labels.join(neigh, Seq("doc_id"), "left")
+      val obs = Observation()
+      val next = labels.join(neigh, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      // path halving: also adopt the label OF my label, which doubles
-      // the propagation distance per round — O(log diameter) rounds
-      // instead of O(diameter)
-      val next = viaEdges.as("x")
-        .join(viaEdges.select(col("doc_id").as("l_id"), col("label").as("l_label")),
-          col("x.label") === col("l_id"), "left")
-        .select(col("x.doc_id").as("doc_id"),
-          least(col("x.label"), coalesce(col("l_label"), col("x.label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count() > 0
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next_label"),
+          col("label").as("old"))
+        .observe(obs, coalesce(sum(when(col("next_label") =!= col("old"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_changed"))
+        .select(col("doc_id"), col("next_label").as("label"))
+        .localCheckpoint() // the round's single action; fills obs
+      changed = obs.get("n_changed").asInstanceOf[Long] > 0L
       labels = next
       round += 1
     }

@@ -101,6 +101,14 @@ class ChainDatasetsSpec extends AnyFunSuite {
         .filter(!col("success")).count() == 0)
   }
 
+  test("transactions: no forced broadcast hints (base-fee dim is unbounded in history collects)") {
+    val t = ChainDatasets.transactions(spark, dir)
+    val hints = t.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"forced join hints found: $hints")
+  }
+
   test("decoded logs: value_string equals decimal of raw data") {
     val dec = ChainDatasets.logs(spark, dir,
       eventSignature = Some("Transfer(address indexed from, address indexed to, uint256 value)"),
