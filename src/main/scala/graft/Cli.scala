@@ -128,6 +128,13 @@ object Cli {
     } finally spark.stop()
   }
 
+  /** Upper bound on a parquet-ref block list: the list is collected to
+    * the driver (mirroring cryo's own driver-side read,
+    * parse/blocks.rs:79-83), so cap it with limit-pushdown rather than
+    * OOM on a fact-table-sized ref — the same hygiene as bounded
+    * partition-dim discovery. ~10M longs ≈ 80 MB of driver heap. */
+  private[graft] val MaxBlockListSize = 10_000_000
+
   /** `--blocks` accepts the grammar OR a parquet file reference
     * `path.parquet[:column]` whose (deduplicated — parse/blocks.rs:79-83)
     * values become the block list. */
@@ -137,9 +144,15 @@ object Cli {
     blocks match {
       case FileRef(path, colName) =>
         val c = Option(colName).getOrElse("block_number")
+        // limit+1 pushes into the distinct aggregation: the scan stops
+        // once the cap is disproven instead of collecting everything
         val ns = spark.read.parquet(path).select(col(c).cast("long"))
-          .distinct().collect().map(_.getLong(0)).sorted.toSeq
+          .distinct().limit(MaxBlockListSize + 1)
+          .collect().map(_.getLong(0)).sorted.toSeq
         require(ns.nonEmpty, s"no blocks in $path")
+        require(ns.size <= MaxBlockListSize,
+          s"block list in $path exceeds $MaxBlockListSize distinct values; " +
+            "pass a block range instead of a parquet ref at this scale")
         BlockSyntax.Numbers(ns)
       case _ => BlockSyntax.parse(blocks, latest)
     }
@@ -507,9 +520,18 @@ object Cli {
         to <- contract
         data <- if (composedCallData.nonEmpty) composedCallData else Seq.empty[String]
       } yield (to, data)
+      // column-aware receipt dependency: the transactions schema needs
+      // receipts only for gas_used/success (transactions.rs:124-135) —
+      // an --exclude-columns run without them skips the fetch
+      val txNeedsReceipts = !expanded.contains("transactions") ||
+        excludeFailed || {
+          val used = TableSchema.resolve(Datatypes.transactions,
+            includeCols, excludeCols, explicitCols)
+          used.contains("gas_used") || used.contains("success")
+        }
       src.materializeBronze(spark, bronzeDir.toString, range, expanded,
         addresses = addressF, slots = slotsF, calls = liveCalls,
-        jsTracer = jsTracer)
+        jsTracer = jsTracer, txNeedsReceipts = txNeedsReceipts)
       sourceDir = bronzeDir.toString
     }
 

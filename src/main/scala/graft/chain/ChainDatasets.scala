@@ -47,13 +47,23 @@ object ChainDatasets {
       excludeFailed: Boolean = false,
       include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
       columns: Option[Seq[String]] = None): DataFrame = {
+    val used = TableSchema.resolve(Datatypes.transactions, include, exclude, columns)
+    // receipts feed exactly gas_used and success — when the resolved
+    // schema carries neither (and excludeFailed doesn't need the status
+    // flag), skip reading the receipts bronze entirely so a live run
+    // never fetches it (cryo transactions.rs:124-135)
+    val needReceipts = excludeFailed ||
+      used.contains("gas_used") || used.contains("success")
     val txs = fx(spark, dir, "rpc_transactions")
-    val receipts = fx(spark, dir, "rpc_receipts")
     val baseFees = fx(spark, dir, "rpc_blocks")
       .select(col("block_number").as("bf_bn"), col("base_fee_per_gas"))
-    val joined = txs
-      .join(receipts.withColumnRenamed("gas_used", "receipt_gas_used"),
-        Seq("transaction_hash"), "left")
+    val withReceipts =
+      if (needReceipts)
+        txs.join(fx(spark, dir, "rpc_receipts")
+            .withColumnRenamed("gas_used", "receipt_gas_used"),
+          Seq("transaction_hash"), "left")
+      else txs
+    val joined = withReceipts
       .join(baseFees, col("block_number") === col("bf_bn"), "left")
     // effective gas price (transactions.rs:287-302):
     //   legacy (type 0/1): declared gas_price
@@ -63,18 +73,20 @@ object ChainDatasets {
           least(col("max_priority_fee_per_gas"),
                 col("max_fee_per_gas") - col("base_fee_per_gas")))
       .otherwise(col("gas_price"))
-    val out = joined
+    val out0 = joined
       .withColumn("gas_price", effGasPrice)
-      .withColumn("gas_used", col("receipt_gas_used"))
-      .withColumn("success", col("status") === 1)
       .withColumn("n_input_bytes", length(col("input")))
       .withColumn("n_input_zero_bytes", BinaryStats.zeroByteCount(col("input")))
       .withColumn("n_input_nonzero_bytes",
         length(col("input")) - BinaryStats.zeroByteCount(col("input")))
+    val out =
+      if (needReceipts) out0
+        .withColumn("gas_used", col("receipt_gas_used"))
+        .withColumn("success", col("status") === 1)
+      else out0
     val filtered = if (excludeFailed) out.filter(col("success")) else out
     filtered
-      .select(TableSchema.resolve(Datatypes.transactions, include, exclude, columns)
-        .map(col): _*)
+      .select(used.map(col): _*)
       .sortWithinPartitions("block_number", "transaction_index")
   }
 

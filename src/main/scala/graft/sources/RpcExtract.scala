@@ -37,6 +37,38 @@ object RpcExtract {
   private def boxI(o: Option[Long]): java.lang.Integer =
     o.map(n => java.lang.Integer.valueOf(n.toInt)).orNull
 
+  /** rpc_blocks row from one eth_getBlockByNumber response — header
+    * fields only; a fullTxs=true response parses identically (the
+    * transactions array is simply not read), which is what lets ONE
+    * full-block pass serve both the blocks and transactions bronzes
+    * (cryo multi_datasets/blocks_and_transactions.rs:7-72). */
+  def blockHeader(body: String, chainId: Long): Row = {
+    val b = JsonMethods.parse(body) \ "result"
+    def str(k: String): String = jstr(b, k)
+    Row(
+      RpcCodec.parseHexLong(str("number")).toInt,
+      RpcCodec.parseHexBytes(str("hash")),
+      RpcCodec.parseHexBytes(str("parentHash")),
+      RpcCodec.parseHexBytes(str("sha3Uncles")),
+      RpcCodec.parseHexBytes(str("miner")),
+      RpcCodec.parseHexBytes(str("stateRoot")),
+      RpcCodec.parseHexBytes(str("transactionsRoot")),
+      RpcCodec.parseHexBytes(str("receiptsRoot")),
+      RpcCodec.parseHexLong(str("gasUsed")),
+      RpcCodec.parseHexLong(str("gasLimit")),
+      RpcCodec.parseHexBytes(str("extraData")),
+      RpcCodec.parseHexBytes(str("logsBloom")),
+      RpcCodec.parseHexLong(str("timestamp")).toInt,
+      RpcCodec.parseHexLong(str("difficulty")),
+      RpcCodec.parseHexLong(str("size")),
+      RpcCodec.parseHexBytes(str("mixHash")),
+      RpcCodec.parseHexBytes(str("nonce")),
+      Option(str("baseFeePerGas")).map(s => java.lang.Long.valueOf(RpcCodec.parseHexLong(s))).orNull,
+      RpcCodec.parseHexBytes(str("withdrawalsRoot")),
+      Option(str("totalDifficulty")).map(RpcCodec.parseHexU256).orNull,
+      chainId)
+  }
+
   /** rpc_transactions rows from one eth_getBlockByNumber(fullTxs=true)
     * response (transactions.rs:124-130). */
   def blockTransactions(body: String, chainId: Long): Seq[Row] = {

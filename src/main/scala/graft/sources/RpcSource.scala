@@ -277,58 +277,91 @@ class RpcSource(config: RpcConfig) extends Serializable {
     resp.body()
   }
 
+  private def postAsync(client: HttpClient,
+      body: String): java.util.concurrent.CompletableFuture[String] = {
+    val req = HttpRequest.newBuilder(URI.create(config.url))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
+      .thenApply[String] { resp =>
+        require(resp.statusCode() == 200, s"RPC HTTP ${resp.statusCode()}")
+        resp.body()
+      }
+  }
+
+  /** Per-task share of the global in-flight budget: cryo holds up to
+    * `max_concurrent_requests` requests in flight via a semaphore
+    * (sources.rs:114); here the budget is split evenly across the Spark
+    * tasks that fetch concurrently. */
+  private def inflightWindow(numTasks: Int): Int =
+    math.max(1, config.maxConcurrentRequests / math.max(1, numTasks))
+
+  /** Sliding-window async request pipeline — the Spark-side equivalent of
+    * cryo's per-request concurrency semaphore (sources.rs:114): up to
+    * `window` batch POSTs are in flight per partition (java.net.http
+    * sendAsync), and responses are re-joined in SUBMISSION order so
+    * downstream parsing stays deterministic. The token bucket is acquired
+    * at submission, so `--requests-per-second` still governs the send
+    * rate. A batch whose async attempt fails falls back to the
+    * synchronous retrying path (backoff semantics unchanged). */
+  private def pipelinePosts[A](groups: Iterator[A], window: Int,
+      client: HttpClient, bucket: TokenBucket)(
+      mkBody: A => String): Iterator[(A, String)] = {
+    val inflight = scala.collection.mutable.Queue
+      .empty[(A, String, java.util.concurrent.CompletableFuture[String])]
+    new Iterator[(A, String)] {
+      private def fill(): Unit =
+        while (inflight.size < window && groups.hasNext) {
+          val g = groups.next()
+          val body = mkBody(g)
+          bucket.acquire()
+          inflight.enqueue((g, body, postAsync(client, body)))
+        }
+      def hasNext: Boolean = { fill(); inflight.nonEmpty }
+      def next(): (A, String) = {
+        fill()
+        val (g, body, fut) = inflight.dequeue()
+        val json =
+          try fut.join()
+          catch { case _: Throwable => retrying(post(client, body)) }
+        (g, json)
+      }
+    }
+  }
+
   /** Fetch block headers for a range into the rpc_blocks shape. One task
     * per `tasksPerPartition` blocks; requests batched `innerRequestSize`
     * per HTTP round trip. */
   def fetchBlocks(spark: SparkSession, range: BlockSyntax.Range,
-      numPartitions: Int = 32): DataFrame = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
+      numPartitions: Int = 32): DataFrame =
+    fetchPerBlock(spark, range, RpcSource.blocksSchema, numPartitions)(
+      (i, n) => RpcCodec.getBlockRequest(i, n, fullTxs = false))(
+      (body, _) => Seq(RpcExtract.blockHeader(body, config.chainId)))
+
+  /** ONE eth_getBlockByNumber(fullTxs=true) pass serving BOTH the
+    * rpc_blocks and rpc_transactions bronzes (cryo's
+    * blocks_and_transactions multi shares the extraction pass the same
+    * way, multi_datasets/blocks_and_transactions.rs:7-72). The raw
+    * response parts persist MEMORY_AND_DISK so the header projection and
+    * the transaction projection re-read local (spillable) bytes instead
+    * of re-fetching from the node — the node round trips are the scarce
+    * resource, not local IO. The third element unpersists the shared
+    * pass; call it after both frames are written. */
+  def fetchBlocksAndTransactions(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int = 32): (DataFrame, DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
     val conf = config
-    val rdd = spark.sparkContext
-      .range(range.start, range.endExclusive, numSlices = numPartitions)
-      .mapPartitions { nums =>
-        val client = HttpClient.newHttpClient()
-        val bucket = new TokenBucket(conf.requestsPerSecond)
-        nums.grouped(conf.innerRequestSize.toInt).flatMap { group =>
-          bucket.acquire()
-          val body = RpcCodec.batch(group.zipWithIndex.map { case (n, i) =>
-            RpcCodec.getBlockRequest(i, n, fullTxs = false)
-          }.toSeq)
-          val json = retrying(post(client, body))
-          val JArray(results) = JsonMethods.parse(json): @unchecked
-          results.iterator.map { r =>
-            implicit val fmt: Formats = DefaultFormats
-            val b = (r \ "result").asInstanceOf[JObject]
-            def str(k: String): String = (b \ k) match {
-              case JString(s) => s; case _ => null
-            }
-            Row(
-              RpcCodec.parseHexLong(str("number")).toInt,
-              RpcCodec.parseHexBytes(str("hash")),
-              RpcCodec.parseHexBytes(str("parentHash")),
-              RpcCodec.parseHexBytes(str("sha3Uncles")),
-              RpcCodec.parseHexBytes(str("miner")),
-              RpcCodec.parseHexBytes(str("stateRoot")),
-              RpcCodec.parseHexBytes(str("transactionsRoot")),
-              RpcCodec.parseHexBytes(str("receiptsRoot")),
-              RpcCodec.parseHexLong(str("gasUsed")),
-              RpcCodec.parseHexLong(str("gasLimit")),
-              RpcCodec.parseHexBytes(str("extraData")),
-              RpcCodec.parseHexBytes(str("logsBloom")),
-              RpcCodec.parseHexLong(str("timestamp")).toInt,
-              RpcCodec.parseHexLong(str("difficulty")),
-              RpcCodec.parseHexLong(str("size")),
-              RpcCodec.parseHexBytes(str("mixHash")),
-              RpcCodec.parseHexBytes(str("nonce")),
-              Option(str("baseFeePerGas")).map(s => java.lang.Long.valueOf(RpcCodec.parseHexLong(s))).orNull,
-              RpcCodec.parseHexBytes(str("withdrawalsRoot")),
-              Option(str("totalDifficulty")).map(RpcCodec.parseHexU256).orNull,
-              conf.chainId)
-          }
-        }
-      }
-    spark.createDataFrame(rdd, RpcSource.blocksSchema)
+    val raw = fetchPerBlockRaw(spark, range, numPartitions)(
+      (i, n) => RpcCodec.getBlockRequest(i, n, fullTxs = true))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocksDf = spark.createDataFrame(
+      raw.map { case (_, part) => RpcExtract.blockHeader(part, conf.chainId) },
+      RpcSource.blocksSchema)
+    val txDf = spark.createDataFrame(
+      raw.flatMap { case (_, part) => RpcExtract.blockTransactions(part, conf.chainId) },
+      RpcSource.transactionsSchema)
+    (blocksDf, txDf, () => { raw.unpersist(); () })
   }
 
   /** Fetch logs over block ranges (range-batched per innerRequestSize —
@@ -352,16 +385,17 @@ class RpcSource(config: RpcConfig) extends Serializable {
     import org.json4s.jackson.JsonMethods
     val conf = config
     val starts = range.start until range.endExclusive by conf.innerRequestSize
+    val nParts = math.min(numPartitions, starts.size).max(1)
+    val window = inflightWindow(nParts)
     val rdd = spark.sparkContext
-      .parallelize(starts, math.min(numPartitions, starts.size).max(1))
+      .parallelize(starts, nParts)
       .mapPartitions { ss =>
         val client = HttpClient.newHttpClient()
         val bucket = new TokenBucket(conf.requestsPerSecond)
-        ss.flatMap { s0 =>
-          bucket.acquire()
+        pipelinePosts(ss, window, client, bucket) { s0 =>
           val to = math.min(s0 + conf.innerRequestSize, range.endExclusive) - 1
-          val json = retrying(post(client,
-            RpcCodec.getLogsRequestTopics(1, s0, to, address, topics)))
+          RpcCodec.getLogsRequestTopics(1, s0, to, address, topics)
+        }.flatMap { case (_, json) =>
           val results = (JsonMethods.parse(json) \ "result") match {
             case JArray(xs) => xs; case _ => Nil
           }
@@ -398,26 +432,32 @@ class RpcSource(config: RpcConfig) extends Serializable {
   private def fetchPerBlock(spark: SparkSession, range: BlockSyntax.Range,
       schema: StructType, numPartitions: Int)(
       request: (Long, Long) => String)(
-      parse: (String, Long) => Seq[Row]): DataFrame = {
+      parse: (String, Long) => Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      fetchPerBlockRaw(spark, range, numPartitions)(request)
+        .flatMap { case (n, part) => parse(part, n) },
+      schema)
+
+  /** The fetch loop under fetchPerBlock, yielding raw (block, response
+    * part) pairs so a shared extraction pass can persist once and parse
+    * into several bronze shapes. */
+  private def fetchPerBlockRaw(spark: SparkSession, range: BlockSyntax.Range,
+      numPartitions: Int)(
+      request: (Long, Long) => String): org.apache.spark.rdd.RDD[(Long, String)] = {
     val conf = config
-    val rdd = spark.sparkContext
+    val window = inflightWindow(numPartitions)
+    spark.sparkContext
       .range(range.start, range.endExclusive, numSlices = numPartitions)
       .mapPartitions { nums =>
         val client = HttpClient.newHttpClient()
         val bucket = new TokenBucket(conf.requestsPerSecond)
-        nums.grouped(conf.innerRequestSize.toInt).flatMap { group =>
-          bucket.acquire()
-          val blocks = group.toSeq
-          val body = RpcCodec.batch(blocks.zipWithIndex.map {
-            case (n, i) => request(i, n)
-          })
-          val json = retrying(post(client, body))
-          blocks.zip(RpcSource.splitBatch(json)).flatMap {
-            case (n, part) => parse(part, n)
-          }
+        pipelinePosts(nums.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
+            window, client, bucket) { blocks =>
+          RpcCodec.batch(blocks.zipWithIndex.map { case (n, i) => request(i, n) })
+        }.flatMap { case (blocks, json) =>
+          blocks.zip(RpcSource.splitBatch(json))
         }
       }
-    spark.createDataFrame(rdd, schema)
   }
 
   /** rpc_transactions via eth_getBlockByNumber(fullTxs=true)
@@ -510,19 +550,20 @@ class RpcSource(config: RpcConfig) extends Serializable {
       calls: Seq[(String, String)], numPartitions: Int = 32): DataFrame = {
     val conf = config
     val work = for (b <- blocks; (to, data) <- calls) yield (b, to, data)
+    val nParts = math.min(numPartitions, work.size).max(1)
+    val window = inflightWindow(nParts)
     val rdd = spark.sparkContext
-      .parallelize(work, math.min(numPartitions, work.size).max(1))
+      .parallelize(work, nParts)
       .mapPartitions { items =>
         val client = HttpClient.newHttpClient()
         val bucket = new TokenBucket(conf.requestsPerSecond)
-        items.grouped(conf.innerRequestSize.toInt).flatMap { group =>
-          bucket.acquire()
-          val body = RpcCodec.batch(group.zipWithIndex.map { case ((b, to, data), i) =>
+        pipelinePosts(items.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
+            window, client, bucket) { group =>
+          RpcCodec.batch(group.zipWithIndex.map { case ((b, to, data), i) =>
             RpcCodec.ethCallRequest(i, to, data, b)
           })
-          val json = retrying(post(client, body))
-          val results = RpcSource.splitBatch(json)
-          group.zip(results).map { case ((b, to, data), res) =>
+        }.flatMap { case (group, json) =>
+          group.zip(RpcSource.splitBatch(json)).map { case ((b, to, data), res) =>
             RpcExtract.ethCallRow(b.toInt, RpcCodec.parseHexBytes(to),
               RpcCodec.parseHexBytes(data), res, conf.chainId)
           }
@@ -566,19 +607,21 @@ class RpcSource(config: RpcConfig) extends Serializable {
       addresses: Seq[String], numPartitions: Int = 32): DataFrame = {
     val conf = config
     val work = for (b <- blocks; a <- addresses) yield (b, a)
+    val nParts = math.min(numPartitions, work.size).max(1)
+    val window = inflightWindow(nParts)
     val rdd = spark.sparkContext
-      .parallelize(work, math.min(numPartitions, work.size).max(1))
+      .parallelize(work, nParts)
       .mapPartitions { items =>
         val client = HttpClient.newHttpClient()
         val bucket = new TokenBucket(conf.requestsPerSecond)
-        items.grouped((conf.innerRequestSize.toInt / 3).max(1)).flatMap { group =>
-          bucket.acquire()
-          val reqs = group.zipWithIndex.flatMap { case ((b, a), i) => Seq(
+        pipelinePosts(items.grouped((conf.innerRequestSize.toInt / 3).max(1))
+            .map(_.toSeq), window, client, bucket) { group =>
+          RpcCodec.batch(group.zipWithIndex.flatMap { case ((b, a), i) => Seq(
             RpcCodec.getBalanceRequest(3L * i, a, b),
             RpcCodec.getTransactionCountRequest(3L * i + 1, a, b),
             RpcCodec.getCodeRequest(3L * i + 2, a, b))
-          }
-          val json = retrying(post(client, RpcCodec.batch(reqs)))
+          })
+        }.flatMap { case (group, json) =>
           val parts = RpcSource.splitBatch(json).grouped(3).toSeq
           group.zip(parts).map { case ((b, a), triple) =>
             val Seq(balB, nonB, codB) = triple: @unchecked
@@ -605,17 +648,19 @@ class RpcSource(config: RpcConfig) extends Serializable {
       slots: Seq[(String, String)], numPartitions: Int = 32): DataFrame = {
     val conf = config
     val work = for (b <- blocks; (a, s) <- slots) yield (b, a, s)
+    val nParts = math.min(numPartitions, work.size).max(1)
+    val window = inflightWindow(nParts)
     val rdd = spark.sparkContext
-      .parallelize(work, math.min(numPartitions, work.size).max(1))
+      .parallelize(work, nParts)
       .mapPartitions { items =>
         val client = HttpClient.newHttpClient()
         val bucket = new TokenBucket(conf.requestsPerSecond)
-        items.grouped(conf.innerRequestSize.toInt).flatMap { group =>
-          bucket.acquire()
-          val reqs = group.zipWithIndex.map { case ((b, a, s), i) =>
+        pipelinePosts(items.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
+            window, client, bucket) { group =>
+          RpcCodec.batch(group.zipWithIndex.map { case ((b, a, s), i) =>
             RpcCodec.getStorageAtRequest(i, a, s, b)
-          }
-          val json = retrying(post(client, RpcCodec.batch(reqs)))
+          })
+        }.flatMap { case (group, json) =>
           group.zip(RpcSource.splitBatch(json)).map { case ((b, a, s), part) =>
             import org.json4s._
             val v = (org.json4s.jackson.JsonMethods.parse(part) \ "result") match {
@@ -635,17 +680,19 @@ class RpcSource(config: RpcConfig) extends Serializable {
       calls: Seq[(String, String)], numPartitions: Int = 32): DataFrame = {
     val conf = config
     val work = for (b <- blocks; (to, data) <- calls) yield (b, to, data)
+    val nParts = math.min(numPartitions, work.size).max(1)
+    val window = inflightWindow(nParts)
     val rdd = spark.sparkContext
-      .parallelize(work, math.min(numPartitions, work.size).max(1))
+      .parallelize(work, nParts)
       .mapPartitions { items =>
         val client = HttpClient.newHttpClient()
         val bucket = new TokenBucket(conf.requestsPerSecond)
-        items.grouped(conf.innerRequestSize.toInt).flatMap { group =>
-          bucket.acquire()
-          val reqs = group.zipWithIndex.map { case ((b, to, data), i) =>
+        pipelinePosts(items.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
+            window, client, bucket) { group =>
+          RpcCodec.batch(group.zipWithIndex.map { case ((b, to, data), i) =>
             RpcCodec.traceCallRequest(i, to, data, b)
-          }
-          val json = retrying(post(client, RpcCodec.batch(reqs)))
+          })
+        }.flatMap { case (group, json) =>
           group.zip(RpcSource.splitBatch(json)).flatMap { case ((b, to, data), part) =>
             RpcExtract.traceCallRows(part, b.toInt,
               RpcCodec.parseHexBytes(to), RpcCodec.parseHexBytes(data),
@@ -713,22 +760,41 @@ class RpcSource(config: RpcConfig) extends Serializable {
     * bronze tables the requested datasets read, into `outDir` — after
     * this every ChainDatasets transform runs unchanged against outDir.
     * Entity-scoped bronzes (accounts/storage/calls) require the matching
-    * entity lists and fail fast with a clear message otherwise. */
+    * entity lists and fail fast with a clear message otherwise.
+    *
+    * `txNeedsReceipts=false` is the column-aware half of the transactions
+    * dependency: when the resolved schema excludes gas_used AND success,
+    * the receipt fetch is skipped entirely — one fewer RPC per block on
+    * the most-used dataset (cryo transactions.rs:124-135 fetches receipts
+    * conditionally the same way). Other receipt consumers
+    * (address_appearances) keep their dependency regardless. */
   def materializeBronze(spark: SparkSession, outDir: String,
       range: BlockSyntax.Range, datasets: Seq[String],
       addresses: Seq[String] = Nil, slots: Seq[String] = Nil,
       calls: Seq[(String, String)] = Nil, jsTracer: Option[String] = None,
-      numPartitions: Int = 32): Unit = {
+      numPartitions: Int = 32, txNeedsReceipts: Boolean = true): Unit = {
     val unknown = datasets.filterNot(bronzeDeps.contains)
     require(unknown.isEmpty,
       s"live extraction not wired for: ${unknown.mkString(", ")}")
-    val need = datasets.flatMap(bronzeDeps).toSet
+    val need = datasets.flatMap { d =>
+      if (d == "transactions" && !txNeedsReceipts) bronzeDeps(d) - "rpc_receipts"
+      else bronzeDeps(d)
+    }.toSet
     val blocks = range.start until range.endExclusive
     def put(name: String)(df: => DataFrame): Unit =
       if (need(name))
         df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    put("rpc_blocks")(fetchBlocks(spark, range, numPartitions))
-    put("rpc_transactions")(fetchTransactions(spark, range, numPartitions))
+    if (need("rpc_blocks") && need("rpc_transactions")) {
+      // blocks_and_transactions multi: ONE full-block pass serves both
+      // bronzes — no redundant header fetch
+      val (b, t, done) = fetchBlocksAndTransactions(spark, range, numPartitions)
+      b.write.mode("overwrite").parquet(s"$outDir/rpc_blocks.parquet")
+      t.write.mode("overwrite").parquet(s"$outDir/rpc_transactions.parquet")
+      done()
+    } else {
+      put("rpc_blocks")(fetchBlocks(spark, range, numPartitions))
+      put("rpc_transactions")(fetchTransactions(spark, range, numPartitions))
+    }
     put("rpc_receipts")(fetchReceipts(spark, range, numPartitions))
     put("rpc_logs")(fetchLogs(spark, range, numPartitions = numPartitions))
     put("rpc_traces")(fetchTraces(spark, range, numPartitions))
@@ -780,10 +846,10 @@ class RpcSource(config: RpcConfig) extends Serializable {
     * this, every ChainDatasets transform runs unchanged against outDir. */
   def freezeBronze(spark: SparkSession, range: BlockSyntax.Range,
       outDir: String): Unit = {
-    fetchBlocks(spark, range).write.mode("overwrite")
-      .parquet(s"$outDir/rpc_blocks.parquet")
-    fetchTransactions(spark, range).write.mode("overwrite")
-      .parquet(s"$outDir/rpc_transactions.parquet")
+    val (b, t, done) = fetchBlocksAndTransactions(spark, range)
+    b.write.mode("overwrite").parquet(s"$outDir/rpc_blocks.parquet")
+    t.write.mode("overwrite").parquet(s"$outDir/rpc_transactions.parquet")
+    done()
     fetchReceipts(spark, range).write.mode("overwrite")
       .parquet(s"$outDir/rpc_receipts.parquet")
     fetchLogs(spark, range).write.mode("overwrite")

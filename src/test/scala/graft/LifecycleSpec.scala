@@ -405,6 +405,22 @@ class CliSpec extends AnyFunSuite {
     assert(bns.sorted == Seq(1000, 1005, 1010, 1042)) // ONLY listed blocks
   }
 
+  test("--blocks parquet ref over the driver cap fails fast") {
+    // the list collects to the driver (as in cryo parse/blocks.rs:79-83),
+    // so an over-cap ref must error with guidance, not OOM: limit+1
+    // disproves the cap without collecting the full column
+    val listFile = Files.createTempDirectory("graft_bigref").toString + "/blocks.parquet"
+    spark.range(Cli.MaxBlockListSize + 1).toDF("block_number")
+      .write.parquet(listFile)
+    val out = Files.createTempDirectory("graft_bigref_out").toString
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(Array("blocks", "--source-dir", fixDir,
+        "--output-dir", out, "--blocks", listFile), spark)
+    }
+    assert(e.getMessage.contains("exceeds"))
+    assert(e.getMessage.contains("block range"))
+  }
+
   test("--sort none disables custom sort; multi-dataset custom sort errors") {
     val (_, done) = runCli("blocks", "--sort", "none")
     assert(done.size == 1)

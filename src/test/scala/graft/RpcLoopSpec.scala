@@ -188,6 +188,9 @@ class RpcLoopSpec extends AnyFunSuite {
     server.createContext("/", { exchange =>
       posts.incrementAndGet()
       val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (sys.env.contains("GRAFT_STUB_DEBUG"))
+        println(s"[stub] post#${posts.get()}: " + "\"method\":\"(\\w+)\"".r
+          .findAllMatchIn(body).map(_.group(1)).toSeq.distinct.mkString(","))
       def one(req: JValue): String = {
         val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
         val JString(method) = (req \ "method"): @unchecked
@@ -235,6 +238,17 @@ class RpcLoopSpec extends AnyFunSuite {
       val r0 = rows.sortBy(r => (r.getInt(0), r.getInt(1))).head
       assert(r0.getInt(0) == 16 && r0.getInt(1) == 0)
       assert(r0.getAs[Int]("timestamp") == 1700000000 + 16 * 12)
+    }
+  }
+
+  test("fetchBlocksAndTransactions: one full-block pass serves both bronzes") {
+    withStub { (url, posts) =>
+      val (b, t, done) = src(url).fetchBlocksAndTransactions(spark, range,
+        numPartitions = 1)
+      assert(b.collect().map(_.getInt(0)).sorted.toSeq == Seq(16, 17, 18, 19))
+      assert(t.count() == 8)
+      done()
+      assert(posts.get() == 2, s"expected 2 round trips, got ${posts.get()}")
     }
   }
 
@@ -364,7 +378,7 @@ class RpcLoopSpec extends AnyFunSuite {
   }
 
   test("--rpc live mode: the CLI freezes straight from a node") {
-    withStub { (url, _) =>
+    withStub { (url, posts) =>
       val out = java.nio.file.Files.createTempDirectory("graft_live").toString
       val r = Cli.run(Array("blocks", "transactions", "--rpc", url,
         "--blocks", "16:20", "--chunk-size", "4", "--output-dir", out,
@@ -382,6 +396,33 @@ class RpcLoopSpec extends AnyFunSuite {
       val bronze = new java.io.File(s"$out/.graft/bronze").list().toSet
       assert(bronze == Set("rpc_blocks.parquet", "rpc_transactions.parquet",
         "rpc_receipts.parquet"))
+      // blocks+transactions share ONE full-block pass
+      // (blocks_and_transactions multi): 2 driver probes (eth_chainId,
+      // eth_blockNumber) + 4 shared full-block trips + 4 receipt trips
+      // (materializeBronze runs 32 partitions, so these 4 blocks land one
+      // per partition and per-partition batching can't pair them) — the
+      // full-block count is N, not the 2N a separate header pass would add
+      assert(posts.get() == 10, s"expected 10 round trips, got ${posts.get()}")
+    }
+  }
+
+  test("--rpc live mode: excluding gas_used/success skips the receipt fetch") {
+    withStub { (url, posts) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_noreceipt").toString
+      val r = Cli.run(Array("transactions", "--rpc", url,
+        "--blocks", "16:20", "--chunk-size", "4", "--output-dir", out,
+        "--inner-request-size", "2",
+        "--exclude-columns", "gas_used", "success", "--no-verbose"), spark).get
+      val txs = spark.read.parquet(r.completed.head)
+      assert(txs.count() == 8)
+      assert(!txs.columns.contains("gas_used") && !txs.columns.contains("success"))
+      // receipts bronze never materialized...
+      val bronze = new java.io.File(s"$out/.graft/bronze").list().toSet
+      assert(bronze == Set("rpc_blocks.parquet", "rpc_transactions.parquet"))
+      // ...and never fetched: 2 driver probes + 4 full-block trips (one
+      // per block across 32 partitions), ZERO receipt round trips
+      // (transactions.rs:124-135 semantics)
+      assert(posts.get() == 6, s"expected 6 round trips, got ${posts.get()}")
     }
   }
 
@@ -435,6 +476,45 @@ class RpcLoopSpec extends AnyFunSuite {
       assert(r.completed.size == 1)
       assert(spark.read.parquet(r.completed.head).count() == 4) // 16..19
     }
+  }
+
+  test("async pipelining: >1 request in flight per partition") {
+    // A latch-gated stub: every eth_getBlockByNumber handler blocks until
+    // TWO requests are present simultaneously, then all respond. With the
+    // old synchronous per-partition loop (one request at a time in one
+    // task) the first request would wait out the 10s latch and fail; the
+    // sliding-window pipeline holds window = maxConcurrentRequests /
+    // numTasks = 2 batches in flight, so both arrive concurrently.
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      latch.countDown()
+      assert(latch.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "second request never arrived: no overlap between in-flight requests")
+      val resp = JsonMethods.parse(body) match {
+        case JArray(reqs) => reqs.map { req =>
+          val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+          s"""{"jsonrpc":"2.0","id":$id,"result":${result("eth_getBlockByNumber", req \ "params")}}"""
+        }.mkString("[", ",", "]")
+        case _ => "[]"
+      }
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes); exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      // 4 blocks / innerRequestSize 2 = 2 batches in ONE partition;
+      // maxConcurrentRequests 2 / 1 task = window 2
+      val cfg = RpcConfig(url, chainId = 1, innerRequestSize = 2,
+        maxConcurrentRequests = 2, maxRetries = 0)
+      val rows = new RpcSource(cfg).fetchBlocks(spark, range, numPartitions = 1)
+        .collect()
+      assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(16, 17, 18, 19))
+    } finally server.stop(0)
   }
 
   test("retries: a flaky first response is retried with backoff") {
