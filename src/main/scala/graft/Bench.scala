@@ -44,11 +44,16 @@ object Bench {
       if (f.getName.endsWith(".parquet"))
         try spark.read.parquet(f.toString).count() catch { case _: Throwable => () }
     }
-    runNoop("q1_pricing_summary")
-    runNoop("chain_address_appearances") // first chain query alphabetically
-                                         // otherwise absorbs chain-path JIT
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // full untimed pre-pass: every query executes once so whole-stage
+    // codegen compilation, JIT, and broadcast machinery are warm for the
+    // timed pass (cold codegen was charging the first doc-pipeline query
+    // ~2s of javac, not dataflow). The DATA caches the pre-pass populates
+    // are then cleared: timed numbers measure computation in a warm JVM,
+    // not cache reads.
+    names.foreach(runNoop)
+    spark.sharedState.cacheManager.clearCache()
     val results = names.map(n => n -> runNoop(n))
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query detail on its own line (and file) — deliberately WITHOUT

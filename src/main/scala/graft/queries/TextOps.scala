@@ -229,10 +229,12 @@ object TextOps {
     // p — no exchange, no need for its own checkpoint.
     val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
+    // not checkpointed: only round 1 reads this plan (each round's
+    // checkpoint replaces `labels`), and its three occurrences there
+    // dedupe into one ReusedExchange — cheaper than an extra eager job
     var labels = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
@@ -255,6 +257,8 @@ object TextOps {
       changed = obs.get("n_changed").asInstanceOf[Long] > 0L
       labels = next
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round=$round changed=$changed")
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
