@@ -110,6 +110,30 @@ object RpcExtract {
       case _ => Nil
     }
 
+  /** tx hash strings from one eth_getBlockByNumber(fullTxs=false)
+    * response — the hash source for the per-tx receipt fallback
+    * (cryo types/sources.rs:80-92 fetches the block's hashes the same
+    * way before fanning out eth_getTransactionReceipt). */
+  def blockTxHashes(body: String): Seq[String] =
+    (JsonMethods.parse(body) \ "result" \ "transactions") match {
+      case JArray(ts) => ts.collect {
+        case JString(h) => h
+        case t: JObject => jstr(t, "hash") // fullTxs=true responses work too
+      }.filter(_ != null)
+      case _ => Nil
+    }
+
+  /** one rpc_receipts row from an eth_getTransactionReceipt response —
+    * the per-tx fallback codec (sources.rs:66-107); shape identical to a
+    * blockReceipts element so degraded mode yields the same bronze. */
+  def transactionReceipt(body: String): Option[Row] =
+    (JsonMethods.parse(body) \ "result") match {
+      case r: JObject => Some(Row(hexB(r, "transactionHash"),
+        jlong(r, "gasUsed").getOrElse(0L),
+        jlong(r, "status").getOrElse(1L).toInt))
+      case _ => None
+    }
+
   /** rpc_traces rows from one trace_block response (traces.rs:45-90):
     * flat parity traces with `_`-joined trace addresses, decimal-string
     * values, and reward recipients folded into action_to. */

@@ -468,12 +468,61 @@ class RpcSource(config: RpcConfig) extends Serializable {
       (i, n) => RpcCodec.getBlockRequest(i, n, fullTxs = true))(
       (body, _) => RpcExtract.blockTransactions(body, config.chainId))
 
-  /** rpc_receipts via eth_getBlockReceipts (transactions.rs:131-135). */
+  /** rpc_receipts via eth_getBlockReceipts (transactions.rs:131-135),
+    * degrading per block to batched eth_getTransactionReceipt when the
+    * node rejects the block call (cryo types/sources.rs:66-107 falls
+    * back the same way — older geth and several hosted providers lack
+    * eth_getBlockReceipts). Failed blocks re-fetch their tx hash lists
+    * (eth_getBlockByNumber, hashes only) and fan out per-tx receipt
+    * requests, all still through the sliding async window, so degraded
+    * mode keeps the fast path's concurrency. Blocks the node answers
+    * cost zero extra round trips. */
   def fetchReceipts(spark: SparkSession, range: BlockSyntax.Range,
-      numPartitions: Int = 32): DataFrame =
-    fetchPerBlock(spark, range, RpcSource.receiptsSchema, numPartitions)(
-      (i, n) => RpcCodec.getBlockReceiptsRequest(i, n))(
-      (body, _) => RpcExtract.blockReceipts(body))
+      numPartitions: Int = 32): DataFrame = {
+    val conf = config
+    val window = inflightWindow(numPartitions)
+    val rdd = spark.sparkContext
+      .range(range.start, range.endExclusive, numSlices = numPartitions)
+      .mapPartitions { nums =>
+        val client = HttpClient.newHttpClient()
+        val bucket = new TokenBucket(conf.requestsPerSecond)
+        val failed = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val fast = pipelinePosts(
+            nums.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
+            window, client, bucket) { blocks =>
+          RpcCodec.batch(blocks.zipWithIndex.map { case (n, i) =>
+            RpcCodec.getBlockReceiptsRequest(i, n) })
+        }.flatMap { case (blocks, json) =>
+          blocks.zip(RpcSource.splitBatch(json)).flatMap { case (n, part) =>
+            if (RpcSource.isError(part)) { failed += n; Nil }
+            else RpcExtract.blockReceipts(part)
+          }
+        }
+        // evaluated only after `fast` drains (Iterator.++ is by-name), so
+        // `failed` is complete; both stages stay inside the async window
+        def fallback: Iterator[Row] = {
+          val hashes = pipelinePosts(
+              failed.iterator.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
+              window, client, bucket) { blocks =>
+            RpcCodec.batch(blocks.zipWithIndex.map { case (n, i) =>
+              RpcCodec.getBlockRequest(i, n, fullTxs = false) })
+          }.flatMap { case (blocks, json) =>
+            blocks.zip(RpcSource.splitBatch(json))
+              .flatMap { case (_, part) => RpcExtract.blockTxHashes(part) }
+          }
+          pipelinePosts(hashes.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
+              window, client, bucket) { hs =>
+            RpcCodec.batch(hs.zipWithIndex.map { case (h, i) =>
+              RpcCodec.getTransactionReceiptRequest(i, h) })
+          }.flatMap { case (hs, json) =>
+            hs.zip(RpcSource.splitBatch(json))
+              .flatMap { case (_, part) => RpcExtract.transactionReceipt(part) }
+          }
+        }
+        fast ++ fallback
+      }
+    spark.createDataFrame(rdd, RpcSource.receiptsSchema)
+  }
 
   /** rpc_traces via trace_block (traces.rs extract). */
   def fetchTraces(spark: SparkSession, range: BlockSyntax.Range,
@@ -871,16 +920,25 @@ class RpcSource(config: RpcConfig) extends Serializable {
 
 object RpcSource {
   /** split a batched JSON-RPC response into per-request bodies, in id
-    * order (ids are the batch indices) */
+    * order (ids are the batch indices). The `error` member rides along
+    * so callers can detect per-request failures (a node rejecting one
+    * method still answers 200 with an error object per request). */
   def splitBatch(json: String): Seq[String] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(json) match {
       case JArray(xs) => xs.sortBy(x => (x \ "id") match {
         case JInt(i) => i.toLong; case _ => 0L
-      }).map(x => JsonMethods.compact(JsonMethods.render(JObject("result" -> (x \ "result")))))
+      }).map(x => JsonMethods.compact(JsonMethods.render(
+        JObject("result" -> (x \ "result"), "error" -> (x \ "error")))))
       case _ => Nil
     }
+  }
+
+  /** true when a split response part carries a JSON-RPC error object */
+  def isError(part: String): Boolean = {
+    import org.json4s._
+    (org.json4s.jackson.JsonMethods.parse(part) \ "error") != JNothing
   }
 
   private def f(n: String, t: DataType, nullable: Boolean = true) = StructField(n, t, nullable)

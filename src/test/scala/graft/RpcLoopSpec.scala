@@ -38,7 +38,8 @@ class RpcLoopSpec extends AnyFunSuite {
         val bn = hexParam(0)
         val fullTxs = p(1) == JBool(true)
         val txs =
-          if (!fullTxs) "[]"
+          if (!fullTxs) // hashes only — what the receipt fallback reads
+            (0 until 2).map(i => s""""${h64(bn * 10 + i)}"""").mkString("[", ",", "]")
           else (0 until 2).map { i =>
             s"""{"transactionIndex":"0x$i","hash":"${h64(bn * 10 + i)}",
                |"nonce":"0x1","from":"${h40(bn)}","to":"${h40(bn + 1)}",
@@ -58,6 +59,9 @@ class RpcLoopSpec extends AnyFunSuite {
         (0 until 2).map { i =>
           s"""{"transactionHash":"${h64(bn * 10 + i)}","gasUsed":"0x5208","status":"0x1"}"""
         }.mkString("[", ",", "]")
+      case "eth_getTransactionReceipt" =>
+        val h = p(0) match { case JString(s) => s; case _ => "0x0" }
+        s"""{"transactionHash":"$h","gasUsed":"0x5208","status":"0x1"}"""
       case "trace_block" =>
         val bn = hexParam(0)
         (0 until 2).map { i =>
@@ -182,7 +186,14 @@ class RpcLoopSpec extends AnyFunSuite {
   }
 
   /** serve canned JSON-RPC (single or batch), counting round trips */
-  private def withStub[T](f: (String, AtomicInteger) => T): T = {
+  private def withStub[T](f: (String, AtomicInteger) => T): T =
+    withStubRejecting(Set.empty)(f)
+
+  /** withStub, but methods in `reject` answer a JSON-RPC method-not-found
+    * error (HTTP 200) — how a node without e.g. eth_getBlockReceipts
+    * actually behaves. */
+  private def withStubRejecting[T](reject: Set[String])(
+      f: (String, AtomicInteger) => T): T = {
     val posts = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", { exchange =>
@@ -194,7 +205,10 @@ class RpcLoopSpec extends AnyFunSuite {
       def one(req: JValue): String = {
         val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
         val JString(method) = (req \ "method"): @unchecked
-        s"""{"jsonrpc":"2.0","id":$id,"result":${result(method, req \ "params")}}"""
+        if (reject(method))
+          s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32601,"message":"the method $method does not exist/is not available"}}"""
+        else
+          s"""{"jsonrpc":"2.0","id":$id,"result":${result(method, req \ "params")}}"""
       }
       val resp = JsonMethods.parse(body) match {
         case JArray(reqs) => reqs.map(one).mkString("[", ",", "]")
@@ -259,6 +273,67 @@ class RpcLoopSpec extends AnyFunSuite {
       assert(s.fetchTraces(spark, range, numPartitions = 1).count() == 8)
       assert(posts.get() == 4) // 2 batched round trips per family
     }
+  }
+
+  test("fetchReceipts: per-tx fallback when eth_getBlockReceipts is unsupported") {
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (BigInt(r.getAs[Array[Byte]](0)), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    val fast = withStub { (url, posts) =>
+      val rows = src(url).fetchReceipts(spark, range, numPartitions = 1).collect()
+      assert(posts.get() == 2) // supported node: zero extra round trips
+      norm(rows)
+    }
+    withStubRejecting(Set("eth_getBlockReceipts")) { (url, posts) =>
+      val rows = src(url).fetchReceipts(spark, range, numPartitions = 1).collect()
+      // degraded bronze is identical to the fast path's
+      assert(norm(rows) == fast)
+      // 2 rejected block-receipt trips + 2 hash-list trips + 4 per-tx
+      // receipt trips (8 txs at innerRequestSize=2)
+      assert(posts.get() == 8, s"expected 8 round trips, got ${posts.get()}")
+    }
+  }
+
+  test("receipt fallback keeps >1 request in flight per partition") {
+    // Every eth_getTransactionReceipt batch blocks until TWO such batches
+    // are present simultaneously — only the sliding-window pipeline
+    // (window = maxConcurrentRequests / numTasks = 2) satisfies the
+    // latch; a serial fallback loop would time out.
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (body.contains("eth_getTransactionReceipt")) {
+        latch.countDown()
+        assert(latch.await(10, java.util.concurrent.TimeUnit.SECONDS),
+          "second fallback batch never arrived: fallback lost the async window")
+      }
+      def one(req: JValue): String = {
+        val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+        val JString(method) = (req \ "method"): @unchecked
+        if (method == "eth_getBlockReceipts")
+          s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32601,"message":"unsupported"}}"""
+        else
+          s"""{"jsonrpc":"2.0","id":$id,"result":${result(method, req \ "params")}}"""
+      }
+      val resp = JsonMethods.parse(body) match {
+        case JArray(reqs) => reqs.map(one).mkString("[", ",", "]")
+        case req => one(req)
+      }
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes); exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val cfg = RpcConfig(url, chainId = 1, innerRequestSize = 2,
+        maxConcurrentRequests = 2, maxRetries = 0)
+      val rows = new RpcSource(cfg).fetchReceipts(spark, range, numPartitions = 1)
+        .collect()
+      assert(rows.length == 8) // 2 txs × 4 blocks via the per-tx path
+    } finally server.stop(0)
   }
 
   test("fetchGethCalls: call frames flatten depth-first") {
