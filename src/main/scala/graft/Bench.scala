@@ -52,7 +52,10 @@ object Bench {
     // ~2s of javac, not dataflow). The DATA caches the pre-pass populates
     // are then cleared: timed numbers measure computation in a warm JVM,
     // not cache reads.
-    names.foreach(runNoop)
+    // the pre-pass timings are kept as cold_total so rounds can separate
+    // warm-up accounting from real computation wins when comparing runs
+    val coldResults = names.map(n => n -> runNoop(n))
+    val coldTotal = coldResults.map(_._2).filter(_ >= 0).sum
     spark.sharedState.cacheManager.clearCache()
     val results = names.map(n => n -> runNoop(n))
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -67,7 +70,7 @@ object Bench {
       java.nio.file.Paths.get("/tmp/graft_bench_per_query.json"),
       s"""{"per_query":$qs,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

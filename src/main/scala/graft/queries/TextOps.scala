@@ -202,35 +202,59 @@ object TextOps {
     * whole-graph joins per round, no driver-side graph). Returns
     * (doc_id, cluster_id) for every node in some pair, cluster_id = the
     * component's min doc_id. `maxRounds` bounds the worst case (graph
-    * diameter); the loop exits the first unchanged round. */
-  def clustersOf(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    * diameter); the loop exits the first round with no label changes.
+    *
+    * `checkpointDir`: None (default) truncates lineage via
+    * localCheckpoint — executor-storage only, fine single-node and
+    * fastest. On a real cluster an executor loss mid-loop would kill
+    * the job with localCheckpoint, so pass a reliable dir (HDFS/object
+    * store) to swap in fault-tolerant `checkpoint` — same labels,
+    * bit-identical output.
+    *
+    * `roundsPerAction`: propagation rounds composed into ONE Spark
+    * action (lineage cut + convergence observation). Each round is a
+    * join+groupBy; composing k of them trades ≤k-1 extra (cheap,
+    * already-converged) rounds for k× fewer fixed-overhead checkpoint
+    * jobs — the dominant cost at small scale and harmless at large
+    * scale where per-round compute dwarfs job launch. */
+  def clustersOf(pairs: DataFrame, maxRounds: Int = 20,
+      checkpointDir: Option[String] = None,
+      roundsPerAction: Int = 2): DataFrame = {
     import org.apache.spark.sql.Observation
-    // Iterative algorithms MUST truncate lineage every round:
+    require(roundsPerAction >= 1, "roundsPerAction must be >= 1")
+    // Iterative algorithms MUST truncate lineage as they go:
     // persist() alone only short-circuits execution — Catalyst still
     // re-analyzes the full logical plan on every action, and the plan
     // of round k embeds round k-1's plan several times over, so
     // analysis cost grows exponentially (measured: 467 nodes / 251
     // edges took 100s un-truncated, <2s with checkpoints).
-    // localCheckpoint materializes to executor storage and cuts the
-    // plan; on a cluster where executor loss matters, swap for
-    // reliable checkpoint(dir).
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     //
-    // Round structure: exactly ONE action per round — the eager
-    // localCheckpoint of `next`. Convergence rides along as an
-    // Observation (CollectMetrics) aggregated inside that same job,
-    // and path halving is folded into the SAME join+groupBy as
-    // neighbor propagation by augmenting the edge set with "pointer
-    // edges" label(v) -> v: the min over {neighbor labels} ∪
-    // {label(label(v))} arrives in one aggregation, no separate
-    // grandparent join. Labels stay monotone non-increasing, so the
-    // fixpoint (= the component-min labeling) is unchanged.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // Batch structure: exactly ONE action per executed batch of
+    // `roundsPerAction` rounds — the eager checkpoint of the composed
+    // plan. Convergence rides along as an Observation (CollectMetrics)
+    // counting the LAST round's label changes inside that same job
+    // (labels are monotone non-increasing, so "last round changed
+    // nothing" IS the fixpoint — earlier rounds of the batch can't
+    // have pending work the last one hid). Path halving is folded into
+    // the SAME join+groupBy as neighbor propagation by augmenting the
+    // edge set with "pointer edges" label(v) -> v: the min over
+    // {neighbor labels} ∪ {label(label(v))} arrives in one
+    // aggregation, no separate grandparent join.
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val t0 = System.nanoTime()
+    def dbg(msg: => String): Unit =
+      if (debug) println(f"[cc] +${(System.nanoTime() - t0) / 1e9}%.2fs $msg")
+    val p = cut(pairs.select(col("id_a"), col("id_b")))
+    dbg("pairs checkpointed")
     // edges' plan is a Union of two narrow projects over checkpointed
     // p — no exchange, no need for its own checkpoint.
     val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
-    // not checkpointed: only round 1 reads this plan (each round's
-    // checkpoint replaces `labels`), and its three occurrences there
+    // not checkpointed: only the first batch reads this plan (each
+    // batch's checkpoint replaces `labels`), and its occurrences there
     // dedupe into one ReusedExchange — cheaper than an extra eager job
     var labels = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
@@ -238,27 +262,44 @@ object TextOps {
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
-      // pointer edges label(v) -> v piggyback the grandparent hop on
-      // the propagation aggregation (self-pointers v -> v round 0 are
-      // harmless: they contribute v's own label to the min)
-      val pointer = labels.select(col("label").as("src"), col("doc_id").as("dst"))
-      val neigh = edges.union(pointer)
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
-      val obs = Observation()
-      val next = labels.join(neigh, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next_label"),
-          col("label").as("old"))
-        .observe(obs, coalesce(sum(when(col("next_label") =!= col("old"), 1L)
-          .otherwise(0L)), lit(0L)).as("n_changed"))
-        .select(col("doc_id"), col("next_label").as("label"))
-        .localCheckpoint() // the round's single action; fills obs
+      val k = math.min(roundsPerAction, maxRounds - round)
+      var cur = labels
+      var obs: Observation = null
+      // intermediate rounds are read 3× by the next round (pointer edges,
+      // join right side, stepped left) — persist so the batch's single
+      // job computes each round once; freed right after the cut
+      val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (i <- 0 until k) {
+        // pointer edges label(v) -> v piggyback the grandparent hop on
+        // the propagation aggregation (self-pointers v -> v round 0
+        // are harmless: they contribute v's own label to the min)
+        val pointer = cur.select(col("label").as("src"), col("doc_id").as("dst"))
+        val neigh = edges.union(pointer)
+          .join(cur.withColumnRenamed("doc_id", "src"), "src")
+          .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
+        val stepped = cur.join(neigh, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("next_label"),
+            col("label").as("old"))
+        cur =
+          if (i < k - 1) {
+            val step = stepped.select(col("doc_id"), col("next_label").as("label"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            interim += step
+            step
+          } else {
+            obs = Observation()
+            stepped
+              .observe(obs, coalesce(sum(when(col("next_label") =!= col("old"), 1L)
+                .otherwise(0L)), lit(0L)).as("n_changed"))
+              .select(col("doc_id"), col("next_label").as("label"))
+          }
+      }
+      labels = cut(cur) // the batch's single action; fills obs
+      interim.foreach(_.unpersist(false))
       changed = obs.get("n_changed").asInstanceOf[Long] > 0L
-      labels = next
-      round += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round=$round changed=$changed")
+      round += k
+      dbg(s"rounds=$round changed=$changed")
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }

@@ -76,6 +76,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("dedup clusters: reliable checkpoint dir yields identical labels") {
+    import spark.implicits._
+    // a 9-node chain (diameter 8) forces several batches, exercising the
+    // reliable-checkpoint cut repeatedly; plus a disjoint pair
+    val chain = (1 until 9).map(i => (i.toLong * 10, (i + 1).toLong * 10))
+    val pairs = (chain :+ (7L, 8L)).toDF("id_a", "id_b")
+    val local = graft.queries.TextOps.clustersOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val reliable = graft.queries.TextOps
+      .clustersOf(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(local.filterNot(_._1 < 10L).values.toSet == Set(10L))
+    assert(local(7L) == 7L && local(8L) == 7L)
+    // the reliable run actually wrote RDD checkpoints to the dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
