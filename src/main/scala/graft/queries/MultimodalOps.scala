@@ -11,12 +11,19 @@ import org.apache.spark.sql.types._
   * parquet; decode runs per-partition with library handles reused across
   * rows; only extracted features shuffle, never raw bytes).
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
-  * so `decodeStub` derives deterministic fake dimensions from the payload
-  * header bytes. The Spark-side contract — schema, partition batching,
-  * feature extraction signature — is real and oracle-checked; swapping
-  * `decodeStub` for an actual codec (e.g. via mapInPandas + Pillow on the
-  * PySpark surface) changes no plumbing.
+  * Two decode tiers:
+  *  - q_mm_decode_resize runs a REAL codec end-to-end: every document's
+  *    bytes are encoded into an actual grayscale PNG (java.awt
+  *    BufferedImage + javax.imageio — pure JVM, headless), the binary
+  *    column crosses a DataFrame boundary, and a second mapPartitions
+  *    stage decodes it with ImageIO.read and resizes the decoded raster
+  *    (nearest-neighbor 4×4). Grayscale PNG is lossless, so the oracle
+  *    recomputes the identical pixels from the raw bytes in SQL.
+  *  - q_mm_features/resize/frame_sample keep `decodeStub` (deterministic
+  *    fake dimensions from header bytes) standing in for codecs the
+  *    container lacks (JPEG/video/audio); the Spark-side contract —
+  *    schema, partition batching, feature extraction signature — is the
+  *    same either way, as q_mm_decode_resize demonstrates.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -44,7 +51,82 @@ object MultimodalOps {
     StructField("fake_height", IntegerType, nullable = false),
     StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
 
+  /** Deterministic image geometry shared by the encode stage and the
+    * oracle: bytes fill a ≤64-wide grayscale grid row-major, zero-padded
+    * in the last row; empty payloads become a 1×1 black pixel. */
+  private def geom(n: Int): (Int, Int) = {
+    val w = math.min(64, math.max(n, 1))
+    (w, (math.max(n, 1) + w - 1) / w)
+  }
+
+  /** documents rendered as REAL grayscale PNGs (one per doc): the encode
+    * half of the real-codec round trip. Runs at the same mapPartitions
+    * batch boundary a production encoder would. */
+  private def pngAssets(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false)))
+    val out = assets(s, dir).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val c = r.getAs[Array[Byte]]("content")
+        val (w, h) = geom(c.length)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < c.length) {
+          raster.setSample(i % w, i / w, 0, c(i) & 0xff)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, "image/png")
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
+
   val defs: Map[String, Q] = Map(
+    // REAL image decode + resize: ImageIO.read on genuine PNG bytes, then
+    // nearest-neighbor resize of the decoded raster to a fixed 4×4 grid
+    // (fixed output shape regardless of input size — the training-data
+    // resize contract) plus a whole-image mean. All integer-exact on
+    // lossless grayscale, so the oracle reproduces every pixel from the
+    // original bytes without a codec.
+    "q_mm_decode_resize" -> { (s, dir) =>
+      val schema = StructType(
+        StructField("doc_id", LongType, nullable = false) ::
+        StructField("width", IntegerType, nullable = false) ::
+        StructField("height", IntegerType, nullable = false) ::
+        StructField("mean_gray", LongType, nullable = false) ::
+        (for (i <- 0 until 4; j <- 0 until 4)
+          yield StructField(s"nn_${i}_$j", IntegerType, nullable = false)).toList)
+      val out = pngAssets(s, dir).rdd.mapPartitions { it =>
+        // a production pipeline opens codec handles once per partition
+        it.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val png = r.getAs[Array[Byte]]("content")
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          require(img != null, s"doc $id: undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          val nn = for (i <- 0 until 4; j <- 0 until 4)
+            yield raster.getSample(j * w / 4, i * h / 4, 0)
+          Row.fromSeq(id +: w +: h +: (sum / (w.toLong * h)) +: nn)
+        }
+      }
+      s.createDataFrame(out, schema)
+    },
+
     // Per-partition imperative feature extraction over binary payloads:
     // metadata via (stubbed) decode + a 16-bin byte histogram. The
     // mapPartitions boundary is where batch-level resources (codec
@@ -124,6 +206,30 @@ object MultimodalOps {
   /** oracle: the same histogram/dimensions computed in SQL over hex pairs
     * (documents' text is ASCII, so UTF-8 bytes == code units). */
   val oracles: Map[String, String] = Map(
+    // reproduces the decoded raster arithmetic from the raw bytes:
+    // grayscale PNG is lossless, so pixel(y*w+x) = byte(y*w+x) (0 in the
+    // zero-padded tail), and the nearest-neighbor grid + mean are
+    // integer-exact on both engines
+    "q_mm_decode_resize" -> {
+      def byteAt(idx: String) =
+        s"CASE WHEN $idx < n THEN CAST('0x' || substring(hex(c), 2*($idx) + 1, 2) AS INT) ELSE 0 END"
+      val nn = (for (i <- 0 until 4; j <- 0 until 4) yield
+        s"${byteAt(s"(($i*h)//4)*w + (($j*w)//4)")} AS nn_${i}_$j").mkString(",\n ")
+      s"""WITH a AS (
+        | SELECT doc_id, encode(text) AS c, octet_length(encode(text)) AS n
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, c, n,
+        |  LEAST(64, GREATEST(n, 1)) AS w,
+        |  (GREATEST(n, 1) + LEAST(64, GREATEST(n, 1)) - 1) // LEAST(64, GREATEST(n, 1)) AS h
+        | FROM a)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | CAST(coalesce(list_aggregate(list_transform(range(n),
+        |   j -> CAST('0x' || substring(hex(c), 2*j + 1, 2) AS BIGINT)), 'sum'), 0)
+        |  // (w * h) AS BIGINT) AS mean_gray,
+        | $nn
+        |FROM d""".stripMargin
+    },
     "q_mm_features" -> {
       val hist = (0 until 16).map(i =>
         s"""CAST(len(list_filter(range(0, octet_length(c)),

@@ -111,6 +111,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("decode_resize round-trips real pixels through the PNG codec") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q_mm_decode_resize")(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val n = text.getBytes("UTF-8").length
+      val w = math.min(64, math.max(n, 1))
+      assert(r.getAs[Int]("width") == w)
+      assert(r.getAs[Int]("height") == (math.max(n, 1) + w - 1) / w)
+      // nn_0_0 samples pixel (0,0) of the DECODED raster = byte 0 of the
+      // original text — only true if ImageIO really round-tripped pixels
+      assert(r.getAs[Int]("nn_0_0") == (text.getBytes("UTF-8")(0) & 0xff))
+      assert(r.getAs[Long]("mean_gray") >= 0L && r.getAs[Long]("mean_gray") <= 255L)
+    }
+  }
+
   test("simhash is stable across runs (deterministic)") {
     val a = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
