@@ -501,6 +501,60 @@ object TextOps {
         .reduce(_ + _)
       tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), sim.as("simhash"))
+    },
+
+    // Cross-document duplicated spans: the window-granularity form of
+    // exact substring dedup (suffix-array substring dedup's scalable
+    // relative — instead of maximal repeated substrings, every 5-token
+    // window is fingerprinted and a window is "duplicated" when it occurs
+    // in ≥2 distinct documents). Cost shape for 100 TB: windows are
+    // emitted by the one-pass Generator and immediately reduced to a
+    // 64-bit fingerprint, so the shuffle carries (h, doc_id) longs —
+    // never window text; the per-(h,doc) pre-aggregation partial-aggs
+    // map-side; the cross-doc count is a window function sharing the
+    // groupBy's hash partitioning on h (no extra exchange); the final
+    // per-doc rollup is one more skinny shuffle. Within-doc repeats do
+    // NOT count as duplication (that signal is q_doc_repetition);
+    // fingerprint collisions are deterministic and mirrored in the
+    // oracle, the standard hashed-dedup trade.
+    "q_doc_dup_spans" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftSql
+      val spans = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          GraftSql.column(graft.functions.ExplodeShingles(
+            GraftSql.expression(toks), 5)).as("span"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long")
+            % MinhashMod).as("h"))
+      val perDoc = spans.groupBy("h", "doc_id").agg(count(lit(1)).as("n_occ"))
+      val withDocs = perDoc.withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy("h")))
+      withDocs.groupBy("doc_id").agg(
+        sum(col("n_occ")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("n_occ")).otherwise(0L)).as("n_dup_windows"))
+        .withColumn("dup_fraction",
+          col("n_dup_windows").cast("double") / col("n_windows"))
+    },
+
+    // Sequence packing for training-batch prep: documents concatenate in
+    // doc_id order within their shard (source) and the stream is split
+    // into fixed token-budget packs; each doc reports the pack its first
+    // token lands in and the offset there. Pure integer window arithmetic
+    // (running sum, div, mod) — no floats. Scale shape: the prefix sum is
+    // PER SHARD (partitionBy source), so shards pack in parallel — the
+    // global-order variant would serialize into one task, which is why
+    // real pipelines pack per shard.
+    "q_doc_pack" -> { (s, dir) =>
+      val budget = 2048L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          ((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"),
+          ((col("cum") - col("n_tokens")) % budget).as("pack_offset"))
     }
   )
 
@@ -620,6 +674,35 @@ object TextOps {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+')) AS n_subword_tokens
         |FROM documents""".stripMargin,
+    "q_doc_dup_spans" ->
+      s"""WITH sp AS (
+        | SELECT doc_id,
+        |  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MinhashMod AS h
+        | FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+        |  FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 5)),
+        |pd AS (SELECT h, doc_id, count(*) AS n_occ FROM sp GROUP BY 1, 2),
+        |wd AS (SELECT *, count(*) OVER (PARTITION BY h) AS n_docs FROM pd)
+        |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS DOUBLE)
+        |   / sum(n_occ) AS dup_fraction
+        |FROM wd GROUP BY doc_id""".stripMargin,
+    "q_doc_pack" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM t)
+        |SELECT doc_id, source, n_tokens,
+        | (cum - n_tokens) // 2048 AS pack_id,
+        | (cum - n_tokens) % 2048 AS pack_offset
+        |FROM c""".stripMargin,
     "q_doc_rolling_fp" ->
       s"""SELECT doc_id,
         | list_reduce(
