@@ -77,6 +77,63 @@ object SimilarityOps {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** nearest-centroid assignment by cosine (ties → lowest centroid_id);
+    * centroid table broadcast — bounded by construction (k rows). */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("centroid_id").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cosine",
+        dot(col("embedding"), col("c_emb")) /
+          (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+  }
+
+  /** element grid for the deterministic Lloyd mean: floor(x·2^20). The
+    * power-of-two scale makes the quantization exact (only the exponent
+    * changes), and summing LONGS across rows is order-independent where
+    * summing doubles is not — cross-row float sums are the one
+    * non-portable reduction (see the object scaladoc), so the mean is
+    * computed as one exact integer sum + one IEEE double division. */
+  private val KmeansQuant = 1048576L // 2^20
+
+  /** one Lloyd update step as flat (centroid_id, dim) rows — k·d cells,
+    * partial-aggregated map-side before a single skinny shuffle. */
+  private def lloydUpdateFlat(assign: DataFrame): DataFrame =
+    assign
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("centroid_id", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("x").cast("double") * KmeansQuant).cast("long")).as("qsum"))
+      .select(col("centroid_id"), col("dim"), col("n_members"),
+        (col("qsum").cast("double") / (col("n_members") * lit(KmeansQuant)))
+          .as("c_val"))
+
+  /** Full k-means (Lloyd) training for the IVF index: `iters` rounds of
+    * assign → mean, seeded from the first k vectors. Returns
+    * (centroid_id, c_emb: array<float>). 100 TB shape per round: one
+    * broadcast assignment pass over the corpus (no shuffle of vectors),
+    * one k·d-cell aggregation with map-side partials; the k-row centroid
+    * reassembly + localCheckpoint truncates lineage per round (the
+    * iterative-plan rule — see TextOps.clustersOf). Updated centroids
+    * round to float so every round's assignment runs the same codegen'd
+    * float kernels. A cell that loses all members drops out (standard
+    * Lloyd degeneracy; deterministic here since ties break by id). */
+  def kmeansOf(embeddings: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    var cents = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    for (_ <- 0 until iters) {
+      val upd = lloydUpdateFlat(assignTo(embeddings, cents))
+      cents = upd.groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c_val")))).as("s"))
+        .select(col("centroid_id"),
+          transform(col("s"), e => e.getField("c_val").cast("float")).as("c_emb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   val defs: Map[String, Q] = Map(
     // Vector norms — scan-only array fold, whole-stage codegen.
     "q_embed_norms" -> { (s, dir) =>
@@ -159,6 +216,21 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select("vec_id", "centroid_id", "cosine")
+    },
+
+    // k-means training, one oracle-checked Lloyd step: assignment to the
+    // 16 seed centroids (the table q_embed_ivf_assign probes), then the
+    // per-cell mean — THE training half the IVF queries' fixed seeds
+    // stood in for. Output is flat (centroid_id, dim) cells so no array
+    // column reaches the comparator; the mean is an exact long sum over
+    // a 2^20 grid + one double division (cross-row double sums are not
+    // bit-portable; integer sums are). Multi-round training is
+    // kmeansOf — same arithmetic, spec-pinned.
+    "q_embed_kmeans_step" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      lloydUpdateFlat(assignTo(e, cents))
     },
 
     // IVF search: probe the 2 nearest cells per query, scan only vectors
@@ -250,6 +322,25 @@ object SimilarityOps {
         |SELECT vec_id, centroid_id, cosine FROM (
         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
         | FROM scored) WHERE rk = 1""".stripMargin,
+    "q_embed_kmeans_step" ->
+      s"""WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  ${duckDotCols("e.embedding", "c.c_emb")} /
+        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+        | FROM embeddings e, cents c),
+        |assign AS (
+        | SELECT vec_id, embedding, centroid_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |flat AS (
+        | SELECT centroid_id, i - 1 AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+        | FROM assign, range(1, 65) t(i))
+        |SELECT centroid_id, dim, CAST(count(*) AS BIGINT) AS n_members,
+        | CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1048576) AS c_val
+        |FROM flat GROUP BY centroid_id, dim""".stripMargin,
     "q_embed_ivf_search" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),

@@ -141,4 +141,75 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "fr", "de", "es")))
   }
+
+  test("kmeans converges to planted cluster means") {
+    import spark.implicits._
+    // two tight planted clusters along opposite axes; seeds (vec_id 0, 1)
+    // start one in each cluster, so 3 Lloyd rounds must land each
+    // centroid on its cluster's mean.
+    def jitter(base: Float, i: Int): Array[Float] =
+      Array.tabulate(4)(d => if (d == 0) base + i * 0.01f else if (d == 1) 1f - base + i * 0.01f else 0.1f)
+    val a = (0 until 10 by 2).map(i => (i.toLong, jitter(1f, i / 2)))     // even ids: x-axis
+    val b = (1 until 10 by 2).map(i => (i.toLong, jitter(0f, i / 2)))     // odd ids: y-axis
+    val e = (a ++ b).toDF("vec_id", "embedding")
+    val cents = graft.queries.SimilarityOps.kmeansOf(e, k = 2, iters = 3).collect()
+    assert(cents.length == 2)
+    val byId = cents.map(r => r.getAs[Long]("centroid_id") ->
+      r.getAs[scala.collection.Seq[Float]]("c_emb")).toMap
+    // centroid 0 captured the x-heavy cluster, centroid 1 the y-heavy one
+    assert(byId(0L)(0) > byId(0L)(1))
+    assert(byId(1L)(1) > byId(1L)(0))
+    // each centroid ~= its members' mean (quantized grid error < 1e-5)
+    val meanA0 = a.map(_._2(0)).sum / a.length
+    assert(math.abs(byId(0L)(0) - meanA0) < 1e-4)
+  }
+
+  test("kmeans step output covers k*d cells with members partitioning the corpus") {
+    val rows = SparkEntry.queries("q_embed_kmeans_step")(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    val cells = rows.map(r => (r.getAs[Long]("centroid_id"), r.getAs[Int]("dim")))
+    assert(cells.distinct.length == cells.length)
+    // every dim of a surviving centroid is present
+    val dims = rows.groupBy(_.getAs[Long]("centroid_id")).values.map(_.length).toSet
+    assert(dims == Set(64))
+    // summed members over any fixed dim = corpus size (assignment is a partition)
+    val dim0 = rows.filter(_.getAs[Int]("dim") == 0).map(_.getAs[Long]("n_members")).sum
+    assert(dim0 == n)
+  }
+
+  test("dup spans: planted verbatim overlap is detected, unique docs score zero") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"$shared one two three four five six"),
+      (2L, s"zero $shared nine eight seven six five"),
+      (3L, "p q r s t u v w x y z")).toDF("doc_id", "text")
+    // run the same plan as the registered query, against planted docs
+    val spans = docs.select(col("doc_id"),
+        org.apache.spark.sql.GraftSql.column(graft.functions.ExplodeShingles(
+          org.apache.spark.sql.GraftSql.expression(split(col("text"), " ")), 5)).as("span"))
+    val hot = spans.groupBy("span").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).collect()
+    assert(hot.length == 1) // exactly the planted 5-gram
+    val res = SparkEntry.queries("q_doc_dup_spans")(spark, sf).collect()
+    res.foreach { r =>
+      val f = r.getAs[Double]("dup_fraction")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Long]("n_windows"))
+    }
+  }
+
+  test("pack: offsets stay under budget and packs fill sequentially per shard") {
+    val rows = SparkEntry.queries("q_doc_pack")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pack_offset") >= 0 && r.getAs[Long]("pack_offset") < 2048)
+      assert(r.getAs[Long]("pack_id") >= 0)
+    }
+    // within a shard, pack_id is non-decreasing in doc_id order
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("doc_id"))
+      val ids = sorted.map(_.getAs[Long]("pack_id"))
+      assert(ids.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
 }
