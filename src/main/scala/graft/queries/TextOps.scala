@@ -72,7 +72,7 @@ object TextOps {
     * per-element interpreted; the Generator path is one compiled pass). */
   private def affineSigsOf(rows: DataFrame): DataFrame = {
     val hashed = rows.select(col("doc_id"),
-      (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashMod).as("h"))
+      (graft.functions.Md5Prefix60(col("shingle")) % MinhashMod).as("h"))
     hashed.groupBy("doc_id").agg(
       min((col("h") * MinhashA(0) + MinhashB(0)) % MinhashP).as("sig0"),
       (1 until 8).map(i =>
@@ -443,7 +443,7 @@ object TextOps {
         .select(col("doc_id"),
           aggregate(
             transform(col("toks"), t =>
-              conv(substring(md5(t), 1, 15), 16, 10).cast("long") % MinhashMod),
+              graft.functions.Md5Prefix60(t) % MinhashMod),
             lit(0L),
             (h, x) => (h * 1000003L + x) % RollMod).as("rolling_fp"))
     },
@@ -493,7 +493,7 @@ object TextOps {
     "q_doc_simhash" -> { (s, dir) =>
       val tokens = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+        .withColumn("h", graft.functions.Md5Prefix60(col("tok")))
       val votes = (0 until 16).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
       val sim = (0 until 16).map(j =>
@@ -524,8 +524,7 @@ object TextOps {
           GraftSql.column(graft.functions.ExplodeShingles(
             GraftSql.expression(toks), 5)).as("span"))
         .select(col("doc_id"),
-          (conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long")
-            % MinhashMod).as("h"))
+          (graft.functions.Md5Prefix60(col("span")) % MinhashMod).as("h"))
       val perDoc = spans.groupBy("h", "doc_id").agg(count(lit(1)).as("n_occ"))
       val withDocs = perDoc.withColumn("n_docs",
         count(lit(1)).over(Window.partitionBy("h")))

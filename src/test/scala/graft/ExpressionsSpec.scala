@@ -169,4 +169,24 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(VectorOps.dot($"a", $"b").as("d")).collect()(0)
     assert(mismatch.isNullAt(0))
   }
+
+  test("md5 prefix60 equals the conv(substring(md5)) formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the oracle-defining formulation vs the codegen'd digest-direct one:
+    // must agree on every input, including empty and multi-byte UTF-8
+    val rng = new scala.util.Random(42)
+    val strs = Seq("", " ", "a", "the quick brown fox", "naïve café 東京") ++
+      (1 to 200).map(_ => rng.alphanumeric.take(rng.nextInt(30)).mkString)
+    val df = strs.toDF("s").select(
+      conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("ref"),
+      graft.functions.Md5Prefix60($"s").as("fast"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch for ${r}")
+    }
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(graft.functions.Md5Prefix60($"s")).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
