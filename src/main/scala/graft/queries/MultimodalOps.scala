@@ -28,6 +28,15 @@ import org.apache.spark.sql.types._
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
+  // ImageIO defaults to DISK-backed image streams (a temp file per
+  // encode/decode) — for in-memory byte-array payloads that is pure
+  // overhead, and on a 1000-executor cluster it adds local-disk churn
+  // per row. Each codec mapPartitions flips to memory-cached streams
+  // first (a static JVM setter, so once per executor in practice —
+  // set inside the partition function because that is the only code
+  // guaranteed to run on the executor JVM).
+  private def noDiskCache(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** assets = documents' text bytes as opaque binary payloads (scales
     * with sf; no extra fixture needed). */
   private def assets(s: SparkSession, dir: String): DataFrame =
@@ -68,6 +77,7 @@ object MultimodalOps {
       StructField("content", BinaryType, nullable = false),
       StructField("mime", StringType, nullable = false)))
     val out = assets(s, dir).rdd.mapPartitions { it =>
+      noDiskCache()
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         val c = r.getAs[Array[Byte]]("content")
@@ -105,6 +115,7 @@ object MultimodalOps {
           yield StructField(s"nn_${i}_$j", IntegerType, nullable = false)).toList)
       val out = pngAssets(s, dir).rdd.mapPartitions { it =>
         // a production pipeline opens codec handles once per partition
+        noDiskCache()
         it.map { r =>
           val id = r.getAs[Long]("doc_id")
           val png = r.getAs[Array[Byte]]("content")
