@@ -45,7 +45,11 @@ object Bench {
         try spark.read.parquet(f.toString).count() catch { case _: Throwable => () }
     }
 
+    // dev aid: SPARK_GRAFT_ONLY=q_a,q_b benches a subset (driver unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // full untimed pre-pass: every query executes once so whole-stage
     // codegen compilation, JIT, and broadcast machinery are warm for the
     // timed pass (cold codegen was charging the first doc-pipeline query

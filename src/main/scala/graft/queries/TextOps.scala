@@ -234,15 +234,21 @@ object TextOps {
     //
     // Batch structure: exactly ONE action per executed batch of
     // `roundsPerAction` rounds — the eager checkpoint of the composed
-    // plan. Convergence rides along as an Observation (CollectMetrics)
-    // counting the LAST round's label changes inside that same job
-    // (labels are monotone non-increasing, so "last round changed
-    // nothing" IS the fixpoint — earlier rounds of the batch can't
-    // have pending work the last one hid). Path halving is folded into
-    // the SAME join+groupBy as neighbor propagation by augmenting the
-    // edge set with "pointer edges" label(v) -> v: the min over
-    // {neighbor labels} ∪ {label(label(v))} arrives in one
-    // aggregation, no separate grandparent join.
+    // plan. Path halving is folded into the SAME join+groupBy as
+    // neighbor propagation by augmenting the edge set with "pointer
+    // edges" label(v) -> v: the min over {neighbor labels} ∪
+    // {label(label(v))} arrives in one aggregation, no separate
+    // grandparent join. The pointer edge also makes the propagation
+    // min itself ≤ the old label (label(label(v)) ≤ label(v) by the
+    // labels-never-exceed-ids invariant), so each round is ONE
+    // join+groupBy — no least(old, new) rejoin against the previous
+    // labels. Convergence needs no old-vs-new join either: labels are
+    // pointwise monotone non-increasing, so sum(label) is strictly
+    // decreasing until the fixpoint and constant after it; every
+    // round observes its label sum (CollectMetrics, all filled by the
+    // batch's single job) and the loop stops the first time two
+    // consecutive sums are equal. Sums are DECIMAL(38,0) so arbitrary
+    // 64-bit doc ids at any corpus size cannot overflow the metric.
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     val t0 = System.nanoTime()
     def dbg(msg: => String): Unit =
@@ -259,47 +265,53 @@ object TextOps {
     var labels = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
+    val zero = new java.math.BigDecimal(0)
+    def labelSum(o: Observation): java.math.BigDecimal =
+      o.get("label_sum") match {
+        case null => zero // empty graph: sum over zero rows is null
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal => d.bigDecimal
+      }
+    var prevSum: Option[java.math.BigDecimal] = None
     var round = 0
-    var changed = true
-    while (changed && round < maxRounds) {
+    var converged = false
+    while (!converged && round < maxRounds) {
       val k = math.min(roundsPerAction, maxRounds - round)
       var cur = labels
-      var obs: Observation = null
-      // intermediate rounds are read 3× by the next round (pointer edges,
-      // join right side, stepped left) — persist so the batch's single
-      // job computes each round once; freed right after the cut
+      val obs = scala.collection.mutable.ArrayBuffer.empty[Observation]
+      // intermediate rounds are read twice by the next round (pointer
+      // edges + join right side) — persist so the batch's single job
+      // computes each round once; freed right after the cut
       val interim = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (i <- 0 until k) {
         // pointer edges label(v) -> v piggyback the grandparent hop on
         // the propagation aggregation (self-pointers v -> v round 0
-        // are harmless: they contribute v's own label to the min)
+        // are harmless: they contribute v's own label to the min);
+        // they also guarantee every node receives ≥1 row, so the
+        // groupBy's output IS the full next label table
         val pointer = cur.select(col("label").as("src"), col("doc_id").as("dst"))
-        val neigh = edges.union(pointer)
+        val o = Observation()
+        obs += o
+        val next = edges.union(pointer)
           .join(cur.withColumnRenamed("doc_id", "src"), "src")
-          .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
-        val stepped = cur.join(neigh, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("next_label"),
-            col("label").as("old"))
+          .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("label"))
+          .observe(o, sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("label_sum"))
         cur =
           if (i < k - 1) {
-            val step = stepped.select(col("doc_id"), col("next_label").as("label"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val step = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             interim += step
             step
-          } else {
-            obs = Observation()
-            stepped
-              .observe(obs, coalesce(sum(when(col("next_label") =!= col("old"), 1L)
-                .otherwise(0L)), lit(0L)).as("n_changed"))
-              .select(col("doc_id"), col("next_label").as("label"))
-          }
+          } else next
       }
-      labels = cut(cur) // the batch's single action; fills obs
+      labels = cut(cur) // the batch's single action; fills every obs
       interim.foreach(_.unpersist(false))
-      changed = obs.get("n_changed").asInstanceOf[Long] > 0L
+      val sums = obs.map(labelSum).toSeq
+      converged = (prevSum.toSeq ++ sums).sliding(2)
+        .exists(w => w.size == 2 && w(0).compareTo(w(1)) == 0)
+      prevSum = Some(sums.last)
       round += k
-      dbg(s"rounds=$round changed=$changed")
+      dbg(s"rounds=$round converged=$converged sums=${sums.mkString(",")}")
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
