@@ -148,19 +148,7 @@ object SimilarityOps {
     // stream. At cluster scale the same plan shards candidates across
     // executors — no shuffle until the final per-query top-k.
     "q_embed_cosine_topk" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-      c.crossJoin(broadcast(q))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine",
-          dot(col("q_emb"), col("c_emb")) /
-            (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select("q_id", "c_id", "rk", "cosine")
+      cosineTopkOf(Tables(s, dir, "embeddings"), nQueries = 10, k = 5)
     },
 
     // Sign-LSH bucketing (random-projection LSH with axis projections):
@@ -237,34 +225,75 @@ object SimilarityOps {
     // assigned there (the 100 TB path: cells are the partition key; a
     // query touches nprobe/ncells of the data), exact top-3 re-rank.
     "q_embed_ivf_search" -> { (s, dir) =>
+      ivfSearchOf(Tables(s, dir, "embeddings"))
+    },
+
+    // ANN quality evaluation: recall@3 of the IVF probe path against the
+    // exact brute-force top-3 — the metric that decides nprobe/ncells
+    // trade-offs before committing an index layout to a 100 TB corpus.
+    // Both inputs are per-query top-k tables (|Q|·k rows, tiny at any
+    // corpus size — the heavy scans happen inside the two pipelines),
+    // so the hit-join broadcasts under AQE and the rollup is one skinny
+    // groupBy per query id. The left join keeps queries with zero hits.
+    "q_embed_ivf_recall" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-      def nearestCells(src: DataFrame, idCol: String, n: Int): DataFrame = {
-        val w = Window.partitionBy(idCol).orderBy(col("cosine").desc, col("centroid_id").asc)
-        src.crossJoin(broadcast(cents))
-          .withColumn("cosine",
-            dot(col("embedding"), col("c_emb")) /
-              (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= n)
-      }
-      val assign = nearestCells(e, "vec_id", 1)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"), col("centroid_id"))
-      val queries = e.filter(col("vec_id") < 10)
-      val probes = nearestCells(queries, "vec_id", 2)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("centroid_id"))
-      val w2 = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-      probes.join(assign, "centroid_id")
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine",
-          dot(col("q_e"), col("c_e")) /
-            (sqrt(sumSq(col("q_e"))) * sqrt(sumSq(col("c_e")))))
-        .withColumn("rk", row_number().over(w2))
-        .filter(col("rk") <= 3)
-        .select("q_id", "c_id", "rk", "cosine")
+      val exact = cosineTopkOf(e, nQueries = 10, k = 3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      ivfSearchOf(e).select(col("q_id"), col("c_id"))
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_3", col("n_hits").cast("double") / 3.0)
     }
   )
+
+  /** exact top-k neighbors by cosine for query vectors vec_id < nQueries
+    * (shared by the driver query and the recall evaluator — recall is
+    * only meaningful against this exact ranking) */
+  private def cosineTopkOf(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("c_emb")) /
+          (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "c_id", "rk", "cosine")
+  }
+
+  /** IVF probe path: 16 seed centroids, nprobe=2, exact top-3 re-rank
+    * within the probed cells (see q_embed_ivf_search) */
+  private def ivfSearchOf(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    def nearestCells(src: DataFrame, idCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("cosine").desc, col("centroid_id").asc)
+      src.crossJoin(broadcast(cents))
+        .withColumn("cosine",
+          dot(col("embedding"), col("c_emb")) /
+            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n)
+    }
+    val assign = nearestCells(e, "vec_id", 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_e"), col("centroid_id"))
+    val queries = e.filter(col("vec_id") < 10)
+    val probes = nearestCells(queries, "vec_id", 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("centroid_id"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    probes.join(assign, "centroid_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_e"), col("c_e")) /
+          (sqrt(sumSq(col("q_e"))) * sqrt(sumSq(col("c_e")))))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= 3)
+      .select("q_id", "c_id", "rk", "cosine")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_embed_norms" ->
@@ -342,25 +371,51 @@ object SimilarityOps {
         | CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1048576) AS c_val
         |FROM flat GROUP BY centroid_id, dim""".stripMargin,
     "q_embed_ivf_search" ->
-      s"""WITH cents AS (
-        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
-        |scored AS (
-        | SELECT e.vec_id, e.embedding, c.centroid_id,
-        |  ${duckDotCols("e.embedding", "c.c_emb")} /
-        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
-        | FROM embeddings e, cents c),
-        |ranked AS (
-        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
-        | FROM scored),
-        |assign AS (SELECT vec_id AS c_id, embedding AS c_e, centroid_id FROM ranked WHERE rk = 1),
-        |probes AS (SELECT vec_id AS q_id, embedding AS q_e, centroid_id FROM ranked
-        |           WHERE rk <= 2 AND vec_id < 10),
-        |cand AS (
-        | SELECT q_id, c_id,
-        |  ${duckDotCols("q_e", "c_e")} / (sqrt(${duckSS("q_e")}) * sqrt(${duckSS("c_e")})) AS cosine
-        | FROM probes JOIN assign USING (centroid_id) WHERE q_id <> c_id)
+      s"""WITH $duckIvfCtes
         |SELECT q_id, c_id, rk, cosine FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
-        | FROM cand) WHERE rk <= 3""".stripMargin
+        | FROM cand) WHERE rk <= 3""".stripMargin,
+    "q_embed_ivf_recall" ->
+      s"""WITH $duckIvfCtes,
+        |approx AS (
+        | SELECT q_id, c_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM cand) WHERE rk <= 3),
+        |q2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |bf AS (
+        | SELECT q2.vec_id AS q_id, c.vec_id AS c_id,
+        |  ${duckDot("q2", "c")} /
+        |   (sqrt(${duckSS("q2.embedding")}) * sqrt(${duckSS("c.embedding")})) AS cosine
+        | FROM q2, embeddings c WHERE q2.vec_id <> c.vec_id),
+        |exact AS (
+        | SELECT q_id, c_id FROM (
+        |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM bf) WHERE rk <= 3)
+        |SELECT a.q_id,
+        | CAST(coalesce(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+        | CAST(coalesce(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / 3.0 AS recall_at_3
+        |FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+        |GROUP BY a.q_id""".stripMargin
   )
+
+  /** shared CTE chain of the IVF probe path (assign + probe + candidate
+    * scoring) — the search and recall oracles both build on `cand` */
+  private lazy val duckIvfCtes: String =
+    s"""cents AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+      |scored AS (
+      | SELECT e.vec_id, e.embedding, c.centroid_id,
+      |  ${duckDotCols("e.embedding", "c.c_emb")} /
+      |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+      | FROM embeddings e, cents c),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+      | FROM scored),
+      |assign AS (SELECT vec_id AS c_id, embedding AS c_e, centroid_id FROM ranked WHERE rk = 1),
+      |probes AS (SELECT vec_id AS q_id, embedding AS q_e, centroid_id FROM ranked
+      |           WHERE rk <= 2 AND vec_id < 10),
+      |cand AS (
+      | SELECT q_id, c_id,
+      |  ${duckDotCols("q_e", "c_e")} / (sqrt(${duckSS("q_e")}) * sqrt(${duckSS("c_e")})) AS cosine
+      | FROM probes JOIN assign USING (centroid_id) WHERE q_id <> c_id)""".stripMargin
 }

@@ -566,6 +566,67 @@ object TextOps {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           ((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"),
           ((col("cum") - col("n_tokens")) % budget).as("pack_offset"))
+    },
+
+    // Deterministic train/valid/test assignment: a salted content hash
+    // of the doc id buckets each document 90/5/5. Hash-based (not
+    // row_number-based) so the split is stable under re-partitioning,
+    // re-ingestion order, and corpus growth — the property that matters
+    // when the same 100 TB corpus is re-materialized across runs.
+    // Scan-shaped: no shuffle, no state.
+    "q_doc_split" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (graft.functions.Md5Prefix60(
+            concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, lit("train"))
+            .when(col("bucket") < 95, lit("valid"))
+            .otherwise(lit("test")))
+    },
+
+    // Data-mixture sampling: per-language keep rates (downsample the
+    // over-represented languages, keep the rare ones whole), decided by
+    // the same salted-hash trick as q_doc_split so the subsample is
+    // deterministic and repartition-stable. Kept rows carry the inverse
+    // rate as an importance weight so downstream token accounting can
+    // reconstruct unbiased corpus statistics. Scan + filter: no shuffle.
+    "q_doc_mix" -> { (s, dir) =>
+      val rate = when(col("lang") === "en", lit(500L))
+        .when(col("lang") === "zh", lit(250L))
+        .when(col("lang") === "es", lit(800L))
+        .otherwise(lit(1000L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          rate.as("rate_permille"),
+          (graft.functions.Md5Prefix60(
+            concat(lit("mix:"), col("doc_id").cast("string"))) % 1000).as("bucket"))
+        .filter(col("bucket") < col("rate_permille"))
+        .withColumn("weight", lit(1000.0) / col("rate_permille"))
+        .drop("bucket")
+    },
+
+    // Token-budget curriculum selection: rank documents by a quality
+    // score (stopword density — the q_doc_quality signal) and keep the
+    // best until a per-shard token budget fills. The prefix sum is PER
+    // SHARD like q_doc_pack, so shards select in parallel; a global
+    // ordering would serialize into one task at corpus scale. Emits
+    // every doc with its cumulative position and the keep verdict so
+    // the rejected tail remains auditable.
+    "q_doc_token_budget" -> { (s, dir) =>
+      val budget = 1500L
+      val w = Window.partitionBy("source")
+        .orderBy(col("q_score").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          stopCount(toks, stop("en")).as("n_stop"))
+        .withColumn("q_score",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("kept", col("cum_tokens") <= budget)
+        .drop("n_stop")
     }
   )
 
@@ -752,6 +813,39 @@ object TextOps {
         | FROM tok GROUP BY doc_id)
         |SELECT doc_id,
         | ${(0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")} AS simhash
-        |FROM votes""".stripMargin
+        |FROM votes""".stripMargin,
+    "q_doc_split" ->
+      """SELECT doc_id, source, bucket,
+        | CASE WHEN bucket < 90 THEN 'train'
+        |      WHEN bucket < 95 THEN 'valid'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+        | FROM documents)""".stripMargin,
+    "q_doc_mix" ->
+      """SELECT doc_id, lang, source, rate_permille,
+        | CAST(1000.0 AS DOUBLE) / rate_permille AS weight
+        |FROM (SELECT doc_id, lang, source,
+        |  CAST(CASE WHEN lang = 'en' THEN 500
+        |       WHEN lang = 'zh' THEN 250
+        |       WHEN lang = 'es' THEN 800
+        |       ELSE 1000 END AS BIGINT) AS rate_permille,
+        |  CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS bucket
+        | FROM documents)
+        |WHERE bucket < rate_permille""".stripMargin,
+    "q_doc_token_budget" ->
+      s"""WITH scored AS (
+        | SELECT doc_id, source,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(${duckStopCount(stop("en"))} AS DOUBLE) / len(toks) AS q_score
+        | FROM (SELECT doc_id, source, $duckToks FROM documents))
+        |SELECT doc_id, source, n_tokens, q_score,
+        | CAST(sum(n_tokens) OVER (PARTITION BY source
+        |   ORDER BY q_score DESC, doc_id ASC
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        | (sum(n_tokens) OVER (PARTITION BY source
+        |   ORDER BY q_score DESC, doc_id ASC
+        |   ROWS UNBOUNDED PRECEDING)) <= 1500 AS kept
+        |FROM scored""".stripMargin
   )
 }
