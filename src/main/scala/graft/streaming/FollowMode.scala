@@ -88,6 +88,27 @@ object FollowMode {
       }
   }
 
+  /** Streaming exact deduplication — the incremental form of
+    * TextOps' q_doc_dedup_exact: documents arriving across micro-batches
+    * pass through only on first-seen content fingerprint, so a corpus
+    * ingested incrementally needs no terminal global dedup pass.
+    * `dropDuplicates` keys engine-managed state by the md5 fingerprint
+    * (first arrival wins; later copies are suppressed even across
+    * micro-batches and restarts via the checkpoint). State grows with
+    * |distinct| — the correct semantics for corpus dedup, where a
+    * duplicate is a duplicate forever; at cluster scale the state store
+    * shards the fingerprint set across executors keyed by fp. Pass
+    * `expireAfter` to bound state by event time instead (watermark
+    * dedup) when only a rolling window of history matters. */
+  def dedupStream(docs: DataFrame, expireAfter: Option[String] = None): DataFrame = {
+    val fped = docs.withColumn("fp", md5(col("text")))
+    expireAfter match {
+      case Some(horizon) =>
+        fped.withWatermark("ts", horizon).dropDuplicates("fp", "ts")
+      case None => fped.dropDuplicates("fp")
+    }
+  }
+
   /** Incremental freeze: follow the chain head and materialize completed
     * chunks as cryo-named files. Each micro-batch advances a high-water
     * mark over the observed block numbers and re-runs `Freeze.freeze` for

@@ -770,6 +770,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup suppresses cross-batch duplicate content") {
+    val src = Files.createTempDirectory("graft_dedup_src").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    // second wave: the same texts under fresh ids — pure content dups
+    // arriving in LATER micro-batches, so suppression proves the
+    // fingerprint state persists across batches
+    docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, docs.schema,
+      maxFilesPerTrigger = 1)
+    val q = FollowMode.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT fp, count(*) AS c FROM dedup_out GROUP BY fp")
+    val want = docs.select(md5(col("text")).as("fp")).distinct().count()
+    assert(got.count() == want) // every distinct content survives once
+    assert(got.filter(col("c") > 1).count() == 0) // and only once
+  }
+
   test("incremental freeze follows the head and writes completed chunks once") {
     val fixDir = graft.queries.ChainQueries.FixDir
     val src = Files.createTempDirectory("graft_if_src").toString
