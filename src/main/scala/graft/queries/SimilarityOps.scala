@@ -228,6 +228,17 @@ object SimilarityOps {
       ivfSearchOf(Tables(s, dir, "embeddings"))
     },
 
+    // Embedding-cosine near-dup CLUSTERS: the same connected-components
+    // machinery as q_doc_dedup_clusters (TextOps.clustersOf — one
+    // join+groupBy per round, label-sum convergence, per-batch lineage
+    // cuts) over the sign-LSH-bucketed cosine pair graph. Semantic
+    // dedup's grouping step: transitively-linked near-identical
+    // embeddings collapse to one cluster id.
+    "q_embed_dedup_clusters" -> { (s, dir) =>
+      TextOps.clustersOf(neardupOf(Tables(s, dir, "embeddings")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    },
+
     // ANN quality evaluation: recall@3 of the IVF probe path against the
     // exact brute-force top-3 — the metric that decides nprobe/ncells
     // trade-offs before committing an index layout to a 100 TB corpus.
@@ -315,19 +326,21 @@ object SimilarityOps {
       s"""SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
         |FROM (SELECT vec_id, $duckBucket AS bucket FROM embeddings)
         |GROUP BY bucket""".stripMargin,
-    "q_embed_neardup" ->
-      s"""WITH e0 AS (SELECT vec_id, embedding, ${duckBucketOf(6)} AS bucket FROM embeddings),
-        |e AS (
-        | SELECT vec_id, embedding, bucket FROM (
-        |  SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM e0)
-        | WHERE bsz <= $EmbBucketCap)
-        |SELECT id_a, id_b, cosine FROM (
-        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ${duckDot("a", "b")} /
-        |   (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q)) *
-        |    sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))) AS cosine
-        | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |WHERE cosine > 0.25""".stripMargin,
+    "q_embed_neardup" -> duckNeardupSql,
+    // min-label propagation converges to the component min — identical
+    // argument to the q_doc_dedup_clusters oracle
+    "q_embed_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs_out AS ($duckNeardupSql),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs_out
+        | UNION ALL SELECT id_b, id_a FROM pairs_out),
+        |nodes AS (
+        | SELECT DISTINCT src AS vec_id FROM edges),
+        |reach(vec_id, label) AS (
+        | SELECT vec_id, vec_id FROM nodes
+        | UNION
+        | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.vec_id)
+        |SELECT vec_id, min(label) AS cluster_id FROM reach GROUP BY vec_id""".stripMargin,
     "q_embed_quantize" ->
       s"""WITH scaled AS (
         | SELECT vec_id, embedding,
@@ -397,6 +410,22 @@ object SimilarityOps {
         |FROM approx a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
         |GROUP BY a.q_id""".stripMargin
   )
+
+  /** the embedding near-dup pairs oracle — shared verbatim by the
+    * embedding clusters oracle, which wraps it as a CTE */
+  private lazy val duckNeardupSql: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding, ${duckBucketOf(6)} AS bucket FROM embeddings),
+      |e AS (
+      | SELECT vec_id, embedding, bucket FROM (
+      |  SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM e0)
+      | WHERE bsz <= $EmbBucketCap)
+      |SELECT id_a, id_b, cosine FROM (
+      | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ${duckDot("a", "b")} /
+      |   (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q)) *
+      |    sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))) AS cosine
+      | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |WHERE cosine > 0.25""".stripMargin
 
   /** shared CTE chain of the IVF probe path (assign + probe + candidate
     * scoring) — the search and recall oracles both build on `cand` */

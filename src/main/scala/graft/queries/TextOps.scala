@@ -568,6 +568,24 @@ object TextOps {
           ((col("cum") - col("n_tokens")) % budget).as("pack_offset"))
     },
 
+    // The dedup ACTION: near-dup clusters reduced to per-document
+    // keep/drop verdicts — each cluster keeps its min doc_id, documents
+    // in no cluster keep themselves. This is the operator a pipeline
+    // actually applies before training; clusters/pairs are its
+    // diagnostics. One extra left join against the corpus beyond
+    // q_doc_dedup_clusters; the clusters side is LSH-survivor-sized so
+    // AQE broadcasts it at any realistic dup rate, and the join
+    // degrades to shuffle (not OOM) on a pathological corpus.
+    "q_doc_dedup_keep" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clusters = clustersOf(minhashPairsOf(docs))
+      docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+    },
+
     // Deterministic train/valid/test assignment: a salted content hash
     // of the doc id buckets each document 90/5/5. Hash-based (not
     // row_number-based) so the split is stable under re-partitioning,
@@ -814,6 +832,23 @@ object TextOps {
         |SELECT doc_id,
         | ${(0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")} AS simhash
         |FROM votes""".stripMargin,
+    "q_doc_dedup_keep" ->
+      s"""WITH RECURSIVE pairs_out AS ($duckMinhashPairsSql),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs_out
+        | UNION ALL SELECT id_b, id_a FROM pairs_out),
+        |nodes AS (
+        | SELECT DISTINCT src AS doc_id FROM edges),
+        |reach(doc_id, label) AS (
+        | SELECT doc_id, doc_id FROM nodes
+        | UNION
+        | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+        |clusters AS (
+        | SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        | coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin,
     "q_doc_split" ->
       """SELECT doc_id, source, bucket,
         | CASE WHEN bucket < 90 THEN 'train'

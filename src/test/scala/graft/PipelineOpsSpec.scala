@@ -95,6 +95,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("dedup keep: one canonical per cluster, corpus fully covered") {
+    val docs = Tables(spark, sf, "documents").count()
+    val keep = SparkEntry.queries("q_doc_dedup_keep")(spark, sf).collect()
+    assert(keep.length == docs) // every doc gets a verdict, exactly once
+    val byCluster = keep.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id"))
+      assert(kept.toSeq == Seq(cid)) // exactly the min id survives
+      assert(members.forall(_.getAs[Long]("doc_id") >= cid))
+    }
+  }
+
+  test("split/mix assignments are stable under repartitioning") {
+    def collectSorted(q: String, parts: Int) = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      (if (parts > 0) df.repartition(parts) else df)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    }
+    // hash-based assignment must not depend on physical layout
+    assert(collectSorted("q_doc_split", 0).sameElements(collectSorted("q_doc_split", 7)))
+    assert(collectSorted("q_doc_mix", 0).sameElements(collectSorted("q_doc_mix", 5)))
+    val splits = SparkEntry.queries("q_doc_split")(spark, sf)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("token budget: kept docs form a quality-prefix per shard") {
+    val rows = SparkEntry.queries("q_doc_token_budget")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).values.foreach { shard =>
+      val ordered = shard.sortBy(r =>
+        (-r.getAs[Double]("q_score"), r.getAs[Long]("doc_id")))
+      // cum_tokens is the running sum in quality order...
+      val cums = ordered.map(_.getAs[Long]("cum_tokens"))
+      val toks = ordered.map(_.getAs[Long]("n_tokens"))
+      assert(cums.head == toks.head)
+      (1 until ordered.length).foreach(i => assert(cums(i) == cums(i - 1) + toks(i)))
+      // ...and the kept set is a prefix of that order
+      val kept = ordered.map(_.getAs[Boolean]("kept"))
+      assert(!kept.sliding(2).exists(w => w.length == 2 && !w(0) && w(1)))
+    }
+  }
+
+  test("embedding dedup clusters are consistent with the near-dup pairs") {
+    val pairs = SparkEntry.queries("q_embed_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val clusters = SparkEntry.queries("q_embed_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
+    clusters.foreach { case (v, c) => assert(c <= v) }
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
