@@ -77,6 +77,46 @@ object SimilarityOps {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** PQ geometry: 8 subspaces × 8 dims over the 64-dim embeddings, 16
+    * codewords per subspace taken from the vec_id < 16 seed vectors (the
+    * same seed convention as the IVF centroids — the mechanics of
+    * encode/search are what scale; codebook training is kmeansOf per
+    * subspace). */
+  private val PqM = 8
+  private val PqDsub = 8
+  private val PqK = 16
+
+  /** flat (id, sub, v) subvector rows — slice keeps array<float>, so the
+    * codegen dot/sumSq kernels run unchanged on subvectors */
+  private def subvectors(df: DataFrame, idCol: String): DataFrame = {
+    val subs = (0 until PqM).map(j =>
+      struct(lit(j).as("sub"), slice(col("embedding"), j * PqDsub + 1, PqDsub).as("v")))
+    df.select(col(idCol), explode(array(subs: _*)).as("s"))
+      .select(col(idCol), col("s.sub").as("sub"), col("s.v").as("v"))
+  }
+
+  /** the M·K = 128-row PQ codebook with precomputed squared norms */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    subvectors(e.filter(col("vec_id") < PqK), "vec_id")
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
+
+  /** flat (vec_id, sub, code) PQ assignment: nearest codeword per
+    * subspace by squared L2, expanded as c_ss − 2·dot (the ‖x_sub‖² term
+    * is constant within a (vector, subspace) group, so the argmin and
+    * tie structure are unchanged); ties break to the lowest code. One
+    * broadcast of the 128-row codebook, no shuffle of vectors — encode
+    * is scan-shaped at any corpus size. */
+  private def pqCodesFlat(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("cost").asc, col("code").asc)
+    subvectors(e, "vec_id")
+      .join(broadcast(pqCodebook(e)), "sub")
+      .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
   /** nearest-centroid assignment by cosine (ties → lowest centroid_id);
     * centroid table broadcast — bounded by construction (k rows). */
   private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
@@ -239,6 +279,51 @@ object SimilarityOps {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     },
 
+    // Product quantization encode: each vector compresses to 8 codes of
+    // 4 bits (64 dims × 4 bytes → 8 codes — 64× smaller than float32,
+    // 16× smaller than the int8 quantization above). Scan-shaped: one
+    // 128-row codebook broadcast, nearest codeword per subspace, codes
+    // re-assembled as a CSV string (the comparator hashes scalars).
+    // At 100 TB this is the representation ADC search scans instead of
+    // raw vectors — memory bandwidth, not FLOPs, is the ANN bottleneck.
+    "q_embed_pq_encode" -> { (s, dir) =>
+      pqCodesFlat(Tables(s, dir, "embeddings"))
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("cs"))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("cs"),
+            c => c.getField("code").cast("string"))).as("codes_csv"))
+    },
+
+    // PQ asymmetric-distance (ADC) search: queries stay exact, candidates
+    // stay compressed. Per query a 128-entry lookup table of subspace
+    // distance contributions is built against the codebook, then every
+    // candidate's approximate distance is 8 table lookups summed — the
+    // scan touches only the code rows, never the vectors. Contributions
+    // land on the 2^20 integer grid before the cross-row sum (exact long
+    // addition is order-free; double addition is not), so the ranking is
+    // bit-identical in both engines. The LUT broadcast is |Q|·M·K rows —
+    // bounded by construction.
+    "q_embed_pq_adc" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = subvectors(e.filter(col("vec_id") < 10), "vec_id")
+        .select(col("vec_id").as("q_id"), col("sub"),
+          col("v").as("q_v"), sumSq(col("v")).as("q_ss"))
+      val lut = q.join(pqCodebook(e), "sub")
+        .select(col("q_id"), col("sub"), col("code"),
+          floor((col("q_ss") - lit(2.0) * dot(col("q_v"), col("c_v")) + col("c_ss"))
+            * lit(1048576L)).cast("long").as("qc"))
+      val w = Window.partitionBy("q_id").orderBy(col("adc_q").asc, col("c_id").asc)
+      pqCodesFlat(e)
+        .join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id").as("c_id"))
+        .agg(sum(col("qc")).as("adc_q"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "c_id", "rk", "adc_q")
+    },
+
     // ANN quality evaluation: recall@3 of the IVF probe path against the
     // exact brute-force top-3 — the metric that decides nprobe/ncells
     // trade-offs before committing an index layout to a 100 TB corpus.
@@ -383,6 +468,30 @@ object SimilarityOps {
         |SELECT centroid_id, dim, CAST(count(*) AS BIGINT) AS n_members,
         | CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1048576) AS c_val
         |FROM flat GROUP BY centroid_id, dim""".stripMargin,
+    "q_embed_pq_encode" ->
+      s"""WITH $duckPqCtes
+        |SELECT vec_id, array_to_string(list(code ORDER BY sub), ',') AS codes_csv
+        |FROM best GROUP BY vec_id""".stripMargin,
+    "q_embed_pq_adc" ->
+      s"""WITH $duckPqCtes,
+        |q AS (
+        | SELECT vec_id AS q_id, sub, v,
+        |  list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b) AS q_ss
+        | FROM vflat WHERE vec_id < 10),
+        |lut AS (
+        | SELECT q.q_id, q.sub, c.code,
+        |  CAST(floor((q.q_ss - 2.0 * list_reduce(list_transform(range(1, 9),
+        |     i -> CAST(q.v[i] AS DOUBLE) * c.v[i]), (x, y) -> x + y) + c.c_ss)
+        |    * 1048576) AS BIGINT) AS qc
+        | FROM q JOIN cb c ON q.sub = c.sub),
+        |approx AS (
+        | SELECT l.q_id, b.vec_id AS c_id, CAST(sum(l.qc) AS BIGINT) AS adc_q
+        | FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+        | WHERE l.q_id <> b.vec_id
+        | GROUP BY l.q_id, b.vec_id)
+        |SELECT q_id, c_id, rk, adc_q FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_q ASC, c_id ASC) AS rk
+        | FROM approx) WHERE rk <= 3""".stripMargin,
     "q_embed_ivf_search" ->
       s"""WITH $duckIvfCtes
         |SELECT q_id, c_id, rk, cosine FROM (
@@ -426,6 +535,30 @@ object SimilarityOps {
       |    sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), (p, q) -> p + q))) AS cosine
       | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       |WHERE cosine > 0.25""".stripMargin
+
+  /** shared CTE chain of the PQ pipeline (subvectors → codebook → flat
+    * code assignment) — the encode and ADC oracles both build on `best`.
+    * Mirrors subvectors/pqCodebook/pqCodesFlat: same slice geometry,
+    * same c_ss − 2·dot cost, same (cost, code) tie order. */
+  private lazy val duckPqCtes: String =
+    s"""subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+      |vflat AS (
+      | SELECT e.vec_id, s.sub,
+      |  list_transform(range(1, ${PqDsub + 1}), i -> e.embedding[$PqDsub * s.sub + i]) AS v
+      | FROM embeddings e, subs s),
+      |cb AS (
+      | SELECT vec_id AS code, sub, v,
+      |  list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b) AS c_ss
+      | FROM vflat WHERE vec_id < $PqK),
+      |scored AS (
+      | SELECT f.vec_id, f.sub, c.code,
+      |  c.c_ss - 2.0 * list_reduce(list_transform(range(1, ${PqDsub + 1}),
+      |    i -> CAST(f.v[i] AS DOUBLE) * c.v[i]), (x, y) -> x + y) AS cost
+      | FROM vflat f JOIN cb c ON f.sub = c.sub),
+      |best AS (
+      | SELECT vec_id, sub, code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY cost ASC, code ASC) AS rk
+      |  FROM scored) WHERE rk = 1)""".stripMargin
 
   /** shared CTE chain of the IVF probe path (assign + probe + candidate
     * scoring) — the search and recall oracles both build on `cand` */

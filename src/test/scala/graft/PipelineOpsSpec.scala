@@ -146,6 +146,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     clusters.foreach { case (v, c) => assert(c <= v) }
   }
 
+  test("pq: seed vectors encode to themselves, adc ranks by distance") {
+    val enc = SparkEntry.queries("q_embed_pq_encode")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("codes_csv")).toMap
+    assert(enc.size == Tables(spark, sf, "embeddings").count())
+    // a codebook seed vector is at distance 0 from its own codeword in
+    // every subspace, and random floats make that minimum unique
+    (0L until 16L).foreach { id =>
+      assert(enc(id) == Array.fill(8)(id.toString).mkString(","))
+    }
+    enc.values.foreach { csv =>
+      val codes = csv.split(",").map(_.toInt)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    }
+    val adc = SparkEntry.queries("q_embed_pq_adc")(spark, sf).collect()
+    assert(adc.length == 10 * 3)
+    adc.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val byRk = rows.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3))
+      // approximate distances are sorted ascending in rank order
+      val d = byRk.map(_.getAs[Long]("adc_q"))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
