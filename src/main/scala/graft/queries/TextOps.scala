@@ -131,8 +131,10 @@ object TextOps {
     * surviving candidates — broadcast only under RerankBroadcastMaxDocs.
     *
     * Persist strategy (r1's slowest query, 5.4s): cache only the TINY
-    * shared stages — sigs (one row per doc) feeds the banded self-join
-    * twice, pairs feeds candIds + the final join. The bulk shingle rows
+    * shared stages — capped band rows feed both self-join sides, pairs
+    * feeds candIds + the final join. sigs itself is read exactly once
+    * (into capped) so it is NOT cached: materializing one-reader stages
+    * through the block manager is pure overhead. The bulk shingle rows
     * are scanned exactly once (into sigs); candidate shingle sets are
     * rebuilt by re-shingling ONLY the candidate docs (a semi-join on the
     * documents scan), not by caching 10M+ rows. */
@@ -140,7 +142,6 @@ object TextOps {
       broadcastMaxDocs: Long = RerankBroadcastMaxDocs): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sigs = affineSigsOf(shingleRowsOf(docs))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"),
       array((0 until 4).map(bnd =>
         struct(lit(bnd).as("band_idx"),
@@ -624,6 +625,50 @@ object TextOps {
         .drop("bucket")
     },
 
+    // The corpus-prep COMPOSITION: language gate → quality gate →
+    // exact-dedup canonical → near-dup canonical → deterministic split,
+    // in one operator — the call a training-data job actually makes,
+    // emitted as a per-document audit table (every document, every stage
+    // verdict, final keep) instead of a silently filtered corpus. Each
+    // stage verdict is defined on the FULL corpus, identical to its
+    // standalone query, so the audit composes by construction.
+    // Plan shape at 100 TB: the language/quality/split columns ride the
+    // one documents scan; the exact-dedup verdict is a window min over
+    // the content hash (one shuffle, no self-join); the near-dup verdict
+    // left-joins the LSH-survivor-sized clusters table (AQE broadcasts
+    // it at any realistic dup rate, degrades to shuffle otherwise).
+    "q_doc_corpus_prep" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clusters = clustersOf(minhashPairsOf(docs))
+      docs
+        .select(col("doc_id"), col("source"),
+          size(toks).as("n_tokens"),
+          stopCount(toks, stop("en")).as("s_en"),
+          stopCount(toks, stop("fr")).as("s_fr"),
+          stopCount(toks, stop("de")).as("s_de"),
+          stopCount(toks, stop("es")).as("s_es"),
+          (graft.functions.Md5Prefix60(
+            concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("bucket"),
+          md5(col("text")).as("fp"))
+        .withColumn("lang_ok", expr(argmaxSql) === lit("en"))
+        .withColumn("quality_ok",
+          col("n_tokens") >= 20 && col("s_en") * 10 >= col("n_tokens"))
+        .withColumn("exact_canonical",
+          col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fp")))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("neardup_canonical",
+          coalesce(col("cluster_id") === col("doc_id"), lit(true)))
+        .withColumn("split",
+          when(col("bucket") < 90, lit("train"))
+            .when(col("bucket") < 95, lit("valid"))
+            .otherwise(lit("test")))
+        .withColumn("keep",
+          col("lang_ok") && col("quality_ok") &&
+            col("exact_canonical") && col("neardup_canonical"))
+        .select("doc_id", "source", "lang_ok", "quality_ok",
+          "exact_canonical", "neardup_canonical", "split", "keep")
+    },
+
     // Token-budget curriculum selection: rank documents by a quality
     // score (stopword density — the q_doc_quality signal) and keep the
     // best until a per-shard token budget fills. The prefix sum is PER
@@ -868,6 +913,42 @@ object TextOps {
         |  CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS bucket
         | FROM documents)
         |WHERE bucket < rate_permille""".stripMargin,
+    "q_doc_corpus_prep" ->
+      s"""WITH RECURSIVE pairs_out AS ($duckMinhashPairsSql),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs_out
+        | UNION ALL SELECT id_b, id_a FROM pairs_out),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |reach(doc_id, label) AS (
+        | SELECT doc_id, doc_id FROM nodes
+        | UNION
+        | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+        |clusters AS (
+        | SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+        |base AS (
+        | SELECT doc_id, source,
+        |  len(toks) AS n_tokens,
+        |  ${duckStopCount(stop("en"))} AS s_en,
+        |  ${duckStopCount(stop("fr"))} AS s_fr,
+        |  ${duckStopCount(stop("de"))} AS s_de,
+        |  ${duckStopCount(stop("es"))} AS s_es,
+        |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
+        |  md5(text) AS fp
+        | FROM (SELECT doc_id, source, text, $duckToks FROM documents)),
+        |verdicts AS (
+        | SELECT b.doc_id, b.source,
+        |  ($argmaxSql) = 'en' AS lang_ok,
+        |  b.n_tokens >= 20 AND b.s_en * 10 >= b.n_tokens AS quality_ok,
+        |  b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp) AS exact_canonical,
+        |  coalesce(cl.cluster_id = b.doc_id, TRUE) AS neardup_canonical,
+        |  CASE WHEN b.bucket < 90 THEN 'train'
+        |       WHEN b.bucket < 95 THEN 'valid'
+        |       ELSE 'test' END AS split
+        | FROM base b LEFT JOIN clusters cl ON b.doc_id = cl.doc_id)
+        |SELECT doc_id, source, lang_ok, quality_ok, exact_canonical,
+        | neardup_canonical, split,
+        | (lang_ok AND quality_ok AND exact_canonical AND neardup_canonical) AS keep
+        |FROM verdicts""".stripMargin,
     "q_doc_token_budget" ->
       s"""WITH scored AS (
         | SELECT doc_id, source,

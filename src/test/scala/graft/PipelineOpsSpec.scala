@@ -146,6 +146,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     clusters.foreach { case (v, c) => assert(c <= v) }
   }
 
+  test("corpus_prep verdicts agree with each standalone stage query") {
+    def q(n: String) = SparkEntry.queries(n)(spark, sf)
+    val prep = q("q_doc_corpus_prep").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(prep.size == Tables(spark, sf, "documents").count())
+    val langPred = q("q_doc_langid").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val qualKeep = q("q_doc_quality").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val dedupKeep = q("q_doc_dedup_keep").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val split = q("q_doc_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val exactCanon = q("q_doc_dedup_exact").collect()
+      .map(_.getAs[Long]("canonical_id")).toSet
+    prep.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("lang_ok") == (langPred(id) == "en"))
+      assert(r.getAs[Boolean]("quality_ok") == qualKeep(id))
+      assert(r.getAs[Boolean]("exact_canonical") == exactCanon.contains(id))
+      assert(r.getAs[Boolean]("neardup_canonical") == dedupKeep(id))
+      assert(r.getAs[String]("split") == split(id))
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("lang_ok") && r.getAs[Boolean]("quality_ok") &&
+          r.getAs[Boolean]("exact_canonical") && r.getAs[Boolean]("neardup_canonical")))
+    }
+  }
+
   test("pq: seed vectors encode to themselves, adc ranks by distance") {
     val enc = SparkEntry.queries("q_embed_pq_encode")(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("codes_csv")).toMap
