@@ -63,21 +63,34 @@ object TextOps {
   private val duckShinglesAll =
     "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
 
-  /** MinHash signatures over flat (doc_id, shingle) rows: ONE md5 per
-    * shingle reduced mod MinhashMod, then 8 affine transforms
-    * h_i(x) = (a_i·x + b_i) mod P aggregated with partial-agg MIN — only
-    * |docs|-scale rows cross the shuffle. Duplicate shingles can't change
-    * a min, so no distinct is needed. This is 3-5× faster than the
-    * interpreted array-lambda formulation (higher-order functions run
-    * per-element interpreted; the Generator path is one compiled pass). */
-  private def affineSigsOf(rows: DataFrame): DataFrame = {
-    val hashed = rows.select(col("doc_id"),
-      (graft.functions.Md5Prefix60(col("shingle")) % MinhashMod).as("h"))
-    hashed.groupBy("doc_id").agg(
-      min((col("h") * MinhashA(0) + MinhashB(0)) % MinhashP).as("sig0"),
-      (1 until 8).map(i =>
-        min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"sig$i")): _*)
-  }
+  /** MinHash signatures, row-local: ONE md5 per shingle reduced mod
+    * MinhashMod, then 8 affine transforms h_i(x) = (a_i·x + b_i) mod P
+    * min-folded inside the MinhashSigs expression — one compiled pass
+    * per document, NO shuffle (the earlier ExplodeShingles →
+    * partial-agg-MIN pipeline moved |docs|-scale rows through an
+    * exchange; this form removes that exchange entirely, and it is the
+    * only shape a streaming pipeline may use before a stateful
+    * operator). Docs with < 3 tokens return null sigs and are dropped,
+    * matching the exploded form's empty output for them. */
+  def rowSigsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.MinhashSigs(toks, 3, MinhashMod,
+        MinhashA.toSeq, MinhashB.toSeq, MinhashP).as("sigs"))
+      .filter(col("sigs").isNotNull)
+
+  /** flat (doc_id, band_idx, band_hash, sigs) LSH band rows — 4 bands ×
+    * 2 signature rows, band key = md5 over the band's sig pair. Shared
+    * by the batch pairs pipeline and the streaming near-dup (which
+    * carries `sigs` into bucket state for the similarity estimate). */
+  def bandRowsOf(docs: DataFrame): DataFrame =
+    rowSigsOf(docs).select(col("doc_id"), col("sigs"),
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("band_idx"),
+          md5(concat_ws("_",
+            element_at(col("sigs"), 2 * bnd + 1),
+            element_at(col("sigs"), 2 * bnd + 2))).as("band_hash"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"),
+        col("b.band_hash").as("band_hash"), col("sigs"))
 
   private val stop = Map(
     "en" -> Seq("the", "a", "of"),
@@ -141,13 +154,8 @@ object TextOps {
   def minhashPairsOf(docs: DataFrame, bucketCap: Int = LshBucketCap,
       broadcastMaxDocs: Long = RerankBroadcastMaxDocs): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sigs = affineSigsOf(shingleRowsOf(docs))
-    val banded = sigs.select(col("doc_id"),
-      array((0 until 4).map(bnd =>
-        struct(lit(bnd).as("band_idx"),
-          md5(concat_ws("_", col(s"sig${2 * bnd}"), col(s"sig${2 * bnd + 1}"))).as("band_hash"))): _*).as("bands"))
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    val banded = bandRowsOf(docs)
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
     // Cap hot buckets BEFORE the self-join: a window count over the band
     // key shares the self-join's shuffle partitioning (band_idx,
     // band_hash), so the cap costs no extra exchange on the build side.
@@ -400,11 +408,15 @@ object TextOps {
     },
 
     // MinHash signatures (8 affine hashes over word-3-gram shingles) —
-    // the same flat-row Generator + partial-agg-MIN pipeline the pairs
-    // query uses (the array-lambda form it replaced ran interpreted and
-    // regressed 1.84→2.74s at sf0.1).
+    // the same row-local MinhashSigs pass the pairs pipeline banding
+    // uses: one compiled md5-per-shingle loop, no generator rows, no
+    // exchange. (History of this hot path: interpreted array-lambda
+    // 2.74s → ExplodeShingles + partial-agg MIN 1.84s → row-local
+    // expression, which removes that shuffle too.)
     "q_doc_minhash_sig" -> { (s, dir) =>
-      affineSigsOf(shingleRows(s, dir))
+      rowSigsOf(Tables(s, dir, "documents"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
     },
 
     // MinHash-LSH near-dup candidates: 4 bands × 2 rows, bucket-join on

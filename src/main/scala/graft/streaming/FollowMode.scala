@@ -109,6 +109,66 @@ object FollowMode {
     }
   }
 
+  case class BandRow(band_idx: Int, band_hash: String, doc_id: Long,
+      sigs: Seq[Long])
+  case class BucketMembers(members: Seq[(Long, Seq[Long])])
+  case class CandPair(id_a: Long, id_b: Long, band_idx: Int,
+      n_sig_agree: Int)
+
+  /** Streaming MinHash-LSH near-duplicate candidates — the incremental
+    * form of TextOps.minhashPairsOf's banded candidate generation.
+    * Signatures come from the row-local MinhashSigs expression (an
+    * aggregation upstream of flatMapGroupsWithState is unsupported, and
+    * row-local is the right streaming shape anyway); state is keyed by
+    * (band_idx, band_hash) and carries the bucket's member list with
+    * signatures, so a newly arriving document emits one candidate row
+    * against every EARLIER member of each of its 4 buckets — each
+    * unordered pair emits at most once per shared band (readers distinct
+    * on (id_a, id_b), exactly like the batch pipeline). In place of the
+    * batch exact-Jaccard rerank, candidates carry the standard minhash
+    * similarity estimate n_sig_agree/8 — state holds 8 longs per member,
+    * never shingle sets.
+    *
+    * Cap semantics differ from batch deliberately: the batch form drops
+    * an over-cap bucket WHOLE (it sees the full bucket), a stream cannot
+    * see the future, so admission is first-arrival up to `bucketCap` and
+    * later members of a hot bucket are dropped. Both are capped-LSH; the
+    * spec pins the behaviors equal below every cap. State is
+    * |buckets|·cap-bounded; at cluster scale the state store shards by
+    * band key, the same partitioning the batch self-join shuffles on. */
+  def neardupStream(spark: SparkSession, docs: DataFrame,
+      bucketCap: Int = graft.queries.TextOps.LshBucketCap): org.apache.spark.sql.Dataset[CandPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.queries.TextOps.bandRowsOf(docs)
+      .select(col("band_idx"), col("band_hash"), col("doc_id"), col("sigs"))
+      .as[BandRow]
+      .groupByKey(r => (r.band_idx, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow],
+            state: GroupState[BucketMembers]) =>
+          val prev = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val seen = prev.map(_._1).toSet
+          // batch iterators are unordered → admit in doc_id order so a
+          // replayed micro-batch admits the same members
+          val arrivals = rows.map(r => r.doc_id -> r.sigs).toArray
+            .distinctBy(_._1).sortBy(_._1)
+            .filterNot(r => seen(r._1))
+          val admitted = arrivals.take(math.max(0, bucketCap - prev.size))
+          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+          var cur = prev
+          admitted.foreach { case (id, sg) =>
+            cur.foreach { case (oid, osg) =>
+              val agree = sg.indices.count(i => sg(i) == osg(i))
+              out += CandPair(math.min(oid, id), math.max(oid, id), key._1, agree)
+            }
+            cur = cur :+ (id -> sg)
+          }
+          if (admitted.nonEmpty) state.update(BucketMembers(cur))
+          out.iterator
+      }
+  }
+
   /** Incremental freeze: follow the chain head and materialize completed
     * chunks as cryo-named files. Each micro-batch advances a high-water
     * mark over the observed block numbers and re-runs `Freeze.freeze` for

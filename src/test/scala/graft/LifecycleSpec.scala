@@ -791,6 +791,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("c") > 1).count() == 0) // and only once
   }
 
+  test("streaming near-dup equals the batch banded candidates across batches") {
+    val src = Files.createTempDirectory("graft_nd_src").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    // two waves split by parity → every cross-parity pair must come from
+    // bucket STATE carried across micro-batches
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, docs.schema,
+      maxFilesPerTrigger = 1)
+    val q = FollowMode.neardupStream(spark, stream).writeStream
+      .outputMode("update").format("memory").queryName("nd_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT DISTINCT id_a, id_b FROM nd_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates arise only from genuinely shared bands: the band's two
+    // signature positions agree by construction
+    assert(spark.sql("SELECT min(n_sig_agree) FROM nd_out")
+      .collect()(0).getInt(0) >= 2)
+    // exact equality with the batch banded candidate set (buckets are
+    // under the cap at this sf, so cap admission semantics don't differ)
+    val bands = graft.queries.TextOps.bandRowsOf(docs)
+    val l = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+    val r = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
+    val want = l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == want)
+    // ...which in particular covers every batch-reranked near-dup pair
+    val reranked = graft.queries.TextOps.minhashPairsOf(docs)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(reranked.subsetOf(got))
+  }
+
   test("incremental freeze follows the head and writes completed chunks once") {
     val fixDir = graft.queries.ChainQueries.FixDir
     val src = Files.createTempDirectory("graft_if_src").toString
