@@ -147,6 +147,57 @@ case class AbsMaxF32(child: Expression) extends UnaryExpression {
   override def prettyName: String = "abs_max_f32"
 }
 
+/** Element-wise float difference a − b, staying in FLOAT — the residual
+  * kernel for IVF-PQ. Each element is one IEEE float subtraction in both
+  * engines (DuckDB: FLOAT - FLOAT), so residual arrays are bit-identical
+  * cross-engine and the double-fold kernels above run on them unchanged.
+  * Length mismatch → null, like DotF32. */
+case class SubF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      out(i) = x.getFloat(i) - y.getFloat(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n$a = $a.numElements();
+         |if (n$a != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  float[] out$a = new float[n$a];
+         |  for (int i$a = 0; i$a < n$a; i$a++) {
+         |    if ($a.isNullAt(i$a) || $b.isNullAt(i$a)) { ${ev.isNull} = true; break; }
+         |    out$a[i$a] = $a.getFloat(i$a) - $b.getFloat(i$a);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData(out$a);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubF32 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sub_f32"
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftSql.column(DotF32(GraftSql.expression(a), GraftSql.expression(b)))
@@ -154,4 +205,6 @@ object VectorOps {
     GraftSql.column(SumSqF32(GraftSql.expression(c)))
   def absMax(c: Column): Column =
     GraftSql.column(AbsMaxF32(GraftSql.expression(c)))
+  def sub(a: Column, b: Column): Column =
+    GraftSql.column(SubF32(GraftSql.expression(a), GraftSql.expression(b)))
 }

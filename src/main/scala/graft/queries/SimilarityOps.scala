@@ -86,36 +86,68 @@ object SimilarityOps {
   private val PqDsub = 8
   private val PqK = 16
 
-  /** flat (id, sub, v) subvector rows — slice keeps array<float>, so the
-    * codegen dot/sumSq kernels run unchanged on subvectors */
-  private def subvectors(df: DataFrame, idCol: String): DataFrame = {
+  /** flat (keep…, sub, v) subvector rows — slice keeps array<float>, so
+    * the codegen dot/sumSq/sub kernels run unchanged on subvectors */
+  private def subvectors(df: DataFrame, keep: Seq[String],
+      vecCol: String): DataFrame = {
     val subs = (0 until PqM).map(j =>
-      struct(lit(j).as("sub"), slice(col("embedding"), j * PqDsub + 1, PqDsub).as("v")))
-    df.select(col(idCol), explode(array(subs: _*)).as("s"))
-      .select(col(idCol), col("s.sub").as("sub"), col("s.v").as("v"))
+      struct(lit(j).as("sub"), slice(col(vecCol), j * PqDsub + 1, PqDsub).as("v")))
+    df.select(keep.map(col) :+ explode(array(subs: _*)).as("s"): _*)
+      .select(keep.map(col) ++ Seq(col("s.sub").as("sub"), col("s.v").as("v")): _*)
   }
 
   /** the M·K = 128-row PQ codebook with precomputed squared norms */
   private def pqCodebook(e: DataFrame): DataFrame =
-    subvectors(e.filter(col("vec_id") < PqK), "vec_id")
+    subvectors(e.filter(col("vec_id") < PqK), Seq("vec_id"), "embedding")
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
 
-  /** flat (vec_id, sub, code) PQ assignment: nearest codeword per
-    * subspace by squared L2, expanded as c_ss − 2·dot (the ‖x_sub‖² term
-    * is constant within a (vector, subspace) group, so the argmin and
-    * tie structure are unchanged); ties break to the lowest code. One
-    * broadcast of the 128-row codebook, no shuffle of vectors — encode
-    * is scan-shaped at any corpus size. */
-  private def pqCodesFlat(e: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub").orderBy(col("cost").asc, col("code").asc)
-    subvectors(e, "vec_id")
-      .join(broadcast(pqCodebook(e)), "sub")
+  /** nearest codeword per (row, subspace) by squared L2, expanded as
+    * c_ss − 2·dot (the ‖x_sub‖² term is constant within the group, so
+    * the argmin and tie structure are unchanged — and no per-codeword
+    * difference array is allocated on the corpus-scale side); ties break
+    * to the lowest code. One broadcast of the codebook, no shuffle of
+    * vectors — encode is scan-shaped at any corpus size. */
+  private def nearestCodeFlat(vflat: DataFrame, cb: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val w = Window.partitionBy((keep :+ "sub").map(col): _*)
+      .orderBy(col("cost").asc, col("code").asc)
+    vflat.join(broadcast(cb), "sub")
       .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
+      .select((keep ++ Seq("sub", "code")).map(col): _*)
   }
+
+  /** flat (vec_id, sub, code) PQ assignment over raw embeddings */
+  private def pqCodesFlat(e: DataFrame): DataFrame =
+    nearestCodeFlat(subvectors(e, Seq("vec_id"), "embedding"),
+      pqCodebook(e), Seq("vec_id"))
+
+  /** IVF residuals: every vector assigned to its nearest centroid
+    * (cosine, the same rule as q_embed_ivf_assign), residual =
+    * embedding − centroid via the codegen SubF32 kernel — float
+    * subtraction is a single IEEE op in both engines, so residuals are
+    * bit-identical cross-engine. The 16-row centroid table broadcasts
+    * twice (assign + residual), bounded by construction. */
+  private def residualsOf(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    assignTo(e, cents)
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        graft.functions.VectorOps.sub(col("embedding"), col("c_emb")).as("residual"))
+  }
+
+  /** residual PQ codebook: subvectors of the residuals of the
+    * vec_id ∈ [16, 32) vectors (the first 16 seed the IVF centroids and
+    * have zero residual, so the NEXT 16 seed the residual codewords —
+    * same fixed-seed convention; codebook training is kmeansOf). */
+  private def resCodebookOf(res: DataFrame): DataFrame =
+    subvectors(res.filter(col("vec_id") >= 16 && col("vec_id") < 16 + PqK),
+      Seq("vec_id"), "residual")
+      .select(col("sub"), (col("vec_id") - 16).cast("int").as("code"),
+        col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
 
   /** nearest-centroid assignment by cosine (ties → lowest centroid_id);
     * centroid table broadcast — bounded by construction (k rows). */
@@ -306,7 +338,7 @@ object SimilarityOps {
     // bounded by construction.
     "q_embed_pq_adc" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val q = subvectors(e.filter(col("vec_id") < 10), "vec_id")
+      val q = subvectors(e.filter(col("vec_id") < 10), Seq("vec_id"), "embedding")
         .select(col("vec_id").as("q_id"), col("sub"),
           col("v").as("q_v"), sumSq(col("v")).as("q_ss"))
       val lut = q.join(pqCodebook(e), "sub")
@@ -320,6 +352,70 @@ object SimilarityOps {
         .groupBy(col("q_id"), col("vec_id").as("c_id"))
         .agg(sum(col("qc")).as("adc_q"))
         .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "c_id", "rk", "adc_q")
+    },
+
+    // IVF-PQ encode: the composed index layout a production vector store
+    // actually ships — every vector stores its IVF cell plus 8 PQ codes
+    // of its RESIDUAL (vector − centroid), so the index is
+    // partition-pruned (IVF) AND 64×-compressed (PQ) at once. Residuals
+    // concentrate around zero, which is why PQ codebooks are trained on
+    // them rather than raw vectors. Scan-shaped: two bounded broadcasts
+    // (16 centroids, 128 residual codewords), no shuffle of embeddings.
+    "q_embed_ivfpq_encode" -> { (s, dir) =>
+      val res = residualsOf(Tables(s, dir, "embeddings"))
+      nearestCodeFlat(
+        subvectors(res, Seq("vec_id", "centroid_id"), "residual"),
+        resCodebookOf(res), Seq("vec_id", "centroid_id"))
+        .groupBy("vec_id", "centroid_id")
+        .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("cs"))
+        .select(col("vec_id"), col("centroid_id"),
+          concat_ws(",", transform(col("cs"),
+            c => c.getField("code").cast("string"))).as("codes_csv"))
+    },
+
+    // IVF-PQ search: probe the 2 nearest cells per query, then score
+    // ONLY the compressed codes inside them — the query's residual
+    // against each probed cell feeds a per-(query, cell) lookup table of
+    // ‖qres_sub − codeword‖² contributions (10·2·8·16 rows, bounded by
+    // construction, broadcast), and a candidate's approximate distance
+    // is 8 lookups summed on the 2^20 integer grid (order-free exact
+    // long addition). The join key (centroid_id, sub, code) prunes
+    // candidates to probed cells for free. At 100 TB: nprobe/ncells of
+    // the corpus is READ, 8 code bytes per candidate is SCANNED, no
+    // vector leaves its partition — IVF prunes the reads, PQ shrinks
+    // them, which is the entire economics of large-scale ANN.
+    "q_embed_ivfpq_search" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val res = residualsOf(e)
+      val cb = resCodebookOf(res)
+      val codes = nearestCodeFlat(
+        subvectors(res, Seq("vec_id", "centroid_id"), "residual"),
+        cb, Seq("vec_id", "centroid_id"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      val w1 = Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("centroid_id").asc)
+      val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+        .withColumn("cosine",
+          dot(col("embedding"), col("c_emb")) /
+            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
+        .withColumn("rk", row_number().over(w1))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id").as("q_id"), col("centroid_id"),
+          graft.functions.VectorOps.sub(col("embedding"), col("c_emb")).as("qres"))
+      val lut = subvectors(probes, Seq("q_id", "centroid_id"), "qres")
+        .join(cb, "sub")
+        .select(col("q_id"), col("centroid_id"), col("sub"), col("code"),
+          floor(sumSq(graft.functions.VectorOps.sub(col("v"), col("c_v")))
+            * lit(1048576L)).cast("long").as("qc"))
+      val w2 = Window.partitionBy("q_id").orderBy(col("adc_q").asc, col("c_id").asc)
+      codes.join(broadcast(lut), Seq("centroid_id", "sub", "code"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id").as("c_id"))
+        .agg(sum(col("qc")).as("adc_q"))
+        .withColumn("rk", row_number().over(w2))
         .filter(col("rk") <= 3)
         .select("q_id", "c_id", "rk", "adc_q")
     },
@@ -492,6 +588,37 @@ object SimilarityOps {
         |SELECT q_id, c_id, rk, adc_q FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_q ASC, c_id ASC) AS rk
         | FROM approx) WHERE rk <= 3""".stripMargin,
+    "q_embed_ivfpq_encode" ->
+      s"""WITH $duckIvfPqCtes
+        |SELECT vec_id, centroid_id,
+        | array_to_string(list(code ORDER BY sub), ',') AS codes_csv
+        |FROM rbest GROUP BY vec_id, centroid_id""".stripMargin,
+    "q_embed_ivfpq_search" ->
+      s"""WITH $duckIvfPqCtes,
+        |probes AS (
+        | SELECT vec_id AS q_id, centroid_id,
+        |  list_transform(range(1, 65), i -> embedding[i] - c_emb[i]) AS qres
+        | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+        |       FROM ascored) WHERE rk <= 2 AND vec_id < 10),
+        |pflat AS (
+        | SELECT q_id, centroid_id, s.sub,
+        |  list_transform(range(1, 9), i -> qres[8 * s.sub + i]) AS v
+        | FROM probes, subs s),
+        |lut AS (
+        | SELECT p.q_id, p.centroid_id, p.sub, c.code,
+        |  CAST(floor(list_reduce(list_transform(range(1, 9),
+        |    i -> CAST(p.v[i] - c.v[i] AS DOUBLE) * (p.v[i] - c.v[i])),
+        |    (x, y) -> x + y) * 1048576) AS BIGINT) AS qc
+        | FROM pflat p JOIN rcb c ON p.sub = c.sub),
+        |approx AS (
+        | SELECT l.q_id, b.vec_id AS c_id, CAST(sum(l.qc) AS BIGINT) AS adc_q
+        | FROM rbest b JOIN lut l
+        |  ON b.centroid_id = l.centroid_id AND b.sub = l.sub AND b.code = l.code
+        | WHERE l.q_id <> b.vec_id
+        | GROUP BY l.q_id, b.vec_id)
+        |SELECT q_id, c_id, rk, adc_q FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_q ASC, c_id ASC) AS rk
+        | FROM approx) WHERE rk <= 3""".stripMargin,
     "q_embed_ivf_search" ->
       s"""WITH $duckIvfCtes
         |SELECT q_id, c_id, rk, cosine FROM (
@@ -559,6 +686,44 @@ object SimilarityOps {
       | SELECT vec_id, sub, code FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY cost ASC, code ASC) AS rk
       |  FROM scored) WHERE rk = 1)""".stripMargin
+
+  /** shared CTE chain of the IVF-PQ pipeline (cosine assignment →
+    * float residuals → residual codebook from vec_id ∈ [16,32) → flat
+    * residual code assignment) — the encode and search oracles build on
+    * `rbest`/`ascored`/`rcb`. Mirrors residualsOf/resCodebookOf/
+    * nearestCodeFlat: FLOAT−FLOAT residual (one IEEE op both engines),
+    * c_ss − 2·dot cost, (cost, code) tie order. */
+  private lazy val duckIvfPqCtes: String =
+    s"""subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+      |cents AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+      |ascored AS (
+      | SELECT e.vec_id, e.embedding, c.centroid_id, c.c_emb,
+      |  ${duckDotCols("e.embedding", "c.c_emb")} /
+      |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+      | FROM embeddings e, cents c),
+      |resid AS (
+      | SELECT vec_id, centroid_id,
+      |  list_transform(range(1, 65), i -> embedding[i] - c_emb[i]) AS residual
+      | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+      |       FROM ascored) WHERE rk = 1),
+      |rflat AS (
+      | SELECT vec_id, centroid_id, s.sub,
+      |  list_transform(range(1, ${PqDsub + 1}), i -> residual[$PqDsub * s.sub + i]) AS v
+      | FROM resid, subs s),
+      |rcb AS (
+      | SELECT sub, CAST(vec_id - 16 AS INT) AS code, v,
+      |  list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b) AS c_ss
+      | FROM rflat WHERE vec_id >= 16 AND vec_id < ${16 + PqK}),
+      |rscored AS (
+      | SELECT f.vec_id, f.centroid_id, f.sub, c.code,
+      |  c.c_ss - 2.0 * list_reduce(list_transform(range(1, ${PqDsub + 1}),
+      |    i -> CAST(f.v[i] AS DOUBLE) * c.v[i]), (x, y) -> x + y) AS cost
+      | FROM rflat f JOIN rcb c ON f.sub = c.sub),
+      |rbest AS (
+      | SELECT vec_id, centroid_id, sub, code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY cost ASC, code ASC) AS rk
+      |  FROM rscored) WHERE rk = 1)""".stripMargin
 
   /** shared CTE chain of the IVF probe path (assign + probe + candidate
     * scoring) — the search and recall oracles both build on `cand` */

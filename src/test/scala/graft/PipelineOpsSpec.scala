@@ -197,6 +197,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq: codebook seeds encode to themselves within their cell") {
+    val enc = SparkEntry.queries("q_embed_ivfpq_encode")(spark, sf).collect()
+    assert(enc.length == Tables(spark, sf, "embeddings").count())
+    val assign = SparkEntry.queries("q_embed_ivf_assign")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    enc.foreach { r =>
+      // the stored cell is the IVF assignment, codes are 8 values in [0,16)
+      assert(r.getAs[Long]("centroid_id") == assign(r.getAs[Long]("vec_id")))
+      val codes = r.getAs[String]("codes_csv").split(",").map(_.toInt)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    }
+    // a residual-codebook seed vector (vec_id in [16,32)) is at distance
+    // zero from its own codeword in every subspace
+    enc.filter(r => r.getAs[Long]("vec_id") >= 16 && r.getAs[Long]("vec_id") < 32)
+      .foreach { r =>
+        val id = r.getAs[Long]("vec_id") - 16
+        assert(r.getAs[String]("codes_csv") ==
+          Array.fill(8)(id.toString).mkString(","))
+      }
+    val res = SparkEntry.queries("q_embed_ivfpq_search")(spark, sf).collect()
+    assert(res.length == 10 * 3)
+    res.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val byRk = rows.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3))
+      val d = byRk.map(_.getAs[Long]("adc_q"))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+      assert(rows.forall(r => r.getAs[Long]("c_id") != r.getAs[Long]("q_id")))
+    }
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
