@@ -4,7 +4,7 @@ import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL surface for the custom expression layer. Two entry points:
   *
@@ -14,7 +14,11 @@ import org.apache.spark.sql.types.StringType
   *
   * After registration: `keccak256(bin)`, `u256_string(bin)`, `u256_f64`,
   * `u256_u64`, `u256_u32`, `u256_d128`, `u256_from_string(str)`,
-  * `zero_byte_count(bin)`, `decode_event(topics, data, 'Sig(...)')`.
+  * `zero_byte_count(bin)`, `decode_event(topics, data, 'Sig(...)')`,
+  * plus the pipeline kernels: `md5_prefix60(str)`, `dot_f32(a, b)`,
+  * `sum_sq_f32(a)`, `abs_max_f32(a)`, `sub_f32(a, b)`,
+  * `minhash_sigs(toks, 3)` (default affine family),
+  * `explode_shingles(toks, 3)` (lateral view generator).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
@@ -42,7 +46,22 @@ object Graft {
     "u256_from_string" -> (es => U256FromString(es.head)),
     "zero_byte_count" -> (es => ZeroByteCount(es.head)),
     "decode_event" -> (es =>
-      DecodeEvent(es(0), es(1), literalString(es(2), "event signature"))))
+      DecodeEvent(es(0), es(1), literalString(es(2), "event signature"))),
+    "md5_prefix60" -> (es => Md5Prefix60(es.head)),
+    "dot_f32" -> (es => DotF32(es(0), es(1))),
+    "sum_sq_f32" -> (es => SumSqF32(es.head)),
+    "abs_max_f32" -> (es => AbsMaxF32(es.head)),
+    "sub_f32" -> (es => SubF32(es(0), es(1))),
+    "minhash_sigs" -> (es =>
+      MinhashSigs.default(es(0), literalInt(es(1), "shingle width"))),
+    "explode_shingles" -> (es =>
+      ExplodeShingles(es(0), literalInt(es(1), "shingle width"))))
+
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
 
   /** register on an already-built session */
   def registerFunctions(spark: SparkSession): Unit =

@@ -59,6 +59,22 @@ case class MinhashSigs(child: Expression, n: Int, mod: Long,
 }
 
 object MinhashSigs {
+  /** the default 8-hash affine family (shared with the SQL surface):
+    * h_i(x) = (a_i·x + b_i) mod P over md5-prefix60(shingle) mod M.
+    * Constants sized so a_i·x < 2^61 — no 64-bit overflow (DuckDB
+    * errors on bigint overflow; Spark wraps; staying under the limit
+    * keeps both engines exact and identical). */
+  val DefaultMod = 2147483647L // 2^31 - 1
+  val DefaultP = 2305843009213693951L // 2^61 - 1
+  val DefaultA: Seq[Long] = Seq(999999937L, 899999963L, 799999999L,
+    699999999L, 599999971L, 499999993L, 399999959L, 299999977L)
+  val DefaultB: Seq[Long] = Seq(15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
+
+  /** the default family over word n-gram shingles of a token array */
+  def default(tokens: Expression, n: Int): MinhashSigs =
+    MinhashSigs(tokens, n, DefaultMod, DefaultA, DefaultB, DefaultP)
+
   private val space = UTF8String.fromString(" ")
 
   /** the compiled hot loop, shared by eval and generated code */

@@ -387,37 +387,23 @@ object SimilarityOps {
     // vector leaves its partition — IVF prunes the reads, PQ shrinks
     // them, which is the entire economics of large-scale ANN.
     "q_embed_ivfpq_search" -> { (s, dir) =>
+      ivfpqSearchOf(Tables(s, dir, "embeddings"))
+    },
+
+    // Compressed-path quality: recall@3 of IVF-PQ (probed cells + ADC
+    // over residual codes) against the exact cosine top-3 — the combined
+    // partition-pruning + quantization loss, next to q_embed_ivf_recall
+    // which isolates the pruning loss alone. Same tiny-table rollup
+    // shape as that query.
+    "q_embed_ivfpq_recall" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val res = residualsOf(e)
-      val cb = resCodebookOf(res)
-      val codes = nearestCodeFlat(
-        subvectors(res, Seq("vec_id", "centroid_id"), "residual"),
-        cb, Seq("vec_id", "centroid_id"))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-      val w1 = Window.partitionBy("vec_id")
-        .orderBy(col("cosine").desc, col("centroid_id").asc)
-      val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
-        .withColumn("cosine",
-          dot(col("embedding"), col("c_emb")) /
-            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
-        .withColumn("rk", row_number().over(w1))
-        .filter(col("rk") <= 2)
-        .select(col("vec_id").as("q_id"), col("centroid_id"),
-          graft.functions.VectorOps.sub(col("embedding"), col("c_emb")).as("qres"))
-      val lut = subvectors(probes, Seq("q_id", "centroid_id"), "qres")
-        .join(cb, "sub")
-        .select(col("q_id"), col("centroid_id"), col("sub"), col("code"),
-          floor(sumSq(graft.functions.VectorOps.sub(col("v"), col("c_v")))
-            * lit(1048576L)).cast("long").as("qc"))
-      val w2 = Window.partitionBy("q_id").orderBy(col("adc_q").asc, col("c_id").asc)
-      codes.join(broadcast(lut), Seq("centroid_id", "sub", "code"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .groupBy(col("q_id"), col("vec_id").as("c_id"))
-        .agg(sum(col("qc")).as("adc_q"))
-        .withColumn("rk", row_number().over(w2))
-        .filter(col("rk") <= 3)
-        .select("q_id", "c_id", "rk", "adc_q")
+      val exact = cosineTopkOf(e, nQueries = 10, k = 3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      ivfpqSearchOf(e).select(col("q_id"), col("c_id"))
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_3", col("n_hits").cast("double") / 3.0)
     },
 
     // ANN quality evaluation: recall@3 of the IVF probe path against the
@@ -455,6 +441,42 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("q_id", "c_id", "rk", "cosine")
+  }
+
+  /** IVF-PQ probe path (see q_embed_ivfpq_search): 2 probed cells per
+    * query, per-(query, cell) residual LUT broadcast, candidate distance
+    * = 8 integer-grid lookups summed. Shared by search and recall. */
+  private def ivfpqSearchOf(e: DataFrame): DataFrame = {
+    val res = residualsOf(e)
+    val cb = resCodebookOf(res)
+    val codes = nearestCodeFlat(
+      subvectors(res, Seq("vec_id", "centroid_id"), "residual"),
+      cb, Seq("vec_id", "centroid_id"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w1 = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("centroid_id").asc)
+    val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .withColumn("cosine",
+        dot(col("embedding"), col("c_emb")) /
+          (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("q_id"), col("centroid_id"),
+        graft.functions.VectorOps.sub(col("embedding"), col("c_emb")).as("qres"))
+    val lut = subvectors(probes, Seq("q_id", "centroid_id"), "qres")
+      .join(cb, "sub")
+      .select(col("q_id"), col("centroid_id"), col("sub"), col("code"),
+        floor(sumSq(graft.functions.VectorOps.sub(col("v"), col("c_v")))
+          * lit(1048576L)).cast("long").as("qc"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("adc_q").asc, col("c_id").asc)
+    codes.join(broadcast(lut), Seq("centroid_id", "sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("qc")).as("adc_q"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= 3)
+      .select("q_id", "c_id", "rk", "adc_q")
   }
 
   /** IVF probe path: 16 seed centroids, nprobe=2, exact top-3 re-rank
@@ -595,30 +617,32 @@ object SimilarityOps {
         |FROM rbest GROUP BY vec_id, centroid_id""".stripMargin,
     "q_embed_ivfpq_search" ->
       s"""WITH $duckIvfPqCtes,
-        |probes AS (
-        | SELECT vec_id AS q_id, centroid_id,
-        |  list_transform(range(1, 65), i -> embedding[i] - c_emb[i]) AS qres
-        | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
-        |       FROM ascored) WHERE rk <= 2 AND vec_id < 10),
-        |pflat AS (
-        | SELECT q_id, centroid_id, s.sub,
-        |  list_transform(range(1, 9), i -> qres[8 * s.sub + i]) AS v
-        | FROM probes, subs s),
-        |lut AS (
-        | SELECT p.q_id, p.centroid_id, p.sub, c.code,
-        |  CAST(floor(list_reduce(list_transform(range(1, 9),
-        |    i -> CAST(p.v[i] - c.v[i] AS DOUBLE) * (p.v[i] - c.v[i])),
-        |    (x, y) -> x + y) * 1048576) AS BIGINT) AS qc
-        | FROM pflat p JOIN rcb c ON p.sub = c.sub),
-        |approx AS (
-        | SELECT l.q_id, b.vec_id AS c_id, CAST(sum(l.qc) AS BIGINT) AS adc_q
-        | FROM rbest b JOIN lut l
-        |  ON b.centroid_id = l.centroid_id AND b.sub = l.sub AND b.code = l.code
-        | WHERE l.q_id <> b.vec_id
-        | GROUP BY l.q_id, b.vec_id)
+        |$duckIvfPqProbeCtes
         |SELECT q_id, c_id, rk, adc_q FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_q ASC, c_id ASC) AS rk
         | FROM approx) WHERE rk <= 3""".stripMargin,
+    "q_embed_ivfpq_recall" ->
+      s"""WITH $duckIvfPqCtes,
+        |$duckIvfPqProbeCtes,
+        |approx3 AS (
+        | SELECT q_id, c_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_q ASC, c_id ASC) AS rk
+        |  FROM approx) WHERE rk <= 3),
+        |q2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |bf AS (
+        | SELECT q2.vec_id AS q_id, c.vec_id AS c_id,
+        |  ${duckDot("q2", "c")} /
+        |   (sqrt(${duckSS("q2.embedding")}) * sqrt(${duckSS("c.embedding")})) AS cosine
+        | FROM q2, embeddings c WHERE q2.vec_id <> c.vec_id),
+        |exact AS (
+        | SELECT q_id, c_id FROM (
+        |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM bf) WHERE rk <= 3)
+        |SELECT a.q_id,
+        | CAST(coalesce(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+        | CAST(coalesce(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / 3.0 AS recall_at_3
+        |FROM approx3 a LEFT JOIN exact e ON a.q_id = e.q_id AND a.c_id = e.c_id
+        |GROUP BY a.q_id""".stripMargin,
     "q_embed_ivf_search" ->
       s"""WITH $duckIvfCtes
         |SELECT q_id, c_id, rk, cosine FROM (
@@ -724,6 +748,32 @@ object SimilarityOps {
       | SELECT vec_id, centroid_id, sub, code FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY cost ASC, code ASC) AS rk
       |  FROM rscored) WHERE rk = 1)""".stripMargin
+
+  /** the IVF-PQ probe block (query residuals per probed cell → LUT →
+    * summed approximate distances) — search and recall both build on
+    * `approx`; appended after duckIvfPqCtes */
+  private lazy val duckIvfPqProbeCtes: String =
+    s"""probes AS (
+      | SELECT vec_id AS q_id, centroid_id,
+      |  list_transform(range(1, 65), i -> embedding[i] - c_emb[i]) AS qres
+      | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+      |       FROM ascored) WHERE rk <= 2 AND vec_id < 10),
+      |pflat AS (
+      | SELECT q_id, centroid_id, s.sub,
+      |  list_transform(range(1, ${PqDsub + 1}), i -> qres[$PqDsub * s.sub + i]) AS v
+      | FROM probes, subs s),
+      |lut AS (
+      | SELECT p.q_id, p.centroid_id, p.sub, c.code,
+      |  CAST(floor(list_reduce(list_transform(range(1, ${PqDsub + 1}),
+      |    i -> CAST(p.v[i] - c.v[i] AS DOUBLE) * (p.v[i] - c.v[i])),
+      |    (x, y) -> x + y) * 1048576) AS BIGINT) AS qc
+      | FROM pflat p JOIN rcb c ON p.sub = c.sub),
+      |approx AS (
+      | SELECT l.q_id, b.vec_id AS c_id, CAST(sum(l.qc) AS BIGINT) AS adc_q
+      | FROM rbest b JOIN lut l
+      |  ON b.centroid_id = l.centroid_id AND b.sub = l.sub AND b.code = l.code
+      | WHERE l.q_id <> b.vec_id
+      | GROUP BY l.q_id, b.vec_id)""".stripMargin
 
   /** shared CTE chain of the IVF probe path (assign + probe + candidate
     * scoring) — the search and recall oracles both build on `cand` */

@@ -75,7 +75,7 @@ object TextOps {
   def rowSigsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.MinhashSigs(toks, 3, MinhashMod,
-        MinhashA.toSeq, MinhashB.toSeq, MinhashP).as("sigs"))
+        MinhashA, MinhashB, MinhashP).as("sigs"))
       .filter(col("sigs").isNotNull)
 
   /** flat (doc_id, band_idx, band_hash, sigs) LSH band rows — 4 bands ×
@@ -108,13 +108,14 @@ object TextOps {
     * md5-derived hash reduced mod M. Constants sized so a_i·x < 2^61 —
     * no 64-bit overflow (DuckDB bigint overflow errors; Spark wraps;
     * staying under the limit keeps both engines exact and identical). */
-  private val MinhashMod = 2147483647L // 2^31 - 1
+  // the minhash affine family lives in the MinhashSigs companion (shared
+  // with the SQL surface registration); these aliases keep the oracle
+  // SQL builders below terse
+  private val MinhashMod = graft.functions.MinhashSigs.DefaultMod
   private val RollMod = 4294967291L // largest prime < 2^32
-  private val MinhashP = 2305843009213693951L // 2^61 - 1
-  private val MinhashA = Array(999999937L, 899999963L, 799999999L, 699999999L,
-    599999971L, 499999993L, 399999959L, 299999977L)
-  private val MinhashB = Array(15485863L, 32452843L, 49979687L, 67867967L,
-    86028121L, 104395301L, 122949823L, 141650939L)
+  private val MinhashP = graft.functions.MinhashSigs.DefaultP
+  private val MinhashA = graft.functions.MinhashSigs.DefaultA
+  private val MinhashB = graft.functions.MinhashSigs.DefaultB
 
   /** LSH bucket-size cap: a band bucket holding more than this many docs
     * is dropped from pair generation (standard LSH hygiene). A degenerate

@@ -76,4 +76,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("string literal") ||
       err.getCause != null && err.getCause.getMessage.contains("string literal"))
   }
+
+  test("pipeline kernels usable from SQL") {
+    Graft.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT dot_f32(a, b) AS d, sum_sq_f32(a) AS ss, abs_max_f32(b) AS am,
+        |  sub_f32(a, b) AS df,
+        |  minhash_sigs(split('the quick brown fox jumps', ' '), 3) AS sigs,
+        |  md5_prefix60('abc') AS h
+        |FROM VALUES (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS t(a, b)"""
+        .stripMargin).collect()(0)
+    assert(row.getAs[Double]("d") == 1.0 * 3.0 + 2.0 * 0.5)
+    assert(row.getAs[Double]("ss") == 5.0)
+    assert(row.getAs[Double]("am") == 3.0)
+    assert(row.getAs[scala.collection.Seq[Float]]("df").toSeq == Seq(-2.0f, 1.5f))
+    assert(row.getAs[scala.collection.Seq[Long]]("sigs").length == 8)
+    assert(row.getAs[Long]("h") > 0)
+    // the generator composes with LATERAL VIEW like explode
+    val sh = spark.sql(
+      """SELECT shingle FROM (SELECT split('a b c d', ' ') AS toks)
+        |LATERAL VIEW explode_shingles(toks, 3) s AS shingle""".stripMargin)
+    assert(sh.collect().map(_.getString(0)).toSeq == Seq("a b c", "b c d"))
+    // SQL minhash_sigs IS the family the dedup pipeline runs on
+    val docs = Tables(spark, sf, "documents").limit(50)
+    docs.createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sigs(split(text, ' '), 3) AS sigs
+        |FROM sql_docs""".stripMargin)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("sigs").toSeq).toMap
+    graft.queries.TextOps.rowSigsOf(docs).collect().foreach { r =>
+      assert(viaSql(r.getAs[Long]("doc_id")) ==
+        r.getAs[scala.collection.Seq[Long]]("sigs").toSeq)
+    }
+  }
 }
