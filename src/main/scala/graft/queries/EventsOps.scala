@@ -89,6 +89,29 @@ object EventsOps {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
           sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)")
             .cast("double").as("total_value"))
+    },
+
+    // Cohort retention: users grouped by first-seen day, with D1/D7
+    // return counts — the engagement rollup next to sessionization in
+    // any events pipeline. Two shuffles total (first-seen per user, then
+    // the cohort rollup), both partial-aggregated; distinct day rows
+    // shrink the input before either. Integer counts only — no float
+    // boundary anywhere. Dates emit as midnight timestamps (comparator
+    // convention).
+    "q_events_retention" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      val first = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+      first.join(e, "user_id")
+        .groupBy("cohort")
+        .agg(
+          countDistinct(col("user_id")).as("cohort_users"),
+          countDistinct(when(col("d") === date_add(col("cohort"), 1),
+            col("user_id"))).as("retained_d1"),
+          countDistinct(when(col("d") === date_add(col("cohort"), 7),
+            col("user_id"))).as("retained_d7"))
+        .select(col("cohort").cast("timestamp").as("cohort"),
+          col("cohort_users"), col("retained_d1"), col("retained_d7"))
     }
   )
 
@@ -138,6 +161,15 @@ object EventsOps {
         | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        | count(DISTINCT e.user_id) AS cohort_users,
+        | count(DISTINCT CASE WHEN e.d = f.cohort + 1 THEN e.user_id END) AS retained_d1,
+        | count(DISTINCT CASE WHEN e.d = f.cohort + 7 THEN e.user_id END) AS retained_d7
+        |FROM f JOIN e ON f.user_id = e.user_id
+        |GROUP BY cohort""".stripMargin
   )
 }

@@ -248,6 +248,91 @@ object Relational {
              fin(min(col("price")), 2).as("min_price"))
     },
 
+    // TPC-H Q7 shape: bidirectional two-nation trade volume by ship
+    // year — the double nation-dimension join (supplier nation ×
+    // customer nation), disjunctive nation-pair predicate. Nations
+    // broadcast (25 rows); the fact-side joins stay unhinted.
+    "q7_volume_shipping" -> { (s, dir) =>
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(fin(sum(m(col("l_extendedprice")) * onem(col("l_discount"))), 4).as("revenue"))
+    },
+
+    // TPC-H Q8 shape: national market share — a region's PROMO-part
+    // order revenue by year, with one supplier nation's share. The
+    // share is a ratio of two exact decimal sums, each cast to double
+    // before ONE IEEE division (cross-engine identical); a conditional
+    // sum of an empty set yields 0 via coalesce.
+    "q8_market_share" -> { (s, dir) =>
+      val nc = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val ns = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val r = Tables(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val p = Tables(s, dir, "part").filter(col("p_type") === "PROMO")
+      Tables(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(m(col("l_extendedprice")) * onem(col("l_discount"))).as("vol"),
+          sum(when(col("supp_nation") === "NATION_3",
+            m(col("l_extendedprice")) * onem(col("l_discount")))).as("nvol"))
+        .select(col("o_year"),
+          (coalesce(col("nvol"), lit(0)).cast("decimal(38,4)").cast("double") /
+            col("vol").cast("decimal(38,4)").cast("double")).as("mkt_share"))
+    },
+
+    // TPC-H Q14 shape: promo revenue percentage — conditional aggregate
+    // over one join, ratio emitted via double division of exact decimals.
+    "q14_promo_revenue" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            m(col("l_extendedprice")) * onem(col("l_discount")))).as("promo"),
+          sum(m(col("l_extendedprice")) * onem(col("l_discount"))).as("total"))
+        .select(
+          (lit(100.0) * coalesce(col("promo"), lit(0)).cast("decimal(38,4)").cast("double") /
+            col("total").cast("decimal(38,4)").cast("double")).as("promo_revenue_pct"))
+    },
+
+    // TPC-H Q17 shape: small-quantity-order revenue — a per-part average
+    // threshold (correlated aggregate decorrelated into a join). The
+    // threshold is one double division of an exact decimal sum by the
+    // count, then one double multiply — identical in both engines.
+    "q17_small_quantity" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val avgq = l.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(m(col("l_quantity"))).cast("decimal(38,2)").cast("double") /
+          count(lit(1))).as("avg_qty"))
+      l.join(broadcast(Tables(s, dir, "part").filter(col("p_brand") === "Brand#5")),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgq, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.4) * col("avg_qty"))
+        .agg((sum(m(col("l_extendedprice"))).cast("decimal(38,2)").cast("double") /
+          lit(7.0)).as("avg_yearly"))
+    },
+
     // TPC-H Q13 shape: left outer join + two-level aggregation
     // (orders-per-customer distribution, keeping zero-order customers).
     "q13_order_distribution" -> { (s, dir) =>
@@ -471,6 +556,51 @@ object Relational {
         |       min(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS min_price
         |      FROM lineitem)
         |WHERE price = min_price GROUP BY l_partkey""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT o_year,
+        | CAST(coalesce(nvol, 0) AS DOUBLE) / CAST(vol AS DOUBLE) AS mkt_share
+        |FROM (
+        | SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS vol,
+        |  CAST(sum(CASE WHEN ns.n_name = 'NATION_3' THEN $revenueExpr END) AS DECIMAL(38,4)) AS nvol
+        | FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        | WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        | GROUP BY year(o_orderdate))""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""SELECT 100.0 * CAST(coalesce(promo, 0) AS DOUBLE) / CAST(total AS DOUBLE) AS promo_revenue_pct
+        |FROM (
+        | SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueExpr END) AS DECIMAL(38,4)) AS promo,
+        |  CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS total
+        | FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN (SELECT l_partkey AS ap_key,
+        |        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_qty
+        |       FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_key
+        |WHERE p_brand = 'Brand#5' AND l_quantity < 0.4 * avg_qty""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
         | SELECT c_custkey, count(o_orderkey) AS c_count
