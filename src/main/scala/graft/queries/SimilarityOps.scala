@@ -124,6 +124,68 @@ object SimilarityOps {
     nearestCodeFlat(subvectors(e, Seq("vec_id"), "embedding"),
       pqCodebook(e), Seq("vec_id"))
 
+  /** one joint Lloyd update of the PQ codebook as flat (sub, code, dim)
+    * cells: every subspace trains in the SAME pass — points are the
+    * (vec, sub) subvector rows, assignment is the nearest-codeword rule
+    * encode uses, and the cell mean is an exact long sum on the 2^20
+    * grid + one double division (the kmeansOf arithmetic — cross-row
+    * double sums are not bit-portable, integer sums are). */
+  private def pqLloydUpdateFlat(vflat: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("cost").asc, col("code").asc)
+    vflat.join(broadcast(cb), "sub")
+      .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("sub", "code", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("x").cast("double") * KmeansQuant).cast("long")).as("qsum"))
+      .select(col("sub"), col("code"), col("dim"), col("n_members"),
+        (col("qsum").cast("double") / (col("n_members") * lit(KmeansQuant)))
+          .as("c_val"))
+  }
+
+  /** Full PQ codebook training: `iters` joint Lloyd rounds from the
+    * fixed seed codebook, all M subspaces per pass (one codebook
+    * broadcast + one M·K·d-cell aggregation per round — the same
+    * per-round shape as kmeansOf, M·K cells instead of k). Returns
+    * (sub, code, c_v). Updated codewords round to float so every
+    * round's assignment runs the same codegen kernels; localCheckpoint
+    * truncates lineage per round (the iterative-plan rule). Multi-round
+    * training is spec-pinned (deterministic, objective non-increasing);
+    * its single-round twin q_embed_pq_train_step is oracle-checked. */
+  def pqTrainOf(e: DataFrame, iters: Int = 3): DataFrame = {
+    val vflat = subvectors(e, Seq("vec_id"), "embedding")
+    var cb = pqCodebook(e)
+    for (_ <- 0 until iters) {
+      cb = pqLloydUpdateFlat(vflat, cb)
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c_val")))).as("s"))
+        .select(col("sub"), col("code"),
+          transform(col("s"), x => x.getField("c_val").cast("float")).as("c_v"))
+        .withColumn("c_ss", sumSq(col("c_v")))
+        .localCheckpoint()
+    }
+    cb.select("sub", "code", "c_v")
+  }
+
+  /** squared-distance objective of a codebook over the corpus (training
+    * diagnostic): Σ over (vec, sub) of min_code ‖v − c‖². Spec-side only
+    * — the cross-row double sum is order-dependent, which a tolerance
+    * assertion absorbs and the oracle contract never sees. */
+  def pqObjectiveOf(e: DataFrame, cb: DataFrame): Double = {
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("cost").asc, col("code").asc)
+    subvectors(e, Seq("vec_id"), "embedding")
+      .join(broadcast(cb.withColumn("c_ss", sumSq(col("c_v")))), "sub")
+      .withColumn("cost",
+        sumSq(col("v")) + col("c_ss") - lit(2.0) * dot(col("v"), col("c_v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .agg(sum(col("cost"))).collect()(0).getDouble(0)
+  }
+
   /** IVF residuals: every vector assigned to its nearest centroid
     * (cosine, the same rule as q_embed_ivf_assign), residual =
     * embedding − centroid via the codegen SubF32 kernel — float
@@ -354,6 +416,17 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("q_id", "c_id", "rk", "adc_q")
+    },
+
+    // PQ codebook training, one oracle-checked joint Lloyd step: all 8
+    // subspaces update in the same pass — assignment by the encode rule,
+    // cell means on the 2^20 integer grid (flat (sub, code, dim) cells
+    // so no array reaches the comparator). Multi-round training is
+    // pqTrainOf — same arithmetic, spec-pinned; the symmetric twin of
+    // q_embed_kmeans_step for the quantization half of the index.
+    "q_embed_pq_train_step" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      pqLloydUpdateFlat(subvectors(e, Seq("vec_id"), "embedding"), pqCodebook(e))
     },
 
     // IVF-PQ encode: the composed index layout a production vector store
@@ -610,6 +683,16 @@ object SimilarityOps {
         |SELECT q_id, c_id, rk, adc_q FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_q ASC, c_id ASC) AS rk
         | FROM approx) WHERE rk <= 3""".stripMargin,
+    "q_embed_pq_train_step" ->
+      s"""WITH $duckPqCtes,
+        |flat AS (
+        | SELECT b.sub, b.code, i - 1 AS dim,
+        |  CAST(floor(CAST(f.v[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+        | FROM best b JOIN vflat f ON b.vec_id = f.vec_id AND b.sub = f.sub,
+        |  range(1, ${PqDsub + 1}) t(i))
+        |SELECT sub, code, dim, CAST(count(*) AS BIGINT) AS n_members,
+        | CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1048576) AS c_val
+        |FROM flat GROUP BY sub, code, dim""".stripMargin,
     "q_embed_ivfpq_encode" ->
       s"""WITH $duckIvfPqCtes
         |SELECT vec_id, centroid_id,

@@ -197,6 +197,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq training: joint Lloyd is deterministic and improves the objective") {
+    import graft.queries.SimilarityOps
+    val e = Tables(spark, sf, "embeddings")
+    val cb0 = SimilarityOps.pqTrainOf(e, iters = 0) // the fixed seed codebook
+    val cb3 = SimilarityOps.pqTrainOf(e, iters = 3)
+    val o0 = SimilarityOps.pqObjectiveOf(e, cb0)
+    val o3 = SimilarityOps.pqObjectiveOf(e, cb3)
+    // Lloyd never worsens the quantization objective, and on random data
+    // it strictly improves from the arbitrary seed
+    assert(o3 < o0)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Float]]("c_v").toSeq))
+      .sortBy(t => (t._1, t._2))
+    assert(snap(cb3).sameElements(snap(SimilarityOps.pqTrainOf(e, iters = 3))))
+    // every subspace keeps a usable codebook (degenerate cells may drop,
+    // but most codewords survive on random data)
+    val perSub = cb3.groupBy("sub").count().collect()
+      .map(r => r.getAs[Int]("sub") -> r.getAs[Long]("count")).toMap
+    (0 until 8).foreach(sub => assert(perSub(sub) >= 8))
+  }
+
   test("ivfpq: codebook seeds encode to themselves within their cell") {
     val enc = SparkEntry.queries("q_embed_ivfpq_encode")(spark, sf).collect()
     assert(enc.length == Tables(spark, sf, "embeddings").count())
