@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Rows with fewer than `n` tokens yield nothing (matching the
   * `size >= n` guards of the composed forms). Output column: `shingle`.
   */
-case class ExplodeShingles(child: Expression, n: Int)
+case class ExplodeShingles(child: Expression, n: Int,
+    withPos: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -38,7 +39,11 @@ case class ExplodeShingles(child: Expression, n: Int)
     }
 
   override def elementSchema: StructType =
-    StructType(Seq(StructField("shingle", StringType, nullable = false)))
+    if (withPos)
+      StructType(Seq(StructField("pos", IntegerType, nullable = false),
+        StructField("shingle", StringType, nullable = false)))
+    else
+      StructType(Seq(StructField("shingle", StringType, nullable = false)))
 
   private val space = UTF8String.fromString(" ")
 
@@ -54,7 +59,8 @@ case class ExplodeShingles(child: Expression, n: Int)
         val parts = new Array[UTF8String](n)
         var j = 0
         while (j < n) { parts(j) = toks(start + j); j += 1 }
-        InternalRow(UTF8String.concatWs(space, parts: _*))
+        val s = UTF8String.concatWs(space, parts: _*)
+        if (withPos) InternalRow(start, s) else InternalRow(s)
       }
     }
   }

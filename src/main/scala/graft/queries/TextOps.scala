@@ -561,6 +561,47 @@ object TextOps {
           col("n_dup_windows").cast("double") / col("n_windows"))
     },
 
+    // The dup-span ACTION: strip every token covered by a cross-doc
+    // duplicated 5-gram window, emitting the cleaned text —
+    // q_doc_dup_spans' detector turned into the transform a pipeline
+    // applies (boilerplate/contamination removal at sub-document
+    // granularity, where whole-doc dedup is too blunt). Scale shape:
+    // positional spans ride the same one-pass Generator; ONE corpus-wide
+    // shuffle on the span hash finds multi-doc hashes; coverage expands
+    // ≤5 rows per dup window and collapses with a doc-keyed distinct;
+    // reassembly is one groupBy(doc_id) — tokens never leave their doc's
+    // partition after the hash join.
+    "q_doc_dup_span_strip" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftSql
+      val docs = Tables(s, dir, "documents")
+      val hashed = docs.select(col("doc_id"),
+        GraftSql.column(graft.functions.ExplodeShingles(
+          GraftSql.expression(toks), 5, withPos = true)).as(Seq("pos", "span")))
+        .select(col("doc_id"), col("pos"),
+          (graft.functions.Md5Prefix60(col("span")) % MinhashMod).as("h"))
+      val dupH = hashed.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2).select("h")
+      val covered = hashed.join(dupH, "h")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 4)).as("idx"))
+        .distinct()
+      val kept = docs
+        .select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
+        .join(covered, Seq("doc_id", "idx"), "left_anti")
+      docs.select(col("doc_id"))
+        .join(kept.groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("idx"), col("tok")))).as("ts"),
+            count(lit(1)).as("n_kept"))
+          .select(col("doc_id"),
+            concat_ws(" ", transform(col("ts"), t => t.getField("tok"))).as("clean_text"),
+            col("n_kept")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept_tokens"))
+    },
+
     // Sequence packing for training-batch prep: documents concatenate in
     // doc_id order within their shard (source) and the stream is split
     // into fixed token-budget packs; each doc reports the pack its first
@@ -837,6 +878,34 @@ object TextOps {
         | CAST(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS DOUBLE)
         |   / sum(n_occ) AS dup_fraction
         |FROM wd GROUP BY doc_id""".stripMargin,
+    "q_doc_dup_span_strip" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks FROM documents),
+        |p0 AS (
+        | SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        | FROM t WHERE len(toks) >= 5),
+        |sp AS (
+        | SELECT doc_id, i,
+        |  CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 15) AS BIGINT) % $MinhashMod AS h
+        | FROM p0),
+        |duph AS (
+        | SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+        | WHERE nd >= 2),
+        |cov AS (
+        | SELECT DISTINCT sp.doc_id, sp.i + d.d AS j
+        | FROM sp JOIN duph USING (h), (SELECT unnest(range(0, 5)) AS d) d),
+        |tp0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM t),
+        |tp AS (SELECT doc_id, j, toks[j] AS tok FROM tp0),
+        |kept AS (
+        | SELECT tp.doc_id, tp.j, tp.tok
+        | FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.j = cov.j
+        | WHERE cov.j IS NULL),
+        |agg AS (
+        | SELECT doc_id, array_to_string(list(tok ORDER BY j), ' ') AS clean_text,
+        |  count(*) AS n_kept
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_tokens
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     "q_doc_pack" ->
       """WITH t AS (
         | SELECT doc_id, source,

@@ -249,6 +249,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup span strip: untouched docs pass through, stripped are subsequences") {
+    val strip = SparkEntry.queries("q_doc_dup_span_strip")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val frac = SparkEntry.queries("q_doc_dup_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_fraction")).toMap
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(strip.size == texts.size)
+    strip.foreach { case (id, r) =>
+      val clean = r.getAs[String]("clean_text")
+      val nKept = r.getAs[Long]("n_kept_tokens")
+      val orig = texts(id).split(" ")
+      if (frac.getOrElse(id, 0.0) == 0.0) {
+        assert(clean == texts(id) && nKept == orig.length) // no dup → identity
+      } else {
+        assert(nKept < orig.length) // something was stripped
+        if (clean.isEmpty) assert(nKept == 0L)
+        else {
+          val kept = clean.split(" ")
+          assert(kept.length == nKept)
+          // kept tokens form a subsequence of the original token stream
+          var i = 0
+          kept.foreach { t =>
+            while (i < orig.length && orig(i) != t) i += 1
+            assert(i < orig.length); i += 1
+          }
+        }
+      }
+    }
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
