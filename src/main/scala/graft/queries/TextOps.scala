@@ -146,12 +146,13 @@ object TextOps {
     *
     * Persist strategy (r1's slowest query, 5.4s): cache only the TINY
     * shared stages — capped band rows feed both self-join sides, pairs
-    * feeds candIds + the final join. sigs itself is read exactly once
-    * (into capped) so it is NOT cached: materializing one-reader stages
-    * through the block manager is pure overhead. The bulk shingle rows
-    * are scanned exactly once (into sigs); candidate shingle sets are
-    * rebuilt by re-shingling ONLY the candidate docs (a semi-join on the
-    * documents scan), not by caching 10M+ rows. */
+    * feeds candIds + the final join. Signatures are row-local
+    * (MinhashSigs — no shingle rows, no exchange) and are read exactly
+    * once (into capped), so nothing upstream of the cap is cached:
+    * materializing one-reader stages through the block manager is pure
+    * overhead. Candidate shingle sets are rebuilt by re-shingling ONLY
+    * the candidate docs (a semi-join on the documents scan), not by
+    * caching 10M+ rows. */
   def minhashPairsOf(docs: DataFrame, bucketCap: Int = LshBucketCap,
       broadcastMaxDocs: Long = RerankBroadcastMaxDocs): DataFrame = {
     import org.apache.spark.storage.StorageLevel

@@ -168,6 +168,19 @@ class ExpressionsSpec extends AnyFunSuite {
       .toDF("id", "a", "b")
       .select(VectorOps.dot($"a", $"b").as("d")).collect()(0)
     assert(mismatch.isNullAt(0))
+    // SubF32 (the residual kernel): float-exact difference, same null and
+    // length-mismatch semantics as the dot
+    val sub = vecs.select(VectorOps.sub($"a", $"b").as("r")).collect()
+    assert(sub(0).getAs[scala.collection.Seq[Float]]("r").toSeq ==
+      Seq(0.1f - 1.5f, -2.5f - 0.25f, 3.75f - (-1.0f), 0.0f - 8.125f))
+    val subEdge = Seq((1L, Array[java.lang.Float](1f, null), Array[java.lang.Float](1f, 2f)))
+      .toDF("id", "a", "b")
+      .select(VectorOps.sub($"a", $"b").as("r")).collect()(0)
+    assert(subEdge.isNullAt(0))
+    val subMismatch = Seq((1L, Array(1f, 2f), Array(1f, 2f, 3f)))
+      .toDF("id", "a", "b")
+      .select(VectorOps.sub($"a", $"b").as("r")).collect()(0)
+    assert(subMismatch.isNullAt(0))
   }
 
   test("md5 prefix60 equals the conv(substring(md5)) formulation") {
