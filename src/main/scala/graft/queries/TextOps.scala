@@ -327,6 +327,99 @@ object TextOps {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Learn `nMerges` BPE merges from the corpus (Sennrich-style
+    * byte-pair encoding — the LEARNED counterpart of q_doc_bpe_tokens'
+    * regex heuristic). Distributed part: tokenize → word-frequency
+    * groupBy (map-side partial agg, one |vocab|-scale shuffle) → top
+    * `vocabCap` words by (count desc, word asc). The collect is bounded
+    * BY CONSTRUCTION at vocabCap rows — the same counted-collect
+    * discipline as the LSH rerank guard; classic BPE trains on the
+    * word-frequency dict, not the raw corpus, which is what makes the
+    * driver loop legitimate (O(vocabCap · nMerges) work on a
+    * frequency-capped dict, the standard trainer shape at any corpus
+    * size). All ties break lexicographically → training is fully
+    * deterministic. Merges return in rank order. */
+  def bpeTrainOf(docs: DataFrame, nMerges: Int = 50,
+      vocabCap: Int = 10000): Seq[(String, String)] = {
+    val words = docs.select(explode(toks).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var dict: Array[(Vector[String], Long)] = words.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ BpeEnd, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val merged = best._1 + best._2
+        dict = dict.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** the BPE end-of-word marker */
+  val BpeEnd = "</w>"
+
+  /** Segment one word with learned merges: repeatedly apply the
+    * lowest-rank (leftmost on rank ties) applicable merge — the
+    * standard greedy BPE encoder. Driver/spec-side twin of the
+    * BpeCount expression's compiled loop. */
+  def bpeSegment(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.map(_.toString).toVector :+ BpeEnd
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) continue = false
+      else {
+        syms = (syms.take(bestI) :+ (syms(bestI) + syms(bestI + 1))) ++
+          syms.drop(bestI + 2)
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** per-document subword counts under a LEARNED merge table — the
+    * corpus-wide token accounting a budget/packing pass runs after
+    * tokenizer training. Scan-shaped: the merge table rides into the
+    * BpeCount expression as a broadcast-sized reference (nMerges
+    * entries), no shuffle. */
+  def bpeTokenizeOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.BpeCount(toks, merges).as("n_subwords"))
+
   /** deterministic argmax with fixed priority en > fr > de > es */
   private val argmaxSql =
     """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'

@@ -280,6 +280,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe training learns the planted merges; compiled counter matches encoder") {
+    import graft.queries.TextOps
+    val s = spark
+    import s.implicits._
+    // planted corpus: every word is "ab" → the only learnable merges are
+    // (a,b) then (ab,</w>), in exactly that order, then training stops
+    val tiny = Seq((0L, "ab ab ab"), (1L, "ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainOf(tiny, nMerges = 10)
+    assert(merges == Seq(("a", "b"), ("ab", TextOps.BpeEnd)))
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    assert(TextOps.bpeSegment("ab", ranks) == Seq("ab" + TextOps.BpeEnd))
+    assert(TextOps.bpeSegment("abab", ranks) == Seq("ab", "ab" + TextOps.BpeEnd))
+    // real corpus: deterministic training, and the compiled BpeCount
+    // expression agrees with the spec-side encoder document by document
+    val docs = Tables(spark, sf, "documents")
+    val m1 = TextOps.bpeTrainOf(docs, nMerges = 30, vocabCap = 1000)
+    assert(m1 == TextOps.bpeTrainOf(docs, nMerges = 30, vocabCap = 1000))
+    assert(m1.length == 30 && m1.distinct.length == 30)
+    val ranks1 = m1.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val sample = docs.filter(col("doc_id") < 50)
+    val counted = TextOps.bpeTokenizeOf(sample, m1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_subwords")).toMap
+    sample.collect().foreach { r =>
+      val expect = r.getAs[String]("text").split(" ").filter(_.nonEmpty)
+        .map(w => TextOps.bpeSegment(w, ranks1).length.toLong).sum
+      assert(counted(r.getAs[Long]("doc_id")) == expect)
+    }
+  }
+
   test("exact dedup covers all docs") {
     val total = Tables(spark, sf, "documents").count()
     val deduped = SparkEntry.queries("q_doc_dedup_exact")(spark, sf)
