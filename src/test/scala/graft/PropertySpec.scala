@@ -125,4 +125,21 @@ object GraftProps extends Properties("graft") {
           (JsonMethods.parse(req) \ "method") == JString(method)
         }
       }: _*)
+
+  // BPE encoder invariant: under ANY merge-rank table, segments only
+  // ever concatenate adjacent symbols — so they reassemble to the word
+  // (plus the end marker) and every segmentation is a partition
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  private val ranksGen: Gen[Map[(String, String), Int]] = for {
+    n <- Gen.chooseNum(0, 12)
+    syms = Seq("a", "b", "c", "ab", "bc", "ca", "aa", graft.queries.TextOps.BpeEnd)
+    pairs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(syms), Gen.oneOf(syms)))
+  } yield pairs.distinct.zipWithIndex.toMap
+  property("bpe segments partition the word under any merge table") =
+    forAll(wordGen, ranksGen) { (w, ranks) =>
+      val segs = graft.queries.TextOps.bpeSegment(w, ranks)
+      segs.mkString == w + graft.queries.TextOps.BpeEnd && segs.nonEmpty
+    }
 }
