@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions.{col, lit}
   *     [--partition-by col] [--chunk-order normal|reverse|random]
   *     [--max-concurrent-chunks N]
   *
+  * Plus `graft.Cli pipeline <query> <sf-dir> [--out DIR] [--show N]`,
+  * which runs any registered SparkEntry query
+  * (TPC-H/text/similarity/events/chain_*) from the shell.
+  *
   * Dataset aliases (txs, events, 4byte_counts, …) resolve via the
   * registry; multi names expand to their members. Entity flags remap per
   * dataset exactly like the reference's query-alias table
@@ -122,10 +126,47 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(args, spark).foreach { r =>
-      println(s"completed: ${r.completed.size} file(s), skipped: ${r.skipped.size}, " +
-        s"errored: ${r.errored.size}, rows: ${r.rows}")
+    try {
+      if (args.headOption.contains("pipeline")) {
+        runPipeline(args.drop(1).toSeq, spark); ()
+      } else run(args, spark).foreach { r =>
+        println(s"completed: ${r.completed.size} file(s), skipped: ${r.skipped.size}, " +
+          s"errored: ${r.errored.size}, rows: ${r.rows}")
+      }
     } finally spark.stop()
+  }
+
+  /** `graft.Cli pipeline <query> <sf-dir> [--out DIR] [--show N]` — run
+    * any registered driver query (TPC-H pack, text/dedup, similarity,
+    * events, chain_*) from the shell without writing code: the whole
+    * SparkEntry surface is CLI-invocable. Writes parquet with --out,
+    * prints up to --show rows (default 20) otherwise. */
+  def runPipeline(args: Seq[String], spark: SparkSession): DataFrame = {
+    def catalog = SparkEntry.queries.keys.toSeq.sorted.mkString(", ")
+    require(args.nonEmpty, s"usage: pipeline <query> <sf-dir> " +
+      s"[--out DIR] [--show N]; queries: $catalog")
+    val name = args.head
+    val fn = SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; available: $catalog"))
+    require(args.length >= 2, "missing <sf-dir> after the query name")
+    val df = fn(spark, args(1))
+    var out: Option[String] = None
+    var show = 20
+    var i = 2
+    while (i < args.length) {
+      args(i) match {
+        case "--out" => out = Some(args(i + 1)); i += 2
+        case "--show" => show = args(i + 1).toInt; i += 2
+        case other =>
+          throw new IllegalArgumentException(s"unknown pipeline flag $other")
+      }
+    }
+    out match {
+      case Some(dir) => df.write.mode("overwrite").parquet(dir)
+      case None => df.show(show, truncate = false)
+    }
+    df
   }
 
   /** Upper bound on a parquet-ref block list: the list is collected to

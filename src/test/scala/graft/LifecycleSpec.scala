@@ -389,6 +389,21 @@ class CliSpec extends AnyFunSuite {
     assert(bns.min == 1005 && bns.max == 1010)
   }
 
+  test("cli pipeline subcommand runs any registered query") {
+    val out = Files.createTempDirectory("graft_pipe").toString + "/res"
+    val df = Cli.runPipeline(Seq("q_doc_dedup_exact", sf, "--out", out), spark)
+    val n = df.count()
+    assert(n > 0 && spark.read.parquet(out).count() == n)
+    // a chain dataset rides the same dispatch
+    assert(Cli.runPipeline(Seq("chain_blocks", sf, "--out",
+      Files.createTempDirectory("graft_pipe2").toString + "/res"), spark)
+      .count() > 0)
+    val err = intercept[IllegalArgumentException] {
+      Cli.runPipeline(Seq("no_such_query", sf), spark)
+    }
+    assert(err.getMessage.contains("unknown query"))
+  }
+
   test("--blocks accepts a parquet file ref; lists filter within chunks") {
     // a block-list file with duplicates → deduplicated (parse/blocks.rs:79-83)
     val listFile = Files.createTempDirectory("graft_blist").toString + "/blocks.parquet"
