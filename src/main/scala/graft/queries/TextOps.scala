@@ -420,6 +420,40 @@ object TextOps {
     docs.select(col("doc_id"),
       graft.functions.BpeCount(toks, merges).as("n_subwords"))
 
+  /** the corpus-prep audit pipeline (see q_doc_corpus_prep) — shared by
+    * the per-document audit query and the per-source rollup */
+  private def corpusPrepOf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val clusters = clustersOf(minhashPairsOf(docs))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_tokens"),
+        stopCount(toks, stop("en")).as("s_en"),
+        stopCount(toks, stop("fr")).as("s_fr"),
+        stopCount(toks, stop("de")).as("s_de"),
+        stopCount(toks, stop("es")).as("s_es"),
+        (graft.functions.Md5Prefix60(
+          concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("bucket"),
+        md5(col("text")).as("fp"))
+      .withColumn("lang_ok", expr(argmaxSql) === lit("en"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 20 && col("s_en") * 10 >= col("n_tokens"))
+      .withColumn("exact_canonical",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fp")))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("neardup_canonical",
+        coalesce(col("cluster_id") === col("doc_id"), lit(true)))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("valid"))
+          .otherwise(lit("test")))
+      .withColumn("keep",
+        col("lang_ok") && col("quality_ok") &&
+          col("exact_canonical") && col("neardup_canonical"))
+      .select("doc_id", "source", "lang_ok", "quality_ok",
+        "exact_canonical", "neardup_canonical", "split", "keep")
+  }
+
   /** deterministic argmax with fixed priority en > fr > de > es */
   private val argmaxSql =
     """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
@@ -785,36 +819,25 @@ object TextOps {
     // the content hash (one shuffle, no self-join); the near-dup verdict
     // left-joins the LSH-survivor-sized clusters table (AQE broadcasts
     // it at any realistic dup rate, degrades to shuffle otherwise).
-    "q_doc_corpus_prep" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val clusters = clustersOf(minhashPairsOf(docs))
-      docs
-        .select(col("doc_id"), col("source"),
-          size(toks).as("n_tokens"),
-          stopCount(toks, stop("en")).as("s_en"),
-          stopCount(toks, stop("fr")).as("s_fr"),
-          stopCount(toks, stop("de")).as("s_de"),
-          stopCount(toks, stop("es")).as("s_es"),
-          (graft.functions.Md5Prefix60(
-            concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("bucket"),
-          md5(col("text")).as("fp"))
-        .withColumn("lang_ok", expr(argmaxSql) === lit("en"))
-        .withColumn("quality_ok",
-          col("n_tokens") >= 20 && col("s_en") * 10 >= col("n_tokens"))
-        .withColumn("exact_canonical",
-          col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fp")))
-        .join(clusters, Seq("doc_id"), "left")
-        .withColumn("neardup_canonical",
-          coalesce(col("cluster_id") === col("doc_id"), lit(true)))
-        .withColumn("split",
-          when(col("bucket") < 90, lit("train"))
-            .when(col("bucket") < 95, lit("valid"))
-            .otherwise(lit("test")))
-        .withColumn("keep",
-          col("lang_ok") && col("quality_ok") &&
-            col("exact_canonical") && col("neardup_canonical"))
-        .select("doc_id", "source", "lang_ok", "quality_ok",
-          "exact_canonical", "neardup_canonical", "split", "keep")
+    "q_doc_corpus_prep" -> { (s, dir) => corpusPrepOf(s, dir) },
+
+    // The corpus REPORT: the prep verdicts rolled up per source shard —
+    // the table a data team reads before a training run (how much
+    // survives each gate, split sizes per shard). One extra skinny
+    // groupBy over the audit table; integer counts only.
+    "q_doc_source_stats" -> { (s, dir) =>
+      def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+      corpusPrepOf(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          n(col("lang_ok")).as("n_lang_ok"),
+          n(col("quality_ok")).as("n_quality_ok"),
+          n(col("exact_canonical")).as("n_exact_canonical"),
+          n(col("neardup_canonical")).as("n_neardup_canonical"),
+          n(col("keep")).as("n_keep"),
+          n(col("split") === "train").as("n_train"),
+          n(col("split") === "valid").as("n_valid"),
+          n(col("split") === "test").as("n_test"))
     },
 
     // Token-budget curriculum selection: rank documents by a quality
@@ -845,6 +868,46 @@ object TextOps {
 
   /** the full MinHash-LSH pairs oracle — shared verbatim by the
     * clusters oracle, which wraps it as a CTE */
+  /** the corpus-prep CTE chain (near-dup clusters + per-doc verdicts up
+    * to `audited`) — the audit and per-source-rollup oracles share it.
+    * Callers prepend WITH RECURSIVE. */
+  private lazy val duckCorpusPrepCtes: String =
+    s"""pairs_out AS ($duckMinhashPairsSql),
+      |edges AS (
+      | SELECT id_a AS src, id_b AS dst FROM pairs_out
+      | UNION ALL SELECT id_b, id_a FROM pairs_out),
+      |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+      |reach(doc_id, label) AS (
+      | SELECT doc_id, doc_id FROM nodes
+      | UNION
+      | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+      |clusters AS (
+      | SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+      |base AS (
+      | SELECT doc_id, source,
+      |  len(toks) AS n_tokens,
+      |  ${duckStopCount(stop("en"))} AS s_en,
+      |  ${duckStopCount(stop("fr"))} AS s_fr,
+      |  ${duckStopCount(stop("de"))} AS s_de,
+      |  ${duckStopCount(stop("es"))} AS s_es,
+      |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
+      |  md5(text) AS fp
+      | FROM (SELECT doc_id, source, text, $duckToks FROM documents)),
+      |verdicts AS (
+      | SELECT b.doc_id, b.source,
+      |  ($argmaxSql) = 'en' AS lang_ok,
+      |  b.n_tokens >= 20 AND b.s_en * 10 >= b.n_tokens AS quality_ok,
+      |  b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp) AS exact_canonical,
+      |  coalesce(cl.cluster_id = b.doc_id, TRUE) AS neardup_canonical,
+      |  CASE WHEN b.bucket < 90 THEN 'train'
+      |       WHEN b.bucket < 95 THEN 'valid'
+      |       ELSE 'test' END AS split
+      | FROM base b LEFT JOIN clusters cl ON b.doc_id = cl.doc_id),
+      |audited AS (
+      | SELECT *,
+      |  (lang_ok AND quality_ok AND exact_canonical AND neardup_canonical) AS keep
+      | FROM verdicts)""".stripMargin
+
   private def duckMinhashPairsSql: String =
     s"""WITH d AS (
         | SELECT doc_id, $duckShingles AS sh
@@ -1090,41 +1153,22 @@ object TextOps {
         | FROM documents)
         |WHERE bucket < rate_permille""".stripMargin,
     "q_doc_corpus_prep" ->
-      s"""WITH RECURSIVE pairs_out AS ($duckMinhashPairsSql),
-        |edges AS (
-        | SELECT id_a AS src, id_b AS dst FROM pairs_out
-        | UNION ALL SELECT id_b, id_a FROM pairs_out),
-        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-        |reach(doc_id, label) AS (
-        | SELECT doc_id, doc_id FROM nodes
-        | UNION
-        | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
-        |clusters AS (
-        | SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
-        |base AS (
-        | SELECT doc_id, source,
-        |  len(toks) AS n_tokens,
-        |  ${duckStopCount(stop("en"))} AS s_en,
-        |  ${duckStopCount(stop("fr"))} AS s_fr,
-        |  ${duckStopCount(stop("de"))} AS s_de,
-        |  ${duckStopCount(stop("es"))} AS s_es,
-        |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
-        |  md5(text) AS fp
-        | FROM (SELECT doc_id, source, text, $duckToks FROM documents)),
-        |verdicts AS (
-        | SELECT b.doc_id, b.source,
-        |  ($argmaxSql) = 'en' AS lang_ok,
-        |  b.n_tokens >= 20 AND b.s_en * 10 >= b.n_tokens AS quality_ok,
-        |  b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp) AS exact_canonical,
-        |  coalesce(cl.cluster_id = b.doc_id, TRUE) AS neardup_canonical,
-        |  CASE WHEN b.bucket < 90 THEN 'train'
-        |       WHEN b.bucket < 95 THEN 'valid'
-        |       ELSE 'test' END AS split
-        | FROM base b LEFT JOIN clusters cl ON b.doc_id = cl.doc_id)
+      s"""WITH RECURSIVE $duckCorpusPrepCtes
         |SELECT doc_id, source, lang_ok, quality_ok, exact_canonical,
-        | neardup_canonical, split,
-        | (lang_ok AND quality_ok AND exact_canonical AND neardup_canonical) AS keep
-        |FROM verdicts""".stripMargin,
+        | neardup_canonical, split, keep
+        |FROM audited""".stripMargin,
+    "q_doc_source_stats" ->
+      s"""WITH RECURSIVE $duckCorpusPrepCtes
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+        | CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+        | CAST(sum(CASE WHEN exact_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_canonical,
+        | CAST(sum(CASE WHEN neardup_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_canonical,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        | CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        | CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        | CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |FROM audited GROUP BY source""".stripMargin,
     "q_doc_token_budget" ->
       s"""WITH scored AS (
         | SELECT doc_id, source,
