@@ -806,6 +806,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("c") > 1).count() == 0) // and only once
   }
 
+  test("streaming dedup state survives a checkpointed restart") {
+    val src = Files.createTempDirectory("graft_rst_src").toString
+    val chk = Files.createTempDirectory("graft_rst_chk").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .filter(col("doc_id") < 100)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    val out = Files.createTempDirectory("graft_rst_out").toString
+    def runOnce(): Unit = {
+      val stream = FollowMode.readAppendOnly(spark, src, docs.schema,
+        maxFilesPerTrigger = 1)
+      // parquet sink: the fault-tolerant sink checkpoint recovery needs
+      // (the memory sink refuses to recover)
+      val q = FollowMode.dedupStream(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // wave 1 consumed, fingerprint state checkpointed
+    // wave 2 AFTER the stop: same texts under fresh ids — every row is a
+    // content duplicate of wave 1, so a restart that lost the state
+    // store would re-emit them
+    docs.select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce() // restarted from the checkpoint
+    val result = spark.read.parquet(out)
+    assert(result.filter(col("doc_id") >= 500000L).count() == 0) // no leaks
+    assert(result.count() == docs.count()) // wave 1 passed through once
+  }
+
   test("streaming near-dup equals the batch banded candidates across batches") {
     val src = Files.createTempDirectory("graft_nd_src").toString
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
