@@ -31,7 +31,7 @@ option parser to drift.
 
 import json
 
-__all__ = ["collect", "freeze", "cli_args"]
+__all__ = ["collect", "freeze", "pipeline", "cli_args"]
 
 
 def cli_args(*datatypes, **kwargs):
@@ -75,6 +75,32 @@ def collect(datatype, spark=None, output_format="pandas", **kwargs):
 
     argv = cli_args(datatype, **kwargs)
     jdf = spark._jvm.graft.Cli.collectDf(_jarr(spark, argv), spark._jsparkSession)
+    df = DataFrame(jdf, spark)
+    if output_format == "spark":
+        return df
+    pdf = df.toPandas()
+    if output_format == "pandas":
+        return pdf
+    if output_format == "list":
+        return pdf.to_dict("records")
+    if output_format == "dict":
+        return pdf.to_dict("list")
+    raise ValueError(f"unknown output_format: {output_format}")
+
+
+def pipeline(query, sf_dir, spark=None, output_format="spark"):
+    """Run any registered SparkEntry query (TPC-H pack, text/dedup,
+    similarity, events, chain_*) against a testdata/fixture dir — the
+    whole driver-contract surface from Python.
+
+    output_format: "spark" (default), "pandas", "list", or "dict".
+    """
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    from pyspark.sql import DataFrame
+
+    argv = [query, sf_dir, "--show", "0"]
+    jdf = spark._jvm.graft.Cli.pipelineDf(_jarr(spark, argv), spark._jsparkSession)
     df = DataFrame(jdf, spark)
     if output_format == "spark":
         return df

@@ -36,5 +36,13 @@ res = graft.freeze("blocks", "transactions", spark=spark,
 assert len(res["completed"]) == 2, res
 assert res["rows"] > 0
 assert glob.glob(out + "/*__blocks__*.parquet")
+
+# pipeline: any registered driver query from Python
+dedup = graft.pipeline("q_doc_dedup_exact", "/root/testdata/sf0.001",
+                       spark=spark, output_format="pandas")
+assert len(dedup) > 0 and "canonical_id" in dedup.columns, dedup.columns
+fees = graft.pipeline("chain_fee_analytics", "/root/testdata/sf0.001",
+                      spark=spark)
+assert fees.count() > 0
 print("PYSMOKE OK")
 spark.stop()

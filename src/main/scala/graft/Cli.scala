@@ -164,10 +164,15 @@ object Cli {
     }
     out match {
       case Some(dir) => df.write.mode("overwrite").parquet(dir)
-      case None => df.show(show, truncate = false)
+      case None => if (show > 0) df.show(show, truncate = false)
     }
     df
   }
+
+  /** py4j-friendly twin of runPipeline (Array crosses the gateway where
+    * a Scala Seq does not) — the Python surface's `graft.pipeline` */
+  def pipelineDf(args: Array[String], spark: SparkSession): DataFrame =
+    runPipeline(args.toSeq, spark)
 
   /** Upper bound on a parquet-ref block list: the list is collected to
     * the driver (mirroring cryo's own driver-side read,
