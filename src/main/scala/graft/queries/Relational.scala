@@ -333,6 +333,39 @@ object Relational {
           lit(7.0)).as("avg_yearly"))
     },
 
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the
+    // "equals the global max" semi-join. The max is a broadcast 1-row
+    // aggregate cross-join (the q22 threshold pattern: one lazy plan,
+    // no driver-side collect); decimal equality is exact cross-engine.
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(m(col("l_extendedprice")) * onem(col("l_discount"))).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      Tables(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          fin(col("total_rev"), 4).as("total_revenue"))
+    },
+
+    // TPC-H Q16 shape: supplier diversity per part attribute group —
+    // distinct (part, supplier) reduction BEFORE the dimension join, so
+    // the count-distinct aggregates a pre-shrunk pair table (the
+    // partsupp analog on these tables is lineitem's pair projection).
+    "q16_supplier_diversity" -> { (s, dir) =>
+      val ps = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1")
+        .join(ps, col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
     // TPC-H Q13 shape: left outer join + two-level aggregation
     // (orders-per-customer distribution, keeping zero-order customers).
     "q13_order_distribution" -> { (s, dir) =>
@@ -593,6 +626,25 @@ object Relational {
         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueExpr END) AS DECIMAL(38,4)) AS promo,
         |  CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS total
         | FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+        | SELECT l_suppkey AS supplier_no, sum($revenueExpr) AS total_rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        | CAST(CAST(total_rev AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part
+        | JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |  ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
     "q17_small_quantity" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly
         |FROM lineitem
