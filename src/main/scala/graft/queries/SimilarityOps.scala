@@ -28,8 +28,9 @@ object SimilarityOps {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b)
 
-  /** sign-LSH bucket from the first `bits` components (default 16) */
-  private def signBucket(c: Column, bits: Int = 16): Column =
+  /** sign-LSH bucket from the first `bits` components (default 16) —
+    * public: the streaming near-dup keys its bucket state with it */
+  def signBucket(c: Column, bits: Int = 16): Column =
     (0 until bits).map(i =>
       when(element_at(c, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
 

@@ -169,6 +169,65 @@ object FollowMode {
       }
   }
 
+  case class VecRow(bucket: Long, vec_id: Long, emb: Seq[Float])
+  case class VecBucket(members: Seq[(Long, Seq[Float])])
+  case class VecCandPair(id_a: Long, id_b: Long, cosine: Double)
+
+  /** Streaming embedding near-dup — the incremental form of
+    * SimilarityOps.neardupOf: sign-LSH bucket keys the state, and each
+    * arriving vector scores an EXACT cosine against every earlier
+    * member of its bucket (the batch bucket self-join, arriving one row
+    * at a time). State carries the vectors themselves (d floats per
+    * member, first-arrival-capped like neardupStream) — the price of
+    * exact cosine; the minhash stream's 8-long sketch has no cosine
+    * analog. The in-state fold is the same sequential
+    * double-promoted order as the DotF32/SumSqF32 kernels, so emitted
+    * cosines are bit-identical to the batch pipeline's. Each unordered
+    * pair emits at most once (when its later member is admitted),
+    * already thresholded. */
+  def embNeardupStream(spark: SparkSession, vecs: DataFrame, bits: Int = 6,
+      threshold: Double = 0.25,
+      bucketCap: Int = graft.queries.SimilarityOps.EmbBucketCap): org.apache.spark.sql.Dataset[VecCandPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def norm(a: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val v = a(i).toDouble; acc += v * v; i += 1 }
+      math.sqrt(acc)
+    }
+    vecs.select(
+      graft.queries.SimilarityOps.signBucket(col("embedding"), bits).as("bucket"),
+      col("vec_id"), col("embedding").as("emb"))
+      .as[VecRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[VecRow], state: GroupState[VecBucket]) =>
+          val prev = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val seen = prev.map(_._1).toSet
+          val arrivals = rows.map(r => r.vec_id -> r.emb).toArray
+            .distinctBy(_._1).sortBy(_._1)
+            .filterNot(r => seen(r._1))
+          val admitted = arrivals.take(math.max(0, bucketCap - prev.size))
+          val out = scala.collection.mutable.ListBuffer.empty[VecCandPair]
+          var cur = prev
+          admitted.foreach { case (id, e) =>
+            cur.foreach { case (oid, oe) =>
+              val cos = dot(e, oe) / (norm(e) * norm(oe))
+              if (cos > threshold)
+                out += VecCandPair(math.min(oid, id), math.max(oid, id), cos)
+            }
+            cur = cur :+ (id -> e)
+          }
+          if (admitted.nonEmpty) state.update(VecBucket(cur))
+          out.iterator
+      }
+  }
+
   /** Incremental freeze: follow the chain head and materialize completed
     * chunks as cryo-named files. Each micro-batch advances a high-water
     * mark over the observed block numbers and re-runs `Freeze.freeze` for

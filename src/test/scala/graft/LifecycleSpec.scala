@@ -873,6 +873,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(reranked.subsetOf(got))
   }
 
+  test("streaming embedding near-dup equals the batch pairs, cosines bit-equal") {
+    val src = Files.createTempDirectory("graft_end_src").toString
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    vecs.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    vecs.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, vecs.schema,
+      maxFilesPerTrigger = 1)
+    val q = FollowMode.embNeardupStream(spark, stream).writeStream
+      .outputMode("update").format("memory").queryName("end_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT DISTINCT id_a, id_b, cosine FROM end_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.queries.SimilarityOps.neardupOf(vecs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    // same pairs AND bit-identical cosines: the in-state fold preserves
+    // the codegen kernels' evaluation order, and IEEE multiplication is
+    // commutative so arrival order cannot perturb the value
+    assert(got == want && got.nonEmpty)
+  }
+
   test("incremental freeze follows the head and writes completed chunks once") {
     val fixDir = graft.queries.ChainQueries.FixDir
     val src = Files.createTempDirectory("graft_if_src").toString
