@@ -156,8 +156,10 @@ object Cli {
     var i = 2
     while (i < args.length) {
       args(i) match {
-        case "--out" => out = Some(args(i + 1)); i += 2
-        case "--show" => show = args(i + 1).toInt; i += 2
+        case flag @ ("--out" | "--show") =>
+          require(i + 1 < args.length, s"missing value for $flag")
+          if (flag == "--out") out = Some(args(i + 1)) else show = args(i + 1).toInt
+          i += 2
         case other =>
           throw new IllegalArgumentException(s"unknown pipeline flag $other")
       }

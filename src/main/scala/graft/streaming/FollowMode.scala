@@ -98,13 +98,15 @@ object FollowMode {
     * |distinct| — the correct semantics for corpus dedup, where a
     * duplicate is a duplicate forever; at cluster scale the state store
     * shards the fingerprint set across executors keyed by fp. Pass
-    * `expireAfter` to bound state by event time instead (watermark
-    * dedup) when only a rolling window of history matters. */
+    * `expireAfter` to bound state by event time instead: dedup stays
+    * keyed by fingerprint ALONE (a copy arriving at a different event
+    * time is still suppressed), but entries older than the watermark
+    * horizon expire, so state is rolling-window-bounded. */
   def dedupStream(docs: DataFrame, expireAfter: Option[String] = None): DataFrame = {
     val fped = docs.withColumn("fp", md5(col("text")))
     expireAfter match {
       case Some(horizon) =>
-        fped.withWatermark("ts", horizon).dropDuplicates("fp", "ts")
+        fped.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("fp")
       case None => fped.dropDuplicates("fp")
     }
   }

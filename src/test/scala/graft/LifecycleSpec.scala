@@ -402,6 +402,11 @@ class CliSpec extends AnyFunSuite {
       Cli.runPipeline(Seq("no_such_query", sf), spark)
     }
     assert(err.getMessage.contains("unknown query"))
+    // a flag as the last token is a usage error, not an index crash
+    val err2 = intercept[IllegalArgumentException] {
+      Cli.runPipeline(Seq("chain_blocks", sf, "--out"), spark)
+    }
+    assert(err2.getMessage.contains("missing value for --out"))
   }
 
   test("--blocks accepts a parquet file ref; lists filter within chunks") {
@@ -834,6 +839,47 @@ class StreamingSpec extends AnyFunSuite {
     val result = spark.read.parquet(out)
     assert(result.filter(col("doc_id") >= 500000L).count() == 0) // no leaks
     assert(result.count() == docs.count()) // wave 1 passed through once
+  }
+
+  test("watermark dedup keys by fingerprint alone and expires old state") {
+    val src = Files.createTempDirectory("graft_wm_src").toString
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val texts = (0 until 20).map(i => s"document body number $i")
+    def wave(ids: scala.Range, ts: java.sql.Timestamp, txts: Seq[String]) =
+      ids.zip(txts).map { case (id, tx) => (id.toLong, tx, ts) }
+        .toDF("doc_id", "text", "ts")
+    val schema = wave(0 until 1, t0, texts.take(1)).schema
+    wave(0 until 20, at(0), texts).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    // duplicate content at a DIFFERENT event time inside the horizon:
+    // must still be suppressed (fp-only dedup, not (fp, ts) pairs)
+    wave(1000 until 1020, at(10), texts).coalesce(1)
+      .write.mode("append").parquet(src)
+    // one unseen doc far ahead: advances the watermark past wave-1 expiry
+    wave(2000 until 2001, at(300), Seq("fresh unseen text")).coalesce(1)
+      .write.mode("append").parquet(src)
+    // spacer batch: the watermark advances only after the batch carrying
+    // the late event commits, and eviction runs end-of-batch — one more
+    // micro-batch lets the expired wave-1 fingerprints actually drop
+    wave(2001 until 2002, at(305), Seq("second unseen text")).coalesce(1)
+      .write.mode("append").parquet(src)
+    // duplicates arriving after the fingerprint state expired → re-admitted
+    wave(3000 until 3020, at(310), texts).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, schema,
+      maxFilesPerTrigger = 1)
+    val q = FollowMode.dedupStream(stream, expireAfter = Some("1 hour"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.sql("SELECT doc_id FROM wm_out").collect()
+      .map(_.getLong(0)).toSet
+    assert((0L until 20L).toSet.subsetOf(ids)) // wave 1 passes
+    assert(ids.intersect((1000L until 1020L).toSet).isEmpty) // in-horizon dups suppressed
+    assert(ids.contains(2000L))
+    assert((3000L until 3020L).toSet.subsetOf(ids)) // expired → rolling window re-admits
   }
 
   test("streaming near-dup equals the batch banded candidates across batches") {
