@@ -21,13 +21,17 @@ object TopKPerKey {
   /** (score, tiebreak-id) entry */
   case class Entry(score: Double, id: Long)
 
-  class TopKAgg(k: Int) extends Aggregator[(Long, Double, Long), List[Entry], List[Entry]] {
+  /** `asc = false` ranks score DESC (similarity search), `asc = true`
+    * ranks score ASC (distance search); the id tie-break is ASC in both. */
+  class TopKAgg(k: Int, asc: Boolean = false)
+      extends Aggregator[(Long, Double, Long), List[Entry], List[Entry]] {
     override def zero: List[Entry] = Nil
 
     private def insert(b: List[Entry], e: Entry): List[Entry] = {
       // k is tiny: insertion into a sorted list beats heap overhead
       val (better, worse) = b.span(x =>
-        x.score > e.score || (x.score == e.score && x.id < e.id))
+        (if (asc) x.score < e.score else x.score > e.score) ||
+          (x.score == e.score && x.id < e.id))
       val merged = better ::: e :: worse
       if (merged.length > k) merged.take(k) else merged
     }
@@ -41,16 +45,18 @@ object TopKPerKey {
     override def outputEncoder: Encoder[List[Entry]] = ExpressionEncoder()
   }
 
-  /** top-k rows of `df` per `keyCol`, ordered by `scoreCol` desc with
-    * `idCol` asc tie-break; output (key, rank, id, score). */
+  /** top-k rows of `df` per `keyCol`, ordered by `scoreCol` (desc by
+    * default, asc with `asc = true`) with `idCol` asc tie-break; output
+    * (key, rank, id, score). Long scores survive the double round-trip
+    * exactly below 2^53 — cast the score column back at the call site. */
   def topK(spark: SparkSession, df: DataFrame, keyCol: String,
-      scoreCol: String, idCol: String, k: Int): DataFrame = {
+      scoreCol: String, idCol: String, k: Int, asc: Boolean = false): DataFrame = {
     import spark.implicits._
     val ds: Dataset[(Long, Double, Long)] = df.select(
       col(keyCol).cast("long"), col(scoreCol).cast("double"),
       col(idCol).cast("long")).as[(Long, Double, Long)]
     ds.groupByKey(_._1)
-      .agg(new TopKAgg(k).toColumn.name("top"))
+      .agg(new TopKAgg(k, asc).toColumn.name("top"))
       .flatMap { case (key, top) =>
         top.zipWithIndex.map { case (e, i) => (key, i + 1, e.id, e.score) }
       }

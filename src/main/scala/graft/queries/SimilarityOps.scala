@@ -103,22 +103,38 @@ object SimilarityOps {
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
 
+  /** Partial-aggregable argmin: `min(struct(ord…, carry…))` under
+    * `groupBy` computes the same winner as `row_number().over(Window
+    * .partitionBy(keys).orderBy(ord…)) = 1` — struct comparison is
+    * lexicographic, so the tie-break is identical — but the plan is a
+    * HashAggregate with map-side partials instead of an exchange + sort
+    * of the ×k-expanded relation: the k candidate rows per group
+    * collapse inside the producing task and the shuffle carries ONE row
+    * per group. The last ord field must be group-unique so carry fields
+    * never enter the comparison. Argmax sites use `max` with the
+    * tie-break id negated (cosine desc, id asc ≡ max struct(cosine,
+    * −id)) — NaN ordering (largest) matches the desc window. */
+  private def argminStruct(df: DataFrame, keys: Seq[String],
+      fields: Seq[(String, Column)]): DataFrame = {
+    val packed = min(struct(fields.map { case (n, c) => c.as(n) }: _*)).as("m")
+    df.groupBy(keys.map(col): _*).agg(packed)
+      .select(keys.map(col) ++ fields.map { case (n, _) => col(s"m.$n").as(n) }: _*)
+  }
+
   /** nearest codeword per (row, subspace) by squared L2, expanded as
     * c_ss − 2·dot (the ‖x_sub‖² term is constant within the group, so
     * the argmin and tie structure are unchanged — and no per-codeword
     * difference array is allocated on the corpus-scale side); ties break
     * to the lowest code. One broadcast of the codebook, no shuffle of
-    * vectors — encode is scan-shaped at any corpus size. */
+    * vectors, and the per-group argmin partial-aggregates map-side —
+    * encode is scan-shaped at any corpus size. */
   private def nearestCodeFlat(vflat: DataFrame, cb: DataFrame,
-      keep: Seq[String]): DataFrame = {
-    val w = Window.partitionBy((keep :+ "sub").map(col): _*)
-      .orderBy(col("cost").asc, col("code").asc)
-    vflat.join(broadcast(cb), "sub")
-      .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      keep: Seq[String]): DataFrame =
+    argminStruct(
+      vflat.join(broadcast(cb), "sub")
+        .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v"))),
+      keep :+ "sub", Seq("cost" -> col("cost"), "code" -> col("code")))
       .select((keep ++ Seq("sub", "code")).map(col): _*)
-  }
 
   /** flat (vec_id, sub, code) PQ assignment over raw embeddings */
   private def pqCodesFlat(e: DataFrame): DataFrame =
@@ -132,12 +148,11 @@ object SimilarityOps {
     * grid + one double division (the kmeansOf arithmetic — cross-row
     * double sums are not bit-portable, integer sums are). */
   private def pqLloydUpdateFlat(vflat: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("cost").asc, col("code").asc)
-    vflat.join(broadcast(cb), "sub")
-      .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    argminStruct(
+      vflat.join(broadcast(cb), "sub")
+        .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v"))),
+      Seq("vec_id", "sub"),
+      Seq("cost" -> col("cost"), "code" -> col("code"), "v" -> col("v")))
       .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("sub", "code", "dim")
       .agg(count(lit(1)).as("n_members"),
@@ -175,17 +190,13 @@ object SimilarityOps {
     * diagnostic): Σ over (vec, sub) of min_code ‖v − c‖². Spec-side only
     * — the cross-row double sum is order-dependent, which a tolerance
     * assertion absorbs and the oracle contract never sees. */
-  def pqObjectiveOf(e: DataFrame, cb: DataFrame): Double = {
-    val w = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("cost").asc, col("code").asc)
+  def pqObjectiveOf(e: DataFrame, cb: DataFrame): Double =
     subvectors(e, Seq("vec_id"), "embedding")
       .join(broadcast(cb.withColumn("c_ss", sumSq(col("c_v")))), "sub")
       .withColumn("cost",
         sumSq(col("v")) + col("c_ss") - lit(2.0) * dot(col("v"), col("c_v")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy("vec_id", "sub").agg(min(col("cost")).as("cost"))
       .agg(sum(col("cost"))).collect()(0).getDouble(0)
-  }
 
   /** IVF residuals: every vector assigned to its nearest centroid
     * (cosine, the same rule as q_embed_ivf_assign), residual =
@@ -213,17 +224,22 @@ object SimilarityOps {
         col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
 
   /** nearest-centroid assignment by cosine (ties → lowest centroid_id);
-    * centroid table broadcast — bounded by construction (k rows). */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("centroid_id").asc)
+    * centroid table broadcast — bounded by construction (k rows). The
+    * argmax is `max(struct(cosine, −centroid_id, …))` under a groupBy
+    * (see argminStruct): the ×k-expanded rows collapse map-side instead
+    * of crossing an exchange + sort. Returns (vec_id, centroid_id,
+    * embedding, cosine). */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("cosine",
         dot(col("embedding"), col("c_emb")) /
           (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("embedding"))
-  }
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine").as("cosine"),
+        (-col("centroid_id")).as("neg_cid"),
+        col("embedding").as("embedding"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_cid")).as("centroid_id"),
+        col("m.embedding").as("embedding"), col("m.cosine").as("cosine"))
 
   /** element grid for the deterministic Lloyd mean: floor(x·2^20). The
     * power-of-two scale makes the quantization exact (only the exponent
@@ -326,19 +342,14 @@ object SimilarityOps {
     // IVF cell assignment: every vector → nearest of 16 fixed centroids
     // (vec_id < 16 stand in for trained k-means centers — the partition/
     // probe mechanics are what scales, not the training). Centroids
-    // broadcast; one pass over candidates; rank-1 per vector.
+    // broadcast; one pass over candidates; the per-vector argmax
+    // partial-aggregates map-side (assignTo — no window, no exchange of
+    // the ×16-expanded rows).
     "q_embed_ivf_assign" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("centroid_id").asc)
-      e.crossJoin(broadcast(cents))
-        .withColumn("cosine",
-          dot(col("embedding"), col("c_emb")) /
-            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select("vec_id", "centroid_id", "cosine")
+      assignTo(e, cents).select("vec_id", "centroid_id", "cosine")
     },
 
     // k-means training, one oracle-checked Lloyd step: assignment to the
@@ -408,15 +419,17 @@ object SimilarityOps {
         .select(col("q_id"), col("sub"), col("code"),
           floor((col("q_ss") - lit(2.0) * dot(col("q_v"), col("c_v")) + col("c_ss"))
             * lit(1048576L)).cast("long").as("qc"))
-      val w = Window.partitionBy("q_id").orderBy(col("adc_q").asc, col("c_id").asc)
-      pqCodesFlat(e)
+      val approx = pqCodesFlat(e)
         .join(broadcast(lut), Seq("sub", "code"))
         .filter(col("q_id") =!= col("vec_id"))
         .groupBy(col("q_id"), col("vec_id").as("c_id"))
         .agg(sum(col("qc")).as("adc_q"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select("q_id", "c_id", "rk", "adc_q")
+      // per-query bottom-3 via the k-bounded aggregator (asc = distance
+      // order); integer-grid distances round-trip the double exactly
+      graft.operators.TopKPerKey.topK(s, approx,
+        "q_id", "adc_q", "c_id", 3, asc = true)
+        .select(col("q_id"), col("c_id"), col("rk"),
+          col("adc_q").cast("long").as("adc_q"))
     },
 
     // PQ codebook training, one oracle-checked joint Lloyd step: all 8
@@ -501,19 +514,23 @@ object SimilarityOps {
 
   /** exact top-k neighbors by cosine for query vectors vec_id < nQueries
     * (shared by the driver query and the recall evaluator — recall is
-    * only meaningful against this exact ranking) */
+    * only meaningful against this exact ranking). The per-query top-k is
+    * the TopKPerKey aggregator, not a window: Window.partitionBy(q_id)
+    * over the corpus×|Q| scored rows shuffles everything into |Q|
+    * partitions (corpus-sized skew at scale), where the aggregator
+    * keeps a k-bounded buffer per query per map partition — only
+    * |Q|·k rows per input partition cross the shuffle. */
   private def cosineTopkOf(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         dot(col("q_emb"), col("c_emb")) /
           (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    graft.operators.TopKPerKey.topK(e.sparkSession, scored,
+      "q_id", "cosine", "c_id", k)
       .select("q_id", "c_id", "rk", "cosine")
   }
 
@@ -543,14 +560,14 @@ object SimilarityOps {
       .select(col("q_id"), col("centroid_id"), col("sub"), col("code"),
         floor(sumSq(graft.functions.VectorOps.sub(col("v"), col("c_v")))
           * lit(1048576L)).cast("long").as("qc"))
-    val w2 = Window.partitionBy("q_id").orderBy(col("adc_q").asc, col("c_id").asc)
-    codes.join(broadcast(lut), Seq("centroid_id", "sub", "code"))
+    val approx = codes.join(broadcast(lut), Seq("centroid_id", "sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("c_id"))
       .agg(sum(col("qc")).as("adc_q"))
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= 3)
-      .select("q_id", "c_id", "rk", "adc_q")
+    graft.operators.TopKPerKey.topK(e.sparkSession, approx,
+      "q_id", "adc_q", "c_id", 3, asc = true)
+      .select(col("q_id"), col("c_id"), col("rk"),
+        col("adc_q").cast("long").as("adc_q"))
   }
 
   /** IVF probe path: 16 seed centroids, nprobe=2, exact top-3 re-rank
@@ -567,19 +584,21 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= n)
     }
-    val assign = nearestCells(e, "vec_id", 1)
+    // corpus-side assignment is the scale-sensitive pass → the
+    // partial-aggregable argmax (assignTo); the probe side is |Q|·k
+    // rows, where the window is trivially cheap
+    val assign = assignTo(e, cents)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_e"), col("centroid_id"))
     val queries = e.filter(col("vec_id") < 10)
     val probes = nearestCells(queries, "vec_id", 2)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("centroid_id"))
-    val w2 = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    probes.join(assign, "centroid_id")
+    val cand = probes.join(assign, "centroid_id")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         dot(col("q_e"), col("c_e")) /
           (sqrt(sumSq(col("q_e"))) * sqrt(sumSq(col("c_e")))))
-      .withColumn("rk", row_number().over(w2))
-      .filter(col("rk") <= 3)
+    graft.operators.TopKPerKey.topK(e.sparkSession, cand,
+      "q_id", "cosine", "c_id", 3)
       .select("q_id", "c_id", "rk", "cosine")
   }
 
