@@ -103,56 +103,73 @@ object SimilarityOps {
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
 
-  /** Partial-aggregable argmin: `min(struct(ord…, carry…))` under
-    * `groupBy` computes the same winner as `row_number().over(Window
-    * .partitionBy(keys).orderBy(ord…)) = 1` — struct comparison is
-    * lexicographic, so the tie-break is identical — but the plan is a
-    * HashAggregate with map-side partials instead of an exchange + sort
-    * of the ×k-expanded relation: the k candidate rows per group
-    * collapse inside the producing task and the shuffle carries ONE row
-    * per group. The last ord field must be group-unique so carry fields
-    * never enter the comparison. Argmax sites use `max` with the
-    * tie-break id negated (cosine desc, id asc ≡ max struct(cosine,
-    * −id)) — NaN ordering (largest) matches the desc window. */
-  private def argminStruct(df: DataFrame, keys: Seq[String],
-      fields: Seq[(String, Column)]): DataFrame = {
-    val packed = min(struct(fields.map { case (n, c) => c.as(n) }: _*)).as("m")
-    df.groupBy(keys.map(col): _*).agg(packed)
-      .select(keys.map(col) ++ fields.map { case (n, _) => col(s"m.$n").as(n) }: _*)
+  /** Collect a k-row centroid table (bounded by construction) into the
+    * row-local index the NearestCentroidF32 expression closes over —
+    * the MLlib-KMeans shape: assignment becomes a pure projection, no
+    * ×k expansion, no exchange. Norms use the same sequential
+    * double-over-float fold as SumSqF32, so cosines are bit-identical
+    * to the DataFrame form. */
+  private def collectCentroids(cents: DataFrame): graft.functions.CentroidIndex = {
+    val rows = cents.select(col("centroid_id").cast("long"), col("c_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val norms = rows.map { case (_, v) =>
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+      math.sqrt(acc)
+    }
+    new graft.functions.CentroidIndex(rows.map(_._1), rows.map(_._2), norms)
   }
 
-  /** nearest codeword per (row, subspace) by squared L2, expanded as
-    * c_ss − 2·dot (the ‖x_sub‖² term is constant within the group, so
-    * the argmin and tie structure are unchanged — and no per-codeword
-    * difference array is allocated on the corpus-scale side); ties break
-    * to the lowest code. One broadcast of the codebook, no shuffle of
-    * vectors, and the per-group argmin partial-aggregates map-side —
-    * encode is scan-shaped at any corpus size. */
-  private def nearestCodeFlat(vflat: DataFrame, cb: DataFrame,
-      keep: Seq[String]): DataFrame =
-    argminStruct(
-      vflat.join(broadcast(cb), "sub")
-        .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v"))),
-      keep :+ "sub", Seq("cost" -> col("cost"), "code" -> col("code")))
-      .select((keep ++ Seq("sub", "code")).map(col): _*)
+  /** Collect an M·K-row codebook (bounded by construction) into the
+    * PqEncodeF32 index; c_ss is recomputed on the driver with the
+    * SumSqF32 fold, entries sort by (sub, code) so ties keep the
+    * lowest code. */
+  private def collectCodebook(cb: DataFrame): graft.functions.CodebookIndex = {
+    val bySub = cb.select(col("sub").cast("int"), col("code").cast("int"), col("c_v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1)
+    val m = PqM
+    val codes = Array.tabulate(m)(j => bySub.getOrElse(j, Array.empty).map(_._2).sorted)
+    val vecs = Array.tabulate(m) { j =>
+      bySub.getOrElse(j, Array.empty).sortBy(_._2).map(_._3)
+    }
+    val css = vecs.map(_.map { v =>
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+      acc
+    })
+    new graft.functions.CodebookIndex(m, PqDsub, codes, vecs, css)
+  }
+
+  /** flat (keep…, sub, code) nearest-codeword assignment — one
+    * row-local PqEncodeF32 expression (codes array in sub order) +
+    * posexplode. Scan-shaped: no join, no exchange, no sort. */
+  private def codesFlatOf(df: DataFrame, vecCol: String,
+      cb: graft.functions.CodebookIndex, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+
+      posexplode(graft.functions.PqEncodeF32(col(vecCol), cb)).as(Seq("sub", "code")): _*)
 
   /** flat (vec_id, sub, code) PQ assignment over raw embeddings */
   private def pqCodesFlat(e: DataFrame): DataFrame =
-    nearestCodeFlat(subvectors(e, Seq("vec_id"), "embedding"),
-      pqCodebook(e), Seq("vec_id"))
+    codesFlatOf(e, "embedding", collectCodebook(pqCodebook(e)), Seq("vec_id"))
 
   /** one joint Lloyd update of the PQ codebook as flat (sub, code, dim)
-    * cells: every subspace trains in the SAME pass — points are the
-    * (vec, sub) subvector rows, assignment is the nearest-codeword rule
-    * encode uses, and the cell mean is an exact long sum on the 2^20
-    * grid + one double division (the kmeansOf arithmetic — cross-row
-    * double sums are not bit-portable, integer sums are). */
-  private def pqLloydUpdateFlat(vflat: DataFrame, cb: DataFrame): DataFrame = {
-    argminStruct(
-      vflat.join(broadcast(cb), "sub")
-        .withColumn("cost", col("c_ss") - lit(2.0) * dot(col("v"), col("c_v"))),
-      Seq("vec_id", "sub"),
-      Seq("cost" -> col("cost"), "code" -> col("code"), "v" -> col("v")))
+    * cells: every subspace trains in the SAME pass — assignment is the
+    * row-local PqEncodeF32 rule encode uses (no expansion, no shuffle
+    * until the cell aggregation), and the cell mean is an exact long
+    * sum on the 2^20 grid + one double division (the kmeansOf
+    * arithmetic — cross-row double sums are not bit-portable, integer
+    * sums are). */
+  private def pqLloydUpdateFlat(e: DataFrame, vecCol: String,
+      cb: graft.functions.CodebookIndex): DataFrame = {
+    codesFlatOf(e, vecCol, cb, Seq(vecCol))
+      .select(col("sub"), col("code"),
+        slice(col(vecCol), col("sub") * PqDsub + 1, lit(PqDsub)).as("v"))
       .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("sub", "code", "dim")
       .agg(count(lit(1)).as("n_members"),
@@ -172,10 +189,9 @@ object SimilarityOps {
     * training is spec-pinned (deterministic, objective non-increasing);
     * its single-round twin q_embed_pq_train_step is oracle-checked. */
   def pqTrainOf(e: DataFrame, iters: Int = 3): DataFrame = {
-    val vflat = subvectors(e, Seq("vec_id"), "embedding")
     var cb = pqCodebook(e)
     for (_ <- 0 until iters) {
-      cb = pqLloydUpdateFlat(vflat, cb)
+      cb = pqLloydUpdateFlat(e, "embedding", collectCodebook(cb))
         .groupBy("sub", "code")
         .agg(array_sort(collect_list(struct(col("dim"), col("c_val")))).as("s"))
         .select(col("sub"), col("code"),
@@ -224,22 +240,16 @@ object SimilarityOps {
         col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
 
   /** nearest-centroid assignment by cosine (ties → lowest centroid_id);
-    * centroid table broadcast — bounded by construction (k rows). The
-    * argmax is `max(struct(cosine, −centroid_id, …))` under a groupBy
-    * (see argminStruct): the ×k-expanded rows collapse map-side instead
-    * of crossing an exchange + sort. Returns (vec_id, centroid_id,
-    * embedding, cosine). */
+    * the k-row centroid table (bounded by construction) collects to a
+    * row-local NearestCentroidF32 index, so assignment is a pure
+    * projection over the corpus — no ×k expansion, no exchange, no
+    * sort. Returns (vec_id, centroid_id, embedding, cosine). */
   private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("cosine",
-        dot(col("embedding"), col("c_emb")) /
-          (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cosine").as("cosine"),
-        (-col("centroid_id")).as("neg_cid"),
-        col("embedding").as("embedding"))).as("m"))
-      .select(col("vec_id"), (-col("m.neg_cid")).as("centroid_id"),
-        col("m.embedding").as("embedding"), col("m.cosine").as("cosine"))
+    e.select(col("vec_id"), col("embedding"),
+      graft.functions.NearestCentroidF32(col("embedding"),
+        collectCentroids(cents)).as("nc"))
+      .select(col("vec_id"), col("nc.centroid_id").as("centroid_id"),
+        col("embedding"), col("nc.cosine").as("cosine"))
 
   /** element grid for the deterministic Lloyd mean: floor(x·2^20). The
     * power-of-two scale makes the quantization exact (only the exponent
@@ -387,18 +397,21 @@ object SimilarityOps {
 
     // Product quantization encode: each vector compresses to 8 codes of
     // 4 bits (64 dims × 4 bytes → 8 codes — 64× smaller than float32,
-    // 16× smaller than the int8 quantization above). Scan-shaped: one
-    // 128-row codebook broadcast, nearest codeword per subspace, codes
-    // re-assembled as a CSV string (the comparator hashes scalars).
-    // At 100 TB this is the representation ADC search scans instead of
-    // raw vectors — memory bandwidth, not FLOPs, is the ANN bottleneck.
+    // 16× smaller than the int8 quantization above). Scan-shaped: the
+    // 128-row codebook rides inside the row-local PqEncodeF32
+    // expression, codes serialize as a CSV string (the comparator
+    // hashes scalars). At 100 TB this is the representation ADC search
+    // scans instead of raw vectors — memory bandwidth, not FLOPs, is
+    // the ANN bottleneck.
     "q_embed_pq_encode" -> { (s, dir) =>
-      pqCodesFlat(Tables(s, dir, "embeddings"))
-        .groupBy("vec_id")
-        .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("cs"))
-        .select(col("vec_id"),
-          concat_ws(",", transform(col("cs"),
-            c => c.getField("code").cast("string"))).as("codes_csv"))
+      // codes come out of the row-local encoder already in sub order →
+      // the CSV is one cast+join away; the whole query is a projection
+      // over the scan (no explode, no groupBy, no shuffle)
+      val e = Tables(s, dir, "embeddings")
+      val cb = collectCodebook(pqCodebook(e))
+      e.select(col("vec_id"),
+        array_join(graft.functions.PqEncodeF32(col("embedding"), cb)
+          .cast("array<string>"), ",").as("codes_csv"))
     },
 
     // PQ asymmetric-distance (ADC) search: queries stay exact, candidates
@@ -440,7 +453,7 @@ object SimilarityOps {
     // q_embed_kmeans_step for the quantization half of the index.
     "q_embed_pq_train_step" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      pqLloydUpdateFlat(subvectors(e, Seq("vec_id"), "embedding"), pqCodebook(e))
+      pqLloydUpdateFlat(e, "embedding", collectCodebook(pqCodebook(e)))
     },
 
     // IVF-PQ encode: the composed index layout a production vector store
@@ -452,14 +465,10 @@ object SimilarityOps {
     // (16 centroids, 128 residual codewords), no shuffle of embeddings.
     "q_embed_ivfpq_encode" -> { (s, dir) =>
       val res = residualsOf(Tables(s, dir, "embeddings"))
-      nearestCodeFlat(
-        subvectors(res, Seq("vec_id", "centroid_id"), "residual"),
-        resCodebookOf(res), Seq("vec_id", "centroid_id"))
-        .groupBy("vec_id", "centroid_id")
-        .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("cs"))
-        .select(col("vec_id"), col("centroid_id"),
-          concat_ws(",", transform(col("cs"),
-            c => c.getField("code").cast("string"))).as("codes_csv"))
+      val cb = collectCodebook(resCodebookOf(res))
+      res.select(col("vec_id"), col("centroid_id"),
+        array_join(graft.functions.PqEncodeF32(col("residual"), cb)
+          .cast("array<string>"), ",").as("codes_csv"))
     },
 
     // IVF-PQ search: probe the 2 nearest cells per query, then score
@@ -540,9 +549,8 @@ object SimilarityOps {
   private def ivfpqSearchOf(e: DataFrame): DataFrame = {
     val res = residualsOf(e)
     val cb = resCodebookOf(res)
-    val codes = nearestCodeFlat(
-      subvectors(res, Seq("vec_id", "centroid_id"), "residual"),
-      cb, Seq("vec_id", "centroid_id"))
+    val codes = codesFlatOf(res, "residual", collectCodebook(cb),
+      Seq("vec_id", "centroid_id"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val w1 = Window.partitionBy("vec_id")
@@ -818,8 +826,8 @@ object SimilarityOps {
     * float residuals → residual codebook from vec_id ∈ [16,32) → flat
     * residual code assignment) — the encode and search oracles build on
     * `rbest`/`ascored`/`rcb`. Mirrors residualsOf/resCodebookOf/
-    * nearestCodeFlat: FLOAT−FLOAT residual (one IEEE op both engines),
-    * c_ss − 2·dot cost, (cost, code) tie order. */
+    * codesFlatOf (PqEncodeF32): FLOAT−FLOAT residual (one IEEE op both
+    * engines), c_ss − 2·dot cost, (cost, code) tie order. */
   private lazy val duckIvfPqCtes: String =
     s"""subs AS (SELECT unnest(range(0, $PqM)) AS sub),
       |cents AS (

@@ -24,6 +24,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN assign/encode are scan-shaped; cosine top-k partial-aggregates") {
+    // the nearest-centroid / nearest-codeword argmin runs INSIDE a
+    // row-local expression over the driver-held (bounded) index — the
+    // plan must be a projection over the scan: no window, no exchange,
+    // no x-k expansion join of the corpus
+    val assign = SparkEntry.queries("q_embed_ivf_assign")(spark, sf)
+    val p1 = assign.queryExecution.executedPlan.toString
+    assert(p1.contains("nearest_centroid_f32"))
+    assert(!p1.contains("Window") && !p1.contains("Exchange") && !p1.contains("Join"))
+    val encode = SparkEntry.queries("q_embed_pq_encode")(spark, sf)
+    val p2 = encode.queryExecution.executedPlan.toString
+    assert(p2.contains("pq_encode_f32"))
+    assert(!p2.contains("Window") && !p2.contains("Exchange") && !p2.contains("Join"))
+    // the brute-force top-k ranks through the k-bounded TopKPerKey
+    // aggregator: a partial aggregation must run BEFORE the exchange
+    // (only |Q|*k rows per input partition cross), and no window
+    val topk = SparkEntry.queries("q_embed_cosine_topk")(spark, sf)
+    val p3 = topk.queryExecution.executedPlan.toString
+    assert(!p3.contains("Window"))
+    assert(p3.contains("partial_topkagg"))
+  }
+
   test("minhash pairs are a subset of true-jaccard >= 0.5 and symmetric-free") {
     val pairs = SparkEntry.queries("q_doc_minhash_pairs")(spark, sf).collect()
     pairs.foreach { r =>
