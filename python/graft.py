@@ -31,7 +31,7 @@ option parser to drift.
 
 import json
 
-__all__ = ["collect", "freeze", "pipeline", "cli_args"]
+__all__ = ["collect", "freeze", "pipeline", "prep", "cli_args"]
 
 
 def cli_args(*datatypes, **kwargs):
@@ -125,3 +125,13 @@ def freeze(*datatypes, spark=None, **kwargs):
     argv = cli_args(*datatypes, **kwargs)
     out = spark._jvm.graft.Cli.freezeJson(_jarr(spark, argv), spark._jsparkSession)
     return json.loads(out)
+
+
+def prep(sf_dir, out_dir, spark=None):
+    """Persist-once corpus prep: write the per-document audit table
+    (``<out>/audit``) from one pipeline run (single LSH+CC pass) and
+    derive the per-source rollup (``<out>/source_stats``) from the
+    written parquet."""
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    spark._jvm.graft.Cli.prepDirs(sf_dir, out_dir, spark._jsparkSession)

@@ -129,6 +129,8 @@ object Cli {
     try {
       if (args.headOption.contains("pipeline")) {
         runPipeline(args.drop(1).toSeq, spark); ()
+      } else if (args.headOption.contains("prep")) {
+        runPrep(args.drop(1).toSeq, spark)
       } else run(args, spark).foreach { r =>
         println(s"completed: ${r.completed.size} file(s), skipped: ${r.skipped.size}, " +
           s"errored: ${r.errored.size}, rows: ${r.rows}")
@@ -170,6 +172,26 @@ object Cli {
     }
     df
   }
+
+  /** `graft.Cli prep <sf-dir> <out-dir>` — the persist-once corpus-prep
+    * composition: the per-document audit (q_doc_corpus_prep, including
+    * its embedded LSH + connected-components pass) materializes ONCE as
+    * `<out>/audit` parquet, and the per-source rollup derives from the
+    * WRITTEN table (`<out>/source_stats`) instead of re-running the
+    * pipeline. A chained production run adds further rollups the same
+    * way — read the audit, aggregate, write. */
+  def runPrep(args: Seq[String], spark: SparkSession): Unit = {
+    require(args.length == 2, "usage: prep <sf-dir> <out-dir>")
+    val Seq(sfDir, out) = args
+    SparkEntry.queries("q_doc_corpus_prep")(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$out/audit")
+    graft.queries.TextOps.sourceStatsOf(spark.read.parquet(s"$out/audit"))
+      .write.mode("overwrite").parquet(s"$out/source_stats")
+  }
+
+  /** py4j-friendly twin of runPrep — the Python surface's `graft.prep` */
+  def prepDirs(sfDir: String, outDir: String, spark: SparkSession): Unit =
+    runPrep(Seq(sfDir, outDir), spark)
 
   /** py4j-friendly twin of runPipeline (Array crosses the gateway where
     * a Scala Seq does not) — the Python surface's `graft.pipeline` */

@@ -228,11 +228,17 @@ object TextOps {
     * already-converged) rounds for k× fewer fixed-overhead checkpoint
     * jobs — the dominant cost at small scale and harmless at large
     * scale where per-round compute dwarfs job launch. */
+  /** invocation counter — lets the persist-once pipeline spec prove a
+    * cached audit run triggers exactly one CC training pass */
+  private[graft] val clustersInvocations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def clustersOf(pairs: DataFrame, maxRounds: Int = 20,
       checkpointDir: Option[String] = None,
       roundsPerAction: Int = 2): DataFrame = {
     import org.apache.spark.sql.Observation
     require(roundsPerAction >= 1, "roundsPerAction must be >= 1")
+    clustersInvocations.incrementAndGet()
     // Iterative algorithms MUST truncate lineage as they go:
     // persist() alone only short-circuits execution — Catalyst still
     // re-analyzes the full logical plan on every action, and the plan
@@ -452,6 +458,26 @@ object TextOps {
           col("exact_canonical") && col("neardup_canonical"))
       .select("doc_id", "source", "lang_ok", "quality_ok",
         "exact_canonical", "neardup_canonical", "split", "keep")
+  }
+
+  /** Per-source rollup of a corpus-prep audit table — separated from
+    * the audit derivation so a MATERIALIZED audit (Cli.runPrep writes
+    * it once as parquet) feeds this and any future rollup without
+    * re-running the embedded LSH+CC pipeline. One skinny groupBy;
+    * integer counts only. */
+  def sourceStatsOf(audit: DataFrame): DataFrame = {
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    audit
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        n(col("lang_ok")).as("n_lang_ok"),
+        n(col("quality_ok")).as("n_quality_ok"),
+        n(col("exact_canonical")).as("n_exact_canonical"),
+        n(col("neardup_canonical")).as("n_neardup_canonical"),
+        n(col("keep")).as("n_keep"),
+        n(col("split") === "train").as("n_train"),
+        n(col("split") === "valid").as("n_valid"),
+        n(col("split") === "test").as("n_test"))
   }
 
   /** deterministic argmax with fixed priority en > fr > de > es */
@@ -825,20 +851,7 @@ object TextOps {
     // the table a data team reads before a training run (how much
     // survives each gate, split sizes per shard). One extra skinny
     // groupBy over the audit table; integer counts only.
-    "q_doc_source_stats" -> { (s, dir) =>
-      def n(c: Column) = sum(when(c, 1L).otherwise(0L))
-      corpusPrepOf(s, dir)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          n(col("lang_ok")).as("n_lang_ok"),
-          n(col("quality_ok")).as("n_quality_ok"),
-          n(col("exact_canonical")).as("n_exact_canonical"),
-          n(col("neardup_canonical")).as("n_neardup_canonical"),
-          n(col("keep")).as("n_keep"),
-          n(col("split") === "train").as("n_train"),
-          n(col("split") === "valid").as("n_valid"),
-          n(col("split") === "test").as("n_test"))
-    },
+    "q_doc_source_stats" -> { (s, dir) => sourceStatsOf(corpusPrepOf(s, dir)) },
 
     // Token-budget curriculum selection: rank documents by a quality
     // score (stopword density — the q_doc_quality signal) and keep the

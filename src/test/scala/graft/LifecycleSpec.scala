@@ -409,6 +409,27 @@ class CliSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("missing value for --out"))
   }
 
+  test("prep subcommand materializes the audit once and derives the rollup") {
+    val out = Files.createTempDirectory("graft_prep").toString
+    val before = graft.queries.TextOps.clustersInvocations.get()
+    Cli.runPrep(Seq(sf, out), spark)
+    // ONE LSH+CC pass serves both outputs (the rollup reads the
+    // written audit, it does not re-run the pipeline)
+    assert(graft.queries.TextOps.clustersInvocations.get() == before + 1)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted
+      df.select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    }
+    val audit = spark.read.parquet(s"$out/audit")
+    val stats = spark.read.parquet(s"$out/source_stats")
+    // both outputs row-identical to the independent driver queries
+    assert(sortedRows(audit).sameElements(
+      sortedRows(SparkEntry.queries("q_doc_corpus_prep")(spark, sf))))
+    assert(sortedRows(stats).sameElements(
+      sortedRows(SparkEntry.queries("q_doc_source_stats")(spark, sf))))
+  }
+
   test("--blocks accepts a parquet file ref; lists filter within chunks") {
     // a block-list file with duplicates → deduplicated (parse/blocks.rs:79-83)
     val listFile = Files.createTempDirectory("graft_blist").toString + "/blocks.parquet"
