@@ -11,19 +11,25 @@ import org.apache.spark.sql.types._
   * parquet; decode runs per-partition with library handles reused across
   * rows; only extracted features shuffle, never raw bytes).
   *
-  * Two decode tiers:
-  *  - q_mm_decode_resize runs a REAL codec end-to-end: every document's
-  *    bytes are encoded into an actual grayscale PNG (java.awt
-  *    BufferedImage + javax.imageio — pure JVM, headless), the binary
-  *    column crosses a DataFrame boundary, and a second mapPartitions
-  *    stage decodes it with ImageIO.read and resizes the decoded raster
-  *    (nearest-neighbor 4×4). Grayscale PNG is lossless, so the oracle
-  *    recomputes the identical pixels from the raw bytes in SQL.
+  * Three decode tiers:
+  *  - q_mm_decode_resize runs a REAL lossless codec end-to-end: every
+  *    document's bytes are encoded into an actual grayscale PNG
+  *    (java.awt BufferedImage + javax.imageio — pure JVM, headless),
+  *    the binary column crosses a DataFrame boundary, and a second
+  *    mapPartitions stage decodes it with ImageIO.read and resizes the
+  *    decoded raster (nearest-neighbor 4×4). Grayscale PNG is lossless,
+  *    so the oracle recomputes the identical pixels from the raw bytes
+  *    in SQL.
+  *  - q_mm_jpeg_decode runs a REAL lossy codec end-to-end: genuine JFIF
+  *    bytes (ImageIO's JPEG plugin), decoded and compared against the
+  *    source grid. The oracle checks what lossy decode leaves exact —
+  *    dimensions and a bounded-MAE verdict; the spec pins the JPEG
+  *    magic bytes and the empirical error envelope.
   *  - q_mm_features/resize/frame_sample keep `decodeStub` (deterministic
   *    fake dimensions from header bytes) standing in for codecs the
-  *    container lacks (JPEG/video/audio); the Spark-side contract —
+  *    container genuinely lacks (video/audio); the Spark-side contract —
   *    schema, partition batching, feature extraction signature — is the
-  *    same either way, as q_mm_decode_resize demonstrates.
+  *    same either way, as the two real tiers demonstrate.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -98,7 +104,82 @@ object MultimodalOps {
     s.createDataFrame(out, schema)
   }
 
+  /** documents rendered as REAL JPEGs (one per doc) alongside their
+    * source bytes — the lossy second codec tier. Same grid geometry as
+    * the PNG path; ImageIO's JPEG plugin is pure-JVM and headless. */
+  private[graft] def jpegAssets(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("src", BinaryType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false)))
+    val out = assets(s, dir).rdd.mapPartitions { it =>
+      noDiskCache()
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val c = r.getAs[Array[Byte]]("content")
+        val (w, h) = geom(c.length)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < c.length) {
+          raster.setSample(i % w, i / w, 0, c(i) & 0xff)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        Row(id, c, bos.toByteArray, "image/jpeg")
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
+
+  /** MAE gate for the lossy tier: JPEG error on this text-byte imagery
+    * is small (spec pins the empirical envelope); the query publishes a
+    * generous bound as a boolean the oracle asserts TRUE — a broken
+    * decode (shifted raster, wrong dims, garbage) trips it. */
+  private[graft] val JpegMaeBound = 32.0
+
   val defs: Map[String, Q] = Map(
+    // REAL JPEG decode — the second (lossy) codec tier next to the
+    // lossless PNG round trip: genuine JFIF bytes cross the DataFrame
+    // boundary, ImageIO decodes them, and the decoded raster is
+    // compared against the source grid. Lossy pixels cannot hash-match
+    // an oracle, so the oracle-checked surface is what IS exact:
+    // decoded dimensions (pure functions of the byte count) and the
+    // bounded mean-absolute-error verdict.
+    "q_mm_jpeg_decode" -> { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("src_bytes", IntegerType, nullable = false),
+        StructField("mae_ok", BooleanType, nullable = false)))
+      val out = jpegAssets(s, dir).rdd.mapPartitions { it =>
+        noDiskCache()
+        it.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val src = r.getAs[Array[Byte]]("src")
+          val jpeg = r.getAs[Array[Byte]]("content")
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+          require(img != null, s"doc $id: undecodable JPEG payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var absErr = 0L
+          var i = 0
+          while (i < w * h) {
+            val want = if (i < src.length) src(i) & 0xff else 0
+            absErr += math.abs(raster.getSample(i % w, i / w, 0) - want)
+            i += 1
+          }
+          val mae = absErr.toDouble / (w * h)
+          Row(id, w, h, src.length, mae <= JpegMaeBound)
+        }
+      }
+      s.createDataFrame(out, schema)
+    },
+
     // REAL image decode + resize: ImageIO.read on genuine PNG bytes, then
     // nearest-neighbor resize of the decoded raster to a fixed 4×4 grid
     // (fixed output shape regardless of input size — the training-data
@@ -217,6 +298,19 @@ object MultimodalOps {
   /** oracle: the same histogram/dimensions computed in SQL over hex pairs
     * (documents' text is ASCII, so UTF-8 bytes == code units). */
   val oracles: Map[String, String] = Map(
+    // the exact surface of the lossy tier: dimensions derive from the
+    // byte count (the same geom as the PNG path), and the MAE verdict
+    // must be TRUE for every document — a codec failure flips it
+    "q_mm_jpeg_decode" ->
+      """WITH a AS (
+        | SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
+        | CAST(LEAST(64, GREATEST(n, 1)) AS INT) AS width,
+        | CAST((GREATEST(n, 1) + LEAST(64, GREATEST(n, 1)) - 1)
+        |   // LEAST(64, GREATEST(n, 1)) AS INT) AS height,
+        | CAST(n AS INT) AS src_bytes,
+        | TRUE AS mae_ok
+        |FROM a""".stripMargin,
     // reproduces the decoded raster arithmetic from the raw bytes:
     // grayscale PNG is lossless, so pixel(y*w+x) = byte(y*w+x) (0 in the
     // zero-padded tail), and the nearest-neighbor grid + mean are

@@ -366,6 +366,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg tier emits genuine JFIF bytes and decodes within the MAE bound") {
+    // the payloads really are JPEG: SOI + JFIF/APP0 magic, not PNG
+    val payloads = graft.queries.MultimodalOps.jpegAssets(spark, sf)
+      .select("content").collect().map(_.getAs[Array[Byte]](0))
+    assert(payloads.nonEmpty)
+    payloads.foreach { b =>
+      assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+    }
+    // decode really ran and the lossy error envelope is sane: every doc
+    // within the published bound (the oracle asserts the same verdict)
+    val rows = SparkEntry.queries("q_mm_jpeg_decode")(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("mae_ok"))
+      val n = r.getAs[Int]("src_bytes")
+      val w = math.min(64, math.max(n, 1))
+      assert(r.getAs[Int]("width") == w)
+      assert(r.getAs[Int]("height") == (math.max(n, 1) + w - 1) / w)
+    }
+  }
+
   test("simhash is stable across runs (deterministic)") {
     val a = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
