@@ -10,8 +10,9 @@ import org.apache.spark.sql.types.StructType
   * (manual incremental batch). Here the same incremental semantics run as
   * a Structured Streaming job:
   *
-  *  - source: files appended to a bronze directory (or, against a live
-  *    node, a custom micro-batch source polling eth_blockNumber);
+  *  - source: files appended to a bronze directory — by an external
+  *    writer or by `followLive`, which polls eth_blockNumber on a live
+  *    node and appends newly observed heads' bronze rows itself;
   *    maxFilesPerTrigger bounds each micro-batch like block chunking
   *  - watermark: the reorg buffer expressed in event time — late/reorged
   *    rows inside the buffer update open windows, older ones drop
@@ -262,6 +263,56 @@ object FollowMode {
       }
       ()
     }
+  }
+
+  /** Live follow-the-head driver — the eth_blockNumber-polling source
+    * the bronze-dir file streams stood in for. The caller's thread polls
+    * the node's head; newly observed block headers are fetched through
+    * the normal RpcSource batching/concurrency machinery and APPENDED to
+    * the bronze dir, where the SAME readAppendOnly → incrementalFreeze
+    * pipeline (checkpointed, idempotent skip-existing) materializes
+    * completed chunks as cryo-named files — no manual re-runs. Smallest
+    * honest scope: headers only (spec.datasets = blocks); the wider
+    * bronze set follows the same append pattern via materializeBronze.
+    * Bounded by `maxPolls`; returns once the spec's range is fully
+    * observed (or the poll budget runs out) and the stream has drained. */
+  def followLive(spark: SparkSession, source: graft.sources.RpcSource,
+      bronzeDir: String, spec: graft.chain.Freeze.FreezeSpec,
+      checkpointDir: String, pollMs: Long = 250, maxPolls: Int = 600,
+      fetchPartitions: Int = 4): Unit = {
+    import graft.chain.BlockSyntax
+    val blocksPath = s"$bronzeDir/rpc_blocks.parquet"
+    val (lo, hiEnd) = spec.blocks match {
+      case BlockSyntax.Range(a, b) => (a, b)
+      case BlockSyntax.Numbers(ns) => (ns.min, ns.max + 1)
+    }
+    var last = lo - 1
+    var polls = 0
+    def fetchNew(): Unit = {
+      val top = math.min(source.fetchLatestBlock(), hiEnd - 1)
+      if (top > last) {
+        source.fetchBlocks(spark, BlockSyntax.Range(last + 1, top + 1),
+          fetchPartitions).write.mode("append").parquet(blocksPath)
+        last = top
+      }
+    }
+    // wait for the head to reach the range start — the first append also
+    // creates the bronze dir the file source needs
+    fetchNew()
+    while (last < lo && polls < maxPolls) {
+      Thread.sleep(pollMs); fetchNew(); polls += 1
+    }
+    require(last >= lo, s"node head never reached range start $lo")
+    val stream = readAppendOnly(spark, blocksPath,
+      spark.read.parquet(blocksPath).schema)
+    val q = incrementalFreeze(spark, bronzeDir, spec, stream)
+      .option("checkpointLocation", checkpointDir).start()
+    try {
+      while (last < hiEnd - 1 && polls < maxPolls) {
+        Thread.sleep(pollMs); fetchNew(); polls += 1
+      }
+      q.processAllAvailable()
+    } finally q.stop()
   }
 
   /** write an append-only parquet sink with checkpoint (exactly-once per

@@ -553,6 +553,59 @@ class RpcLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("followLive: blocks appended by the advancing node flow to cryo files") {
+    // A stub whose head ADVANCES: each eth_blockNumber poll reports the
+    // current head then moves the chain forward 13 blocks (capped at
+    // 1055) — the live-node condition followLive exists for. Everything
+    // else answers the canned chain.
+    val head = new java.util.concurrent.atomic.AtomicLong(999L)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      def one(req: JValue): String = {
+        val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+        val JString(method) = (req \ "method"): @unchecked
+        val res =
+          if (method == "eth_blockNumber")
+            "\"0x" + head.getAndUpdate(h => math.min(h + 13, 1055L)).toHexString + "\""
+          else result(method, req \ "params")
+        s"""{"jsonrpc":"2.0","id":$id,"result":$res}"""
+      }
+      val resp = JsonMethods.parse(body) match {
+        case JArray(reqs) => reqs.map(one).mkString("[", ",", "]")
+        case req => one(req)
+      }
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val bronze = java.nio.file.Files.createTempDirectory("graft_fl_bronze").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_fl_out").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_fl_chk").toString
+      val spec = graft.chain.Freeze.FreezeSpec(
+        datasets = Seq("blocks"), blocks = BlockSyntax.Range(1000, 1060),
+        chunkSize = 25, outputDir = out)
+      graft.streaming.FollowMode.followLive(spark,
+        new RpcSource(RpcConfig(url, chainId = 1, maxRetries = 0)),
+        bronze, spec, chk, pollMs = 10, maxPolls = 100, fetchPartitions = 2)
+      // head stalls at 1055 → chunks [1000,1025) and [1025,1050) are
+      // complete and frozen; [1050,1060) is partial and must NOT exist
+      val written = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+      assert(written.map(p => p.substring(p.indexOf("__000") + 2)) ==
+        Seq("00001000_to_00001024.parquet", "00001025_to_00001049.parquet"))
+      val frozen = spark.read.parquet(written: _*)
+      assert(frozen.count() == 50)
+      val bns = frozen.select("block_number").collect().map(_.getInt(0)).sorted
+      assert(bns.head == 1000 && bns.last == 1049 && bns.distinct.length == 50)
+    } finally server.stop(0)
+  }
+
   test("async pipelining: >1 request in flight per partition") {
     // A latch-gated stub: every eth_getBlockByNumber handler blocks until
     // TWO requests are present simultaneously, then all respond. With the
