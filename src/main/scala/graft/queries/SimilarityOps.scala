@@ -553,9 +553,18 @@ object SimilarityOps {
       Seq("vec_id", "centroid_id"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    ivfpqSearchCore(e.filter(col("vec_id") < 10), cents, cb, codes)
+  }
+
+  /** the probe-and-score half of IVF-PQ search against ANY index triple
+    * (centroids, residual codebook with c_ss, flat codes) — derived
+    * in-query (ivfpqSearchOf) or loaded from a persisted index
+    * (searchIvfPqIndex). Queries carry (vec_id, embedding). */
+  private def ivfpqSearchCore(queries: DataFrame, cents: DataFrame,
+      cb: DataFrame, codes: DataFrame): DataFrame = {
     val w1 = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("centroid_id").asc)
-    val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+    val probes = queries.crossJoin(broadcast(cents))
       .withColumn("cosine",
         dot(col("embedding"), col("c_emb")) /
           (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
@@ -572,10 +581,45 @@ object SimilarityOps {
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("c_id"))
       .agg(sum(col("qc")).as("adc_q"))
-    graft.operators.TopKPerKey.topK(e.sparkSession, approx,
+    graft.operators.TopKPerKey.topK(queries.sparkSession, approx,
       "q_id", "adc_q", "c_id", 3, asc = true)
       .select(col("q_id"), col("c_id"), col("rk"),
         col("adc_q").cast("long").as("adc_q"))
+  }
+
+  /** Persist the IVF-PQ index artifacts — the production vector-store
+    * layout: `centroids.parquet` (16 rows), `codebook.parquet` (M·K
+    * residual codewords), `codes.parquet` (the 64×-compressed corpus,
+    * flat (vec_id, centroid_id, sub, code)). Build once, search many:
+    * every later query round reads the compressed codes instead of
+    * re-deriving the index from raw vectors. At scale codes.parquet is
+    * naturally partitionable by centroid_id — the probe join prunes to
+    * probed cells. */
+  def saveIvfPqIndex(e: DataFrame, dir: String): Unit = {
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val res = residualsOf(e)
+    val cb = resCodebookOf(res)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    cb.select("sub", "code", "c_v")
+      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    codesFlatOf(res, "residual", collectCodebook(cb),
+      Seq("vec_id", "centroid_id"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Search a persisted IVF-PQ index: probes + LUT come from the loaded
+    * centroids/codebook (c_ss recomputed with the same SumSqF32 fold →
+    * bit-identical LUT), candidates from the loaded codes — raw corpus
+    * vectors are never touched. Hash-identical to the in-query
+    * q_embed_ivfpq_search (spec-pinned). */
+  def searchIvfPqIndex(spark: SparkSession, queries: DataFrame,
+      dir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val cb = spark.read.parquet(s"$dir/codebook.parquet")
+      .withColumn("c_ss", sumSq(col("c_v")))
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    ivfpqSearchCore(queries, cents, cb, codes)
   }
 
   /** IVF probe path: 16 seed centroids, nprobe=2, exact top-3 re-rank

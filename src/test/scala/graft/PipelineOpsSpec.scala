@@ -366,6 +366,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ index round-trips through parquet with identical search results") {
+    val e = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(e, dir)
+    // the persisted layout is complete: centroids + codebook + codes
+    for (part <- Seq("centroids", "codebook", "codes"))
+      assert(spark.read.parquet(s"$dir/$part.parquet").count() > 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "rk", "adc_q").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+    val loaded = rows(graft.queries.SimilarityOps.searchIvfPqIndex(
+      spark, e.filter(col("vec_id") < 10), dir))
+    val direct = rows(SparkEntry.queries("q_embed_ivfpq_search")(spark, sf))
+    // bit-identical: integer-grid distances, same LUT arithmetic from
+    // the loaded floats — not just the same neighbor ids
+    assert(loaded.nonEmpty && loaded.sameElements(direct))
+  }
+
   test("jpeg tier emits genuine JFIF bytes and decodes within the MAE bound") {
     // the payloads really are JPEG: SOI + JFIF/APP0 magic, not PNG
     val payloads = graft.queries.MultimodalOps.jpegAssets(spark, sf)
