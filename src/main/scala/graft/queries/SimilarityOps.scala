@@ -608,6 +608,36 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
   }
 
+  /** Streaming index maintenance — the incremental half of
+    * build-once/search-many: newly arriving embeddings encode against
+    * the FROZEN persisted index (centroids + residual codebook loaded
+    * from `indexDir` once at query start) and their flat codes append
+    * to the index. The encode chain is the same row-local
+    * NearestCentroidF32 + SubF32 + PqEncodeF32 the batch path runs —
+    * a pure projection plus one broadcast stream-static join for the
+    * centroid vectors, the ONLY argmin form legal in a streaming plan —
+    * so streamed codes are bit-identical to batch codes (spec-pinned).
+    * Works on any append-only embedding stream (FollowMode
+    * .readAppendOnly); write the result with a parquet sink to
+    * `indexDir/…`. */
+  def encodeStream(spark: SparkSession, stream: DataFrame,
+      indexDir: String): DataFrame = {
+    val centsDf = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val centsIdx = collectCentroids(centsDf)
+    val cbIdx = collectCodebook(
+      spark.read.parquet(s"$indexDir/codebook.parquet"))
+    stream
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.NearestCentroidF32(col("embedding"), centsIdx).as("nc"))
+      .select(col("vec_id"), col("nc.centroid_id").as("centroid_id"),
+        col("embedding"))
+      .join(broadcast(centsDf), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        posexplode(graft.functions.PqEncodeF32(
+          graft.functions.VectorOps.sub(col("embedding"), col("c_emb")),
+          cbIdx)).as(Seq("sub", "code")))
+  }
+
   /** Search a persisted IVF-PQ index: probes + LUT come from the loaded
     * centroids/codebook (c_ss recomputed with the same SumSqF32 fold →
     * bit-identical LUT), candidates from the loaded codes — raw corpus

@@ -862,6 +862,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() == docs.count()) // wave 1 passed through once
   }
 
+  test("streaming PQ ingest appends codes bit-identical to the batch index") {
+    val e = Tables(spark, sf, "embeddings")
+    val idx = Files.createTempDirectory("graft_annstream").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(e, idx)
+    // embeddings arrive across micro-batches (parity waves), encoding
+    // against the frozen centroids + codebook loaded from the index
+    val src = Files.createTempDirectory("graft_annsrc").toString
+    e.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    e.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, e.schema,
+      maxFilesPerTrigger = 1)
+    val enc = graft.queries.SimilarityOps.encodeStream(spark, stream, idx)
+    val q = enc.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$idx/codes_stream.parquet")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_annchk").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(path: String) = spark.read.parquet(path)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("centroid_id"),
+        r.getAs[Int]("sub"), r.getAs[Int]("code"))).sorted
+    val got = rows(s"$idx/codes_stream.parquet")
+    val want = rows(s"$idx/codes.parquet")
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("watermark dedup keys by fingerprint alone and expires old state") {
     val src = Files.createTempDirectory("graft_wm_src").toString
     import spark.implicits._
