@@ -301,6 +301,114 @@ object Relational {
             col("vol").cast("decimal(38,4)").cast("double")).as("mkt_share"))
     },
 
+    // TPC-H Q9 shape: product-type profit — LIKE-filtered part dim, the
+    // widest star (part⋈supplier⋈nation⋈orders on lineitem), profit =
+    // revenue − cost in exact decimals per (nation, order-year). These
+    // tables carry no partsupp, so p_retailprice·quantity stands in for
+    // the supplycost term — same join/aggregate structure. The LIKE
+    // predicate reaches the part scan as a StringContains pushdown.
+    "q9_product_profit" -> { (s, dir) =>
+      val p = Tables(s, dir, "part").filter(col("p_name").contains("red"))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(fin(sum(m(col("l_extendedprice")) * onem(col("l_discount")) -
+          m(col("p_retailprice")) * m(col("l_quantity"))), 4).as("sum_profit"))
+    },
+
+    // TPC-H Q11 shape: important-stock identification — per-part value
+    // vs a global-sum threshold. The threshold rides a broadcast 1-row
+    // aggregate cross-join (one lazy plan, no driver collect), and the
+    // comparison multiplies by the part count instead of dividing the
+    // total (value·n_parts > total ⇔ above-average value, selective at
+    // every scale): both sides convert the same exact decimals to
+    // double, so the strict > agrees bit-for-bit cross-engine. Value
+    // proxy: p_retailprice·quantity (no partsupp on these tables).
+    "q11_important_parts" -> { (s, dir) =>
+      val pv = Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(sum(m(col("p_retailprice")) * m(col("l_quantity"))).as("value"))
+      val total = pv.agg(sum(col("value")).as("total_value"),
+        count(lit(1)).as("n_parts"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value").cast("double") * col("n_parts") >
+          col("total_value").cast("double"))
+        .select(col("l_partkey"), fin(col("value"), 4).as("part_value"))
+    },
+
+    // TPC-H Q12 shape: shipping-priority split — one fact join, two
+    // conditional counts per group (the CASE-WHEN-in-aggregate idiom),
+    // date-window filter pushed to the lineitem scan. l_linestatus
+    // stands in for the shipmode column these tables don't carry.
+    "q12_priority_lines" -> { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+    },
+
+    // TPC-H Q20 shape: potential part promotion — nested aggregation
+    // (per part-supplier vs per part) + semi-join back to the supplier
+    // dim. A supplier qualifies by shipping >50% of a PROMO part's
+    // windowed volume (qty·2 > total in doubles from exact decimals —
+    // the q11 comparison trick); left_semi keeps supplier rows without
+    // duplicating per qualifying part.
+    "q20_heavy_suppliers" -> { (s, dir) =>
+      val p = Tables(s, dir, "part").filter(col("p_type") === "PROMO")
+      val l97 = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val perPs = l97.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(m(col("l_quantity"))).as("ps_qty"))
+      val perP = l97.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(m(col("l_quantity"))).as("p_qty"))
+      val heavy = perPs.join(perP, col("l_partkey") === col("pk"))
+        .filter(col("ps_qty").cast("double") * 2 > col("p_qty").cast("double"))
+        .select(col("l_suppkey"))
+      Tables(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    },
+
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the double
+    // correlated EXISTS / NOT EXISTS, expressed as one left-semi plus
+    // one left-anti self-join on the deduplicated (order, supplier)
+    // pair tables. A supplier counts when its line was flagged 'R' in a
+    // finished multi-supplier order and NO other supplier of that order
+    // was flagged — the sole-fault semantics of the original (return
+    // flag stands in for the receipt/commit lateness columns).
+    "q21_waiting_suppliers" -> { (s, dir) =>
+      val base = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val pairs = base.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk")).distinct()
+      val faults = base.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      val withOther = faults.join(
+        pairs.select(col("ok").as("ok2"), col("sk").as("sk2")),
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      val sole = withOther.join(
+        faults.select(col("ok").as("ok3"), col("sk").as("sk3")),
+        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      sole.groupBy("sk").agg(count(lit(1)).as("numwait"))
+        .join(Tables(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    },
+
     // TPC-H Q14 shape: promo revenue percentage — conditional aggregate
     // over one join, ratio emitted via double division of exact decimals.
     "q14_promo_revenue" -> { (s, dir) =>
@@ -619,6 +727,65 @@ object Relational {
         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
         | WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
         | GROUP BY year(o_orderdate))""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        | CAST(CAST(sum($revenueExpr -
+        |   CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+        |  AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pv AS (
+        | SELECT l_partkey,
+        |  sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(CAST(value AS DECIMAL(38,4)) AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE CAST(value AS DOUBLE) * (SELECT count(*) FROM pv)
+        |    > (SELECT CAST(sum(value) AS DOUBLE) FROM pv)""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q20_heavy_suppliers" ->
+      """WITH l97 AS (
+        | SELECT l_partkey, l_suppkey, l_quantity
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_type = 'PROMO'
+        |   AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |perps AS (
+        | SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_qty
+        | FROM l97 GROUP BY l_partkey, l_suppkey),
+        |perp AS (
+        | SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS p_qty
+        | FROM l97 GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+        | SELECT l_suppkey FROM perps JOIN perp ON l_partkey = pk
+        | WHERE CAST(ps_qty AS DOUBLE) * 2 > CAST(p_qty AS DOUBLE))""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH base AS (
+        | SELECT l_orderkey, l_suppkey, l_returnflag
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'),
+        |pairs AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM base),
+        |faults AS (
+        | SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        | FROM base WHERE l_returnflag = 'R'),
+        |sole AS (
+        | SELECT f.ok, f.sk FROM faults f
+        | WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.ok = f.ok AND p.sk <> f.sk)
+        |   AND NOT EXISTS (SELECT 1 FROM faults f2 WHERE f2.ok = f.ok AND f2.sk <> f.sk))
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM sole JOIN supplier ON sk = s_suppkey
+        |GROUP BY s_suppkey, s_name""".stripMargin,
     "q14_promo_revenue" ->
       s"""SELECT 100.0 * CAST(coalesce(promo, 0) AS DOUBLE) / CAST(total AS DOUBLE) AS promo_revenue_pct
         |FROM (
