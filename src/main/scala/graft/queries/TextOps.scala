@@ -507,6 +507,29 @@ object TextOps {
         .withColumn("keep", col("n_tokens") >= 20 && col("n_stop") * 10 >= col("n_tokens"))
     },
 
+    // PII detection + redaction — the scrub pass a training corpus runs
+    // before anything ships: count and replace email addresses and long
+    // digit runs (ids, phone-ish numbers). The synthetic documents carry
+    // no PII, so the query PLANTS deterministic fakes per doc first
+    // (visible here, mirrored in the oracle) — the detection/redaction
+    // logic is the checked surface. Scan-shaped: two codegen'd regex
+    // passes, no shuffle. Emails scrub before digit runs so an address's
+    // own digits never leak into a partial <NUM> overlap.
+    "q_doc_pii_scrub" -> { (s, dir) =>
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val digitPat = "[0-9]{4,}"
+      val planted = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com ref "),
+        (col("doc_id") * 7919).cast("string"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), planted.as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(digitPat)).cast("long").as("n_digit_runs"),
+          regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            digitPat, "<NUM>").as("clean_text"))
+    },
+
     // Language ID: per-language stopword hit counts + deterministic argmax.
     "q_doc_langid" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -975,6 +998,17 @@ object TextOps {
         |  ${duckStopCount(stop("de"))} AS s_de,
         |  ${duckStopCount(stop("es"))} AS s_es
         | FROM (SELECT doc_id, lang, $duckToks FROM documents))""".stripMargin,
+    "q_doc_pii_scrub" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(raw, '[0-9]{4,}')) AS n_digit_runs,
+        | regexp_replace(
+        |   regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{4,}', '<NUM>', 'g') AS clean_text
+        |FROM (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com ref ' || CAST(doc_id * 7919 AS VARCHAR) AS raw
+        | FROM documents)""".stripMargin,
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
     "q_doc_dedup_exact" ->
