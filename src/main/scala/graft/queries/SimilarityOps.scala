@@ -486,6 +486,31 @@ object SimilarityOps {
       ivfpqSearchOf(Tables(s, dir, "embeddings"))
     },
 
+    // Two-stage retrieval, the shape production ANN actually serves:
+    // the compressed index nominates a WIDE shortlist cheaply (ADC
+    // top-10 — code bytes only, probed cells only), then ONLY the
+    // shortlist's raw vectors are fetched for an exact cosine re-rank
+    // to the final top-3. At 100 TB the economics are the point: the
+    // full-precision corpus is touched for |Q|·10 rows, not the corpus
+    // — the shortlist (id pairs) broadcasts INTO the corpus scan, so
+    // candidate fetch is a broadcast-hash semi-join against pruned
+    // parquet, never a shuffle of vectors. Fixes ADC's quantization
+    // mis-orderings inside the shortlist at full precision.
+    "q_embed_ivfpq_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val short = ivfpqSearchOf(e, k = 10).select("q_id", "c_id")
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .join(broadcast(short), "c_id")
+        .join(broadcast(qv), "q_id")
+        .withColumn("cosine",
+          dot(col("q_emb"), col("c_emb")) /
+            (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
+      graft.operators.TopKPerKey.topK(s, exact, "q_id", "cosine", "c_id", 3)
+        .select(col("q_id"), col("c_id"), col("rk"), col("cosine"))
+    },
+
     // Compressed-path quality: recall@3 of IVF-PQ (probed cells + ADC
     // over residual codes) against the exact cosine top-3 — the combined
     // partition-pruning + quantization loss, next to q_embed_ivf_recall
@@ -546,14 +571,14 @@ object SimilarityOps {
   /** IVF-PQ probe path (see q_embed_ivfpq_search): 2 probed cells per
     * query, per-(query, cell) residual LUT broadcast, candidate distance
     * = 8 integer-grid lookups summed. Shared by search and recall. */
-  private def ivfpqSearchOf(e: DataFrame): DataFrame = {
+  private def ivfpqSearchOf(e: DataFrame, k: Int = 3): DataFrame = {
     val res = residualsOf(e)
     val cb = resCodebookOf(res)
     val codes = codesFlatOf(res, "residual", collectCodebook(cb),
       Seq("vec_id", "centroid_id"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    ivfpqSearchCore(e.filter(col("vec_id") < 10), cents, cb, codes)
+    ivfpqSearchCore(e.filter(col("vec_id") < 10), cents, cb, codes, k)
   }
 
   /** the probe-and-score half of IVF-PQ search against ANY index triple
@@ -561,7 +586,7 @@ object SimilarityOps {
     * in-query (ivfpqSearchOf) or loaded from a persisted index
     * (searchIvfPqIndex). Queries carry (vec_id, embedding). */
   private def ivfpqSearchCore(queries: DataFrame, cents: DataFrame,
-      cb: DataFrame, codes: DataFrame): DataFrame = {
+      cb: DataFrame, codes: DataFrame, k: Int = 3): DataFrame = {
     val w1 = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("centroid_id").asc)
     val probes = queries.crossJoin(broadcast(cents))
@@ -582,7 +607,7 @@ object SimilarityOps {
       .groupBy(col("q_id"), col("vec_id").as("c_id"))
       .agg(sum(col("qc")).as("adc_q"))
     graft.operators.TopKPerKey.topK(queries.sparkSession, approx,
-      "q_id", "adc_q", "c_id", 3, asc = true)
+      "q_id", "adc_q", "c_id", k, asc = true)
       .select(col("q_id"), col("c_id"), col("rk"),
         col("adc_q").cast("long").as("adc_q"))
   }
@@ -806,6 +831,23 @@ object SimilarityOps {
         |SELECT q_id, c_id, rk, adc_q FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_q ASC, c_id ASC) AS rk
         | FROM approx) WHERE rk <= 3""".stripMargin,
+    "q_embed_ivfpq_rerank" ->
+      s"""WITH $duckIvfPqCtes,
+        |$duckIvfPqProbeCtes,
+        |shortlist AS (
+        | SELECT q_id, c_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_q ASC, c_id ASC) AS rk
+        |  FROM approx) WHERE rk <= 10),
+        |rer AS (
+        | SELECT s.q_id, s.c_id,
+        |  ${duckDotCols("q.embedding", "c.embedding")} /
+        |   (sqrt(${duckSS("q.embedding")}) * sqrt(${duckSS("c.embedding")})) AS cosine
+        | FROM shortlist s
+        | JOIN embeddings q ON q.vec_id = s.q_id
+        | JOIN embeddings c ON c.vec_id = s.c_id)
+        |SELECT q_id, c_id, rk, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        | FROM rer) WHERE rk <= 3""".stripMargin,
     "q_embed_ivfpq_recall" ->
       s"""WITH $duckIvfPqCtes,
         |$duckIvfPqProbeCtes,
