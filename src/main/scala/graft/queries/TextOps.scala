@@ -835,6 +835,49 @@ object TextOps {
             .otherwise(lit("test")))
     },
 
+    // Global training-order shuffle, the scale-correct way: a salted
+    // hash assigns each document a pseudo-random shard plus a
+    // within-shard sort key — independent per-shard sorts instead of
+    // one global total order funneling through a lone reducer. The
+    // (shard, pos) pair IS the training order (readers consume shards
+    // round-robin); deterministic given the seed and, like q_doc_split,
+    // stable under re-partitioning and corpus growth. One bounded
+    // shuffle (the per-shard sort), no global sort, no driver state.
+    "q_doc_shard_shuffle" -> { (s, dir) =>
+      val skey = graft.functions.Md5Prefix60(
+        concat(lit("shuf42:"), col("doc_id").cast("string")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), skey.as("skey"))
+        .withColumn("shard", col("skey") % 8)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+
+    // Per-domain web-curation rollup (the C4-style ledger): extract
+    // every URL hostname and aggregate document/reference counts per
+    // domain — the table that decides blocklists and per-domain caps
+    // before a crawl becomes a corpus. The synthetic docs carry no
+    // URLs, so deterministic fakes are planted per doc (visible here,
+    // mirrored in the oracle); extraction + rollup is the checked
+    // surface. Scan → explode (≤2 hosts/doc by construction) → one
+    // skinny groupBy on the domain key.
+    "q_doc_url_stats" -> { (s, dir) =>
+      val planted = concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://www.ref"), (col("doc_id") % 3).cast("string"),
+        lit(".net"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), planted.as("raw"))
+        .select(col("doc_id"), explode(regexp_extract_all(col("raw"),
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("host"))
+        .groupBy("host")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_refs"))
+    },
+
     // Data-mixture sampling: per-language keep rates (downsample the
     // over-represented languages, keep the rare ones whole), decided by
     // the same salted-hash trick as q_doc_split so the subsample is
@@ -1188,6 +1231,24 @@ object TextOps {
         |FROM (SELECT doc_id, source,
         |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
         | FROM documents)""".stripMargin,
+    "q_doc_shard_shuffle" ->
+      """SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id, skey, skey % 8 AS shard
+        | FROM (SELECT doc_id,
+        |   CAST('0x' || substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+        |  FROM documents))""".stripMargin,
+    "q_doc_url_stats" ->
+      """WITH raw AS (
+        | SELECT doc_id, text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |   || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |   || ' and http://www.ref' || CAST(doc_id % 3 AS VARCHAR) || '.net' AS raw
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id, unnest(regexp_extract_all(raw, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+        | FROM raw)
+        |SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, count(*) AS n_refs
+        |FROM h GROUP BY host""".stripMargin,
     "q_doc_mix" ->
       """SELECT doc_id, lang, source, rate_permille,
         | CAST(1000.0 AS DOUBLE) / rate_permille AS weight
