@@ -25,11 +25,16 @@ import org.apache.spark.sql.types._
   *    source grid. The oracle checks what lossy decode leaves exact —
   *    dimensions and a bounded-MAE verdict; the spec pins the JPEG
   *    magic bytes and the empirical error envelope.
+  *  - q_mm_wav_decode runs a REAL audio codec end-to-end: genuine
+  *    RIFF/WAVE bytes (javax.sound.sampled — pure JVM, headless),
+  *    container parsed, format inspected, PCM frames streamed back.
+  *    8-bit PCM is lossless, so the oracle recomputes every published
+  *    sample statistic from the raw bytes.
   *  - q_mm_features/resize/frame_sample keep `decodeStub` (deterministic
   *    fake dimensions from header bytes) standing in for codecs the
-  *    container genuinely lacks (video/audio); the Spark-side contract —
+  *    container genuinely lacks (video); the Spark-side contract —
   *    schema, partition batching, feature extraction signature — is the
-  *    same either way, as the two real tiers demonstrate.
+  *    same either way, as the three real tiers demonstrate.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -141,6 +146,34 @@ object MultimodalOps {
     * decode (shifted raster, wrong dims, garbage) trips it. */
   private[graft] val JpegMaeBound = 32.0
 
+  /** documents rendered as REAL WAV files (8-bit unsigned PCM mono,
+    * 8 kHz) — the audio codec tier. javax.sound.sampled is pure-JVM and
+    * headless like ImageIO; PCM is lossless, so decoded samples are the
+    * source bytes exactly and the oracle recomputes every statistic.
+    * Empty payloads become a single zero sample (the 1×1-pixel analog). */
+  private[graft] def wavAssets(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false)))
+    val out = assets(s, dir).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val c0 = r.getAs[Array[Byte]]("content")
+        val c = if (c0.isEmpty) Array[Byte](0) else c0
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 8, 1, false /* 8-bit WAV PCM is unsigned */, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(c), fmt, c.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray, "audio/wav")
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
+
   val defs: Map[String, Q] = Map(
     // REAL JPEG decode — the second (lossy) codec tier next to the
     // lossless PNG round trip: genuine JFIF bytes cross the DataFrame
@@ -175,6 +208,48 @@ object MultimodalOps {
           }
           val mae = absErr.toDouble / (w * h)
           Row(id, w, h, src.length, mae <= JpegMaeBound)
+        }
+      }
+      s.createDataFrame(out, schema)
+    },
+
+    // REAL audio decode — the third codec tier (after lossless PNG and
+    // lossy JPEG): genuine RIFF/WAVE bytes cross the DataFrame boundary
+    // and javax.sound.sampled parses the container, yields the format,
+    // and streams the PCM frames back. 8-bit PCM is lossless, so every
+    // published statistic (sample count, rate, mean/peak amplitude,
+    // first sample) is integer-exact and the oracle recomputes all of
+    // them from the raw bytes without an audio library.
+    "q_mm_wav_decode" -> { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_samples", IntegerType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("bits", IntegerType, nullable = false),
+        StructField("mean_amp", LongType, nullable = false),
+        StructField("peak_amp", IntegerType, nullable = false),
+        StructField("s_first", IntegerType, nullable = false)))
+      val out = wavAssets(s, dir).rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val wav = r.getAs[Array[Byte]]("content")
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val fmt = ais.getFormat
+          val samples = ais.readAllBytes()
+          require(samples.nonEmpty, s"doc $id: undecodable WAV payload")
+          var sum = 0L
+          var peak = 0
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i) & 0xff
+            sum += v
+            if (v > peak) peak = v
+            i += 1
+          }
+          Row(id, samples.length, fmt.getSampleRate.toInt,
+            fmt.getSampleSizeInBits, sum / samples.length, peak,
+            samples(0) & 0xff)
         }
       }
       s.createDataFrame(out, schema)
@@ -310,6 +385,26 @@ object MultimodalOps {
         |   // LEAST(64, GREATEST(n, 1)) AS INT) AS height,
         | CAST(n AS INT) AS src_bytes,
         | TRUE AS mae_ok
+        |FROM a""".stripMargin,
+    // PCM is lossless: decoded samples ARE the source bytes (one zero
+    // sample for empty payloads), and the container echoes the encode
+    // format — so every column recomputes from the bytes in SQL
+    "q_mm_wav_decode" ->
+      """WITH a AS (
+        | SELECT doc_id, encode(text) AS c,
+        |  GREATEST(octet_length(encode(text)), 1) AS n,
+        |  octet_length(encode(text)) AS raw_n
+        | FROM documents)
+        |SELECT doc_id, CAST(n AS INT) AS n_samples,
+        | 8000 AS sample_rate, 8 AS bits,
+        | CAST(coalesce(list_aggregate(list_transform(range(raw_n),
+        |    j -> CAST('0x' || substring(hex(c), 2*j + 1, 2) AS BIGINT)), 'sum'), 0)
+        |   // n AS BIGINT) AS mean_amp,
+        | CAST(coalesce(list_aggregate(list_transform(range(raw_n),
+        |    j -> CAST('0x' || substring(hex(c), 2*j + 1, 2) AS BIGINT)), 'max'), 0)
+        |   AS INT) AS peak_amp,
+        | CASE WHEN raw_n = 0 THEN 0
+        |  ELSE CAST('0x' || substring(hex(c), 1, 2) AS INT) END AS s_first
         |FROM a""".stripMargin,
     // reproduces the decoded raster arithmetic from the raw bytes:
     // grayscale PNG is lossless, so pixel(y*w+x) = byte(y*w+x) (0 in the

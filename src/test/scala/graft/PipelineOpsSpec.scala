@@ -490,6 +490,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_docs")).sum == nDocs)
   }
 
+  test("wav tier emits genuine RIFF/WAVE bytes and round-trips samples losslessly") {
+    // the payloads really are WAV: RIFF magic + WAVE form type
+    val payloads = graft.queries.MultimodalOps.wavAssets(spark, sf)
+      .select("doc_id", "content").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[Array[Byte]](1))
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (_, b) =>
+      assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    // PCM is lossless: decoding any payload returns the source bytes exactly
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    payloads.take(20).foreach { case (id, b) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val got = ais.readAllBytes()
+      val want = texts(id).getBytes("UTF-8")
+      assert(got.sameElements(if (want.isEmpty) Array[Byte](0) else want))
+    }
+    val rows = SparkEntry.queries("q_mm_wav_decode")(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("sample_rate") == 8000 && r.getAs[Int]("bits") == 8)
+      assert(r.getAs[Int]("peak_amp") <= 255)
+      assert(r.getAs[Long]("mean_amp") <= r.getAs[Int]("peak_amp"))
+    }
+  }
+
   test("simhash is stable across runs (deterministic)") {
     val a = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
