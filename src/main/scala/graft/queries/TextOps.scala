@@ -208,6 +208,22 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** PII detection + redaction over (doc_id, raw) rows: count email
+    * addresses and 4+-digit runs, emit the redacted text. A stateless
+    * codegen'd projection — no shuffle, no state — so the SAME function
+    * runs unchanged on a streaming DataFrame (spec-pinned row-identical
+    * to batch). Emails scrub before digit runs so an address's own
+    * digits never half-match as a partial <NUM>. */
+  def piiScrubOf(docs: DataFrame): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digitPat = "[0-9]{4,}"
+    docs.select(col("doc_id"),
+      regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(col("raw"), lit(digitPat)).cast("long").as("n_digit_runs"),
+      regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+        digitPat, "<NUM>").as("clean_text"))
+  }
+
   /** Connected components over an undirected (id_a, id_b) pair table by
     * iterative min-label propagation (the standard large-graph CC shape:
     * whole-graph joins per round, no driver-side graph). Returns
@@ -516,18 +532,11 @@ object TextOps {
     // passes, no shuffle. Emails scrub before digit runs so an address's
     // own digits never leak into a partial <NUM> overlap.
     "q_doc_pii_scrub" -> { (s, dir) =>
-      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val digitPat = "[0-9]{4,}"
       val planted = concat(col("text"), lit(" contact user"),
         col("doc_id").cast("string"), lit("@mail.example.com ref "),
         (col("doc_id") * 7919).cast("string"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), planted.as("raw"))
-        .select(col("doc_id"),
-          regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_emails"),
-          regexp_count(col("raw"), lit(digitPat)).cast("long").as("n_digit_runs"),
-          regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
-            digitPat, "<NUM>").as("clean_text"))
+      piiScrubOf(Tables(s, dir, "documents")
+        .select(col("doc_id"), planted.as("raw")))
     },
 
     // Language ID: per-language stopword hit counts + deterministic argmax.

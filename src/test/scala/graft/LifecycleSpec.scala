@@ -862,6 +862,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() == docs.count()) // wave 1 passed through once
   }
 
+  test("streaming PII scrub is row-identical to batch") {
+    // the scrub is a stateless codegen projection, so the SAME function
+    // must run unchanged on a stream and produce the batch rows exactly
+    val src = Files.createTempDirectory("graft_pii_src").toString
+    val raw = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" mail "), col("doc_id").cast("string"),
+          lit("@x.example.net id "), (col("doc_id") * 31 + 100000).cast("string"))
+          .as("raw"))
+    raw.coalesce(2).write.mode("overwrite").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, raw.schema,
+      maxFilesPerTrigger = 1)
+    val q = graft.queries.TextOps.piiScrubOf(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_out").start()
+    try q.processAllAvailable() finally q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val got = snap(spark.sql("SELECT doc_id, n_emails, n_digit_runs, clean_text FROM pii_out"))
+    val want = snap(graft.queries.TextOps.piiScrubOf(raw))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("streaming PQ ingest appends codes bit-identical to the batch index") {
     val e = Tables(spark, sf, "embeddings")
     val idx = Files.createTempDirectory("graft_annstream").toString
