@@ -844,6 +844,42 @@ object TextOps {
             .otherwise(lit("test")))
     },
 
+    // The corpus "data card": one row of headline statistics — sizes,
+    // diversity, duplication — reviewed before any training run. ONE
+    // scan feeding one aggregate (countDistincts expand inside the
+    // same aggregation); every figure is integer-exact. At 100 TB this
+    // is the cheapest query in the library: map-side partial
+    // aggregation reduces everything to one row per partition.
+    "q_doc_corpus_card" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          md5(col("text")).as("fp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_toks")).as("n_tokens"),
+          max(col("n_toks")).as("max_doc_tokens"),
+          countDistinct(col("fp")).as("n_distinct_contents"))
+        .withColumn("n_exact_dup_docs", col("n_docs") - col("n_distinct_contents"))
+        .withColumn("mean_doc_tokens",
+          col("n_tokens").cast("double") / col("n_docs"))
+    },
+
+    // Token-length histogram: docs bucketed by 64-token bins — the
+    // corpus shape diagnostic behind truncation/packing decisions.
+    // Scan → one skinny groupBy on the bin id.
+    "q_doc_length_hist" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(floor(size(split(col("text"), " ")).cast("long") / 64).as("bin"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .withColumn("bin_lo", col("bin") * 64)
+        .drop("bin")
+    },
+
     // Global training-order shuffle, the scale-correct way: a salted
     // hash assigns each document a pseudo-random shard plus a
     // within-shard sort key — independent per-shard sorts instead of
@@ -1240,6 +1276,24 @@ object TextOps {
         |FROM (SELECT doc_id, source,
         |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
         | FROM documents)""".stripMargin,
+    "q_doc_corpus_card" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | CAST(max(n_toks) AS BIGINT) AS max_doc_tokens,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_contents,
+        | count(*) - CAST(count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+        | CAST(sum(n_toks) AS DOUBLE) / count(*) AS mean_doc_tokens
+        |FROM (SELECT source, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  md5(text) AS fp FROM documents)""".stripMargin,
+    "q_doc_length_hist" ->
+      """SELECT count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | bin * 64 AS bin_lo
+        |FROM (SELECT n_toks, n_toks // 64 AS bin
+        | FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents))
+        |GROUP BY bin""".stripMargin,
     "q_doc_shard_shuffle" ->
       """SELECT doc_id, shard,
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
