@@ -131,6 +131,8 @@ object Cli {
         runPipeline(args.drop(1).toSeq, spark); ()
       } else if (args.headOption.contains("prep")) {
         runPrep(args.drop(1).toSeq, spark)
+      } else if (args.headOption.contains("index")) {
+        runIndex(args.drop(1).toSeq, spark)
       } else run(args, spark).foreach { r =>
         println(s"completed: ${r.completed.size} file(s), skipped: ${r.skipped.size}, " +
           s"errored: ${r.errored.size}, rows: ${r.rows}")
@@ -187,6 +189,51 @@ object Cli {
       .write.mode("overwrite").parquet(s"$out/audit")
     graft.queries.TextOps.sourceStatsOf(spark.read.parquet(s"$out/audit"))
       .write.mode("overwrite").parquet(s"$out/source_stats")
+  }
+
+  /** `graft.Cli index build <sf-dir> <index-dir>` /
+    * `graft.Cli index search <sf-dir> <index-dir> [--out DIR] [--show N]`
+    * — the build-once/search-many ANN lifecycle from the shell: `build`
+    * materializes the IVF-PQ artifacts (centroids + residual codebook +
+    * 64×-compressed codes) once; `search` probes the LOADED artifacts
+    * (spec-pinned bit-identical to the in-query search) without ever
+    * touching raw corpus vectors. */
+  def runIndex(args: Seq[String], spark: SparkSession): Unit = {
+    val usage = "usage: index build <sf-dir> <index-dir> | " +
+      "index search <sf-dir> <index-dir> [--out DIR] [--show N]"
+    require(args.length >= 3, usage)
+    val Seq(mode, sfDir, idxDir) = args.take(3).toSeq
+    mode match {
+      case "build" =>
+        require(args.length == 3, usage)
+        graft.queries.SimilarityOps.saveIvfPqIndex(
+          Tables(spark, sfDir, "embeddings"), idxDir)
+        println(s"index written: $idxDir (centroids, codebook, codes)")
+      case "search" =>
+        val queries = Tables(spark, sfDir, "embeddings")
+          .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+        val df = graft.queries.SimilarityOps
+          .searchIvfPqIndex(spark, queries, idxDir)
+        var out: Option[String] = None
+        var show = 20
+        var i = 3
+        while (i < args.length) {
+          args(i) match {
+            case flag @ ("--out" | "--show") =>
+              require(i + 1 < args.length, s"missing value for $flag")
+              if (flag == "--out") out = Some(args(i + 1))
+              else show = args(i + 1).toInt
+              i += 2
+            case other =>
+              throw new IllegalArgumentException(s"unknown index flag $other")
+          }
+        }
+        out match {
+          case Some(dir) => df.write.mode("overwrite").parquet(dir)
+          case None => if (show > 0) df.show(show, truncate = false)
+        }
+      case other => throw new IllegalArgumentException(s"unknown index mode '$other'; $usage")
+    }
   }
 
   /** py4j-friendly twin of runPrep — the Python surface's `graft.prep` */

@@ -430,6 +430,25 @@ class CliSpec extends AnyFunSuite {
       sortedRows(SparkEntry.queries("q_doc_source_stats")(spark, sf))))
   }
 
+  test("index subcommand: build once, CLI search equals in-query search") {
+    val idx = Files.createTempDirectory("graft_cliidx").toString
+    Cli.runIndex(Seq("build", sf, idx), spark)
+    for (part <- Seq("centroids", "codebook", "codes"))
+      assert(spark.read.parquet(s"$idx/$part.parquet").count() > 0)
+    val out = Files.createTempDirectory("graft_cliidx_out").toString + "/res"
+    Cli.runIndex(Seq("search", sf, idx, "--out", out), spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "rk", "adc_q").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+    assert(rows(spark.read.parquet(out)).sameElements(
+      rows(SparkEntry.queries("q_embed_ivfpq_search")(spark, sf))))
+    // malformed invocations fail with the deliberate usage errors
+    intercept[IllegalArgumentException](Cli.runIndex(Seq("bogus", sf, idx), spark))
+    intercept[IllegalArgumentException](
+      Cli.runIndex(Seq("search", sf, idx, "--out"), spark))
+  }
+
   test("--blocks accepts a parquet file ref; lists filter within chunks") {
     // a block-list file with duplicates → deduplicated (parse/blocks.rs:79-83)
     val listFile = Files.createTempDirectory("graft_blist").toString + "/blocks.parquet"
