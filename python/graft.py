@@ -31,7 +31,8 @@ option parser to drift.
 
 import json
 
-__all__ = ["collect", "freeze", "pipeline", "prep", "cli_args"]
+__all__ = ["collect", "freeze", "pipeline", "prep", "index_build",
+           "index_search", "cli_args"]
 
 
 def cli_args(*datatypes, **kwargs):
@@ -125,6 +126,27 @@ def freeze(*datatypes, spark=None, **kwargs):
     argv = cli_args(*datatypes, **kwargs)
     out = spark._jvm.graft.Cli.freezeJson(_jarr(spark, argv), spark._jsparkSession)
     return json.loads(out)
+
+
+def index_build(sf_dir, index_dir, spark=None):
+    """Materialize the IVF-PQ index artifacts (centroids, residual
+    codebook, compressed codes) once; search many times with
+    :func:`index_search`."""
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    argv = ["build", sf_dir, index_dir]
+    spark._jvm.graft.Cli.indexRun(_jarr(spark, argv), spark._jsparkSession)
+
+
+def index_search(sf_dir, index_dir, spark=None, out=None):
+    """Search the persisted IVF-PQ index (bit-identical to the in-query
+    search). Writes parquet to ``out`` when given, else prints."""
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    argv = ["search", sf_dir, index_dir, "--show", "0"]
+    if out is not None:
+        argv += ["--out", str(out)]
+    spark._jvm.graft.Cli.indexRun(_jarr(spark, argv), spark._jsparkSession)
 
 
 def prep(sf_dir, out_dir, spark=None):

@@ -44,5 +44,14 @@ assert len(dedup) > 0 and "canonical_id" in dedup.columns, dedup.columns
 fees = graft.pipeline("chain_fee_analytics", "/root/testdata/sf0.001",
                       spark=spark)
 assert fees.count() > 0
+
+# index lifecycle: build once, search the persisted artifacts
+idx = tempfile.mkdtemp(prefix="graft_pyidx")
+graft.index_build("/root/testdata/sf0.001", idx, spark=spark)
+assert glob.glob(idx + "/codes.parquet/*"), "codes not written"
+res_dir = tempfile.mkdtemp(prefix="graft_pyres") + "/res"
+graft.index_search("/root/testdata/sf0.001", idx, spark=spark, out=res_dir)
+found = spark.read.parquet(res_dir)
+assert found.count() == 30, found.count()
 print("PYSMOKE OK")
 spark.stop()

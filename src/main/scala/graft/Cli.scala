@@ -236,6 +236,11 @@ object Cli {
     }
   }
 
+  /** py4j-friendly twin of runIndex — the Python surface's
+    * `graft.index_build` / `graft.index_search` */
+  def indexRun(args: Array[String], spark: SparkSession): Unit =
+    runIndex(args.toSeq, spark)
+
   /** py4j-friendly twin of runPrep — the Python surface's `graft.prep` */
   def prepDirs(sfDir: String, outDir: String, spark: SparkSession): Unit =
     runPrep(Seq(sfDir, outDir), spark)
