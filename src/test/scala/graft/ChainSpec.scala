@@ -174,4 +174,24 @@ class ChainDatasetsSpec extends AnyFunSuite {
     assert(nt.exists(_.isNullAt(1))) // reward rows: null transaction_index
     assert(nt.forall(r => BigInt(r.getAs[String]("value_string")) >= 0))
   }
+
+  test("pagerank: integer-grid ranks are deterministic, bounded, floored") {
+    import org.apache.spark.sql.functions.col
+    val txs = spark.read.parquet(s"$dir/rpc_transactions.parquet")
+    def run() = graft.queries.ChainQueries.pagerankOf(txs).collect()
+      .map(r => r.getAs[Array[Byte]]("address").toSeq -> r.getAs[Long]("rank_q"))
+      .sortBy(_._1.map("%02x".format(_)).mkString)
+    val a = run()
+    assert(a.nonEmpty && a.sameElements(run())) // bit-identical across runs
+    val grid = 1073741824L
+    val n = a.length
+    val baseQ = (grid * 15L) / (100L * n)
+    // every node keeps at least the teleport floor; total mass never
+    // exceeds the initial grid mass (damping + dangling drop only shed)
+    assert(a.forall(_._2 >= baseQ))
+    assert(a.map(_._2).sum <= grid)
+    // sink addresses (no outgoing edge with in-edges elsewhere) exist in
+    // the fixture and someone must rank strictly above the floor
+    assert(a.exists(_._2 > baseQ))
+  }
 }
