@@ -21,10 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * a typed struct. Type mapping mirrors the reference's `make_series`:
   * int/uint ≤64 bits → long, >64 bits → 32-byte binary (u256-family
   * expansion applied downstream), address → 20-byte binary, bool →
-  * boolean, bytes/bytesN → binary, string → string. Arrays/tuples are
-  * unsupported exactly like the reference (log_decoder.rs:99). Malformed
-  * rows decode to NULL — callers drop them, matching the reference's
-  * skip-on-error (datasets/logs.rs:139-161).
+  * boolean, bytes/bytesN → binary, string → string. Arrays and tuples —
+  * which the reference ERRORS on (log_decoder.rs:99) — decode here with
+  * full head/tail semantics: `T[]`/`T[k]` → Spark arrays, `(T1,…,Tn)` →
+  * nested structs, recursively (dynamic members resolve offsets relative
+  * to their enclosing region per the ABI spec); indexed dynamic/array/
+  * tuple params carry only their keccak topic, stored as the 32-byte
+  * hash. Malformed rows decode to NULL — callers drop them, matching the
+  * reference's skip-on-error (datasets/logs.rs:139-161).
   */
 object Abi {
 
@@ -45,6 +49,33 @@ object Abi {
   case class BytesNT(n: Int) extends AbiType { val sparkType: DataType = BinaryType; val canonical = s"bytes$n" }
   case object BytesT extends AbiType { val sparkType: DataType = BinaryType; val canonical = "bytes" }
   case object StringT extends AbiType { val sparkType: DataType = StringType; val canonical = "string" }
+  case class ArrayT(elem: AbiType, fixedLen: Option[Int]) extends AbiType {
+    val sparkType: DataType = ArrayType(elem.sparkType, containsNull = false)
+    val canonical = s"${elem.canonical}[${fixedLen.map(_.toString).getOrElse("")}]"
+  }
+  case class TupleT(members: Seq[AbiType]) extends AbiType {
+    val sparkType: DataType = StructType(members.zipWithIndex.map { case (m, i) =>
+      StructField(s"f$i", m.sparkType, nullable = false)
+    })
+    val canonical = s"(${members.map(_.canonical).mkString(",")})"
+  }
+
+  /** dynamic types use an offset head word; static types encode inline */
+  def isDynamic(t: AbiType): Boolean = t match {
+    case BytesT | StringT => true
+    case ArrayT(_, None) => true
+    case ArrayT(e, Some(_)) => isDynamic(e)
+    case TupleT(ms) => ms.exists(isDynamic)
+    case _ => false
+  }
+
+  /** bytes a value occupies in its enclosing head section */
+  def headSize(t: AbiType): Int = t match {
+    case t2 if isDynamic(t2) => 32
+    case ArrayT(e, Some(k)) => k * headSize(e)
+    case TupleT(ms) => ms.map(headSize).sum
+    case _ => 32
+  }
 
   case class Param(name: String, typ: AbiType, indexed: Boolean)
 
@@ -57,31 +88,67 @@ object Abi {
     val bodyParams: Seq[Param] = params.filterNot(_.indexed)
     def structType: StructType =
       StructType(params.map { p =>
-        // indexed dynamic types are stored as their 32-byte keccak topic
-        val t = if (p.indexed && (p.typ == BytesT || p.typ == StringT)) BinaryType else p.typ.sparkType
+        // indexed dynamic/array/tuple params are stored as their 32-byte
+        // keccak topic (the ABI hashes them into the topic slot)
+        val hashed = p.typ match {
+          case BytesT | StringT | _: ArrayT | _: TupleT => true
+          case _ => false
+        }
+        val t = if (p.indexed && hashed) BinaryType else p.typ.sparkType
         StructField(p.name, t, nullable = true)
       })
   }
 
   private val typeRe = "^(uint|int|bytes|address|bool|string)([0-9]*)$".r
 
-  def parseType(s: String): AbiType = s.trim match {
-    case t if t.endsWith("]") =>
-      throw new IllegalArgumentException(s"array ABI types unsupported: $t (parity with reference log_decoder.rs:99)")
-    case t if t.startsWith("(") =>
-      throw new IllegalArgumentException(s"tuple ABI types unsupported: $t")
-    case typeRe(base, suffix) => (base, suffix) match {
-      case ("uint", "")   => UIntT(256)
-      case ("uint", n)    => UIntT(n.toInt)
-      case ("int", "")    => IntT(256)
-      case ("int", n)     => IntT(n.toInt)
-      case ("address", _) => AddressT
-      case ("bool", _)    => BoolT
-      case ("bytes", "")  => BytesT
-      case ("bytes", n)   => BytesNT(n.toInt)
-      case ("string", _)  => StringT
+  /** split on top-level commas only (ignores commas inside () and []) */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
     }
-    case t => throw new IllegalArgumentException(s"unknown ABI type: $t")
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  def parseType(s0: String): AbiType = {
+    val s = s0.trim
+    if (s.endsWith("]")) {
+      val open = s.lastIndexOf('[')
+      require(open > 0, s"malformed array type: $s")
+      val lenStr = s.substring(open + 1, s.length - 1).trim
+      ArrayT(parseType(s.substring(0, open)),
+        if (lenStr.isEmpty) None else Some(lenStr.toInt))
+    } else if (s.startsWith("(")) {
+      require(s.endsWith(")"), s"malformed tuple type: $s")
+      val inner = s.substring(1, s.length - 1).trim
+      TupleT(if (inner.isEmpty) Seq.empty
+        else splitTop(inner).map(m =>
+          // tuple members may carry names ("(address to, uint256 amt)")
+          parseType(m.trim.split("\\s+").head)))
+    } else s match {
+      case typeRe(base, suffix) => (base, suffix) match {
+        case ("uint", "")   => UIntT(256)
+        case ("uint", n)    => UIntT(n.toInt)
+        case ("int", "")    => IntT(256)
+        case ("int", n)     => IntT(n.toInt)
+        case ("address", _) => AddressT
+        case ("bool", _)    => BoolT
+        case ("bytes", "")  => BytesT
+        case ("bytes", n)   => BytesNT(n.toInt)
+        case ("string", _)  => StringT
+      }
+      case t => throw new IllegalArgumentException(s"unknown ABI type: $t")
+    }
   }
 
   /** Parse a human-readable event signature. */
@@ -92,11 +159,20 @@ object Abi {
     val body = sig.substring(open + 1, sig.length - 1).trim
     val params =
       if (body.isEmpty) Seq.empty
-      else body.split(",").toSeq.zipWithIndex.map { case (raw, i) =>
-        val toks = raw.trim.split("\\s+").toSeq
-        val typ = parseType(toks.head)
-        val indexed = toks.drop(1).contains("indexed")
-        val pname = toks.drop(1).filterNot(_ == "indexed").lastOption.getOrElse(s"arg$i")
+      else splitTop(body).zipWithIndex.map { case (raw, i) =>
+        // the type may itself contain spaces (named tuple members), so
+        // the type token runs through the last ')' or ']' if present
+        val trimmed = raw.trim
+        val lastClose = math.max(trimmed.lastIndexOf(')'), trimmed.lastIndexOf(']'))
+        val firstSpace = trimmed.indexOf(' ')
+        val typeEnd =
+          if (lastClose >= 0 && (firstSpace < 0 || firstSpace < lastClose)) lastClose + 1
+          else if (firstSpace < 0) trimmed.length
+          else firstSpace
+        val typ = parseType(trimmed.substring(0, typeEnd))
+        val rest = trimmed.substring(typeEnd).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        val indexed = rest.contains("indexed")
+        val pname = rest.filterNot(_ == "indexed").lastOption.getOrElse(s"arg$i")
         Param(pname, typ, indexed)
       }
     Event(name, params)
@@ -116,6 +192,63 @@ object Abi {
     case _ => throw new IllegalStateException(s"dynamic type in static position: $typ")
   }
 
+  /** uint word at pos as a (bounds-checked) Int offset/length */
+  private def u32(d: Array[Byte], pos: Int): Int = {
+    if (pos < 0 || d.length < pos + 32) throw new IndexOutOfBoundsException(s"$pos")
+    new BigInteger(1, java.util.Arrays.copyOfRange(d, pos, pos + 32)).intValueExact()
+  }
+
+  /** decode a STATIC (inline, possibly multi-word) value at pos */
+  private def decodeStatic(typ: AbiType, d: Array[Byte], pos: Int): Any = typ match {
+    case ArrayT(e, Some(k)) =>
+      val hs = headSize(e)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        (0 until k).map(i => decodeStatic(e, d, pos + i * hs)).toArray)
+    case TupleT(ms) =>
+      var p = pos
+      InternalRow.fromSeq(ms.map { m =>
+        val v = decodeStatic(m, d, p); p += headSize(m); v
+      })
+    case t =>
+      if (pos < 0 || d.length < pos + 32) throw new IndexOutOfBoundsException(s"$pos")
+      decodeWord(t, java.util.Arrays.copyOfRange(d, pos, pos + 32))
+  }
+
+  /** decode a value whose head slot sits at headPos; dynamic offsets
+    * resolve relative to `region` (the enclosing head section's start),
+    * per the ABI head/tail rule — recursion handles nesting. */
+  private def decodeValue(typ: AbiType, d: Array[Byte], region: Int, headPos: Int): Any = {
+    if (!isDynamic(typ)) decodeStatic(typ, d, headPos)
+    else {
+      val off = region + u32(d, headPos)
+      typ match {
+        case BytesT | StringT =>
+          val len = u32(d, off)
+          if (d.length < off + 32 + len) throw new IndexOutOfBoundsException(s"$off+$len")
+          val bytes = java.util.Arrays.copyOfRange(d, off + 32, off + 32 + len)
+          if (typ == StringT) UTF8String.fromString(new String(bytes, StandardCharsets.UTF_8))
+          else bytes
+        case ArrayT(e, None) =>
+          val n = u32(d, off)
+          if (n > (d.length - off) / 32 + 1) throw new IndexOutOfBoundsException(s"len $n")
+          val base = off + 32
+          val hs = headSize(e)
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            (0 until n).map(i => decodeValue(e, d, base, base + i * hs)).toArray)
+        case ArrayT(e, Some(k)) => // fixed-length array of dynamic elements
+          val hs = headSize(e)
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            (0 until k).map(i => decodeValue(e, d, off, off + i * hs)).toArray)
+        case TupleT(ms) =>
+          var p = off
+          InternalRow.fromSeq(ms.map { m =>
+            val v = decodeValue(m, d, off, p); p += headSize(m); v
+          })
+        case other => throw new IllegalStateException(s"unexpected dynamic type: $other")
+      }
+    }
+  }
+
   /** Decode (topics, data) per the event; null on any mismatch. */
   def decode(event: Event, topics: Seq[Array[Byte]], data: Array[Byte]): InternalRow = {
     try {
@@ -123,36 +256,28 @@ object Abi {
       if (!java.util.Arrays.equals(topics.head, event.topic0)) return null
       val d = if (data == null) Array.emptyByteArray else data
       var topicIdx = 1
-      var headIdx = 0
+      var headPos = 0
       val values = event.params.map { p =>
         if (p.indexed) {
           val word = topics(topicIdx); topicIdx += 1
           if (word.length != 32) return null
           p.typ match {
-            case BytesT | StringT => word // hash of the value
+            // dynamic/array/tuple topics carry only the keccak of the value
+            case BytesT | StringT | _: ArrayT | _: TupleT => word
             case t => decodeWord(t, word)
           }
         } else {
-          val off = headIdx * 32; headIdx += 1
-          if (d.length < off + 32) return null
-          val word = java.util.Arrays.copyOfRange(d, off, off + 32)
-          p.typ match {
-            case BytesT | StringT =>
-              val dyn = new BigInteger(1, word).intValueExact()
-              if (d.length < dyn + 32) return null
-              val len = new BigInteger(1, java.util.Arrays.copyOfRange(d, dyn, dyn + 32)).intValueExact()
-              if (d.length < dyn + 32 + len) return null
-              val bytes = java.util.Arrays.copyOfRange(d, dyn + 32, dyn + 32 + len)
-              if (p.typ == StringT) UTF8String.fromString(new String(bytes, StandardCharsets.UTF_8))
-              else bytes
-            case t => decodeWord(t, word)
-          }
+          val v = decodeValue(p.typ, d, 0, headPos)
+          headPos += headSize(p.typ)
+          v
         }
       }
       InternalRow.fromSeq(values)
     } catch {
       case _: ArithmeticException => null // value exceeds declared bit width
       case _: IndexOutOfBoundsException => null
+      case _: IllegalArgumentException => null // inverted copy ranges
+      case _: NegativeArraySizeException => null
     }
   }
 

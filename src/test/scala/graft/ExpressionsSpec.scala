@@ -86,10 +86,83 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(ev.indexedParams.map(_.name) == Seq("from", "to"))
     assert(ev.structType.fields.map(_.dataType).toSeq ==
       Seq(BinaryType, BinaryType, BinaryType)) // address, address, uint256>64
-    // arrays unsupported, like the reference
-    intercept[IllegalArgumentException] {
-      Abi.parseEvent("Bad(uint256[] xs)")
-    }
+    // arrays/tuples parse with canonical signatures (the reference
+    // errors here, log_decoder.rs:99 — this exceeds it)
+    assert(Abi.parseEvent("A(uint256[] xs, bool ok)").canonicalSignature
+      == "A(uint256[],bool)")
+    assert(Abi.parseEvent("B((address to, uint96 amt)[] ops)").canonicalSignature
+      == "B((address,uint96)[])")
+    assert(Abi.parseEvent("C(uint64[3] xs)").canonicalSignature == "C(uint64[3])")
+  }
+
+  test("abi decode: dynamic arrays, fixed arrays, tuples (beyond reference)") {
+    import spark.implicits._
+    def word(v: Long): Array[Byte] = U256.toBytes32(BigInteger.valueOf(v))
+    def addr(b: Byte): Array[Byte] = new Array[Byte](12) ++ Array.fill[Byte](20)(b)
+
+    // dynamic array + trailing static: Batch(address[] to, uint64 n)
+    val sig1 = "Batch(address[] to, uint64 n)"
+    val ev1 = Abi.parseEvent(sig1)
+    val data1 = word(64) ++ word(7) ++ // head: offset 0x40, n=7
+      word(2) ++ addr(0x11) ++ addr(0x22) // tail: len, 2 addresses
+    val r1 = Seq((1, Seq(ev1.topic0), data1)).toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sig1).as("dec"))
+      .collect()(0).getAs[Row]("dec")
+    val tos = r1.getAs[scala.collection.Seq[Array[Byte]]]("to")
+    assert(tos.length == 2)
+    assert(tos(0).forall(_ == 0x11) && tos(0).length == 20)
+    assert(tos(1).forall(_ == 0x22))
+    assert(r1.getAs[Long]("n") == 7L)
+
+    // static fixed array + static tuple, all inline (multi-word heads)
+    val sig2 = "Grid(uint64[3] xs, (address,uint64) pos, bool ok)"
+    val ev2 = Abi.parseEvent(sig2)
+    val data2 = word(10) ++ word(20) ++ word(30) ++ // xs inline
+      addr(0x33) ++ word(99) ++ // tuple inline
+      word(1) // ok
+    val r2 = Seq((1, Seq(ev2.topic0), data2)).toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sig2).as("dec"))
+      .collect()(0).getAs[Row]("dec")
+    assert(r2.getAs[scala.collection.Seq[Long]]("xs") == Seq(10L, 20L, 30L))
+    val pos = r2.getAs[Row]("pos")
+    assert(pos.getAs[Array[Byte]]("f0").forall(_ == 0x33))
+    assert(pos.getAs[Long]("f1") == 99L)
+    assert(r2.getAs[Boolean]("ok"))
+
+    // array of DYNAMIC tuples: nested head/tail with region-relative offsets
+    val sig3 = "Items((uint64,string)[] items)"
+    val ev3 = Abi.parseEvent(sig3)
+    val hi = "hi".getBytes
+    val data3 = word(32) ++ // head: array tail at 32
+      word(1) ++ // n = 1
+      word(32) ++ // elem0 offset, relative to elem area (base 64) -> 96
+      word(7) ++ word(64) ++ // tuple: f0=7, string offset rel 96 -> 160
+      word(hi.length) ++ hi ++ new Array[Byte](30)
+    val r3 = Seq((1, Seq(ev3.topic0), data3)).toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sig3).as("dec"))
+      .collect()(0).getAs[Row]("dec")
+    val items = r3.getAs[scala.collection.Seq[Row]]("items")
+    assert(items.length == 1)
+    assert(items(0).getAs[Long]("f0") == 7L)
+    assert(items(0).getAs[String]("f1") == "hi")
+
+    // indexed array params carry only their 32-byte keccak topic
+    val sig4 = "E(uint256[] indexed xs, uint64 v)"
+    val ev4 = Abi.parseEvent(sig4)
+    val fakeHash = Array.fill[Byte](32)(0x5a)
+    val r4 = Seq((1, Seq(ev4.topic0, fakeHash), word(3)))
+      .toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sig4).as("dec"))
+      .collect()(0).getAs[Row]("dec")
+    assert(r4.getAs[Array[Byte]]("xs").forall(_ == 0x5a))
+    assert(r4.getAs[Long]("v") == 3L)
+
+    // truncated tail decodes to null, not an exception
+    val r5 = Seq((1, Seq(ev1.topic0), word(64) ++ word(7) ++ word(2) ++ addr(0x11)))
+      .toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sig1).as("dec"))
+      .collect()(0)
+    assert(r5.isNullAt(0))
   }
 
   test("abi event decode: ERC20 Transfer shape") {
