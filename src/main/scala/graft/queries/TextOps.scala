@@ -154,7 +154,8 @@ object TextOps {
     * the candidate docs (a semi-join on the documents scan), not by
     * caching 10M+ rows. */
   def minhashPairsOf(docs: DataFrame, bucketCap: Int = LshBucketCap,
-      broadcastMaxDocs: Long = RerankBroadcastMaxDocs): DataFrame = {
+      broadcastMaxDocs: Long = RerankBroadcastMaxDocs,
+      minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val banded = bandRowsOf(docs)
       .select(col("doc_id"), col("band_idx"), col("band_hash"))
@@ -205,7 +206,7 @@ object TextOps {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** PII detection + redaction over (doc_id, raw) rows: count email
@@ -616,6 +617,19 @@ object TextOps {
     // for the surviving candidates.
     "q_doc_minhash_pairs" -> { (s, dir) =>
       minhashPairsOf(Tables(s, dir, "documents"))
+    },
+
+    // Threshold-tuning table: the same LSH candidate pipeline with the
+    // verification gate open (minJaccard 0), bucketed into similarity
+    // deciles — the histogram a data team reads to PICK the near-dup
+    // threshold before a dedup run commits it. Same cost shape as the
+    // pair query (the decile rollup is one extra skinny groupBy); bucket
+    // boundaries are exact because the jaccard doubles are identical
+    // integer ratios in both engines.
+    "q_doc_pair_sim_hist" -> { (s, dir) =>
+      minhashPairsOf(Tables(s, dir, "documents"), minJaccard = 0.0)
+        .select(floor(col("jaccard") * 10).cast("long").as("sim_decile"))
+        .groupBy("sim_decile").agg(count(lit(1)).as("n_pairs"))
     },
 
     // Near-dup CLUSTERS: connected components over the LSH pair graph —
@@ -1032,7 +1046,9 @@ object TextOps {
       |  (lang_ok AND quality_ok AND exact_canonical AND neardup_canonical) AS keep
       | FROM verdicts)""".stripMargin
 
-  private def duckMinhashPairsSql: String =
+  private def duckMinhashPairsSql: String = duckMinhashPairsSqlAt(0.5)
+
+  private def duckMinhashPairsSqlAt(minJ: Double): String =
     s"""WITH d AS (
         | SELECT doc_id, $duckShingles AS sh
         | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
@@ -1063,7 +1079,7 @@ object TextOps {
         |   / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
         |FROM pairs JOIN d sa ON sa.doc_id = id_a JOIN d sb ON sb.doc_id = id_b
         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5""".stripMargin
+        |   / len(list_distinct(list_concat(sa.sh, sb.sh))) >= $minJ""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_doc_token_stats" ->
@@ -1136,6 +1152,11 @@ object TextOps {
              .mkString(", ")}
         |FROM hashed""".stripMargin,
     "q_doc_minhash_pairs" -> duckMinhashPairsSql,
+    "q_doc_pair_sim_hist" ->
+      s"""SELECT CAST(floor(jaccard * 10) AS BIGINT) AS sim_decile,
+        | count(*) AS n_pairs
+        |FROM (${duckMinhashPairsSqlAt(0.0)})
+        |GROUP BY 1""".stripMargin,
     // min-label propagation converges to the component minimum, which is
     // exactly what the transitive-closure min computes: every node's
     // reachable-label set contains the component min and nothing smaller.
