@@ -543,6 +543,26 @@ object SimilarityOps {
         .groupBy("q_id")
         .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
         .withColumn("recall_at_3", col("n_hits").cast("double") / 3.0)
+    },
+
+    // The nprobe tuning table: recall@3 at nprobe 1/2/4 in ONE result —
+    // the read/recall frontier a team consults before fixing an index
+    // layout (the ANN twin of q_doc_pair_sim_hist's threshold table).
+    // Each probe width re-runs the probe path; the corpus-side
+    // assignment and the exact baseline are computed once each and the
+    // rollup is three skinny rows.
+    "q_embed_ivf_recall_sweep" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val exact = cosineTopkOf(e, nQueries = 10, k = 3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      Seq(1, 2, 4).map { np =>
+        ivfSearchOf(e, nprobe = np).select(col("q_id"), col("c_id"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ union _)
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .groupBy("nprobe")
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_3", col("n_hits").cast("double") / 30.0)
     }
   )
 
@@ -679,7 +699,7 @@ object SimilarityOps {
 
   /** IVF probe path: 16 seed centroids, nprobe=2, exact top-3 re-rank
     * within the probed cells (see q_embed_ivf_search) */
-  private def ivfSearchOf(e: DataFrame): DataFrame = {
+  private def ivfSearchOf(e: DataFrame, nprobe: Int = 2): DataFrame = {
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     def nearestCells(src: DataFrame, idCol: String, n: Int): DataFrame = {
@@ -697,7 +717,7 @@ object SimilarityOps {
     val assign = assignTo(e, cents)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_e"), col("centroid_id"))
     val queries = e.filter(col("vec_id") < 10)
-    val probes = nearestCells(queries, "vec_id", 2)
+    val probes = nearestCells(queries, "vec_id", nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_e"), col("centroid_id"))
     val cand = probes.join(assign, "centroid_id")
       .filter(col("q_id") =!= col("c_id"))
@@ -875,6 +895,31 @@ object SimilarityOps {
         |SELECT q_id, c_id, rk, cosine FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
         | FROM cand) WHERE rk <= 3""".stripMargin,
+    "q_embed_ivf_recall_sweep" -> {
+      def runAt(np: Int) =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, q_id, c_id FROM (
+           | WITH ${duckIvfCtesAt(np)}
+           | SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+           | FROM cand) WHERE rk <= 3"""
+      s"""WITH q2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |bf AS (
+        | SELECT q2.vec_id AS q_id, c.vec_id AS c_id,
+        |  ${duckDot("q2", "c")} /
+        |   (sqrt(${duckSS("q2.embedding")}) * sqrt(${duckSS("c.embedding")})) AS cosine
+        | FROM q2, embeddings c WHERE q2.vec_id <> c.vec_id),
+        |exact AS (
+        | SELECT q_id, c_id FROM (
+        |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM bf) WHERE rk <= 3),
+        |runs AS (${runAt(1)}
+        | UNION ALL ${runAt(2)}
+        | UNION ALL ${runAt(4)})
+        |SELECT nprobe,
+        | CAST(coalesce(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+        | CAST(coalesce(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / 30.0 AS recall_at_3
+        |FROM runs r LEFT JOIN exact e ON r.q_id = e.q_id AND r.c_id = e.c_id
+        |GROUP BY nprobe""".stripMargin
+    },
     "q_embed_ivf_recall" ->
       s"""WITH $duckIvfCtes,
         |approx AS (
@@ -1004,7 +1049,9 @@ object SimilarityOps {
 
   /** shared CTE chain of the IVF probe path (assign + probe + candidate
     * scoring) — the search and recall oracles both build on `cand` */
-  private lazy val duckIvfCtes: String =
+  private lazy val duckIvfCtes: String = duckIvfCtesAt(2)
+
+  private def duckIvfCtesAt(nprobe: Int): String =
     s"""cents AS (
       | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
       |scored AS (
@@ -1017,7 +1064,7 @@ object SimilarityOps {
       | FROM scored),
       |assign AS (SELECT vec_id AS c_id, embedding AS c_e, centroid_id FROM ranked WHERE rk = 1),
       |probes AS (SELECT vec_id AS q_id, embedding AS q_e, centroid_id FROM ranked
-      |           WHERE rk <= 2 AND vec_id < 10),
+      |           WHERE rk <= $nprobe AND vec_id < 10),
       |cand AS (
       | SELECT q_id, c_id,
       |  ${duckDotCols("q_e", "c_e")} / (sqrt(${duckSS("q_e")}) * sqrt(${duckSS("c_e")})) AS cosine
