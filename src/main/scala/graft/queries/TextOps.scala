@@ -999,8 +999,49 @@ object TextOps {
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .withColumn("kept", col("cum_tokens") <= budget)
         .drop("n_stop")
-    }
+    },
+
+    // Corpus-trained bigram LM score — the CCNet-style "does this read
+    // like the corpus?" quality filter, the model-based sibling of
+    // q_doc_quality's surface heuristics. The LM is trained ON the
+    // corpus itself (unigram + bigram counts, two skinny shuffles with
+    // map-side partials), then every bigram occurrence is scored
+    // p(w2|w1) ≈ c(w1w2)/(c(w1)+5) on a 2^20 integer grid (exact long
+    // division — logs are transcendental and not bit-portable across
+    // engines, so the score is a mean grid-probability, monotone in the
+    // same direction as negative perplexity; the add-5 denominator
+    // smoothing keeps hapax bigrams from scoring the grid maximum, the
+    // standard additive-smoothing fix). The model joins are
+    // deliberately UNhinted: vocabulary (and vocab²) is data-dependent
+    // and unbounded at corpus scale, so a forced broadcast is the
+    // driver-OOM class; AQE broadcasts when runtime stats are small and
+    // both sides shuffle on the term key otherwise — either way the
+    // model side is vocabulary-bounded, far below corpus scale. The
+    // per-doc rollup is exact long addition (order-independent) + ONE
+    // final double division. Docs with <2 tokens have no bigrams and
+    // drop out (mirrored in the oracle).
+    "q_doc_lm_score" -> { (s, dir) => lmScoreOf(Tables(s, dir, "documents")) }
   )
+
+  /** Bigram-LM scoring core over any (doc_id, text) frame — see the
+    * q_doc_lm_score entry above for the plan-shape discussion. */
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bg = docs.select(col("doc_id"),
+      GraftSql.column(graft.functions.ExplodeShingles(
+        GraftSql.expression(toks), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    bg.join(c2, "bg")
+      .join(uni, col("w1") === col("w"))
+      .withColumn("grid", expr("(c2 * 1048576) div (c1 + 5)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("grid").as("sum_grid"))
+      .withColumn("lm_score",
+        col("sum_grid").cast("double") / col("n_bigrams"))
+  }
 
   private val duckToks = s"string_split(text, ' ') AS toks"
 
@@ -1374,6 +1415,25 @@ object TextOps {
         | (sum(n_tokens) OVER (PARTITION BY source
         |   ORDER BY q_score DESC, doc_id ASC
         |   ROWS UNBOUNDED PRECEDING)) <= 1500 AS kept
-        |FROM scored""".stripMargin
+        |FROM scored""".stripMargin,
+    "q_doc_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks FROM documents),
+        |tok AS (SELECT unnest(toks) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+        |bgl AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        | FROM t),
+        |bgs AS (
+        | SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgl),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+        |scored AS (
+        | SELECT b.doc_id, (c2.c2 * 1048576) // (uni.c1 + 5) AS grid
+        | FROM bgs b JOIN c2 USING (bg) JOIN uni ON b.w1 = uni.w)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(grid) AS BIGINT) AS sum_grid,
+        | CAST(sum(grid) AS DOUBLE) / count(*) AS lm_score
+        |FROM scored GROUP BY doc_id""".stripMargin
   )
 }

@@ -86,6 +86,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(res.head.getDouble(2) > 0.9)
   }
 
+  test("bigram LM score: corpus-frequent phrasing outranks hapax phrasing") {
+    import spark.implicits._
+    // 5 copies of one phrase: its bigrams dominate the corpus counts.
+    // One doc of globally-unique bigrams: without the add-5 smoothing
+    // every hapax would score the grid max (c2=1, c1=1); with it the
+    // hapax doc must land strictly below the common docs.
+    val common = (1 to 5).map(i => (i.toLong, "the cat sat on the mat"))
+    val unique = Seq((99L, "zx qy wv ut sr"))
+    val got = graft.queries.TextOps
+      .lmScoreOf((common ++ unique).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_grid"),
+          r.getAs[Double]("lm_score"))))
+      .toMap
+    // hand-computed: c1(the)=10, c1(cat|sat|on|mat)=5; each bigram c2=5.
+    // grid("the cat")=grid("the mat")=5*2^20 div 15=349525;
+    // grid("cat sat")=grid("sat on")=grid("on the")=5*2^20 div 10=524288.
+    (1 to 5).foreach { i =>
+      assert(got(i.toLong) == ((5L, 2271914L, 454382.8)))
+    }
+    // hapax: grid = 2^20 div 6 = 174762 for each of 4 bigrams.
+    assert(got(99L) == ((4L, 699048L, 174762.0)))
+  }
+
   test("dedup clusters: multi-hop chains collapse to the min label") {
     import spark.implicits._
     // two components: a 4-node chain (diameter 3 — needs >1 propagation
