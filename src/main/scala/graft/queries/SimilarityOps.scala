@@ -78,6 +78,47 @@ object SimilarityOps {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup cosine threshold — a vector whose cosine to a LOWER-id
+    * vector in the same k-means cell exceeds this is a semantic
+    * duplicate and is dropped. */
+  val SemdedupTau = 0.8
+
+  /** SemDeDup (cluster-scoped semantic dedup): assign every vector to
+    * its nearest centroid (the row-local NearestCentroidF32 projection —
+    * no expansion, no exchange), then compare each vector ONLY against
+    * lower-id members of its own cell and drop it when the max cosine
+    * exceeds tau. The contract that scales: pairwise cost is
+    * cell-quadratic, and production SemDeDup grows k with the corpus so
+    * cells stay ~constant-sized — the within-cell join partitions on
+    * centroid_id (one exchange each side), never corpus-quadratic. The
+    * cellCap is the same degenerate-bucket hygiene as neardupOf: a
+    * pathological mega-cell skips pairwise (all kept, max NULL) rather
+    * than going quadratic; mirrored in the oracle so capped semantics
+    * are the defined semantics. Every vector is emitted with its cell,
+    * its max-prior cosine (NULL if none) and the keep verdict — the
+    * audit-table discipline of q_doc_corpus_prep. */
+  def semdedupOf(embeddings: DataFrame, threshold: Double = SemdedupTau,
+      cellCap: Int = EmbBucketCap): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val sized = assignTo(embeddings, cents)
+      .select("vec_id", "centroid_id", "embedding")
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("centroid_id")))
+    val inPlay = sized.filter(col("csz") <= cellCap)
+    val b = inPlay.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val sims = inPlay.join(b, "centroid_id")
+      .filter(col("id_b") < col("vec_id"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("emb_b")) /
+          (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("emb_b")))))
+      .groupBy("vec_id").agg(max(col("cosine")).as("max_prior_cosine"))
+    sized.select("vec_id", "centroid_id")
+      .join(sims, Seq("vec_id"), "left")
+      .withColumn("keep",
+        coalesce(col("max_prior_cosine") <= threshold, lit(true)))
+  }
+
   /** PQ geometry: 8 subspaces × 8 dims over the 64-dim embeddings, 16
     * codewords per subspace taken from the vec_id < 16 seed vectors (the
     * same seed convention as the IVF centroids — the mechanics of
@@ -393,6 +434,15 @@ object SimilarityOps {
     "q_embed_dedup_clusters" -> { (s, dir) =>
       TextOps.clustersOf(neardupOf(Tables(s, dir, "embeddings")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    },
+
+    // SemDeDup: semantic dedup scoped to k-means cells — the
+    // cluster-then-prune recipe for embedding-level duplicate removal
+    // (the LSH-bucketed neardup's trained-partition sibling: buckets
+    // come from the data's own cluster structure instead of random
+    // hyperplanes). See semdedupOf for the scale contract.
+    "q_embed_semdedup" -> { (s, dir) =>
+      semdedupOf(Tables(s, dir, "embeddings"))
     },
 
     // Product quantization encode: each vector compresses to 8 codes of
@@ -787,6 +837,31 @@ object SimilarityOps {
         |SELECT vec_id, centroid_id, cosine FROM (
         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
         | FROM scored) WHERE rk = 1""".stripMargin,
+    "q_embed_semdedup" ->
+      s"""WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  ${duckDotCols("e.embedding", "c.c_emb")} /
+        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+        | FROM embeddings e, cents c),
+        |assign AS (
+        | SELECT vec_id, embedding, centroid_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |sized AS (
+        | SELECT *, count(*) OVER (PARTITION BY centroid_id) AS csz FROM assign),
+        |sims AS (
+        | SELECT a.vec_id,
+        |  max(${duckDotCols("a.embedding", "b.embedding")} /
+        |   (sqrt(${duckSS("a.embedding")}) * sqrt(${duckSS("b.embedding")}))) AS max_prior_cosine
+        | FROM sized a JOIN sized b
+        |  ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+        | WHERE a.csz <= $EmbBucketCap AND b.csz <= $EmbBucketCap
+        | GROUP BY a.vec_id)
+        |SELECT s.vec_id, s.centroid_id, m.max_prior_cosine,
+        | coalesce(m.max_prior_cosine <= $SemdedupTau, TRUE) AS keep
+        |FROM sized s LEFT JOIN sims m ON s.vec_id = m.vec_id""".stripMargin,
     "q_embed_kmeans_step" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),

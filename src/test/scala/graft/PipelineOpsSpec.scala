@@ -111,6 +111,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(99L) == ((4L, 699048L, 174762.0)))
   }
 
+  test("semdedup: same-cell near-identical vectors drop, obliques keep") {
+    import spark.implicits._
+    def unit(i: Int, s: Float): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) s else 0f)
+    // 16 orthogonal seeds = their own centroids (one per cell), plus:
+    // two scaled copies of seed 0 (cosine 1.0 -> both drop against the
+    // lower-id seed), and one oblique e1+e2 vector (cosine 1/sqrt(2) ≈
+    // .707 to seeds 1 and 2 — tie-break assigns cell 1, kept under .8).
+    val seeds = (0 until 16).map(i => (i.toLong, unit(i, 1f)))
+    val extra = Seq(
+      (100L, unit(0, 2f)),
+      (101L, unit(0, 3f)),
+      (102L, Array.tabulate(64)(j => if (j == 1 || j == 2) 1f else 0f)))
+    val got = graft.queries.SimilarityOps
+      .semdedupOf((seeds ++ extra).toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("centroid_id"), Option(r.get(2)).map(_ => r.getAs[Double]("max_prior_cosine")),
+          r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(got.size == 19)
+    assert(got(100L)._1 == 0L && !got(100L)._3 && got(100L)._2.get > 0.999)
+    assert(got(101L)._1 == 0L && !got(101L)._3)
+    assert(got(102L)._1 == 1L && got(102L)._3 &&
+      math.abs(got(102L)._2.get - 1.0 / math.sqrt(2)) < 1e-12)
+    (0 until 16).foreach(i => assert(got(i.toLong)._3, s"seed $i must keep"))
+    assert(got(0L)._2.isEmpty) // no lower-id cellmate for the first seed
+  }
+
   test("dedup clusters: multi-hop chains collapse to the min label") {
     import spark.implicits._
     // two components: a 4-node chain (diameter 3 — needs >1 propagation
