@@ -573,6 +573,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gif tier emits genuine multi-frame GIF containers, frames lossless") {
+    // the payloads really are GIF containers
+    val payloads = graft.queries.MultimodalOps.gifAssets(spark, sf)
+      .select("doc_id", "content").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[Array[Byte]](1))
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (_, b) =>
+      val magic = new String(b.take(6), "US-ASCII")
+      assert(magic == "GIF89a" || magic == "GIF87a")
+    }
+    // identity-gray palette => every frame round-trips its 256-byte
+    // slice exactly (zero-padded tail); verify ALL frames of 20 docs
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    var sawMulti = false
+    payloads.take(20).foreach { case (id, b) =>
+      val src = texts(id).getBytes("UTF-8")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      assert(n == math.max(1, (src.length + 255) / 256))
+      if (n > 1) sawMulti = true
+      (0 until n).foreach { f =>
+        val img = reader.read(f)
+        assert(img.getWidth == 16 && img.getHeight == 16)
+        (0 until 256).foreach { i =>
+          val want = if (f * 256 + i < src.length) src(f * 256 + i) & 0xff else 0
+          assert((img.getRGB(i % 16, i / 16) & 0xff) == want,
+            s"doc $id frame $f pixel $i")
+        }
+      }
+      reader.dispose()
+    }
+    assert(sawMulti, "fixture must exercise multi-frame containers")
+  }
+
   test("simhash is stable across runs (deterministic)") {
     val a = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
