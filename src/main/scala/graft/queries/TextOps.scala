@@ -1020,7 +1020,50 @@ object TextOps {
     // per-doc rollup is exact long addition (order-independent) + ONE
     // final double division. Docs with <2 tokens have no bigrams and
     // drop out (mirrored in the oracle).
-    "q_doc_lm_score" -> { (s, dir) => lmScoreOf(Tables(s, dir, "documents")) }
+    "q_doc_lm_score" -> { (s, dir) => lmScoreOf(Tables(s, dir, "documents")) },
+
+    // BM25 retrieval scoring against a fixed query — the ranked-search
+    // primitive of data curation (find the training docs most relevant
+    // to an eval topic; the retrieval half of decontamination-by-
+    // similarity). Okapi BM25 with k1=1.2, b=0.75, with Robertson's
+    // log-free rational idf (N-df+0.5)/(df+0.5) — logs are
+    // transcendental and not bit-portable, the TF-IDF discipline; the
+    // ranking is monotone-equivalent per term. Scale shape: the
+    // query-term filter prunes the token stream AT THE SCAN (isin on a
+    // 3-term literal); tf is |matching docs|-scale, df is 3 rows and
+    // the global (N, avgdl) stats are ONE row — both broadcast bounded
+    // by construction (the q15 1-row cross-join discipline); dl is the
+    // one corpus-wide skinny aggregate. The 3 per-term scores pivot to
+    // fixed columns and sum in fixed left-to-right order (cross-row
+    // double sums are engine-order-dependent; a 3-column add is not).
+    "q_doc_bm25" -> { (s, dir) =>
+      val terms = Seq("spark", "join", "window")
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(toks).as("term"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val tf = tok.filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val denom = col("tf") + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      val scored = tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("s", idf * (col("tf") * lit(2.2)) / denom)
+      val pivoted = scored.groupBy("doc_id").agg(
+        max(when(col("term") === "spark", col("s"))).as("raw_spark"),
+        max(when(col("term") === "join", col("s"))).as("raw_join"),
+        max(when(col("term") === "window", col("s"))).as("raw_window"))
+      dl.join(pivoted, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dl"),
+          coalesce(col("raw_spark"), lit(0.0)).as("s_spark"),
+          coalesce(col("raw_join"), lit(0.0)).as("s_join"),
+          coalesce(col("raw_window"), lit(0.0)).as("s_window"))
+        .withColumn("bm25", col("s_spark") + col("s_join") + col("s_window"))
+    }
   )
 
   /** Bigram-LM scoring core over any (doc_id, text) frame — see the
@@ -1434,6 +1477,39 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         | CAST(sum(grid) AS BIGINT) AS sum_grid,
         | CAST(sum(grid) AS DOUBLE) / count(*) AS lm_score
-        |FROM scored GROUP BY doc_id""".stripMargin
+        |FROM scored GROUP BY doc_id""".stripMargin,
+    "q_doc_bm25" ->
+      s"""WITH tok AS (
+        | SELECT doc_id, unnest(toks) AS term
+        | FROM (SELECT doc_id, $duckToks FROM documents)),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM tok
+        | WHERE term IN ('spark', 'join', 'window')
+        | GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        | SELECT t.doc_id, t.term,
+        |  -- e0 literals: bare 0.5 is DECIMAL in DuckDB and rounds
+        |  -- differently from Spark's double arithmetic
+        |  ((s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0))
+        |   * (t.tf * 2.2e0)
+        |   / (t.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 *
+        |      (CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS s
+        | FROM tf t JOIN dft f USING (term) JOIN dl d USING (doc_id), stats s),
+        |pivoted AS (
+        | SELECT doc_id,
+        |  max(CASE WHEN term = 'spark' THEN s END) AS raw_spark,
+        |  max(CASE WHEN term = 'join' THEN s END) AS raw_join,
+        |  max(CASE WHEN term = 'window' THEN s END) AS raw_window
+        | FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, d.dl,
+        | coalesce(raw_spark, 0.0) AS s_spark,
+        | coalesce(raw_join, 0.0) AS s_join,
+        | coalesce(raw_window, 0.0) AS s_window,
+        | coalesce(raw_spark, 0.0) + coalesce(raw_join, 0.0)
+        |   + coalesce(raw_window, 0.0) AS bm25
+        |FROM dl d LEFT JOIN pivoted p ON d.doc_id = p.doc_id""".stripMargin
   )
 }

@@ -611,6 +611,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sawMulti, "fixture must exercise multi-frame containers")
   }
 
+  test("bm25: every doc scored, zero without query terms, exact column sum") {
+    val rows = SparkEntry.queries("q_doc_bm25")(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    val texts = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val s = Seq("s_spark", "s_join", "s_window").map(r.getAs[Double])
+      assert(s.forall(_ >= 0.0))
+      // fixed-order sum is the exact bm25 column
+      assert(r.getAs[Double]("bm25") == s(0) + s(1) + s(2))
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ").toSet
+      if (!toks.exists(Set("spark", "join", "window")))
+        assert(r.getAs[Double]("bm25") == 0.0)
+    }
+    // the fixture must exercise nonzero scores
+    assert(rows.exists(_.getAs[Double]("bm25") > 0.0))
+  }
+
   test("simhash is stable across runs (deterministic)") {
     val a = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = SparkEntry.queries("q_doc_simhash")(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
