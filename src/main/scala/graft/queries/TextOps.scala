@@ -1022,6 +1022,22 @@ object TextOps {
     // drop out (mirrored in the oracle).
     "q_doc_lm_score" -> { (s, dir) => lmScoreOf(Tables(s, dir, "documents")) },
 
+    // Cross-source contamination matrix: for every source pair, how many
+    // distinct 3-gram fingerprints they share — the governance table
+    // that shows which feeds duplicate which (mirror sites, scrapes of
+    // scrapes) BEFORE a training run mixes them. Scale shape: shingles
+    // reduce to 64-bit fingerprints in the one-pass Generator (the
+    // dup-spans discipline — text never shuffles); ONE exchange on the
+    // fingerprint builds the per-shingle distinct source set
+    // (collect_set — sources are an enumerable governance dimension,
+    // thousands at most, so the set is bounded); the pair explosion is
+    // |set|² ≤ |sources|² and runs MAP-SIDE after that aggregation; the
+    // final rollup is a skinny ≤|sources|²-row groupBy. Most shingles
+    // live in one source → empty sets drop immediately.
+    "q_doc_source_overlap" -> { (s, dir) =>
+      sourceOverlapOf(Tables(s, dir, "documents"))
+    },
+
     // BM25 retrieval scoring against a fixed query — the ranked-search
     // primitive of data curation (find the training docs most relevant
     // to an eval topic; the retrieval half of decontamination-by-
@@ -1065,6 +1081,25 @@ object TextOps {
         .withColumn("bm25", col("s_spark") + col("s_join") + col("s_window"))
     }
   )
+
+  /** Source-overlap core over any (source, text) frame — see the
+    * q_doc_source_overlap entry above for the plan-shape discussion. */
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val sh = docs
+      .select(col("source"),
+        GraftSql.column(graft.functions.ExplodeShingles(
+          GraftSql.expression(toks), 3)).as("shingle"))
+      .select(col("source"),
+        (graft.functions.Md5Prefix60(col("shingle")) % MinhashMod).as("h"))
+    sh.groupBy("h").agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("h"), explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("h"), col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
 
   /** Bigram-LM scoring core over any (doc_id, text) frame — see the
     * q_doc_lm_score entry above for the plan-shape discussion. */
@@ -1510,6 +1545,17 @@ object TextOps {
         | coalesce(raw_window, 0.0) AS s_window,
         | coalesce(raw_spark, 0.0) + coalesce(raw_join, 0.0)
         |   + coalesce(raw_window, 0.0) AS bm25
-        |FROM dl d LEFT JOIN pivoted p ON d.doc_id = p.doc_id""".stripMargin
+        |FROM dl d LEFT JOIN pivoted p ON d.doc_id = p.doc_id""".stripMargin,
+    "q_doc_source_overlap" ->
+      s"""WITH sh AS (
+        | SELECT DISTINCT source,
+        |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $MinhashMod AS h
+        | FROM (
+        |  SELECT source, unnest($duckShinglesAll) AS shingle
+        |  FROM (SELECT source, $duckToks FROM documents)))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | count(*) AS n_shared_shingles
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin
   )
 }

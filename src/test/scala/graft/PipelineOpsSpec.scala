@@ -611,6 +611,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sawMulti, "fixture must exercise multi-frame containers")
   }
 
+  test("source overlap counts shared distinct shingles per source pair") {
+    import spark.implicits._
+    // sources A and B share the phrase (2 distinct 3-gram shingles;
+    // B repeats it — dedup must count each shingle once); C is disjoint.
+    val docs = Seq(
+      (1L, "one two three four", "A"),
+      (2L, "one two three four one two three four", "B"),
+      (3L, "five six seven eight", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.queries.TextOps.sourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_shared_shingles"))
+      .toMap
+    // B's self-overlapping repeat adds shingles "four one", "three four
+    // one", "four one two" — none shared with A, so the pair count
+    // stays the 2 phrase shingles.
+    assert(got == Map(("A", "B") -> 2L))
+  }
+
   test("bm25: every doc scored, zero without query terms, exact column sum") {
     val rows = SparkEntry.queries("q_doc_bm25")(spark, sf).collect()
     val nDocs = Tables(spark, sf, "documents").count()
