@@ -1038,6 +1038,23 @@ object TextOps {
       sourceOverlapOf(Tables(s, dir, "documents"))
     },
 
+    // URL-level dedup — the FIRST pass of web-corpus prep (C4 dedupes
+    // by URL before any content pass: it needs no text comparison at
+    // all). Planted URLs (the url_stats convention, with a colliding
+    // path so duplicates exist) normalize by lowercasing; canonical =
+    // min doc_id per URL via the exact-dedup window idiom — one skinny
+    // shuffle on the URL key, no self-join, every doc emitted with its
+    // verdict (the audit-table discipline).
+    "q_doc_url_dedup" -> { (s, dir) =>
+      val url = concat(lit("https://Site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/p/"), (col("doc_id") % 40).cast("string"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), lower(url).as("url"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy("url")))
+        .withColumn("keep", col("doc_id") === col("canonical_id"))
+    },
+
     // BM25 retrieval scoring against a fixed query — the ranked-search
     // primitive of data curation (find the training docs most relevant
     // to an eval topic; the retrieval half of decontamination-by-
@@ -1556,6 +1573,16 @@ object TextOps {
         |SELECT a.source AS source_a, b.source AS source_b,
         | count(*) AS n_shared_shingles
         |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q_doc_url_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  lower('https://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.example.org/p/' || CAST(doc_id % 40 AS VARCHAR)) AS url
+        | FROM documents)
+        |SELECT doc_id, url,
+        | min(doc_id) OVER (PARTITION BY url) AS canonical_id,
+        | doc_id = min(doc_id) OVER (PARTITION BY url) AS keep
+        |FROM u""".stripMargin
   )
 }
