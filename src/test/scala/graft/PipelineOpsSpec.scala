@@ -629,6 +629,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(("A", "B") -> 2L))
   }
 
+  test("new r6 ops keep scale-safe plans: no cartesian, overlap join-free") {
+    // lm_score: model joins may broadcast (AQE) but never cartesian
+    val p1 = SparkEntry.queries("q_doc_lm_score")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct"))
+    // bm25: the 1-row stats side must ride a broadcast, not a cartesian
+    val p2 = SparkEntry.queries("q_doc_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("BroadcastHashJoin"))
+    // source_overlap: the pair matrix must build WITHOUT any join —
+    // collect_set + map-side Generate only
+    val p3 = SparkEntry.queries("q_doc_source_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("Join") && p3.contains("Generate") &&
+      p3.contains("HashAggregate"))
+  }
+
   test("bm25: every doc scored, zero without query terms, exact column sum") {
     val rows = SparkEntry.queries("q_doc_bm25")(spark, sf).collect()
     val nDocs = Tables(spark, sf, "documents").count()
