@@ -353,6 +353,43 @@ object SimilarityOps {
       cosineTopkOf(Tables(s, dir, "embeddings"), nQueries = 10, k = 5)
     },
 
+    // k-NN label classification — the label-propagation primitive of
+    // data curation (auto-label new documents from a small labeled set,
+    // audit embedding quality by held-out vote accuracy). Top-5 cosine
+    // neighbors per query via the map-side-bounded TopKPerKey aggregator
+    // (NOT a window — only k rows per key per partition cross the
+    // shuffle), labels joined on the id-only top-k (AQE broadcasts the
+    // skinny side), then a two-level partial-aggregable argmax: votes
+    // per (query, label), winner by max(struct(n_votes, -best_rk)) —
+    // most votes, nearest-neighbor tie-break, no window anywhere.
+    "q_embed_knn_label" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val scored = c.crossJoin(broadcast(q.drop("q_label")))
+        .withColumn("cosine",
+          dot(col("q_emb"), col("c_emb")) /
+            (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
+      val topk = graft.operators.TopKPerKey.topK(s, scored,
+        "q_id", "cosine", "c_id", 5)
+      val labels = e.select(col("vec_id").as("c_id"),
+        col("label").as("c_label"))
+      val votes = topk.join(labels, "c_id")
+        .groupBy("q_id", "c_label")
+        .agg(count(lit(1)).as("n_votes"), min("rk").as("best_rk"))
+      votes.groupBy("q_id")
+        .agg(max(struct(col("n_votes"), (-col("best_rk")).as("neg_rk"),
+          col("c_label"))).as("w"))
+        .select(col("q_id"), col("w.c_label").as("pred_label"),
+          col("w.n_votes").as("n_votes"))
+        .join(q.select(col("q_id"), col("q_label")), "q_id")
+        .withColumn("correct", col("q_label") === col("pred_label"))
+        .select("q_id", "q_label", "pred_label", "n_votes", "correct")
+    },
+
     // Sign-LSH bucketing (random-projection LSH with axis projections):
     // the scale path for ANN — one shuffle on bucket id.
     "q_embed_lsh_buckets" -> { (s, dir) =>
@@ -795,6 +832,28 @@ object SimilarityOps {
         | SELECT q_id, c_id, cosine,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
         | FROM scored) WHERE rk <= 5""".stripMargin,
+    "q_embed_knn_label" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding, label AS q_label
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding, label AS c_label
+        |  FROM embeddings WHERE vec_id >= 10),
+        |scored AS (
+        | SELECT q.q_id, q.q_label, c.c_id, c.c_label,
+        |  ${duckDot("q", "c")} /
+        |   (sqrt(${duckSS("q.embedding")}) * sqrt(${duckSS("c.embedding")})) AS cosine
+        | FROM q, c),
+        |votes AS (
+        | SELECT q_id, q_label, c_label, count(*) AS n_votes, min(rk) AS best_rk
+        | FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        |   FROM scored)
+        | WHERE rk <= 5 GROUP BY q_id, q_label, c_label)
+        |SELECT q_id, q_label, c_label AS pred_label, n_votes,
+        | q_label = c_label AS correct
+        |FROM (SELECT *, row_number() OVER (
+        |   PARTITION BY q_id ORDER BY n_votes DESC, best_rk ASC) AS pr
+        |  FROM votes)
+        |WHERE pr = 1""".stripMargin,
     "q_embed_lsh_buckets" ->
       s"""SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
         |FROM (SELECT vec_id, $duckBucket AS bucket FROM embeddings)

@@ -1055,6 +1055,58 @@ object TextOps {
         .withColumn("keep", col("doc_id") === col("canonical_id"))
     },
 
+    // Gopher-style composite rule filter — the classic rule battery a
+    // web corpus runs after URL dedup and before model-based scoring:
+    // word-count bounds, mean-word-length bounds, stopword presence,
+    // distinct-token (repetition) floor, each emitted as its own verdict
+    // column so a data team can audit WHICH rule dropped a document.
+    // Every comparison is integer-space (mean length as n_chars*10 vs
+    // bounds*n_tokens — no float boundary can flip an engine), and the
+    // whole battery is scan-shaped codegen: one pass, zero shuffles, at
+    // 100 TB this is embarrassingly parallel per input split.
+    "q_doc_gopher_rules" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_uniq"),
+          stopCount(toks, stop("en")).as("n_stop"),
+          length(regexp_replace(col("text"), " ", "")).as("n_chars_ns"))
+        .withColumn("r_words", col("n_tokens").between(25, 80))
+        .withColumn("r_mean_len",
+          col("n_chars_ns") * 10 >= col("n_tokens") * 40 &&
+            col("n_chars_ns") * 10 <= col("n_tokens") * 52)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("r_uniq", col("n_uniq") * 10 >= col("n_tokens") * 3)
+        .withColumn("keep",
+          col("r_words") && col("r_mean_len") && col("r_stop") && col("r_uniq"))
+    },
+
+    // Temperature-based mixture weights (the multilingual sampling
+    // trick: raise per-language mass to alpha=0.5 so rare languages are
+    // up-weighted without drowning the head). Per-language doc counts →
+    // sqrt-scaled weights → normalized shares and the boost factor vs
+    // natural share. The sqrt rides an integer grid (floor(sqrt(c)·1e6))
+    // so the normalizing SUM is exact integer arithmetic — cross-row
+    // double sums are engine-order-dependent, integer sums are not; the
+    // final shares are single IEEE divisions of exact integers.
+    // Scale shape: one skinny groupBy(lang) + a 1-row global aggregate
+    // cross-joined back (the q15 discipline, broadcast by construction).
+    "q_doc_temperature_mix" -> { (s, dir) =>
+      val perLang = Tables(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_scaled",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      val tot = perLang.agg(sum("n_docs").as("t_docs"),
+        sum("s_scaled").as("s_sum"))
+      perLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("t_docs"),
+          (col("n_docs").cast("double") / col("t_docs")).as("nat_share"),
+          (col("s_scaled").cast("double") / col("s_sum")).as("temp_share"))
+        .withColumn("boost", col("temp_share") / col("nat_share"))
+        .withColumn("target_docs",
+          floor(col("temp_share") * col("t_docs").cast("double")).cast("long"))
+        .drop("t_docs")
+    },
+
     // BM25 retrieval scoring against a fixed query — the ranked-search
     // primitive of data curation (find the training docs most relevant
     // to an eval topic; the retrieval half of decontamination-by-
@@ -1583,6 +1635,38 @@ object TextOps {
         |SELECT doc_id, url,
         | min(doc_id) OVER (PARTITION BY url) AS canonical_id,
         | doc_id = min(doc_id) OVER (PARTITION BY url) AS keep
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+    "q_doc_gopher_rules" ->
+      s"""WITH m AS (
+        | SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_uniq,
+        |  ${duckStopCount(stop("en"))} AS n_stop,
+        |  length(replace(text, ' ', '')) AS n_chars_ns
+        | FROM (SELECT doc_id, text, $duckToks FROM documents))
+        |SELECT doc_id, n_tokens, n_uniq, n_stop, n_chars_ns,
+        | n_tokens BETWEEN 25 AND 80 AS r_words,
+        | (n_chars_ns * 10 >= n_tokens * 40 AND
+        |  n_chars_ns * 10 <= n_tokens * 52) AS r_mean_len,
+        | n_stop >= 2 AS r_stop,
+        | n_uniq * 10 >= n_tokens * 3 AS r_uniq,
+        | (n_tokens BETWEEN 25 AND 80
+        |  AND n_chars_ns * 10 >= n_tokens * 40
+        |  AND n_chars_ns * 10 <= n_tokens * 52
+        |  AND n_stop >= 2
+        |  AND n_uniq * 10 >= n_tokens * 3) AS keep
+        |FROM m""".stripMargin,
+    "q_doc_temperature_mix" ->
+      """WITH per_lang AS (
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS s_scaled
+        | FROM documents GROUP BY lang),
+        |tot AS (
+        | SELECT sum(n_docs) AS t_docs, sum(s_scaled) AS s_sum FROM per_lang)
+        |SELECT lang, n_docs,
+        | CAST(n_docs AS DOUBLE) / t_docs AS nat_share,
+        | CAST(s_scaled AS DOUBLE) / s_sum AS temp_share,
+        | (CAST(s_scaled AS DOUBLE) / s_sum) / (CAST(n_docs AS DOUBLE) / t_docs) AS boost,
+        | CAST(floor((CAST(s_scaled AS DOUBLE) / s_sum) * CAST(t_docs AS DOUBLE)) AS BIGINT) AS target_docs
+        |FROM per_lang, tot""".stripMargin
   )
 }

@@ -647,6 +647,53 @@ class PipelineOpsSpec extends AnyFunSuite {
       p3.contains("HashAggregate"))
   }
 
+  test("gopher rules: scan-only plan, keep is the rule conjunction") {
+    val df = SparkEntry.queries("q_doc_gopher_rules")(spark, sf)
+    // the rule battery must never shuffle: one codegen pass over the scan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+    val rows = df.collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val expect = r.getAs[Boolean]("r_words") && r.getAs[Boolean]("r_mean_len") &&
+        r.getAs[Boolean]("r_stop") && r.getAs[Boolean]("r_uniq")
+      assert(r.getAs[Boolean]("keep") == expect)
+    }
+    // the battery must actually discriminate on the test corpus
+    assert(rows.exists(_.getAs[Boolean]("keep")) &&
+      rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("temperature mix: shares normalize, rare langs boosted, head damped") {
+    val rows = SparkEntry.queries("q_doc_temperature_mix")(spark, sf).collect()
+    val nat = rows.map(_.getAs[Double]("nat_share")).sum
+    val temp = rows.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(nat - 1.0) < 1e-9 && math.abs(temp - 1.0) < 1e-9)
+    val byLang = rows.map(r => r.getAs[String]("lang") -> r).toMap
+    // en dominates the corpus -> damped; every minority lang -> boosted
+    assert(byLang("en").getAs[Double]("boost") < 1.0)
+    rows.filter(_.getAs[String]("lang") != "en")
+      .foreach(r => assert(r.getAs[Double]("boost") > 1.0))
+    // target allocation never exceeds the corpus total
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("target_docs")).sum <= total)
+  }
+
+  test("knn label: one prediction per query, vote bounds, no window argmax") {
+    val df = SparkEntry.queries("q_embed_knn_label")(spark, sf)
+    // both the top-k and the vote argmax must partial-aggregate — a
+    // window would exchange+sort every scored/vote row per key
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = df.collect()
+    assert(rows.length == 10 && rows.map(_.getAs[Long]("q_id")).distinct.length == 10)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("n_votes")
+      assert(v >= 1 && v <= 5)
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("q_label") == r.getAs[Int]("pred_label")))
+    }
+  }
+
   test("bm25: every doc scored, zero without query terms, exact column sum") {
     val rows = SparkEntry.queries("q_doc_bm25")(spark, sf).collect()
     val nDocs = Tables(spark, sf, "documents").count()
