@@ -1107,6 +1107,54 @@ object TextOps {
         .drop("t_docs")
     },
 
+    // Fuzzy decontamination — the GPT-3/Pile discipline: instead of the
+    // exact-shingle hit COUNT (q_doc_decontaminate), score each TRAIN
+    // doc by the FRACTION of its distinct 3-gram shingles that appear
+    // anywhere in the benchmark split, and flag docs above 20%. The
+    // fraction rides a permille integer grid ((n_hit*1000) div n) — no
+    // float boundary. Scale shape: both sides distinct-reduce BEFORE
+    // the join (the decontaminate discipline); the benchmark side is
+    // eval-sized (small) so AQE broadcasts it at any realistic scale,
+    // and the per-doc totals/hits are two skinny partial-agg shuffles.
+    "q_doc_contam_frac" -> { (s, dir) =>
+      val rows = shingleRows(s, dir)
+      val bench = rows.filter(col("doc_id") % 10 === 0)
+        .select("shingle").distinct()
+      val train = rows.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("shingle")).distinct()
+      val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hits = train.join(bench, "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contam_permille",
+          expr("(n_hit * 1000) div n_shingles"))
+        .withColumn("flagged", col("contam_permille") >= 200)
+    },
+
+    // CCNet-style perplexity bucketing: rank every document by the
+    // bigram-LM score (q_doc_lm_score's integer-grid model) WITHIN its
+    // source shard and cut head/middle/tail terciles — the shape CCNet
+    // actually ships (per-shard quality strata a mix can sample from).
+    // The ntile window is partitioned by source, so shards bucket in
+    // parallel (the token_budget discipline: a global ordering would
+    // serialize into one task at corpus scale); the score is a single
+    // IEEE division of exact integers — bit-identical in both engines —
+    // with doc_id tie-break, so no ambiguity decides a bucket edge.
+    "q_doc_ppl_buckets" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Window.partitionBy("source")
+        .orderBy(col("lm_score").desc, col("doc_id").asc)
+      lmScoreOf(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w))
+        .withColumn("stratum",
+          when(col("bucket") === 1, lit("head"))
+            .when(col("bucket") === 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "source", "lm_score", "bucket", "stratum")
+    },
+
     // BM25 retrieval scoring against a fixed query — the ranked-search
     // primitive of data curation (find the training docs most relevant
     // to an eval topic; the retrieval half of decontamination-by-
@@ -1191,6 +1239,30 @@ object TextOps {
   }
 
   private val duckToks = s"string_split(text, ' ') AS toks"
+
+  /** the bigram-LM scoring CTE chain ending in `lm_scored(doc_id,
+    * n_bigrams, sum_grid, lm_score)` — shared by the q_doc_lm_score and
+    * q_doc_ppl_buckets oracles. Callers prepend WITH. */
+  private lazy val duckLmCtes: String =
+    s"""t AS (SELECT doc_id, $duckToks FROM documents),
+      |tok AS (SELECT unnest(toks) AS w FROM t),
+      |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+      |bgl AS (
+      | SELECT doc_id,
+      |  unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      | FROM t),
+      |bgs AS (
+      | SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgl),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+      |grids AS (
+      | SELECT b.doc_id, (c2.c2 * 1048576) // (uni.c1 + 5) AS grid
+      | FROM bgs b JOIN c2 USING (bg) JOIN uni ON b.w1 = uni.w),
+      |lm_scored AS (
+      | SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(grid) AS BIGINT) AS sum_grid,
+      |  CAST(sum(grid) AS DOUBLE) / count(*) AS lm_score
+      | FROM grids GROUP BY doc_id)""".stripMargin
 
   /** the full MinHash-LSH pairs oracle — shared verbatim by the
     * clusters oracle, which wraps it as a CTE */
@@ -1436,6 +1508,21 @@ object TextOps {
         |ev AS (SELECT DISTINCT doc_id, shingle FROM d WHERE doc_id % 10 = 0)
         |SELECT doc_id, count(*) AS n_contaminated_shingles
         |FROM ev JOIN train USING (shingle) GROUP BY doc_id""".stripMargin,
+    "q_doc_contam_frac" ->
+      s"""WITH d AS (
+        | SELECT doc_id, unnest($duckShingles) AS shingle
+        | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM d WHERE doc_id % 10 = 0),
+        |train AS (SELECT DISTINCT doc_id, shingle FROM d WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+        |hits AS (
+        | SELECT doc_id, count(*) AS n_hit
+        | FROM train JOIN bench USING (shingle) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        | coalesce(h.n_hit, 0) AS n_hit,
+        | (coalesce(h.n_hit, 0) * 1000) // t.n_shingles AS contam_permille,
+        | (coalesce(h.n_hit, 0) * 1000) // t.n_shingles >= 200 AS flagged
+        |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
     "q_doc_top_terms" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1564,24 +1651,20 @@ object TextOps {
         |   ROWS UNBOUNDED PRECEDING)) <= 1500 AS kept
         |FROM scored""".stripMargin,
     "q_doc_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks FROM documents),
-        |tok AS (SELECT unnest(toks) AS w FROM t),
-        |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
-        |bgl AS (
-        | SELECT doc_id,
-        |  unnest(list_transform(range(1, len(toks)),
-        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
-        | FROM t),
-        |bgs AS (
-        | SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgl),
-        |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
-        |scored AS (
-        | SELECT b.doc_id, (c2.c2 * 1048576) // (uni.c1 + 5) AS grid
-        | FROM bgs b JOIN c2 USING (bg) JOIN uni ON b.w1 = uni.w)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        | CAST(sum(grid) AS BIGINT) AS sum_grid,
-        | CAST(sum(grid) AS DOUBLE) / count(*) AS lm_score
-        |FROM scored GROUP BY doc_id""".stripMargin,
+      s"""WITH $duckLmCtes
+        |SELECT doc_id, n_bigrams, sum_grid, lm_score
+        |FROM lm_scored""".stripMargin,
+    "q_doc_ppl_buckets" ->
+      s"""WITH $duckLmCtes
+        |SELECT doc_id, source, lm_score, bucket,
+        | CASE WHEN bucket = 1 THEN 'head'
+        |      WHEN bucket = 2 THEN 'middle'
+        |      ELSE 'tail' END AS stratum
+        |FROM (
+        | SELECT l.doc_id, d.source, l.lm_score,
+        |  ntile(3) OVER (PARTITION BY d.source
+        |    ORDER BY l.lm_score DESC, l.doc_id ASC) AS bucket
+        | FROM lm_scored l JOIN documents d ON l.doc_id = d.doc_id)""".stripMargin,
     "q_doc_bm25" ->
       s"""WITH tok AS (
         | SELECT doc_id, unnest(toks) AS term

@@ -694,6 +694,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contam frac: permille bounds, flag threshold, all train docs kept") {
+    val rows = SparkEntry.queries("q_doc_contam_frac")(spark, sf).collect()
+    // every train doc (>= 3 tokens, doc_id % 10 != 0) gets a verdict row
+    val expected = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 10 =!= 0 && size(split(col("text"), " ")) >= 3)
+      .count()
+    assert(rows.length == expected)
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("contam_permille")
+      assert(pm >= 0 && pm <= 1000)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Boolean]("flagged") == (pm >= 200))
+    }
+  }
+
+  test("ppl buckets: terciles balanced per source, scores ordered by stratum") {
+    val rows = SparkEntry.queries("q_doc_ppl_buckets")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val sizes = g.groupBy(_.getAs[Int]("bucket")).view.mapValues(_.length)
+      // ntile: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1)
+      // head scores dominate middle dominate tail (weak, ties allowed)
+      def scores(b: Int) = g.filter(_.getAs[Int]("bucket") == b)
+        .map(_.getAs[Double]("lm_score"))
+      assert(scores(1).min >= scores(2).max - 1e-12)
+      assert(scores(2).min >= scores(3).max - 1e-12)
+    }
+  }
+
   test("bm25: every doc scored, zero without query terms, exact column sum") {
     val rows = SparkEntry.queries("q_doc_bm25")(spark, sf).collect()
     val nDocs = Tables(spark, sf, "documents").count()
