@@ -1132,6 +1132,74 @@ object TextOps {
         .withColumn("flagged", col("contam_permille") >= 200)
     },
 
+    // Two-signal decontamination: a train document leaks an eval set
+    // either LEXICALLY (shingle overlap — catches verbatim/near-verbatim
+    // copies) or SEMANTICALLY (embedding cosine — catches paraphrases
+    // lexical overlap misses). Flag on either signal; emit both so the
+    // audit shows WHY a doc was dropped. The lexical side is
+    // q_doc_contam_frac's permille grid; the semantic side joins each
+    // train doc's embedding (doc_id-aligned) against the eval-sized
+    // embedding set — broadcast by construction, eval sets are small —
+    // with a partial-aggregable max(struct(cosine, -eval_id)) argmax
+    // (no window). Cosine threshold 0.35 sits in the attainable tail of
+    // the synthetic random embeddings (real corpora would run ~0.9).
+    "q_doc_sem_decontam" -> { (s, dir) =>
+      val rows = shingleRows(s, dir)
+      val bench = rows.filter(col("doc_id") % 10 === 0)
+        .select("shingle").distinct()
+      val train = rows.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("shingle")).distinct()
+      val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hits = train.join(bench, "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      val lex = tot.join(hits, Seq("doc_id"), "left")
+        .withColumn("contam_permille",
+          expr("(coalesce(n_hit, 0L) * 1000) div n_shingles"))
+        .select("doc_id", "contam_permille")
+      val e = Tables(s, dir, "embeddings")
+      val ev = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
+      val dot = graft.functions.VectorOps.dot _
+      val ss = graft.functions.VectorOps.sumSq _
+      val sem = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+        .crossJoin(broadcast(ev))
+        .withColumn("cosine", dot(col("embedding"), col("e_emb")) /
+          (sqrt(ss(col("embedding"))) * sqrt(ss(col("e_emb")))))
+        .groupBy("doc_id")
+        .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_id"))).as("w"))
+        .select(col("doc_id"), col("w.cosine").as("max_eval_cosine"),
+          (-col("w.neg_id")).as("nearest_eval_id"))
+      lex.join(sem, "doc_id")
+        .withColumn("flagged_lex", col("contam_permille") >= 200)
+        .withColumn("flagged_sem", col("max_eval_cosine") >= 0.35)
+        .withColumn("flagged", col("flagged_lex") || col("flagged_sem"))
+    },
+
+    // Sliding-window chunking — the pretraining chunker: cut each
+    // document into fixed-width token windows (W=32) with stride S=24
+    // (8-token overlap keeps context across cuts). Pure Generate over
+    // the scan: chunk starts come from sequence(0, (n-1) div S), the
+    // window text from the codegen slice() — no lambda, no shuffle; at
+    // 100 TB chunking parallelizes per input split and the output is
+    // ready for q_doc_pack's per-shard sequence packing.
+    "q_doc_chunk_windows" -> { (s, dir) =>
+      val W = 32
+      val S = 24
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")))
+        .select(col("doc_id"), col("n"), col("tk"),
+          explode(sequence(lit(0),
+            ((col("n") - 1) / lit(S)).cast("int"))).as("chunk_idx"))
+        .withColumn("start_tok", col("chunk_idx") * S)
+        .withColumn("n_chunk",
+          least(lit(W), col("n") - col("start_tok")))
+        .withColumn("chunk_text",
+          concat_ws(" ", slice(col("tk"), col("start_tok") + 1, lit(W))))
+        .select("doc_id", "chunk_idx", "start_tok", "n_chunk", "chunk_text")
+    },
+
     // CCNet-style perplexity bucketing: rank every document by the
     // bigram-LM score (q_doc_lm_score's integer-grid model) WITHIN its
     // source shard and cut head/middle/tail terciles — the shape CCNet
@@ -1523,6 +1591,55 @@ object TextOps {
         | (coalesce(h.n_hit, 0) * 1000) // t.n_shingles AS contam_permille,
         | (coalesce(h.n_hit, 0) * 1000) // t.n_shingles >= 200 AS flagged
         |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
+    "q_doc_sem_decontam" ->
+      s"""WITH d AS (
+        | SELECT doc_id, unnest($duckShingles) AS shingle
+        | FROM (SELECT doc_id, $duckToks FROM documents) WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM d WHERE doc_id % 10 = 0),
+        |train AS (SELECT DISTINCT doc_id, shingle FROM d WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+        |hits AS (
+        | SELECT doc_id, count(*) AS n_hit
+        | FROM train JOIN bench USING (shingle) GROUP BY doc_id),
+        |lex AS (
+        | SELECT t.doc_id,
+        |  (coalesce(h.n_hit, 0) * 1000) // t.n_shingles AS contam_permille
+        | FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id),
+        |ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |tr AS (SELECT vec_id AS doc_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 <> 0),
+        |sc AS (
+        | SELECT tr.doc_id, ev.eval_id,
+        |  list_reduce(list_transform(range(1, 65),
+        |    i -> CAST(tr.embedding[i] AS DOUBLE) * ev.embedding[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(tr.embedding,
+        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(ev.embedding,
+        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
+        | FROM tr, ev),
+        |sem AS (
+        | SELECT doc_id, cosine AS max_eval_cosine, eval_id AS nearest_eval_id
+        | FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cosine DESC, eval_id ASC) AS rn
+        |   FROM sc) WHERE rn = 1)
+        |SELECT l.doc_id, l.contam_permille, s.max_eval_cosine,
+        | s.nearest_eval_id,
+        | l.contam_permille >= 200 AS flagged_lex,
+        | s.max_eval_cosine >= 0.35e0 AS flagged_sem,
+        | (l.contam_permille >= 200 OR s.max_eval_cosine >= 0.35e0) AS flagged
+        |FROM lex l JOIN sem s ON l.doc_id = s.doc_id""".stripMargin,
+    "q_doc_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks FROM documents),
+        |c AS (
+        | SELECT doc_id, len(toks) AS n, toks,
+        |  unnest(range(0, (len(toks) - 1) // 24 + 1)) AS chunk_idx
+        | FROM t)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        | least(32, n - chunk_idx * 24) AS n_chunk,
+        | array_to_string(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ')
+        |  AS chunk_text
+        |FROM c""".stripMargin,
     "q_doc_top_terms" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

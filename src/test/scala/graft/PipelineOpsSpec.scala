@@ -723,6 +723,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sem decontam: OR of signals, both discriminate, no window argmax") {
+    val df = SparkEntry.queries("q_doc_sem_decontam")(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("flagged") ==
+        (r.getAs[Boolean]("flagged_lex") || r.getAs[Boolean]("flagged_sem")))
+      val c = r.getAs[Double]("max_eval_cosine")
+      assert(c >= -1.0001 && c <= 1.0001)
+      assert(r.getAs[Long]("nearest_eval_id") % 10 == 0)
+    }
+    // the semantic signal must actually discriminate on this corpus
+    assert(rows.exists(_.getAs[Boolean]("flagged_sem")) &&
+      rows.exists(!_.getAs[Boolean]("flagged_sem")))
+  }
+
+  test("chunk windows: scan-only Generate, chunks tile every document") {
+    val df = SparkEntry.queries("q_doc_chunk_windows")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate") && !p.contains("Exchange") && !p.contains("Join"))
+    val byDoc = df.collect().groupBy(_.getAs[Long]("doc_id"))
+    val nToks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Int]("chunk_idx"))
+      // contiguous indices from 0; last chunk reaches the doc's end
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq ==
+        sorted.indices.map(identity))
+      val last = sorted.last
+      assert(last.getAs[Int]("start_tok") + last.getAs[Int]("n_chunk") == nToks(id))
+      // every chunk's text has exactly n_chunk tokens
+      sorted.foreach { c =>
+        assert(c.getAs[String]("chunk_text").split(" ").length ==
+          c.getAs[Int]("n_chunk"))
+      }
+    }
+  }
+
   test("bm25: every doc scored, zero without query terms, exact column sum") {
     val rows = SparkEntry.queries("q_doc_bm25")(spark, sf).collect()
     val nDocs = Tables(spark, sf, "documents").count()
