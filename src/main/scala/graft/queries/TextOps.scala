@@ -92,6 +92,71 @@ object TextOps {
       .select(col("doc_id"), col("b.band_idx").as("band_idx"),
         col("b.band_hash").as("band_hash"), col("sigs"))
 
+  /** hot-bucket cap shared by the pair pipeline and the persisted
+    * index — a degenerate band key otherwise makes any bucket join
+    * quadratic. The window count shares the band-key partitioning. */
+  private def cappedBands(bands: DataFrame): DataFrame =
+    bands
+      .withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bsz") <= LshBucketCap)
+      .drop("bsz")
+
+  /** Persist the corpus dedup-index artifacts — build once, dedup every
+    * later shard against them without touching yesterday's text:
+    * `fps.parquet` (content hashes, the exact tier), `bands.parquet`
+    * (LSH band keys, hot buckets capped at WRITE time so no later join
+    * can go quadratic on a degenerate key), `sigs.parquet` (the 8-slot
+    * MinHash sketches for the similarity estimate). At scale bands
+    * partition naturally by band_hash prefix and the whole index is
+    * tiny relative to the corpus (hashes and 8-long sketches, no text). */
+  def saveTextIndex(docs: DataFrame, dir: String): Unit = {
+    docs.select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .write.mode("overwrite").parquet(s"$dir/fps.parquet")
+    cappedBands(bandRowsOf(docs).select("doc_id", "band_idx", "band_hash"))
+      .write.mode("overwrite").parquet(s"$dir/bands.parquet")
+    rowSigsOf(docs).write.mode("overwrite").parquet(s"$dir/sigs.parquet")
+  }
+
+  /** Dedup a NEW shard against a persisted index (the incremental
+    * corpus-growth path: yesterday's corpus is frozen in the index,
+    * today's shard arrives). Exact tier: content-hash join vs
+    * `fps.parquet`. Near tier: the shard's capped band rows join the
+    * index's capped bands on the band key (both sides bounded, never
+    * quadratic), candidates verify by MinHash sketch agreement
+    * (n_agree/8, the streaming near-dup estimate — the index stores
+    * 8-long sketches, not text, so verification needs no second corpus
+    * scan; minAgree=4 ≈ estimated Jaccard 0.5). The zip_with agreement
+    * lambda is interpreted, but runs only on LSH-survivor candidates.
+    * Every shard doc is emitted with both verdicts (audit discipline). */
+  def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      dir: String, minAgree: Int = 4): DataFrame = {
+    val idxFps = spark.read.parquet(s"$dir/fps.parquet")
+      .select(col("doc_id").as("idx_id"), col("fp"))
+    val idxBands = spark.read.parquet(s"$dir/bands.parquet")
+      .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_hash"))
+    val idxSigs = spark.read.parquet(s"$dir/sigs.parquet")
+      .select(col("doc_id").as("idx_id"), col("sigs").as("idx_sigs"))
+    val withFp = newDocs
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+    val exact = withFp.join(idxFps, "fp")
+      .groupBy("doc_id").agg(min("idx_id").as("dup_exact_of"))
+    val cands = cappedBands(bandRowsOf(newDocs))
+      .join(idxBands, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("idx_id"), col("sigs")).distinct()
+    val near = cands.join(idxSigs, "idx_id")
+      .withColumn("n_agree", size(filter(
+        zip_with(col("sigs"), col("idx_sigs"), (a, b) => a === b),
+        x => x)))
+      .filter(col("n_agree") >= minAgree)
+      .groupBy("doc_id").agg(min("idx_id").as("dup_near_of"))
+    withFp.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("keep",
+        col("dup_exact_of").isNull && col("dup_near_of").isNull)
+  }
+
   private val stop = Map(
     "en" -> Seq("the", "a", "of"),
     "fr" -> Seq("le", "les", "une"),
@@ -1132,6 +1197,23 @@ object TextOps {
         .withColumn("flagged", col("contam_permille") >= 200)
     },
 
+    // The persisted-index dedup LIFECYCLE under the oracle gate: freeze
+    // an index over "yesterday's corpus" (doc_id % 3 == 0) —
+    // fps + capped LSH bands + MinHash sketches round-trip through
+    // parquet — then dedup "today's shard" (the rest) against the
+    // LOADED artifacts: exact tier by content hash, near tier by
+    // band-key join + sketch agreement (minAgree 4/8 ≈ Jaccard 0.5).
+    // The oracle recomputes both tiers logically from `documents`, so
+    // the save→load→dedup round trip itself is what's hash-checked.
+    "q_doc_index_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val idxDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_text_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      saveTextIndex(docs.filter(col("doc_id") % 3 === 0), idxDir)
+      dedupAgainstIndex(s, docs.filter(col("doc_id") % 3 =!= 0), idxDir)
+    },
+
     // Two-signal decontamination: a train document leaks an eval set
     // either LEXICALLY (shingle overlap — catches verbatim/near-verbatim
     // copies) or SEMANTICALLY (embedding cosine — catches paraphrases
@@ -1591,6 +1673,57 @@ object TextOps {
         | (coalesce(h.n_hit, 0) * 1000) // t.n_shingles AS contam_permille,
         | (coalesce(h.n_hit, 0) * 1000) // t.n_shingles >= 200 AS flagged
         |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
+    "q_doc_index_dedup" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks FROM documents),
+        |d AS (SELECT doc_id, $duckShingles AS sh FROM t WHERE len(toks) >= 3),
+        |hashed AS (
+        | SELECT doc_id,
+        |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MinhashMod) AS hs
+        | FROM d),
+        |sigs AS (
+        | SELECT doc_id, ${(0 until 8).map(i =>
+             s"list_min(list_transform(hs, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % $MinhashP)) AS sig$i")
+             .mkString(", ")}
+        | FROM hashed),
+        |banded AS (
+        | ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band_idx, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band_hash FROM sigs")
+             .mkString("\n UNION ALL ")}),
+        |idx_capped AS (
+        | SELECT doc_id, band_idx, band_hash FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+        |  FROM (SELECT * FROM banded WHERE doc_id % 3 = 0))
+        | WHERE bsz <= $LshBucketCap),
+        |new_capped AS (
+        | SELECT doc_id, band_idx, band_hash FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+        |  FROM (SELECT * FROM banded WHERE doc_id % 3 <> 0))
+        | WHERE bsz <= $LshBucketCap),
+        |cands AS (
+        | SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS idx_id
+        | FROM new_capped n JOIN idx_capped i
+        |  ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash),
+        |agree AS (
+        | SELECT c.doc_id, c.idx_id,
+        |  (${(0 until 8).map(i =>
+             s"CASE WHEN ns.sig$i = isg.sig$i THEN 1 ELSE 0 END")
+             .mkString(" + ")}) AS n_agree
+        | FROM cands c JOIN sigs ns ON ns.doc_id = c.doc_id
+        |  JOIN sigs isg ON isg.doc_id = c.idx_id),
+        |near AS (
+        | SELECT doc_id, min(idx_id) AS dup_near_of
+        | FROM agree WHERE n_agree >= 4 GROUP BY doc_id),
+        |fps AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+        |ex AS (
+        | SELECT n.doc_id, min(i.doc_id) AS dup_exact_of
+        | FROM fps n JOIN fps i ON n.fp = i.fp
+        | WHERE n.doc_id % 3 <> 0 AND i.doc_id % 3 = 0
+        | GROUP BY n.doc_id)
+        |SELECT nd.doc_id, e.dup_exact_of, nr.dup_near_of,
+        | (e.dup_exact_of IS NULL AND nr.dup_near_of IS NULL) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) nd
+        |LEFT JOIN ex e ON nd.doc_id = e.doc_id
+        |LEFT JOIN near nr ON nd.doc_id = nr.doc_id""".stripMargin,
     "q_doc_sem_decontam" ->
       s"""WITH d AS (
         | SELECT doc_id, unnest($duckShingles) AS shingle

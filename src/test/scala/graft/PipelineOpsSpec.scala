@@ -762,6 +762,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text index: round trip covers shard, planted dups hit both tiers") {
+    import spark.implicits._
+    // the driver query round-trips through parquet; every shard doc
+    // must come back with a verdict and keep == no-dup-found
+    val rows = SparkEntry.queries("q_doc_index_dedup")(spark, sf).collect()
+    val shard = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 =!= 0).count()
+    assert(rows.length == shard)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") ==
+        (r.isNullAt(r.fieldIndex("dup_exact_of")) &&
+          r.isNullAt(r.fieldIndex("dup_near_of"))))
+    }
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("dup_near_of"))))
+    // planted corpus: the synthetic docs have no exact dups, so freeze
+    // a tiny index and send a shard with one exact copy, one near copy
+    // (one token appended), and one fresh doc
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val idx = Seq((1L, base), (2L, "alpha beta gamma delta epsilon zeta " +
+      "eta theta iota kappa lambda mu nu xi omicron pi rho sigma"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+    graft.queries.TextOps.saveTextIndex(idx, dir)
+    // index artifacts must carry no text (hashes and sketches only)
+    Seq("fps", "bands", "sigs").foreach { a =>
+      assert(!spark.read.parquet(s"$dir/$a.parquet")
+        .schema.fieldNames.contains("text"))
+    }
+    val shard2 = Seq((10L, base), (11L, idx.collect()(1).getString(1) + " tau"),
+      (12L, "completely different content with no overlap at all here " +
+        "nothing shared between these two corpora whatsoever today"))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextOps.dedupAgainstIndex(spark, shard2, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(10L).getAs[Long]("dup_exact_of") == 1L)
+    assert(!out(10L).getAs[Boolean]("keep"))
+    assert(out(11L).getAs[Long]("dup_near_of") == 2L)
+    assert(out(11L).isNullAt(out(11L).fieldIndex("dup_exact_of")))
+    assert(out(12L).getAs[Boolean]("keep"))
+  }
+
   test("bm25: every doc scored, zero without query terms, exact column sum") {
     val rows = SparkEntry.queries("q_doc_bm25")(spark, sf).collect()
     val nDocs = Tables(spark, sf, "documents").count()
