@@ -353,6 +353,33 @@ object SimilarityOps {
       cosineTopkOf(Tables(s, dir, "embeddings"), nQueries = 10, k = 5)
     },
 
+    // Hard-negative mining — the contrastive-training data op: for each
+    // query vector, the top-3 most similar candidates with a DIFFERENT
+    // label. High-similarity wrong-class examples are the negatives
+    // that teach an encoder its hardest distinctions (the positives are
+    // free: same-label neighbors / near-dup pairs). Plan shape is
+    // q_embed_cosine_topk's: candidates stream past the broadcast
+    // 10-row query set, the cross-label filter rides the scored scan
+    // (no extra pass), and the per-query top-k is the map-side-bounded
+    // TopKPerKey aggregator — only k rows per query per partition cross
+    // the shuffle, so the same plan holds when the candidate side is a
+    // 100 TB corpus. Self-pairs drop with the label filter for free.
+    "q_embed_hard_negatives" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("label").as("c_label"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("c_label") =!= col("q_label"))
+        .withColumn("cosine",
+          dot(col("q_emb"), col("c_emb")) /
+            (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
+      graft.operators.TopKPerKey.topK(s, scored, "q_id", "cosine", "c_id", 3)
+        .select("q_id", "c_id", "rk", "cosine")
+    },
+
     // k-NN label classification — the label-propagation primitive of
     // data curation (auto-label new documents from a small labeled set,
     // audit embedding quality by held-out vote accuracy). Top-5 cosine
@@ -832,6 +859,18 @@ object SimilarityOps {
         | SELECT q_id, c_id, cosine,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
         | FROM scored) WHERE rk <= 5""".stripMargin,
+    "q_embed_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  ${duckDot("q", "c")} /
+        |   (sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
+        |    sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
+        | FROM q, embeddings c WHERE c.label <> q.label)
+        |SELECT q_id, c_id, rk, cosine FROM (
+        | SELECT q_id, c_id, cosine,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        | FROM scored) WHERE rk <= 3""".stripMargin,
     "q_embed_knn_label" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding, label AS q_label
         |  FROM embeddings WHERE vec_id < 10),

@@ -1087,6 +1087,45 @@ object TextOps {
     // drop out (mirrored in the oracle).
     "q_doc_lm_score" -> { (s, dir) => lmScoreOf(Tables(s, dir, "documents")) },
 
+    // DSIR-style importance weight — hashed-n-gram importance resampling
+    // (Xie et al. 2023): score each raw document by how much its feature
+    // distribution looks like a TARGET domain (here source src0, the
+    // stand-in for "high-quality target corpus"). The classic estimator
+    // is sum of log p_target(f)/p_raw(f) over the doc's features; logs
+    // are transcendental and not bit-portable across engines, so — like
+    // q_doc_lm_score and the BM25 rational idf — the weight is the mean
+    // 2^20-grid ratio tc(bg)/(rc(bg)+5) over the doc's bigrams: exact
+    // long division, monotone in the same direction. Plan shape at
+    // 100 TB: bigrams stream out of the compiled ExplodeShingles
+    // Generator (no token-row shuffle); raw counts are ONE skinny
+    // groupBy(bg) with map-side partials; target counts reuse the same
+    // pass filtered to the target slice; both joins are unhinted (the
+    // feature vocabulary is data-dependent — forcing a broadcast is the
+    // driver-OOM class, AQE picks one when runtime stats allow); the
+    // per-doc rollup is exact long addition + one double division.
+    "q_doc_dsir_weight" -> { (s, dir) =>
+      dsirWeightOf(Tables(s, dir, "documents"), "src0")
+    },
+
+    // Deterministic stratified sampling — the per-source subsample every
+    // corpus study starts with (eval carve-outs, ablation slices, data
+    // audits) made repartition-stable: order WITHIN each source by
+    // md5(doc_id) (a fixed pseudo-random permutation both engines
+    // compute identically — no RNG, no partition-order dependence) and
+    // keep the first floor(n_source/5) (an exact-integer 20%). One
+    // shuffle on the source key; each stratum ranks in parallel
+    // (the q_doc_ppl_buckets shard-parallel window discipline). Every
+    // doc is emitted with its rank and verdict (audit discipline).
+    "q_doc_stratified_sample" -> { (s, dir) =>
+      val bySrc = Window.partitionBy("source")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("sample_rank", row_number().over(
+          bySrc.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .withColumn("n_source", count(lit(1)).over(bySrc))
+        .withColumn("keep", col("sample_rank") * 5 <= col("n_source"))
+    },
+
     // Cross-source contamination matrix: for every source pair, how many
     // distinct 3-gram fingerprints they share — the governance table
     // that shows which feeds duplicate which (mirror sites, scrapes of
@@ -1385,6 +1424,25 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("grid").as("sum_grid"))
       .withColumn("lm_score",
+        col("sum_grid").cast("double") / col("n_bigrams"))
+  }
+
+  /** DSIR-style grid importance weight vs a target source — see the
+    * q_doc_dsir_weight entry above for the plan-shape discussion. */
+  def dsirWeightOf(docs: DataFrame, targetSource: String): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    val bg = docs.select(col("doc_id"), col("source"),
+      GraftSql.column(graft.functions.ExplodeShingles(
+        GraftSql.expression(toks), 2)).as("bg"))
+    val raw = bg.groupBy("bg").agg(count(lit(1)).as("rc"))
+    val tgt = bg.filter(col("source") === targetSource)
+      .groupBy("bg").agg(count(lit(1)).as("tc"))
+    bg.join(raw, "bg")
+      .join(tgt, Seq("bg"), "left")
+      .withColumn("grid", expr("(coalesce(tc, 0) * 1048576) div (rc + 5)"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"), sum("grid").as("sum_grid"))
+      .withColumn("dsir_weight",
         col("sum_grid").cast("double") / col("n_bigrams"))
   }
 
@@ -1904,6 +1962,33 @@ object TextOps {
       s"""WITH $duckLmCtes
         |SELECT doc_id, n_bigrams, sum_grid, lm_score
         |FROM lm_scored""".stripMargin,
+    "q_doc_dsir_weight" ->
+      s"""WITH t AS (SELECT doc_id, source, $duckToks FROM documents),
+        |bgl AS (
+        | SELECT doc_id, source,
+        |  unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        | FROM t),
+        |raw AS (SELECT bg, count(*) AS rc FROM bgl GROUP BY bg),
+        |tgt AS (
+        | SELECT bg, count(*) AS tc FROM bgl
+        | WHERE source = 'src0' GROUP BY bg)
+        |SELECT b.doc_id, b.source, count(*) AS n_bigrams,
+        | CAST(sum((coalesce(tg.tc, 0) * 1048576) // (r.rc + 5)) AS BIGINT)
+        |   AS sum_grid,
+        | CAST(sum((coalesce(tg.tc, 0) * 1048576) // (r.rc + 5)) AS DOUBLE)
+        |   / count(*) AS dsir_weight
+        |FROM bgl b JOIN raw r USING (bg) LEFT JOIN tgt tg USING (bg)
+        |GROUP BY b.doc_id, b.source""".stripMargin,
+    "q_doc_stratified_sample" ->
+      s"""SELECT doc_id, source, sample_rank, n_source,
+        | (sample_rank * 5 <= n_source) AS keep
+        |FROM (
+        | SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+        |  count(*) OVER (PARTITION BY source) AS n_source
+        | FROM documents)""".stripMargin,
     "q_doc_ppl_buckets" ->
       s"""WITH $duckLmCtes
         |SELECT doc_id, source, lm_score, bucket,

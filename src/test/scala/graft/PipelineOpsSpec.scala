@@ -905,4 +905,61 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(ids.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
     }
   }
+
+  test("dsir: target-source docs outweigh the rest; weights exact-grid") {
+    val rows = SparkEntry.queries("q_doc_dsir_weight")(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      // weight = sum_grid / n_bigrams exactly (one double division)
+      assert(r.getAs[Double]("dsir_weight") ==
+        r.getAs[Long]("sum_grid").toDouble / r.getAs[Long]("n_bigrams"))
+    }
+    val (tgt, rest) = rows.partition(_.getAs[String]("source") == "src0")
+    // every target doc's own bigrams are in the target counts → > 0
+    assert(tgt.nonEmpty && tgt.forall(_.getAs[Double]("dsir_weight") > 0))
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(tgt.map(_.getAs[Double]("dsir_weight"))) >
+      mean(rest.map(_.getAs[Double]("dsir_weight"))))
+  }
+
+  test("stratified sample: exact 20% floor per source, repartition-stable") {
+    val rows = SparkEntry.queries("q_doc_stratified_sample")(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val n = g.length
+      assert(g.forall(_.getAs[Long]("n_source") == n))
+      assert(g.count(_.getAs[Boolean]("keep")) == n / 5)
+      // ranks are a permutation 1..n
+      assert(g.map(_.getAs[Int]("sample_rank")).sorted.sameElements(1 to n))
+    }
+    // determinism: a different physical layout yields the same sample
+    val docs = Tables(spark, sf, "documents").repartition(7, col("doc_id"))
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val again = docs.select(col("doc_id"), col("source"))
+      .withColumn("sample_rank", row_number().over(
+        bySrc.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("n_source", count(lit(1)).over(bySrc))
+      .withColumn("keep", col("sample_rank") * 5 <= col("n_source"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    rows.foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) == r.getAs[Boolean]("keep")))
+  }
+
+  test("hard negatives: 3 per query, all cross-label, ranked by cosine") {
+    val rows = SparkEntry.queries("q_embed_hard_negatives")(spark, sf).collect()
+    val labels = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 3))
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("c_id")) != labels(r.getAs[Long]("q_id")))
+    }
+    byQ.values.foreach { g =>
+      val cs = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cosine"))
+      assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }
