@@ -1037,6 +1037,31 @@ object TextOps {
     // it at any realistic dup rate, degrades to shuffle otherwise).
     "q_doc_corpus_prep" -> { (s, dir) => corpusPrepOf(s, dir) },
 
+    // Pipeline funnel — the observability table every corpus-prep run
+    // reports: cumulative survivor counts through the ordered stages
+    // (raw → language-ID → quality rules → exact dedup → near dedup).
+    // Derived from the SAME audit the per-doc query emits (verdict
+    // columns riding one scan), rolled to five rows with exact long
+    // counts — the stage conjunctions are cumulative, so each row is
+    // "docs still alive after this stage", the number a data team
+    // watches drift week over week. The rollup itself is one
+    // all-to-one aggregate of verdict booleans (bytes, not text) and
+    // a 5-row stack — nothing here grows with corpus size beyond the
+    // embedded prep pipeline it audits.
+    "q_doc_prep_funnel" -> { (s, dir) =>
+      def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+      corpusPrepOf(s, dir)
+        .agg(count(lit(1)).as("n0"),
+          n(col("lang_ok")).as("n1"),
+          n(col("lang_ok") && col("quality_ok")).as("n2"),
+          n(col("lang_ok") && col("quality_ok") &&
+            col("exact_canonical")).as("n3"),
+          n(col("keep")).as("n4"))
+        .select(expr("stack(5, 0, 'raw', n0, 1, 'lang_id', n1, " +
+          "2, 'quality', n2, 3, 'exact_dedup', n3, 4, 'near_dedup', n4) " +
+          "AS (stage_idx, stage, n_surviving)"))
+    },
+
     // The corpus REPORT: the prep verdicts rolled up per source shard —
     // the table a data team reads before a training run (how much
     // survives each gate, split sizes per shard). One extra skinny
@@ -1932,6 +1957,20 @@ object TextOps {
         |SELECT doc_id, source, lang_ok, quality_ok, exact_canonical,
         | neardup_canonical, split, keep
         |FROM audited""".stripMargin,
+    "q_doc_prep_funnel" ->
+      s"""WITH RECURSIVE $duckCorpusPrepCtes,
+        |wide AS (
+        | SELECT count(*) AS n0,
+        |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN lang_ok AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN lang_ok AND quality_ok AND exact_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        | FROM audited)
+        |SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_surviving FROM wide
+        |UNION ALL SELECT 1, 'lang_id', n1 FROM wide
+        |UNION ALL SELECT 2, 'quality', n2 FROM wide
+        |UNION ALL SELECT 3, 'exact_dedup', n3 FROM wide
+        |UNION ALL SELECT 4, 'near_dedup', n4 FROM wide""".stripMargin,
     "q_doc_source_stats" ->
       s"""WITH RECURSIVE $duckCorpusPrepCtes
         |SELECT source, count(*) AS n_docs,

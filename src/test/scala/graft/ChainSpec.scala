@@ -194,4 +194,31 @@ class ChainDatasetsSpec extends AnyFunSuite {
     // the fixture and someone must rank strictly above the floor
     assert(a.exists(_._2 > baseQ))
   }
+
+  test("sandwich candidates: window query matches a brute-force triple scan") {
+    def lv(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue
+    def hex(b: Array[Byte]) = "0x" + b.map("%02x".format(_)).mkString
+    val txs = spark.read.parquet(s"$dir/rpc_transactions.parquet")
+      .select("block_number", "transaction_index", "transaction_hash",
+        "from_address", "to_address").collect()
+    val expected = txs.groupBy(lv(_, "block_number")).flatMap { case (bn, rows) =>
+      rows.sortBy(lv(_, "transaction_index")).sliding(3)
+        .filter(_.length == 3).flatMap { w =>
+          val Seq(a, v, b) = w.toSeq
+          val af = a.getAs[Array[Byte]]("from_address").toSeq
+          if (af == b.getAs[Array[Byte]]("from_address").toSeq &&
+              af != v.getAs[Array[Byte]]("from_address").toSeq)
+            Some((bn, lv(a, "transaction_index"),
+              hex(v.getAs[Array[Byte]]("transaction_hash"))))
+          else None
+        }
+    }.toSet
+    val got = graft.queries.ChainQueries
+      .defs("chain_sandwich_candidates")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (lv(r, "block_number"), lv(r, "front_index"),
+        r.getAs[String]("victim_hash"))).toSet
+    assert(got.nonEmpty && got == expected)
+  }
 }

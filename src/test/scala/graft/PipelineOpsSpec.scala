@@ -906,6 +906,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prep funnel: monotone survivors, endpoints tie to the audit") {
+    val rows = SparkEntry.queries("q_doc_prep_funnel")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("stage_idx"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("raw", "lang_id", "quality", "exact_dedup", "near_dedup"))
+    val ns = rows.map(_.getAs[Long]("n_surviving"))
+    assert(ns.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val audit = SparkEntry.queries("q_doc_corpus_prep")(spark, sf).collect()
+    assert(ns(0) == audit.length)
+    assert(ns(4) == audit.count(_.getAs[Boolean]("keep")))
+  }
+
   test("dsir: target-source docs outweigh the rest; weights exact-grid") {
     val rows = SparkEntry.queries("q_doc_dsir_weight")(spark, sf).collect()
     val nDocs = Tables(spark, sf, "documents")
