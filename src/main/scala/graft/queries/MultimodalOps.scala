@@ -154,6 +154,49 @@ object MultimodalOps {
     * decode (shifted raster, wrong dims, garbage) trips it. */
   private[graft] val JpegMaeBound = 32.0
 
+  /** hot-bucket cap for the perceptual-hash band join (the text-LSH
+    * discipline: a degenerate band value — e.g. the all-dark band —
+    * otherwise makes the bucket self-join quadratic) */
+  private[graft] val ImgBucketCap = 32
+
+  /** doc_id + the 8×8 perceptual average-hash of the decoded PNG,
+    * kept as four 16-bit band values b0..b3 (band k holds sample bits
+    * 16k..16k+15 in row-major (i,j) order; bit set ⇔ sample > mean,
+    * mean = floor of the 64-sample sum / 64 — all integer-exact, so
+    * the oracle recomputes the hash from the raw bytes in SQL). */
+  private[graft] def imageAHash(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(
+      StructField("doc_id", LongType, nullable = false) ::
+        (0 until 4).map(b =>
+          StructField(s"b$b", IntegerType, nullable = false)).toList)
+    val out = pngAssets(s, dir).rdd.mapPartitions { it =>
+      noDiskCache()
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val png = r.getAs[Array[Byte]]("content")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        require(img != null, s"doc $id: undecodable image payload")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val samples = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          samples(k) = raster.getSample((k % 8) * w / 8, (k / 8) * h / 8, 0)
+          k += 1
+        }
+        val mean = samples.foldLeft(0L)(_ + _) / 64
+        val bands = new Array[Int](4)
+        k = 0
+        while (k < 64) {
+          if (samples(k) > mean) bands(k / 16) |= 1 << (k % 16)
+          k += 1
+        }
+        Row(id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
+
   /** documents rendered as REAL WAV files (8-bit unsigned PCM mono,
     * 8 kHz) — the audio codec tier. javax.sound.sampled is pure-JVM and
     * headless like ImageIO; PCM is lossless, so decoded samples are the
@@ -275,6 +318,52 @@ object MultimodalOps {
         }
       }
       s.createDataFrame(out, schema)
+    },
+
+    // Image near-duplicate detection by perceptual hash — the IMAGE
+    // tier of the dedup stack (text has MinHash-LSH, embeddings have
+    // sign-LSH; scraped image corpora dedup on perceptual hashes the
+    // same way). aHash over the REAL decoded PNG raster: nearest-
+    // neighbor 8×8 downsample, mean threshold, 64 bits kept as FOUR
+    // 16-bit band values (no 64-bit assembly — bit 63 would sign-
+    // overflow differently across engines). The bands then run the
+    // exact text-LSH discipline: band values ARE the LSH keys, hot
+    // buckets capped at ImgBucketCap BEFORE the self-join (caps
+    // mirrored in the oracle — capped semantics are the defined
+    // semantics), candidates verify by banded hamming distance ≤ 8
+    // computed from the 4×16-bit columns. At 100 TB: hashes are 4
+    // ints per image (bytes never shuffle), the join key is the band
+    // bucket, and every bucket is bounded by construction. The oracle
+    // recomputes the identical hash from the raw bytes in SQL (the
+    // PNG tier is lossless).
+    "q_mm_image_neardup" -> { (s, dir) =>
+      val hs = imageAHash(s, dir)
+      val bands = hs.select(col("doc_id"),
+        expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"))
+      val capped = bands
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band_idx", "band_val")))
+        .filter(col("bsz") <= ImgBucketCap)
+        .drop("bsz")
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      def side(pfx: String, idCol: String) = hs.select(
+        col("doc_id").as(idCol), col("b0").as(s"${pfx}0"),
+        col("b1").as(s"${pfx}1"), col("b2").as(s"${pfx}2"),
+        col("b3").as(s"${pfx}3"))
+      cand.join(side("a", "id_a"), "id_a").join(side("c", "id_b"), "id_b")
+        .withColumn("hamming",
+          (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+            bit_count(col("a1").bitwiseXOR(col("c1"))) +
+            bit_count(col("a2").bitwiseXOR(col("c2"))) +
+            bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
+        .filter(col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
     },
 
     // REAL audio decode — the third codec tier (after lossless PNG and
@@ -551,6 +640,52 @@ object MultimodalOps {
         |  // (w * h) AS BIGINT) AS mean_gray,
         | $nn
         |FROM d""".stripMargin
+    },
+    "q_mm_image_neardup" -> {
+      def sampleAt(k: Int) = {
+        val idx = s"(((${k / 8}*h)//8)*w + ((${k % 8}*w)//8))"
+        s"CASE WHEN $idx < n THEN CAST('0x' || substring(hex(c), 2*($idx) + 1, 2) AS INT) ELSE 0 END"
+      }
+      val sCols = (0 until 64).map(k => s"${sampleAt(k)} AS s_$k").mkString(",\n ")
+      val meanExpr = (0 until 64).map(k => s"s_$k").mkString(" + ")
+      val bandExpr = (0 until 4).map { b =>
+        val bits = (0 until 16).map { o =>
+          s"CASE WHEN s_${16 * b + o} > m THEN ${1 << o} ELSE 0 END"
+        }.mkString(" + ")
+        s"CAST($bits AS INT) AS b$b"
+      }.mkString(",\n ")
+      s"""WITH a AS (
+        | SELECT doc_id, encode(text) AS c, octet_length(encode(text)) AS n
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, c, n, LEAST(64, GREATEST(n, 1)) AS w,
+        |  (GREATEST(n, 1) + LEAST(64, GREATEST(n, 1)) - 1) // LEAST(64, GREATEST(n, 1)) AS h
+        | FROM a),
+        |samp AS (SELECT doc_id, $sCols FROM d),
+        |wm AS (SELECT *, ($meanExpr) // 64 AS m FROM samp),
+        |hs AS (SELECT doc_id, $bandExpr FROM wm),
+        |bands AS (
+        | SELECT doc_id, 0 AS band_idx, b0 AS band_val FROM hs
+        | UNION ALL SELECT doc_id, 1, b1 FROM hs
+        | UNION ALL SELECT doc_id, 2, b2 FROM hs
+        | UNION ALL SELECT doc_id, 3, b3 FROM hs),
+        |capped AS (
+        | SELECT doc_id, band_idx, band_val FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+        |  FROM bands)
+        | WHERE bsz <= $ImgBucketCap),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        | FROM capped x JOIN capped y
+        |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+        |   AND x.doc_id < y.doc_id),
+        |scored AS (
+        | SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+        |   + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS INT) AS hamming
+        | FROM cand c JOIN hs ha ON ha.doc_id = c.id_a
+        |  JOIN hs hb ON hb.doc_id = c.id_b)
+        |SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 8""".stripMargin
     },
     "q_mm_features" -> {
       val hist = (0 until 16).map(i =>

@@ -231,6 +231,68 @@ object FollowMode {
       }
   }
 
+  /** Streaming shard dedup against a FROZEN persisted text index
+    * (TextOps.saveTextIndex artifacts) — the incremental half of the
+    * q_doc_index_dedup lifecycle, mirroring encodeStream on the ANN
+    * side: documents arriving on a stream get exact + near dup
+    * verdicts against yesterday's corpus WITHOUT any stream-side
+    * aggregation, so the plan is append-mode legal end to end.
+    *
+    * Shape: the static side pre-aggregates once at query start —
+    * fps → (fp, min idx doc) for the exact tier, bands⋈sigs →
+    * (band_idx, band_hash) → bounded member list (≤ LshBucketCap,
+    * capped at index WRITE time) for the near tier. The stream side is
+    * entirely ROW-LOCAL (fp, MinhashSigs, the 4 band keys), then FOUR
+    * stream-static left joins (one per band index) attach the bounded
+    * candidate lists, and one projection unions ≤ 4·cap candidates,
+    * filters by sketch agreement (n_agree ≥ minAgree of 8), and takes
+    * the min agreeing index doc — the same verdict the batch
+    * dedupAgainstIndex computes. The interpreted zip_with agreement
+    * lambda runs only on LSH-survivor candidates, the batch pipeline's
+    * own discipline. One deliberate semantic difference: the batch
+    * form also caps degenerate buckets WITHIN the new shard (it sees
+    * the whole shard; a stream cannot), so verdicts match batch
+    * exactly whenever no new-side bucket exceeds the cap — the spec
+    * pins that equality on real data and verifies planted dups in both
+    * tiers across separate arrival waves. */
+  def indexDedupStream(spark: SparkSession, docs: DataFrame,
+      indexDir: String, minAgree: Int = 4): DataFrame = {
+    val fpMin = spark.read.parquet(s"$indexDir/fps.parquet")
+      .groupBy("fp").agg(min("doc_id").as("dup_exact_of"))
+    val buckets = spark.read.parquet(s"$indexDir/bands.parquet")
+      .join(spark.read.parquet(s"$indexDir/sigs.parquet")
+        .withColumnRenamed("sigs", "idx_sigs"), "doc_id")
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list(struct(col("doc_id").as("idx_id"),
+        col("idx_sigs"))).as("cands"))
+    val sigExpr = graft.functions.MinhashSigs.default(
+      org.apache.spark.sql.GraftSql.expression(split(col("text"), " ")), 3)
+    var cur = docs
+      .withColumn("fp", md5(lower(col("text"))))
+      .withColumn("sigs", org.apache.spark.sql.GraftSql.column(sigExpr))
+      .join(fpMin, Seq("fp"), "left")
+    for (b <- 0 until 4) {
+      val bk = buckets.filter(col("band_idx") === b)
+        .select(col("band_hash").as(s"bh$b"), col("cands").as(s"cands$b"))
+      cur = cur
+        .withColumn(s"bh$b", md5(concat_ws("_",
+          element_at(col("sigs"), 2 * b + 1),
+          element_at(col("sigs"), 2 * b + 2))))
+        .join(bk, Seq(s"bh$b"), "left")
+    }
+    cur
+      .withColumn("dup_near_of", expr(
+        s"""array_min(transform(filter(
+           |  flatten(filter(array(cands0, cands1, cands2, cands3),
+           |    x -> x IS NOT NULL)),
+           |  c -> size(filter(zip_with(sigs, c.idx_sigs,
+           |    (a, b) -> a = b), x -> x)) >= $minAgree),
+           |  c -> c.idx_id))""".stripMargin))
+      .withColumn("keep",
+        col("dup_exact_of").isNull && col("dup_near_of").isNull)
+      .select("doc_id", "dup_exact_of", "dup_near_of", "keep")
+  }
+
   /** Incremental freeze: follow the chain head and materialize completed
     * chunks as cryo-named files. Each micro-batch advances a high-water
     * mark over the observed block numbers and re-runs `Freeze.freeze` for

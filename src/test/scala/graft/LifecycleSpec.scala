@@ -1011,6 +1011,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(reranked.subsetOf(got))
   }
 
+  test("streaming index dedup equals batch verdicts against the frozen index") {
+    val docs = Tables(spark, sf, "documents")
+    val idxDir = Files.createTempDirectory("graft_tidx_s").toString
+    graft.queries.TextOps.saveTextIndex(
+      docs.filter(col("doc_id") % 3 === 0), idxDir)
+    val shard = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text")
+    // precondition for exact stream/batch equality: the batch form also
+    // caps buckets WITHIN the new shard — equality is guaranteed only
+    // when no new-side bucket is over the cap, which holds here
+    val maxNewBucket = graft.queries.TextOps.bandRowsOf(shard)
+      .groupBy("band_idx", "band_hash").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxNewBucket <= graft.queries.TextOps.LshBucketCap)
+    val src = Files.createTempDirectory("graft_idx_src").toString
+    shard.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    shard.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, shard.schema,
+      maxFilesPerTrigger = 1)
+    val q = FollowMode.indexDedupStream(spark, stream, idxDir).writeStream
+      .outputMode("append").format("memory").queryName("idx_dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") -> (
+        if (r.isNullAt(r.fieldIndex("dup_exact_of"))) -1L
+        else r.getAs[Long]("dup_exact_of"),
+        if (r.isNullAt(r.fieldIndex("dup_near_of"))) -1L
+        else r.getAs[Long]("dup_near_of"),
+        r.getAs[Boolean]("keep"))
+    val got = spark.sql("SELECT * FROM idx_dedup_out").collect().map(key).toMap
+    val want = graft.queries.TextOps.dedupAgainstIndex(spark, shard, idxDir)
+      .collect().map(key).toMap
+    assert(got.size == want.size && got == want)
+    // the near tier actually fires on real data (not vacuous equality)
+    assert(got.values.exists(_._2 >= 0))
+  }
+
   test("streaming embedding near-dup equals the batch pairs, cosines bit-equal") {
     val src = Files.createTempDirectory("graft_end_src").toString
     val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")

@@ -401,6 +401,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("image neardup: pairs share a band; hamming matches byte recompute") {
+    val rows = SparkEntry.queries("q_mm_image_neardup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent recompute of the aHash bands straight from the source
+    // bytes (no codec) — proves the PNG decode round trip is faithful
+    def bandsOf(t: String): Array[Int] = {
+      val c = t.getBytes("UTF-8")
+      val n = c.length
+      val w = math.min(64, math.max(n, 1))
+      val h = (math.max(n, 1) + w - 1) / w
+      val s = Array.tabulate(64) { k =>
+        val idx = ((k / 8) * h / 8) * w + ((k % 8) * w / 8)
+        if (idx < n) c(idx) & 0xff else 0
+      }
+      val m = s.foldLeft(0L)(_ + _) / 64
+      val b = new Array[Int](4)
+      for (k <- 0 until 64) if (s(k) > m) b(k / 16) |= 1 << (k % 16)
+      b
+    }
+    rows.foreach { r =>
+      val (a, bId) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(a < bId)
+      val (ba, bb) = (bandsOf(texts(a)), bandsOf(texts(bId)))
+      val ham = (0 until 4).map(i => Integer.bitCount(ba(i) ^ bb(i))).sum
+      assert(ham == r.getAs[Int]("hamming") && ham <= 8)
+      // LSH invariant: a surviving pair collided on at least one band
+      assert((0 until 4).exists(i => ba(i) == bb(i)))
+    }
+  }
+
   test("decode_resize round-trips real pixels through the PNG codec") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
