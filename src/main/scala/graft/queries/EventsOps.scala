@@ -28,6 +28,39 @@ object EventsOps {
                .cast("double").as("total_value"))
     },
 
+    // Hourly anomaly detection — the ops-table companion of
+    // q_events_hourly: flag hours whose event count deviates more than
+    // 2σ from that event type's mean. The z-score numerator/denominator
+    // stay EXACT integers as long as possible (dev_n = cnt·n − Σx,
+    // var_n2 = n·Σx² − (Σx)² — the textbook shift that avoids a mean
+    // subtraction in floating point), the flag compares dev_n² > 4·var_n2
+    // entirely in long arithmetic (no float at the decision boundary),
+    // and z itself is ONE double division over ONE IEEE sqrt — both
+    // correctly-rounded, hence bit-identical across engines (the cosine
+    // discipline). Constant series (σ = 0) yield null z on both sides.
+    // Plan: the hourly rollup is one shuffle; the per-type stats table is
+    // |event types| rows, joined back unhinted (AQE broadcasts it).
+    "q_events_anomaly" -> { (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum("n_events").as("sx"),
+          sum(col("n_events") * col("n_events")).as("sxx"))
+      hourly.join(stats, "event_type")
+        .withColumn("dev_n",
+          col("n_events") * col("n_hours") - col("sx"))
+        .withColumn("var_n2",
+          col("n_hours") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("z", when(col("var_n2") === 0, lit(null).cast("double"))
+          .otherwise(col("dev_n").cast("double") /
+            sqrt(col("var_n2").cast("double"))))
+        .withColumn("flagged",
+          col("dev_n") * col("dev_n") > lit(4L) * col("var_n2"))
+        .select("event_type", "hour", "n_events", "z", "flagged")
+    },
+
     // Sessionization: 30-min inactivity gap splits sessions. Single shuffle
     // on user_id; lag + running sum within sorted partitions. At 100 TB this
     // is the mapGroupsWithState shape — here the batch window-function form.
@@ -121,6 +154,24 @@ object EventsOps {
         | count(*) AS n_events,
         | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+        | SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  event_type, count(*) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |stats AS (
+        | SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(n_events) AS BIGINT) AS sx,
+        |  CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+        | FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.hour, h.n_events,
+        | CASE WHEN s.n_hours * s.sxx - s.sx * s.sx = 0 THEN NULL
+        |      ELSE CAST(h.n_events * s.n_hours - s.sx AS DOUBLE)
+        |           / sqrt(CAST(s.n_hours * s.sxx - s.sx * s.sx AS DOUBLE))
+        | END AS z,
+        | (h.n_events * s.n_hours - s.sx) * (h.n_events * s.n_hours - s.sx)
+        |   > 4 * (s.n_hours * s.sxx - s.sx * s.sx) AS flagged
+        |FROM hourly h JOIN stats s USING (event_type)""".stripMargin,
     "q_events_sessionize" ->
       """WITH flagged AS (
         | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -665,6 +665,40 @@ object SimilarityOps {
     // Each probe width re-runs the probe path; the corpus-side
     // assignment and the exact baseline are computed once each and the
     // rollup is three skinny rows.
+    // Dimension-truncation recall sweep — the Matryoshka-style tuning
+    // table next to the nprobe sweep: how much of exact full-dimension
+    // top-3 recall survives when cosine runs over only the first
+    // d ∈ {8,16,32,64} dimensions (the storage/bandwidth knob a vector
+    // store turns BEFORE reaching for PQ). Same plan per d as
+    // q_embed_cosine_topk — slice() is scan-shaped, candidates stream
+    // past the broadcast query set, TopKPerKey bounds the shuffle —
+    // and the d=64 row must come back with recall 1.0 by construction
+    // (the spec pins that). The codegen Dot/SumSq fold order over the
+    // sliced prefix matches the oracle's range(1, d+1) fold exactly.
+    "q_embed_dim_recall" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val exact = cosineTopkOf(e, nQueries = 10, k = 3)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      Seq(8, 16, 32, 64).map { d =>
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            slice(col("embedding"), 1, d).as("q_emb"))
+        val c = e.select(col("vec_id").as("c_id"),
+          slice(col("embedding"), 1, d).as("c_emb"))
+        val scored = c.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cosine",
+            dot(col("q_emb"), col("c_emb")) /
+              (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
+        graft.operators.TopKPerKey.topK(s, scored, "q_id", "cosine", "c_id", 3)
+          .select(col("q_id"), col("c_id")).withColumn("d", lit(d.toLong))
+      }.reduce(_ union _)
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .groupBy("d")
+        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_3", col("n_hits").cast("double") / 30.0)
+    },
+
     "q_embed_ivf_recall_sweep" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val exact = cosineTopkOf(e, nQueries = 10, k = 3)
@@ -1068,6 +1102,37 @@ object SimilarityOps {
         |SELECT q_id, c_id, rk, cosine FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
         | FROM cand) WHERE rk <= 3""".stripMargin,
+    "q_embed_dim_recall" -> {
+      def dotD(d: Int, a: String, b: String) =
+        s"list_reduce(list_transform(range(1, ${d + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i]), (x, y) -> x + y)"
+      def ssD(d: Int, a: String) =
+        s"list_reduce(list_transform(range(1, ${d + 1}), i -> CAST($a.embedding[i] AS DOUBLE) * $a.embedding[i]), (x, y) -> x + y)"
+      val truncs = Seq(8, 16, 32, 64).map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS d, q_id, c_id FROM (
+           | SELECT q_id, c_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+           | FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |   ${dotD(d, "q", "c")} / (sqrt(${ssD(d, "q")}) * sqrt(${ssD(d, "c")})) AS cosine
+           |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id)) WHERE rk <= 3"""
+      }.mkString("\n UNION ALL\n ")
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |exact AS (
+        | SELECT q_id, c_id FROM (
+        |  SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM (
+        |   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    ${dotD(64, "q", "c")} / (sqrt(${ssD(64, "q")}) * sqrt(${ssD(64, "c")})) AS cosine
+        |   FROM q, embeddings c WHERE q.vec_id <> c.vec_id)) WHERE rk <= 3),
+        |trunc AS (
+        | $truncs)
+        |SELECT t.d, CAST(count(e.q_id) AS BIGINT) AS n_hits,
+        | CAST(count(e.q_id) AS DOUBLE) / 30.0 AS recall_at_3
+        |FROM trunc t LEFT JOIN exact e
+        | ON t.q_id = e.q_id AND t.c_id = e.c_id
+        |GROUP BY t.d""".stripMargin
+    },
     "q_embed_ivf_recall_sweep" -> {
       def runAt(np: Int) =
         s"""SELECT CAST($np AS BIGINT) AS nprobe, q_id, c_id FROM (

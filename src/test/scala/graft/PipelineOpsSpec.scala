@@ -938,6 +938,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events anomaly: integer flag agrees with z; full hourly coverage") {
+    val rows = SparkEntry.queries("q_events_anomaly")(spark, sf).collect()
+    val hourly = SparkEntry.queries("q_events_hourly")(spark, sf).count()
+    assert(rows.length == hourly)
+    rows.foreach { r =>
+      val zIdx = r.fieldIndex("z")
+      val flagged = r.getAs[Boolean]("flagged")
+      if (r.isNullAt(zIdx)) assert(!flagged) // σ=0 series never flag
+      else {
+        val z = r.getDouble(zIdx)
+        // the flag is decided in exact long arithmetic; z is its float
+        // shadow — they may only disagree within float eps of |z|=2
+        if (flagged) assert(math.abs(z) > 2.0 - 1e-9)
+        else assert(math.abs(z) < 2.0 + 1e-9)
+      }
+    }
+    assert(rows.exists(_.getAs[Boolean]("flagged"))) // not vacuous
+  }
+
+  test("dim recall: 64-dim row is exact by construction; hits bounded") {
+    val rows = SparkEntry.queries("q_embed_dim_recall")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getAs[Long]("n_hits") <= 30))
+    val full = rows.find(_.getAs[Long]("d") == 64L).get
+    assert(full.getAs[Long]("n_hits") == 30L &&
+      full.getAs[Double]("recall_at_3") == 1.0)
+  }
+
   test("prep funnel: monotone survivors, endpoints tie to the audit") {
     val rows = SparkEntry.queries("q_doc_prep_funnel")(spark, sf)
       .collect().sortBy(_.getAs[Int]("stage_idx"))
