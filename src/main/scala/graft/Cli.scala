@@ -189,6 +189,8 @@ object Cli {
       .write.mode("overwrite").parquet(s"$out/audit")
     graft.queries.TextOps.sourceStatsOf(spark.read.parquet(s"$out/audit"))
       .write.mode("overwrite").parquet(s"$out/source_stats")
+    graft.queries.TextOps.funnelOf(spark.read.parquet(s"$out/audit"))
+      .write.mode("overwrite").parquet(s"$out/funnel")
   }
 
   /** `graft.Cli index build <sf-dir> <index-dir>` /

@@ -542,6 +542,25 @@ object TextOps {
         "exact_canonical", "neardup_canonical", "split", "keep")
   }
 
+  /** Stage-survivor funnel over a corpus-prep audit table (see the
+    * q_doc_prep_funnel entry) — like sourceStatsOf, takes the AUDIT
+    * DataFrame so a materialized audit feeds it without re-running the
+    * pipeline. One all-to-one aggregate of verdict booleans + a 5-row
+    * stack. */
+  def funnelOf(audit: DataFrame): DataFrame = {
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    audit
+      .agg(count(lit(1)).as("n0"),
+        n(col("lang_ok")).as("n1"),
+        n(col("lang_ok") && col("quality_ok")).as("n2"),
+        n(col("lang_ok") && col("quality_ok") &&
+          col("exact_canonical")).as("n3"),
+        n(col("keep")).as("n4"))
+      .select(expr("stack(5, 0, 'raw', n0, 1, 'lang_id', n1, " +
+        "2, 'quality', n2, 3, 'exact_dedup', n3, 4, 'near_dedup', n4) " +
+        "AS (stage_idx, stage, n_surviving)"))
+  }
+
   /** Per-source rollup of a corpus-prep audit table — separated from
     * the audit derivation so a MATERIALIZED audit (Cli.runPrep writes
     * it once as parquet) feeds this and any future rollup without
@@ -1048,19 +1067,12 @@ object TextOps {
     // all-to-one aggregate of verdict booleans (bytes, not text) and
     // a 5-row stack — nothing here grows with corpus size beyond the
     // embedded prep pipeline it audits.
-    "q_doc_prep_funnel" -> { (s, dir) =>
-      def n(c: Column) = sum(when(c, 1L).otherwise(0L))
-      corpusPrepOf(s, dir)
-        .agg(count(lit(1)).as("n0"),
-          n(col("lang_ok")).as("n1"),
-          n(col("lang_ok") && col("quality_ok")).as("n2"),
-          n(col("lang_ok") && col("quality_ok") &&
-            col("exact_canonical")).as("n3"),
-          n(col("keep")).as("n4"))
-        .select(expr("stack(5, 0, 'raw', n0, 1, 'lang_id', n1, " +
-          "2, 'quality', n2, 3, 'exact_dedup', n3, 4, 'near_dedup', n4) " +
-          "AS (stage_idx, stage, n_surviving)"))
-    },
+    // As an independent query this re-derives the audit (including the
+    // embedded LSH+CC pass); a chained production run derives it from
+    // the MATERIALIZED audit instead — Cli.runPrep writes audit,
+    // source_stats AND funnel from one pipeline pass (spec-pinned to
+    // one clustersOf invocation).
+    "q_doc_prep_funnel" -> { (s, dir) => funnelOf(corpusPrepOf(s, dir)) },
 
     // The corpus REPORT: the prep verdicts rolled up per source shard —
     // the table a data team reads before a training run (how much

@@ -195,6 +195,30 @@ class ChainDatasetsSpec extends AnyFunSuite {
     assert(a.exists(_._2 > baseQ))
   }
 
+  test("fee percentiles: ordered, bracketed by the block min/max") {
+    def lv(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue
+    val pct = graft.queries.ChainQueries
+      .defs("chain_fee_percentiles")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => lv(r, "block_number") -> r).toMap
+    val agg = graft.queries.ChainQueries
+      .defs("chain_fee_analytics")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => lv(r, "block_number") -> r).toMap
+    // percentiles cover only PRICED txs — a block whose every tx lacks
+    // a gas price (possible in the synthetic fixture) appears in the
+    // analytics rollup but not here
+    assert(pct.nonEmpty && pct.keySet.subsetOf(agg.keySet))
+    pct.foreach { case (bn, r) =>
+      val (p25, p50, p75) = (lv(r, "p25_gas_price"),
+        lv(r, "p50_gas_price"), lv(r, "p75_gas_price"))
+      assert(p25 <= p50 && p50 <= p75)
+      // agg's min/max ignore nulls, so they bracket the priced subset
+      assert(p25 >= lv(agg(bn), "min_gas_price"))
+      assert(p75 <= lv(agg(bn), "max_gas_price"))
+      assert(lv(r, "n_txs") <= lv(agg(bn), "n_txs"))
+    }
+  }
+
   test("sandwich candidates: window query matches a brute-force triple scan") {
     def lv(r: org.apache.spark.sql.Row, c: String): Long =
       r.getAs[Number](c).longValue

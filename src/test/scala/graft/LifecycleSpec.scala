@@ -423,11 +423,17 @@ class CliSpec extends AnyFunSuite {
     }
     val audit = spark.read.parquet(s"$out/audit")
     val stats = spark.read.parquet(s"$out/source_stats")
-    // both outputs row-identical to the independent driver queries
+    // all derived outputs row-identical to the independent driver queries
     assert(sortedRows(audit).sameElements(
       sortedRows(SparkEntry.queries("q_doc_corpus_prep")(spark, sf))))
     assert(sortedRows(stats).sameElements(
       sortedRows(SparkEntry.queries("q_doc_source_stats")(spark, sf))))
+    assert(sortedRows(spark.read.parquet(s"$out/funnel")).sameElements(
+      sortedRows(SparkEntry.queries("q_doc_prep_funnel")(spark, sf))))
+    // ...and the prep rollups themselves triggered no CC passes beyond
+    // runPrep's one and the three independent reference queries re-run
+    // above (corpus_prep, source_stats, funnel → one each)
+    assert(graft.queries.TextOps.clustersInvocations.get() == before + 4)
   }
 
   test("index subcommand: build once, CLI search equals in-query search") {

@@ -59,4 +59,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(prices.length == 10)
     assert(prices.sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("bucketed co-located join runs with NO exchange on the join key") {
+    // the pre-partitioning answer to the biggest recurring shuffle at
+    // 100 TB: write both fact tables bucketed on the join key once, and
+    // every later orderkey join reads co-located buckets — SortMergeJoin
+    // with ZERO Exchange in the plan (vs two full shuffles unhinted)
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val o = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val l = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.format("parquet").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/o")
+      .mode("overwrite").saveAsTable("b_orders")
+    l.write.format("parquet").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/l")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it computes the same rows as the plain (shuffling) join
+      val unbucketed = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == unbucketed.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
