@@ -184,6 +184,22 @@ object Relational {
           |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     },
 
+    // CUBE — the full grouping-sets lattice next to q_rollup's
+    // hierarchy: all four (brand, container) subtotal combinations in
+    // ONE pass (Expand + a single aggregate — Catalyst never rescans
+    // the table per grouping set). GROUPING() disambiguates a real
+    // NULL from a subtotal row, published as exact ints; money stays
+    // DECIMAL until the final double cast.
+    "q_cube_part_stats" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .cube(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").cast("double").as("total_retail"),
+          grouping(col("p_brand")).as("g_brand"),
+          grouping(col("p_size")).as("g_container"))
+    },
+
     // Conditional aggregation (pivot-shaped without PIVOT).
     "q_status_mix" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -663,6 +679,12 @@ object Relational {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q_cube_part_stats" ->
+      """SELECT p_brand, p_size, count(*) AS n_parts,
+        | CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_retail,
+        | CAST(grouping(p_brand) AS INT) AS g_brand,
+        | CAST(grouping(p_size) AS INT) AS g_container
+        |FROM part GROUP BY CUBE (p_brand, p_size)""".stripMargin,
     "q_status_mix" ->
       """SELECT o_orderpriority,
         | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

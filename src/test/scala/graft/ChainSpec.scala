@@ -219,6 +219,32 @@ class ChainDatasetsSpec extends AnyFunSuite {
     }
   }
 
+  test("erc20 net flows: conservation — every token's net sums to zero") {
+    val rows = graft.queries.ChainQueries
+      .defs("chain_erc20_net_flows")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // transfers only move value: per token, holders' nets cancel and
+    // inflow equals outflow. The PUBLISHED columns are double casts of
+    // exact decimals — token amounts (~1e24, 18-decimals tokens) exceed
+    // 2^53, so per-address rounding of up to a few hundred wei is
+    // inherent to the published representation; conservation is asserted
+    // relative to volume, and exactly on the integer transfer counts.
+    rows.groupBy(_.getAs[String]("erc20")).values.foreach { g =>
+      val in = g.map(r => BigDecimal(r.getAs[Double]("in_flow"))).sum
+      val out = g.map(r => BigDecimal(r.getAs[Double]("out_flow"))).sum
+      val net = g.map(r => BigDecimal(r.getAs[Double]("net_flow"))).sum
+      assert(in > 0 && (net.abs / in) < BigDecimal("1e-12"))
+      assert(((in - out).abs / in) < BigDecimal("1e-12"))
+      assert(g.map(_.getAs[Long]("n_in")).sum == g.map(_.getAs[Long]("n_out")).sum)
+    }
+    // every transfer contributes exactly one in and one out leg
+    val nXfers = graft.chain.ChainDatasets
+      .erc20Transfers(spark, "/root/repo/fixtures/chain",
+        u256Reprs = Seq(graft.functions.U256.Binary)).count()
+    assert(rows.map(_.getAs[Long]("n_in")).sum == nXfers)
+    assert(rows.map(_.getAs[Long]("n_out")).sum == nXfers)
+  }
+
   test("sandwich candidates: window query matches a brute-force triple scan") {
     def lv(r: org.apache.spark.sql.Row, c: String): Long =
       r.getAs[Number](c).longValue

@@ -60,6 +60,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(prices.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("cube: one pass produces all four grouping-set classes exactly") {
+    val rows = SparkEntry.queries("q_cube_part_stats")(spark, sf).collect()
+    def cls(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("g_brand").intValue, r.getAs[Number]("g_container").intValue)
+    val byClass = rows.groupBy(cls)
+    assert(byClass.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    val total = Tables(spark, sf, "part").count()
+    // the grand-total row covers every part; each class partitions them
+    assert(byClass((1, 1)).map(_.getAs[Long]("n_parts")).toSeq == Seq(total))
+    Seq((0, 0), (0, 1), (1, 0)).foreach { c =>
+      assert(byClass(c).map(_.getAs[Long]("n_parts")).sum == total)
+    }
+  }
+
+  test("partition-pruned scan reads only the filtered partition") {
+    // date/priority-partitioned layout + a partition-key filter must
+    // prune AT PLANNING (PartitionFilters on the scan node), not filter
+    // rows after a full read — the difference between scanning one
+    // partition and scanning 100 TB
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables(spark, sf, "orders")
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("o_orderpriority") === "1-URGENT")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"no partition filter in plan:\n$plan")
+    val expected = Tables(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(df.count() == expected && expected > 0)
+  }
+
   test("bucketed co-located join runs with NO exchange on the join key") {
     // the pre-partitioning answer to the biggest recurring shuffle at
     // 100 TB: write both fact tables bucketed on the join key once, and
