@@ -1144,6 +1144,42 @@ object TextOps {
       dsirWeightOf(Tables(s, dir, "documents"), "src0")
     },
 
+    // Collocation mining — corpus-level PMI-style association between
+    // adjacent tokens (the word2vec/fastText phrase-detection pass that
+    // decides "new york" should become one token before BPE training).
+    // PMI's log is transcendental, so the score is the exact-integer
+    // grid ratio (c12 · N · 2^20) div (c1 · c2 + 2^20) — monotone in
+    // PMI, bit-portable (the lm_score/DSIR discipline; the +2^20
+    // denominator smoothing damps hapax pairs). Top-50 by (score,
+    // bigram) through the bounded TopKPerKey shape is overkill for a
+    // single global list — a plain orderBy+limit on the
+    // vocabulary-bounded scored table is the honest plan (the scored
+    // relation is |bigram vocab|, already reduced by two groupBys with
+    // map-side partials; only the 50-row result crosses the driver).
+    "q_doc_collocations" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftSql
+      val docs = Tables(s, dir, "documents")
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val bg = docs.select(
+        GraftSql.column(graft.functions.ExplodeShingles(
+          GraftSql.expression(toks), 2)).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      // corpus size rides as a 1-row aggregate cross-join (the q15/q22
+      // pattern) — no eager driver-side count
+      val nDf = bg.agg(count(lit(1)).as("n_bg"))
+      bg.groupBy("bg", "w1", "w2").agg(count(lit(1)).as("c12"))
+        .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+        .crossJoin(broadcast(nDf))
+        .withColumn("pmi_grid",
+          expr("(c12 * n_bg * 1048576) div (c1a * c1b + 1048576)"))
+        .select("bg", "c12", "c1a", "c1b", "pmi_grid")
+        .orderBy(col("pmi_grid").desc, col("bg").asc)
+        .limit(50)
+    },
+
     // Deterministic stratified sampling — the per-source subsample every
     // corpus study starts with (eval carve-outs, ablation slices, data
     // audits) made repartition-stable: order WITHIN each source by
@@ -2031,6 +2067,27 @@ object TextOps {
         |   / count(*) AS dsir_weight
         |FROM bgl b JOIN raw r USING (bg) LEFT JOIN tgt tg USING (bg)
         |GROUP BY b.doc_id, b.source""".stripMargin,
+    "q_doc_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks FROM documents),
+        |tok AS (SELECT unnest(toks) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+        |bgl AS (
+        | SELECT unnest(list_transform(range(1, len(toks)),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS bg
+        | FROM t),
+        |nb AS (SELECT count(*) AS n_bg FROM bgl),
+        |cnt AS (
+        | SELECT bg, string_split(bg, ' ')[1] AS w1,
+        |  string_split(bg, ' ')[2] AS w2, count(*) AS c12
+        | FROM bgl GROUP BY bg),
+        |scored AS (
+        | SELECT c.bg, CAST(c.c12 AS BIGINT) AS c12,
+        |  ua.c1 AS c1a, ub.c1 AS c1b,
+        |  (c.c12 * (SELECT n_bg FROM nb) * 1048576)
+        |    // (ua.c1 * ub.c1 + 1048576) AS pmi_grid
+        | FROM cnt c JOIN uni ua ON c.w1 = ua.w JOIN uni ub ON c.w2 = ub.w)
+        |SELECT bg, c12, c1a, c1b, CAST(pmi_grid AS BIGINT) AS pmi_grid
+        |FROM scored ORDER BY pmi_grid DESC, bg ASC LIMIT 50""".stripMargin,
     "q_doc_stratified_sample" ->
       s"""SELECT doc_id, source, sample_rank, n_source,
         | (sample_rank * 5 <= n_source) AS keep

@@ -219,6 +219,21 @@ class ChainDatasetsSpec extends AnyFunSuite {
     }
   }
 
+  test("event counts: totals cover every topic-bearing log") {
+    val rows = graft.queries.ChainQueries
+      .defs("chain_event_counts")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val logs = spark.read.parquet(s"$dir/rpc_logs.parquet")
+    val withTopics = logs.filter(org.apache.spark.sql.functions
+      .size(org.apache.spark.sql.functions.col("topics")) >= 1).count()
+    assert(rows.map(_.getAs[Long]("n_logs")).sum == withTopics)
+    // the Transfer signature is among the selectors
+    val transferHex = "0x" + graft.chain.GenFixtures.sigTransfer
+      .map("%02x".format(_)).mkString
+    assert(rows.exists(_.getAs[String]("topic0") == transferHex))
+    rows.foreach(r => assert(r.getAs[Long]("n_contracts") >= 1))
+  }
+
   test("erc20 net flows: conservation — every token's net sums to zero") {
     val rows = graft.queries.ChainQueries
       .defs("chain_erc20_net_flows")(spark, "/root/testdata/sf0.001").collect()

@@ -938,6 +938,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations: top-50 descending, pair count bounded by unigrams") {
+    val rows = SparkEntry.queries("q_doc_collocations")(spark, sf).collect()
+    assert(rows.length == 50)
+    val scores = rows.map(_.getAs[Long]("pmi_grid"))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    rows.foreach { r =>
+      val (c12, c1a, c1b) = (r.getAs[Long]("c12"),
+        r.getAs[Long]("c1a"), r.getAs[Long]("c1b"))
+      assert(c12 >= 1 && c12 <= math.min(c1a, c1b))
+    }
+  }
+
   test("events anomaly: integer flag agrees with z; full hourly coverage") {
     val rows = SparkEntry.queries("q_events_anomaly")(spark, sf).collect()
     val hourly = SparkEntry.queries("q_events_hourly")(spark, sf).count()
