@@ -635,6 +635,28 @@ object TextOps {
         .withColumn("lang_pred", expr(argmaxSql))
     },
 
+    // Language-ID confusion matrix — the EVAL table for q_doc_langid:
+    // (labeled lang × predicted lang) counts plus per-cell permille of
+    // the label's row total (exact integer grid — no float). This is
+    // the audit a data team reads before trusting the cheap n-gram
+    // classifier to gate a corpus; the rollup is one groupBy over the
+    // scan-shaped prediction (|langs|² rows out).
+    "q_doc_langid_confusion" -> { (s, dir) =>
+      val pred = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          stopCount(toks, stop("en")).as("s_en"),
+          stopCount(toks, stop("fr")).as("s_fr"),
+          stopCount(toks, stop("de")).as("s_de"),
+          stopCount(toks, stop("es")).as("s_es"))
+        .withColumn("lang_pred", expr(argmaxSql))
+      val cells = pred.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = cells.groupBy("lang").agg(sum("n_docs").as("n_lang"))
+      cells.join(totals, "lang")
+        .withColumn("permille", expr("(n_docs * 1000) div n_lang"))
+        .select("lang", "lang_pred", "n_docs", "n_lang", "permille")
+    },
+
     // Document fingerprint (normalization + content hash).
     "q_doc_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -923,6 +945,33 @@ object TextOps {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         .withColumn("keep", col("cluster_id") === col("doc_id"))
+    },
+
+    // Quality×duplication calibration — does low quality predict
+    // duplication? Per (source, quality decile): near-dup keep rate in
+    // exact permille. The decile ranks on an INTEGER-grid quality
+    // (stopword permille — float ordering never decides a bucket) and
+    // partitions by source (the ppl_buckets shard-parallel window
+    // discipline — a global ntile would funnel the corpus through one
+    // partition). The dup verdict is the same survivor-sized cluster
+    // left join as q_doc_dedup_keep; the rollup is ≤|sources|·10 rows.
+    // This is the table that justifies (or kills) "drop the bottom
+    // quality decile" policies before anyone trains on the result.
+    "q_doc_quality_vs_dup" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clusters = clustersOf(minhashPairsOf(docs))
+      docs.select(col("doc_id"), col("source"),
+          size(toks).as("n_tokens"), stopCount(toks, stop("en")).as("n_stop"))
+        .withColumn("q_grid", expr("(n_stop * 1000) div n_tokens"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("keep",
+          coalesce(col("cluster_id") === col("doc_id"), lit(true)))
+        .withColumn("decile", ntile(10).over(Window.partitionBy("source")
+          .orderBy(col("q_grid"), col("doc_id"))))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_permille", expr("(n_keep * 1000) div n_docs"))
     },
 
     // Deterministic train/valid/test assignment: a salted content hash
@@ -1643,6 +1692,24 @@ object TextOps {
         |  ${duckStopCount(stop("de"))} AS s_de,
         |  ${duckStopCount(stop("es"))} AS s_es
         | FROM (SELECT doc_id, lang, $duckToks FROM documents))""".stripMargin,
+    "q_doc_langid_confusion" ->
+      s"""WITH pred AS (
+        | SELECT doc_id, lang, $argmaxSql AS lang_pred
+        | FROM (SELECT doc_id, lang,
+        |  ${duckStopCount(stop("en"))} AS s_en,
+        |  ${duckStopCount(stop("fr"))} AS s_fr,
+        |  ${duckStopCount(stop("de"))} AS s_de,
+        |  ${duckStopCount(stop("es"))} AS s_es
+        | FROM (SELECT doc_id, lang, $duckToks FROM documents))),
+        |cells AS (
+        | SELECT lang, lang_pred, count(*) AS n_docs
+        | FROM pred GROUP BY lang, lang_pred),
+        |totals AS (
+        | SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+        | FROM cells GROUP BY lang)
+        |SELECT c.lang, c.lang_pred, c.n_docs, t.n_lang,
+        | (c.n_docs * 1000) // t.n_lang AS permille
+        |FROM cells c JOIN totals t ON c.lang = t.lang""".stripMargin,
     "q_doc_pii_scrub" ->
       """SELECT doc_id,
         | len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
@@ -1928,6 +1995,31 @@ object TextOps {
         |SELECT doc_id,
         | ${(0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")} AS simhash
         |FROM votes""".stripMargin,
+    "q_doc_quality_vs_dup" ->
+      s"""WITH RECURSIVE pairs_out AS ($duckMinhashPairsSql),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs_out
+        | UNION ALL SELECT id_b, id_a FROM pairs_out),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |reach(doc_id, label) AS (
+        | SELECT doc_id, doc_id FROM nodes
+        | UNION
+        | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+        |clusters AS (
+        | SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+        |scored AS (
+        | SELECT doc_id, source,
+        |  (${duckStopCount(stop("en"))} * 1000) // len(toks) AS q_grid
+        | FROM (SELECT doc_id, source, $duckToks FROM documents)),
+        |keeps AS (
+        | SELECT s.source, coalesce(cl.cluster_id = s.doc_id, TRUE) AS keep,
+        |  ntile(10) OVER (PARTITION BY s.source ORDER BY s.q_grid, s.doc_id) AS decile
+        | FROM scored s LEFT JOIN clusters cl ON s.doc_id = cl.doc_id)
+        |SELECT source, decile, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        | (CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |   // count(*) AS keep_permille
+        |FROM keeps GROUP BY source, decile""".stripMargin,
     "q_doc_dedup_keep" ->
       s"""WITH RECURSIVE pairs_out AS ($duckMinhashPairsSql),
         |edges AS (

@@ -938,6 +938,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("langid confusion: cells partition the corpus; diagonal dominates") {
+    val rows = SparkEntry.queries("q_doc_langid_confusion")(spark, sf).collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("n_docs")).sum == g.head.getAs[Long]("n_lang"))
+      g.foreach { r =>
+        assert(r.getAs[Long]("permille") ==
+          r.getAs[Long]("n_docs") * 1000 / r.getAs[Long]("n_lang"))
+      }
+    }
+    // the classifier must at least beat chance on its own label set:
+    // some diagonal cell holds a majority of its labeled row
+    assert(rows.exists(r => r.getAs[String]("lang") == r.getAs[String]("lang_pred")
+      && r.getAs[Long]("permille") > 500))
+  }
+
+  test("quality-vs-dup: deciles cover every doc; keep counts bounded") {
+    val rows = SparkEntry.queries("q_doc_quality_vs_dup")(spark, sf).collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"))
+      assert(k >= 0 && k <= n)
+      assert(r.getAs[Long]("keep_permille") == k * 1000 / n)
+      val d = r.getAs[Int]("decile")
+      assert(d >= 1 && d <= 10)
+    }
+    // keep totals agree with the dedup-keep operator
+    val keepTotal = SparkEntry.queries("q_doc_dedup_keep")(spark, sf)
+      .filter(col("keep")).count()
+    assert(rows.map(_.getAs[Long]("n_keep")).sum == keepTotal)
+  }
+
   test("collocations: top-50 descending, pair count bounded by unigrams") {
     val rows = SparkEntry.queries("q_doc_collocations")(spark, sf).collect()
     assert(rows.length == 50)
