@@ -938,6 +938,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 plan shapes: single-exchange sample, window-free top-k") {
+    // stratified sample: both windows (rank + count) share ONE exchange
+    // on the source key — the shard-parallel discipline
+    val p1 = SparkEntry.queries("q_doc_stratified_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p1).length == 1, s"plan:\n$p1")
+    // hard negatives ranks through the TopKPerKey aggregator, never a
+    // window over the k×-expanded scored relation
+    val p2 = SparkEntry.queries("q_embed_hard_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Window"), s"plan:\n$p2")
+    // collocations ends in a global top-50: TakeOrdered, no Window
+    val p3 = SparkEntry.queries("q_doc_collocations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("TakeOrderedAndProject") && !p3.contains("Window"),
+      s"plan:\n$p3")
+    // anomaly: hourly rollup + stats join — no window anywhere either
+    val p4 = SparkEntry.queries("q_events_anomaly")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p4.contains("Window"), s"plan:\n$p4")
+  }
+
   test("langid confusion: cells partition the corpus; diagonal dominates") {
     val rows = SparkEntry.queries("q_doc_langid_confusion")(spark, sf).collect()
     val total = Tables(spark, sf, "documents").count()
