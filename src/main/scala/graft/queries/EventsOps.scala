@@ -145,6 +145,26 @@ object EventsOps {
             col("user_id"))).as("retained_d7"))
         .select(col("cohort").cast("timestamp").as("cohort"),
           col("cohort_users"), col("retained_d1"), col("retained_d7"))
+    },
+
+    // Full retention MATRIX — the (cohort day × day offset) triangle
+    // behind every retention curve, generalizing q_events_retention's
+    // two fixed offsets to 0..7. Two skinny aggregates off one scan
+    // (per-user first day; distinct user-days), one join keyed on
+    // user_id, one groupBy to ≤|days|·8 rows. count_distinct expands
+    // to the two-level aggregate Catalyst plans itself; day arithmetic
+    // is exact integer datediff (no timezone float anywhere).
+    "q_events_retention_matrix" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      val first = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+      first.join(e, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cohort")))
+        .filter(col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort").cast("timestamp").as("cohort"),
+          col("day_offset"), col("n_users"))
     }
   )
 
@@ -221,6 +241,15 @@ object EventsOps {
         | count(DISTINCT CASE WHEN e.d = f.cohort + 1 THEN e.user_id END) AS retained_d1,
         | count(DISTINCT CASE WHEN e.d = f.cohort + 7 THEN e.user_id END) AS retained_d7
         |FROM f JOIN e ON f.user_id = e.user_id
-        |GROUP BY cohort""".stripMargin
+        |GROUP BY cohort""".stripMargin,
+    "q_events_retention_matrix" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+        |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+        | CAST(e.d - f.cohort AS INT) AS day_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM f JOIN e ON f.user_id = e.user_id
+        |WHERE e.d - f.cohort <= 7
+        |GROUP BY 1, 2""".stripMargin
   )
 }

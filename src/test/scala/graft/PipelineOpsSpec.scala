@@ -938,6 +938,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("retention matrix: offset-0 equals cohort size; D1/D7 tie out") {
+    val m = SparkEntry.queries("q_events_retention_matrix")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort"),
+        r.getAs[Int]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(m.nonEmpty && m.keys.forall { case (_, o) => o >= 0 && o <= 7 })
+    val flat = SparkEntry.queries("q_events_retention")(spark, sf).collect()
+    flat.foreach { r =>
+      val c = r.getAs[java.sql.Timestamp]("cohort")
+      // every user is active on their own first day
+      assert(m((c, 0)) == r.getAs[Long]("cohort_users"))
+      assert(m.getOrElse((c, 1), 0L) == r.getAs[Long]("retained_d1"))
+      assert(m.getOrElse((c, 7), 0L) == r.getAs[Long]("retained_d7"))
+    }
+  }
+
   test("round-6 plan shapes: single-exchange sample, window-free top-k") {
     // stratified sample: both windows (rank + count) share ONE exchange
     // on the source key — the shard-parallel discipline
