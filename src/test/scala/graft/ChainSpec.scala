@@ -234,6 +234,23 @@ class ChainDatasetsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_contracts") >= 1))
   }
 
+  test("factory stats: totals tie to the contracts silver") {
+    val stats = graft.queries.ChainQueries
+      .defs("chain_factory_stats")(spark, "/root/testdata/sf0.001").collect()
+    val contracts = graft.chain.ChainDatasets
+      .contracts(spark, dir).collect()
+    assert(stats.nonEmpty)
+    assert(stats.map(_.getAs[Long]("n_contracts")).sum == contracts.length)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_deployers") >= 1 &&
+        r.getAs[Long]("n_deployers") <= r.getAs[Long]("n_contracts"))
+      assert(r.getAs[Long]("n_distinct_codes") >= 1 &&
+        r.getAs[Long]("n_distinct_codes") <= r.getAs[Long]("n_contracts"))
+      assert(r.getAs[Number]("first_block").longValue <=
+        r.getAs[Number]("last_block").longValue)
+    }
+  }
+
   test("erc20 net flows: conservation — every token's net sums to zero") {
     val rows = graft.queries.ChainQueries
       .defs("chain_erc20_net_flows")(spark, "/root/testdata/sf0.001").collect()
