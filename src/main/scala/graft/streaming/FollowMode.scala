@@ -293,6 +293,23 @@ object FollowMode {
       .select("doc_id", "dup_exact_of", "dup_near_of", "keep")
   }
 
+  /** Streaming ingest monitor — the running per-source corpus card a
+    * team watches DURING a 100 TB ingest (the batch q_doc_corpus_card
+    * is the post-hoc global version; its distinct-count columns are
+    * unsupported in streaming aggregation, so the streaming card is the
+    * per-source counting surface): update-mode groupBy(source) with
+    * engine-managed state, emitting refreshed (n_docs, n_tokens,
+    * max_doc_tokens) per source each micro-batch. State is
+    * |sources|-bounded. The spec pins that after the stream drains, the
+    * latest emission per source equals the batch aggregate exactly. */
+  def cardStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        max(col("n_toks")).as("max_doc_tokens"))
+
   /** Incremental freeze: follow the chain head and materialize completed
     * chunks as cryo-named files. Each micro-batch advances a high-water
     * mark over the observed block numbers and re-runs `Freeze.freeze` for

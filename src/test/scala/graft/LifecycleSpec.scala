@@ -1017,6 +1017,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(reranked.subsetOf(got))
   }
 
+  test("streaming card: drained per-source stats equal the batch rollup") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "source", "text")
+    val src = Files.createTempDirectory("graft_card_src").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, docs.schema,
+      maxFilesPerTrigger = 1)
+    val q = FollowMode.cardStream(stream).writeStream
+      .outputMode("update").format("memory").queryName("card_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // the LATEST emission per source (largest n_docs — counts only grow)
+    val got = spark.sql(
+      """SELECT source, max_by(n_docs, n_docs) AS n_docs,
+        | max_by(n_tokens, n_docs) AS n_tokens,
+        | max_by(max_doc_tokens, n_docs) AS max_doc_tokens
+        |FROM card_out GROUP BY source""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("d"), sum("n").as("t"), max("n").as("m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
   test("streaming index dedup equals batch verdicts against the frozen index") {
     val docs = Tables(spark, sf, "documents")
     val idxDir = Files.createTempDirectory("graft_tidx_s").toString
