@@ -36,13 +36,13 @@ import org.apache.spark.sql.types._
   *    container-parsed for the frame count, with ONLY the first/middle/
   *    last keyframes decoded (reader.read(index) never touches the
   *    other frames).
-  *  - q_mm_features/resize/frame_sample keep `decodeStub` (deterministic
-  *    fake dimensions from header bytes) as the disclosed stub contract
-  *    for codecs the container genuinely lacks (e.g. H.264/MP4); every
-  *    modality class now also has a real-codec tier — image (PNG
-  *    lossless + JPEG lossy), audio (WAV/PCM), video container (GIF) —
-  *    so the Spark-side contract (schema, partition batching, feature
-  *    signature) is demonstrated real in all of them.
+  *  - q_mm_features / q_mm_resize / q_mm_frame_sample run the SAME real
+  *    codecs (the former stub tier is retired): features and resize
+  *    decode genuine PNG bytes with ImageIO and publish statistics of
+  *    the decoded raster; frame_sample parses genuine multi-frame GIF
+  *    containers and decodes only the sampled keyframes. The one codec
+  *    class the container genuinely lacks is a native video bitstream
+  *    (H.264/MP4) — the GIF container tier is the honest maximum there.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -63,20 +63,12 @@ object MultimodalOps {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
         lit("application/octet-stream").as("mime"))
 
-  /** STUB decode: fake dimensions from the first payload bytes. A real
-    * implementation calls an image codec here. */
-  def decodeStub(content: Array[Byte]): (Int, Int) = {
-    val w = if (content.length > 0) (content(0) & 0xff) + 1 else 1
-    val h = if (content.length > 1) (content(1) & 0xff) + 1 else 1
-    (w, h)
-  }
-
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("mime", StringType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("fake_width", IntegerType, nullable = false),
-    StructField("fake_height", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", IntegerType, nullable = false),
     StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
 
   /** Deterministic image geometry shared by the encode stage and the
@@ -447,51 +439,70 @@ object MultimodalOps {
       s.createDataFrame(out, schema)
     },
 
-    // Per-partition imperative feature extraction over binary payloads:
-    // metadata via (stubbed) decode + a 16-bin byte histogram. The
-    // mapPartitions boundary is where batch-level resources (codec
-    // handles, model sessions) live in a real pipeline.
+    // Per-partition imperative feature extraction over REAL decoded
+    // images: ImageIO.read on genuine PNG bytes, then the published
+    // features are properties of the decoded raster — dimensions,
+    // pixel count, and a 16-bin luminance histogram over every decoded
+    // sample. The mapPartitions boundary is where batch-level resources
+    // (codec handles, model sessions) live in a real pipeline; only the
+    // extracted features shuffle, never rasters. Lossless grayscale
+    // means the oracle recomputes the histogram from the raw bytes plus
+    // the zero-padded tail (w*h - n extra samples in bin 0).
     "q_mm_features" -> { (s, dir) =>
-      val out = assets(s, dir).rdd.mapPartitions { it =>
-        // batch-level resources (codec handles, model sessions) would be
-        // opened once here, reused for every row of the partition
+      val out = pngAssets(s, dir).rdd.mapPartitions { it =>
+        noDiskCache()
         it.map { r =>
           val id = r.getAs[Long]("doc_id")
-          val content = r.getAs[Array[Byte]]("content")
+          val png = r.getAs[Array[Byte]]("content")
           val mime = r.getAs[String]("mime")
-          val (w, h) = decodeStub(content)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          require(img != null, s"doc $id: undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
           val hist = new Array[Long](16)
-          var i = 0
-          while (i < content.length) {
-            hist((content(i) & 0xff) >> 4) += 1
-            i += 1
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              hist(raster.getSample(x, y, 0) >> 4) += 1
+              x += 1
+            }
+            y += 1
           }
-          Row(id, mime, content.length, w, h, hist.toSeq)
+          Row(id, mime, w, h, w * h, hist.toSeq)
         }
       }
-      val flat = Seq(col("doc_id"), col("mime"), col("n_bytes"),
-        col("fake_width"), col("fake_height")) ++
+      val flat = Seq(col("doc_id"), col("mime"), col("width"),
+        col("height"), col("n_pixels")) ++
         (0 until 16).map(i => col("hist")(i).as(s"hist_$i"))
       s.createDataFrame(out, featureSchema).select(flat: _*)
     },
 
-    // "Resize": downsample the payload to a fixed-length strip by sampling
-    // 8 evenly-spaced bytes (a real pipeline resamples pixel grids the
-    // same way — fixed output shape regardless of input size). Same
-    // mapPartitions batch boundary as q_mm_features.
+    // REAL resize: ImageIO.read on genuine PNG bytes, then nearest-
+    // neighbor resample of the decoded raster to a fixed 2×4 grid —
+    // fixed output shape regardless of input size, the training-data
+    // thumbnail contract (q_mm_decode_resize is the 4×4 sibling; this
+    // one keeps the flat 8-sample strip surface). Integer-exact on
+    // lossless grayscale, so the oracle reproduces every sample from
+    // the original bytes without a codec.
     "q_mm_resize" -> { (s, dir) =>
       val schema = StructType(
         StructField("doc_id", LongType, nullable = false) +:
-        StructField("n_bytes", IntegerType, nullable = false) +:
+        StructField("width", IntegerType, nullable = false) +:
+        StructField("height", IntegerType, nullable = false) +:
         (0 until 8).map(j => StructField(s"s_$j", IntegerType, nullable = false)))
-      val out = assets(s, dir).rdd.mapPartitions { it =>
+      val out = pngAssets(s, dir).rdd.mapPartitions { it =>
+        noDiskCache()
         it.map { r =>
           val id = r.getAs[Long]("doc_id")
-          val c = r.getAs[Array[Byte]]("content")
-          val samples = (0 until 8).map { j =>
-            if (c.isEmpty) 0 else c(j * c.length / 8) & 0xff
-          }
-          Row.fromSeq(id +: c.length +: samples)
+          val png = r.getAs[Array[Byte]]("content")
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          require(img != null, s"doc $id: undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val samples = for (i <- 0 until 2; j <- 0 until 4)
+            yield raster.getSample(j * w / 4, i * h / 2, 0)
+          Row.fromSeq(id +: w +: h +: samples)
         }
       }
       s.createDataFrame(out, schema)
@@ -555,10 +566,13 @@ object MultimodalOps {
       s.createDataFrame(out, schema)
     },
 
-    // "Frame sampling": treat the payload as fixed-size frames (256 B) and
-    // extract the first byte of the first/middle/last frame — the video
-    // keyframe-sampling shape (decode only the sampled frames, never the
-    // whole stream).
+    // REAL frame sampling: genuine multi-frame GIF containers are
+    // parsed for the frame count and ONLY the first/middle/last frames
+    // are decoded (reader.read(index) — the keyframe discipline); each
+    // keyframe publishes its anchor pixel (0,0). Frame f holds payload
+    // bytes [f*256, (f+1)*256) on the identity-gray palette, so pixel
+    // (0,0) of frame f IS byte f*256 (0 for the empty payload) and the
+    // oracle recomputes every column from the raw bytes.
     "q_mm_frame_sample" -> { (s, dir) =>
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
@@ -566,15 +580,22 @@ object MultimodalOps {
         StructField("f_first", IntegerType, nullable = false),
         StructField("f_mid", IntegerType, nullable = false),
         StructField("f_last", IntegerType, nullable = false)))
-      val F = 256
-      val out = assets(s, dir).rdd.mapPartitions { it =>
+      val out = gifAssets(s, dir).rdd.mapPartitions { it =>
+        noDiskCache()
         it.map { r =>
           val id = r.getAs[Long]("doc_id")
-          val c = r.getAs[Array[Byte]]("content")
-          val n = math.max(1, (c.length + F - 1) / F)
-          def at(frame: Int): Int =
-            if (c.isEmpty) 0 else c(math.min(frame * F, c.length - 1)) & 0xff
-          Row(id, n, at(0), at((n - 1) / 2), at(n - 1))
+          val gif = r.getAs[Array[Byte]]("content")
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(gif))
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          require(n >= 1, s"doc $id: unreadable GIF container")
+          def anchor(idx: Int): Int = reader.read(idx).getRGB(0, 0) & 0xff
+          val row = Row(id, n, anchor(0), anchor((n - 1) / 2), anchor(n - 1))
+          reader.dispose()
+          iis.close()
+          row
         }
       }
       s.createDataFrame(out, schema)
@@ -687,26 +708,49 @@ object MultimodalOps {
         |  JOIN hs hb ON hb.doc_id = c.id_b)
         |SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 8""".stripMargin
     },
+    // decoded-raster histogram: the raster holds the n source bytes plus
+    // (w*h - n) zero-padded tail samples, so bin 0 gets the pad on top
+    // of the bytes whose high nibble is 0; all other bins are pure
+    // byte counts (grayscale PNG is lossless)
     "q_mm_features" -> {
-      val hist = (0 until 16).map(i =>
-        s"""CAST(len(list_filter(range(0, octet_length(c)),
-           | j -> CAST('0x' || substring(hex(c), 2*j + 1, 1) AS INT) = $i)) AS BIGINT) AS hist_$i"""
-          .stripMargin).mkString(",\n ")
-      s"""SELECT doc_id, 'application/octet-stream' AS mime,
-        | octet_length(c) AS n_bytes,
-        | CAST('0x' || substring(hex(c), 1, 2) AS INT) + 1 AS fake_width,
-        | CAST('0x' || substring(hex(c), 3, 2) AS INT) + 1 AS fake_height,
+      def nibbleCount(i: Int) =
+        s"""len(list_filter(range(0, n),
+           | j -> CAST('0x' || substring(hex(c), 2*j + 1, 1) AS INT) = $i))""".stripMargin
+      val hist = (0 until 16).map { i =>
+        if (i == 0) s"CAST(${nibbleCount(i)} + (w*h - n) AS BIGINT) AS hist_$i"
+        else s"CAST(${nibbleCount(i)} AS BIGINT) AS hist_$i"
+      }.mkString(",\n ")
+      s"""WITH a AS (
+        | SELECT doc_id, encode(text) AS c, octet_length(encode(text)) AS n
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, c, n, LEAST(64, GREATEST(n, 1)) AS w,
+        |  (GREATEST(n, 1) + LEAST(64, GREATEST(n, 1)) - 1) // LEAST(64, GREATEST(n, 1)) AS h
+        | FROM a)
+        |SELECT doc_id, 'image/png' AS mime,
+        | CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | CAST(w*h AS INT) AS n_pixels,
         | $hist
-        |FROM (SELECT doc_id, encode(text) AS c FROM documents)""".stripMargin
+        |FROM d""".stripMargin
     },
+    // the 2×4 nearest-neighbor grid over the decoded raster: sample
+    // (i,j) is pixel ((i*h/2)*w + j*w/4), i.e. that source byte (0 in
+    // the zero-padded tail)
     "q_mm_resize" -> {
-      val samples = (0 until 8).map(j =>
-        s"""CASE WHEN octet_length(c) = 0 THEN 0
-           | ELSE CAST('0x' || substring(hex(c), 2*(($j*octet_length(c))//8) + 1, 2) AS INT)
-           | END AS s_$j""".stripMargin).mkString(",\n ")
-      s"""SELECT doc_id, octet_length(c) AS n_bytes,
+      def byteAt(idx: String) =
+        s"CASE WHEN $idx < n THEN CAST('0x' || substring(hex(c), 2*($idx) + 1, 2) AS INT) ELSE 0 END"
+      val samples = (for (i <- 0 until 2; j <- 0 until 4) yield
+        s"${byteAt(s"(($i*h)//2)*w + (($j*w)//4)")} AS s_${i * 4 + j}").mkString(",\n ")
+      s"""WITH a AS (
+        | SELECT doc_id, encode(text) AS c, octet_length(encode(text)) AS n
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, c, n, LEAST(64, GREATEST(n, 1)) AS w,
+        |  (GREATEST(n, 1) + LEAST(64, GREATEST(n, 1)) - 1) // LEAST(64, GREATEST(n, 1)) AS h
+        | FROM a)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         | $samples
-        |FROM (SELECT doc_id, encode(text) AS c FROM documents)""".stripMargin
+        |FROM d""".stripMargin
     },
     // lossless identity-gray frames: frame f holds bytes
     // [f*256, (f+1)*256) zero-padded, so each keyframe's mean (and the
@@ -730,15 +774,22 @@ object MultimodalOps {
         |  ELSE CAST('0x' || substring(hex(c), 1, 2) AS INT) END AS px_first
         |FROM a""".stripMargin
     },
-    "q_mm_frame_sample" ->
-      """WITH a AS (
-        | SELECT doc_id, encode(text) AS c,
+    // pixel (0,0) of keyframe f = byte f*256 (frame f starts at byte
+    // f*256 and f*256 < n for every sampled frame when n > 0; the empty
+    // payload is one zero frame)
+    "q_mm_frame_sample" -> {
+      def anchorAt(f: String) =
+        s"""CASE WHEN n = 0 THEN 0
+           | ELSE CAST('0x' || substring(hex(c), 2*(($f)*256) + 1, 2) AS INT) END""".stripMargin
+      s"""WITH a AS (
+        | SELECT doc_id, encode(text) AS c, octet_length(encode(text)) AS n,
         |  greatest(1, CAST((octet_length(encode(text)) + 255) // 256 AS INT)) AS n_frames
         | FROM documents)
         |SELECT doc_id, n_frames,
-        | CAST('0x' || substring(hex(c), 2*least(0*256, octet_length(c)-1) + 1, 2) AS INT) AS f_first,
-        | CAST('0x' || substring(hex(c), 2*least(((n_frames-1)//2)*256, octet_length(c)-1) + 1, 2) AS INT) AS f_mid,
-        | CAST('0x' || substring(hex(c), 2*least((n_frames-1)*256, octet_length(c)-1) + 1, 2) AS INT) AS f_last
+        | ${anchorAt("0")} AS f_first,
+        | ${anchorAt("(n_frames-1)//2")} AS f_mid,
+        | ${anchorAt("n_frames-1")} AS f_last
         |FROM a""".stripMargin
+    }
   )
 }
