@@ -120,6 +120,20 @@ object Abi {
     out.toSeq
   }
 
+  /** End of the type token in a possibly-named param ("uint256 amt",
+    * "(uint a, uint b) inner", "uint[2] xs"): the type runs through the
+    * last ')' / ']' when one precedes the first space, else to the
+    * first space. Shared by parseEvent and nested tuple members so a
+    * named member inside a nested tuple parses the same way at every
+    * depth. */
+  private def typeEnd(trimmed: String): Int = {
+    val lastClose = math.max(trimmed.lastIndexOf(')'), trimmed.lastIndexOf(']'))
+    val firstSpace = trimmed.indexOf(' ')
+    if (lastClose >= 0 && (firstSpace < 0 || firstSpace < lastClose)) lastClose + 1
+    else if (firstSpace < 0) trimmed.length
+    else firstSpace
+  }
+
   def parseType(s0: String): AbiType = {
     val s = s0.trim
     if (s.endsWith("]")) {
@@ -132,9 +146,12 @@ object Abi {
       require(s.endsWith(")"), s"malformed tuple type: $s")
       val inner = s.substring(1, s.length - 1).trim
       TupleT(if (inner.isEmpty) Seq.empty
-        else splitTop(inner).map(m =>
-          // tuple members may carry names ("(address to, uint256 amt)")
-          parseType(m.trim.split("\\s+").head)))
+        else splitTop(inner).map { m =>
+          // tuple members may carry names ("(address to, uint256 amt)"),
+          // including nested-tuple members ("((uint a, uint b) inner, uint c)")
+          val t = m.trim
+          parseType(t.substring(0, typeEnd(t)))
+        })
     } else s match {
       case typeRe(base, suffix) => (base, suffix) match {
         case ("uint", "")   => UIntT(256)
@@ -163,14 +180,9 @@ object Abi {
         // the type may itself contain spaces (named tuple members), so
         // the type token runs through the last ')' or ']' if present
         val trimmed = raw.trim
-        val lastClose = math.max(trimmed.lastIndexOf(')'), trimmed.lastIndexOf(']'))
-        val firstSpace = trimmed.indexOf(' ')
-        val typeEnd =
-          if (lastClose >= 0 && (firstSpace < 0 || firstSpace < lastClose)) lastClose + 1
-          else if (firstSpace < 0) trimmed.length
-          else firstSpace
-        val typ = parseType(trimmed.substring(0, typeEnd))
-        val rest = trimmed.substring(typeEnd).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        val tEnd = typeEnd(trimmed)
+        val typ = parseType(trimmed.substring(0, tEnd))
+        val rest = trimmed.substring(tEnd).trim.split("\\s+").toSeq.filter(_.nonEmpty)
         val indexed = rest.contains("indexed")
         val pname = rest.filterNot(_ == "indexed").lastOption.getOrElse(s"arg$i")
         Param(pname, typ, indexed)

@@ -25,7 +25,9 @@ import org.apache.spark.sql.types._
   * dot/(√ss_e·√ss_c) for centroids. Candidates iterate in ascending
   * id order with strict-improvement comparisons, so ties keep the
   * lowest id — identical to ORDER BY cost ASC, code ASC (resp. cosine
-  * DESC, centroid_id ASC).
+  * DESC, centroid_id ASC) — including NaN, which Spark's total order
+  * places greatest: a NaN cosine (zero-norm vector) wins the DESC
+  * ranking, a NaN cost loses the ASC ranking unless all are NaN.
   */
 final class CentroidIndex(val ids: Array[Long], val vecs: Array[Array[Float]],
     val norms: Array[Double]) extends Serializable
@@ -91,7 +93,15 @@ object NearestCentroidF32 {
           k += 1
         }
         val cos = dot / (normE * idx.norms(j))
-        if (first || cos > bestCos) { bestCos = cos; bestId = idx.ids(j); first = false }
+        // Spark's total order puts NaN greatest, so under ORDER BY
+        // cosine DESC a NaN cosine (zero-norm centroid or embedding)
+        // outranks every real one; mirror that here or the fold and the
+        // window form diverge on degenerate inputs. Among equal keys
+        // (incl. NaN vs NaN) the earlier — lowest — id keeps winning.
+        val better =
+          if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(bestCos)
+          else cos > bestCos
+        if (first || better) { bestCos = cos; bestId = idx.ids(j); first = false }
       }
       j += 1
     }
@@ -152,7 +162,13 @@ object PqEncodeF32 {
           k += 1
         }
         val cost = ssj(c) - 2.0 * dot
-        if (first || cost < bestCost) { bestCost = cost; bestCode = idx.codes(j)(c); first = false }
+        // NaN sorts greatest in Spark, so under ORDER BY cost ASC a NaN
+        // cost can only win when every candidate is NaN (then lowest
+        // code, as ties do).
+        val better =
+          if (java.lang.Double.isNaN(cost)) false
+          else cost < bestCost || java.lang.Double.isNaN(bestCost)
+        if (first || better) { bestCost = cost; bestCode = idx.codes(j)(c); first = false }
         c += 1
       }
       if (first) return null // empty codebook for this subspace
