@@ -202,7 +202,16 @@ object Cli {
     * touching raw corpus vectors. */
   def runIndex(args: Seq[String], spark: SparkSession): Unit = {
     val usage = "usage: index build <sf-dir> <index-dir> | " +
-      "index search <sf-dir> <index-dir> [--out DIR] [--show N]"
+      "index search <sf-dir> <index-dir> [--out DIR] [--show N] | " +
+      "index compact <index-dir>"
+    // `compact` rewrites streaming-appended artifacts into
+    // key-partitioned files (hash-identical search, far fewer files)
+    if (args.headOption.contains("compact")) {
+      require(args.length == 2, usage)
+      val done = graft.operators.IndexCompact.compact(spark, args(1))
+      println(s"compacted: ${done.mkString(", ")} under ${args(1)}")
+      return
+    }
     require(args.length >= 3, usage)
     val Seq(mode, sfDir, idxDir) = args.take(3).toSeq
     mode match {

@@ -13,12 +13,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-      // Read it as raw nanos and convert to microseconds — lossless here:
-      // every ts in the testdata is microsecond-aligned (ns % 1000 == 0).
+      // events.ts varies across testdata drops: earlier ones wrote
+      // parquet TIMESTAMP(NANOS) — Spark's reader rejects nanos, so read
+      // as raw long and convert (lossless: every ts is µs-aligned) —
+      // newer ones write TIMESTAMP(MICROS), which loads natively as NTZ.
+      // Dispatch on the loaded type; both normalize to the session-TZ
+      // (UTC) TIMESTAMP the downstream queries and oracles assume.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -749,6 +749,53 @@ object SimilarityOps {
     ivfpqSearchCore(e.filter(col("vec_id") < 10), cents, cb, codes, k)
   }
 
+  /** Parameter-scale IVF-PQ: build the index at arbitrary (nlist, K)
+    * and search it — the same machinery as the 16-cell fixture queries
+    * (row-local assignment/encode, broadcast probe LUT, partial-agg
+    * top-k), just with bigger bounded sides. The AnnScale spec drives
+    * this at nlist=256, K=256 on sf0.1 to prove the plan shape is
+    * PARAMETER-INDEPENDENT: the driver-held index grows to nlist
+    * centroid rows + M·K codewords (a few hundred KB — still orders of
+    * magnitude under the corpus), assignment/encode stay scan-shaped
+    * projections, the codes side still meets the LUT by broadcast, and
+    * no new exchange appears. Centroid seeds are vec_id < nlist,
+    * codeword seeds the next K residuals — the fixture convention at
+    * any size. */
+  private[graft] def ivfpqAtScale(e: DataFrame, nlist: Int, kCodes: Int,
+      nQueries: Int = 10): DataFrame = {
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val res = assignTo(e, cents)
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        graft.functions.VectorOps.sub(col("embedding"), col("c_emb")).as("residual"))
+    val cb = subvectors(
+      res.filter(col("vec_id") >= nlist && col("vec_id") < nlist + kCodes),
+      Seq("vec_id"), "residual")
+      .select(col("sub"), (col("vec_id") - nlist).cast("int").as("code"),
+        col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
+    val codes = codesFlatOf(res, "residual", collectCodebook(cb),
+      Seq("vec_id", "centroid_id"))
+    ivfpqSearchCore(e.filter(col("vec_id") < nQueries), cents, cb, codes)
+  }
+
+  /** scan-shaped assignment/encode at arbitrary scale, for the same
+    * spec: (assignment plan, encode plan) as DataFrames */
+  private[graft] def annScaleParts(e: DataFrame, nlist: Int,
+      kCodes: Int): (DataFrame, DataFrame) = {
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assign = e.select(col("vec_id"),
+      graft.functions.NearestCentroidF32(col("embedding"),
+        collectCentroids(cents)).as("nc"))
+      .select(col("vec_id"), col("nc.centroid_id").as("centroid_id"))
+    val cb = subvectors(e.filter(col("vec_id") < kCodes), Seq("vec_id"), "embedding")
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("v").as("c_v"), sumSq(col("v")).as("c_ss"))
+    val encode = codesFlatOf(e, "embedding", collectCodebook(cb), Seq("vec_id"))
+    (assign, encode)
+  }
+
   /** the probe-and-score half of IVF-PQ search against ANY index triple
     * (centroids, residual codebook with c_ss, flat codes) — derived
     * in-query (ivfpqSearchOf) or loaded from a persisted index
@@ -765,8 +812,13 @@ object SimilarityOps {
       .filter(col("rk") <= 2)
       .select(col("vec_id").as("q_id"), col("centroid_id"),
         graft.functions.VectorOps.sub(col("embedding"), col("c_emb")).as("qres"))
+    // the codebook is bounded by construction (M·K rows, KB-sized at
+    // any parameter scale) — hint the broadcast so the LUT build never
+    // degrades to a shuffled join on a size mis-estimate (the 256-cell
+    // AnnScale spec caught exactly that: the initial plan went
+    // sort-merge before AQE could rescue it)
     val lut = subvectors(probes, Seq("q_id", "centroid_id"), "qres")
-      .join(cb, "sub")
+      .join(broadcast(cb), "sub")
       .select(col("q_id"), col("centroid_id"), col("sub"), col("code"),
         floor(sumSq(graft.functions.VectorOps.sub(col("v"), col("c_v")))
           * lit(1048576L)).cast("long").as("qc"))
@@ -841,7 +893,10 @@ object SimilarityOps {
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
     val cb = spark.read.parquet(s"$dir/codebook.parquet")
       .withColumn("c_ss", sumSq(col("c_v")))
-    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    // codes may be flat (fresh build), fragmented (streaming ingest) or
+    // centroid_id-partitioned (post-compaction) — the pinned read
+    // restores one schema across all three layouts
+    val codes = graft.operators.IndexCompact.read(spark, dir, "codes.parquet")
     ivfpqSearchCore(queries, cents, cb, codes)
   }
 

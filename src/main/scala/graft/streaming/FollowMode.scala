@@ -334,8 +334,14 @@ object FollowMode {
           case l: java.lang.Long => l.longValue
         }
         val hi = seenHead.accumulateAndGet(head, math.max(_, _))
-        // freeze only chunks whose end is at or below the observed head
-        val end = lo + ((hi + 1 - lo) / spec.chunkSize) * spec.chunkSize
+        // freeze only chunks fully SETTLED: at or below the observed
+        // head minus the reorg buffer. A ≤buffer-deep rollback can only
+        // orphan blocks the buffer kept out of every frozen file, so
+        // skip-existing never pins orphaned data (the reorg contract;
+        // buffer 0 = the old head-bounded behavior).
+        val settled = hi + 1 - spec.reorgBuffer
+        val end = lo +
+          (math.max(0L, settled - lo) / spec.chunkSize) * spec.chunkSize
         if (end > lo)
           Freeze.freeze(spark, sourceDir,
             spec.copy(blocks = BlockSyntax.Range(lo, end)))
@@ -365,15 +371,54 @@ object FollowMode {
       case BlockSyntax.Range(a, b) => (a, b)
       case BlockSyntax.Numbers(ns) => (ns.min, ns.max + 1)
     }
-    var last = lo - 1
+    var last = lo - 1           // highest block fetched into bronze
+    var rawHead = Long.MinValue // last head the node reported (uncapped)
+    // REORG tracking: a poll that reports a LOWER head than the previous
+    // one means the node switched forks — every block above the new head
+    // is orphaned. `refetchFrom` remembers the lowest such point until
+    // the canonical refetch lands.
+    var refetchFrom = Long.MaxValue
     var polls = 0
-    def fetchNew(): Unit = {
-      val top = math.min(source.fetchLatestBlock(), hiEnd - 1)
-      if (top > last) {
-        source.fetchBlocks(spark, BlockSyntax.Range(last + 1, top + 1),
-          fetchPartitions).write.mode("append").parquet(blocksPath)
-        last = top
-      }
+    def replaceDir(target: String, tmp: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val old = Paths.get(target + "__old")
+      Files.move(Paths.get(target), old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), Paths.get(target), StandardCopyOption.ATOMIC_MOVE)
+      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    /** poll once; fetch anything new (and re-fetch the post-reorg window).
+      * A reorged window REWRITES bronze to canonical-only rows — settled
+      * blocks below the rollback point plus the just-fetched canonical
+      * fork — via tmp + dir swap; `beforeRewrite` runs first so the
+      * caller can stop the file stream whose files are about to move. */
+    def fetchNew(beforeRewrite: () => Unit = () => ()): Boolean = {
+      val head = source.fetchLatestBlock()
+      if (rawHead != Long.MinValue && head < rawHead)
+        refetchFrom = math.min(refetchFrom, head + 1)
+      rawHead = head
+      val top = math.min(head, hiEnd - 1)
+      val from = math.min(last + 1, refetchFrom)
+      if (top >= from) {
+        val window = source.fetchBlocks(spark,
+          BlockSyntax.Range(from, top + 1), fetchPartitions)
+        if (refetchFrom <= top) {
+          beforeRewrite()
+          val tmp = blocksPath + "__reorg_tmp"
+          spark.read.parquet(blocksPath)
+            .filter(col("block_number") < refetchFrom)
+            .unionByName(window)
+            .write.mode("overwrite").parquet(tmp)
+          replaceDir(blocksPath, tmp)
+          refetchFrom = Long.MaxValue
+          last = top
+          true
+        } else {
+          window.write.mode("append").parquet(blocksPath)
+          last = top
+          false
+        }
+      } else false
     }
     // wait for the head to reach the range start — the first append also
     // creates the bronze dir the file source needs
@@ -382,16 +427,38 @@ object FollowMode {
       Thread.sleep(pollMs); fetchNew(); polls += 1
     }
     require(last >= lo, s"node head never reached range start $lo")
-    val stream = readAppendOnly(spark, blocksPath,
-      spark.read.parquet(blocksPath).schema)
-    val q = incrementalFreeze(spark, bronzeDir, spec, stream)
-      .option("checkpointLocation", checkpointDir).start()
+    val schema = spark.read.parquet(blocksPath).schema
+    def startStream() =
+      incrementalFreeze(spark, bronzeDir, spec,
+        readAppendOnly(spark, blocksPath, schema))
+        .option("checkpointLocation", checkpointDir).start()
+    var q = startStream()
     try {
-      while (last < hiEnd - 1 && polls < maxPolls) {
-        Thread.sleep(pollMs); fetchNew(); polls += 1
+      // poll until the range is fully fetched AND settled: the node's
+      // head must clear the range end by the reorg buffer before the
+      // tail blocks count as final (buffer 0 = the old condition)
+      while ((last < hiEnd - 1 || rawHead < hiEnd - 1 + spec.reorgBuffer)
+          && polls < maxPolls) {
+        Thread.sleep(pollMs)
+        var restarted = false
+        fetchNew { () => q.stop(); restarted = true }
+        // a reorg rewrite replaced bronze files mid-stream: restart from
+        // the checkpoint — the file source re-lists, sees the canonical
+        // consolidated files as new, and the freeze jobs re-run
+        // idempotently (skip-existing)
+        if (restarted) q = startStream()
+        polls += 1
       }
       q.processAllAvailable()
     } finally q.stop()
+    // closing flush: the buffered stream deliberately never freezes the
+    // final sub-buffer chunks; once the range is complete and settled
+    // (head cleared the end by the buffer, no refetch pending), freeze
+    // the full range — skip-existing touches only the missing tail.
+    if (last == hiEnd - 1 && refetchFrom == Long.MaxValue &&
+        rawHead >= hiEnd - 1 + spec.reorgBuffer)
+      graft.chain.Freeze.freeze(spark, bronzeDir, spec)
+    ()
   }
 
   /** write an append-only parquet sink with checkpoint (exactly-once per

@@ -195,6 +195,35 @@ class ChainDatasetsSpec extends AnyFunSuite {
     assert(a.exists(_._2 > baseQ))
   }
 
+  test("pagerank: reliable checkpoint dir identical; exact fixpoint early-exits") {
+    val txs = spark.read.parquet(s"$dir/rpc_transactions.parquet")
+    def key(rows: Array[org.apache.spark.sql.Row]): Seq[(String, Long)] = rows
+      .map(r => r.getAs[Array[Byte]]("address").map("%02x".format(_)).mkString ->
+        r.getAs[Long]("rank_q")).sortBy(_._1).toSeq
+    // reliable `checkpoint` (executor-loss-safe on a cluster) must be a
+    // pure fault-tolerance swap: bit-identical ranks to localCheckpoint
+    val local = key(graft.queries.ChainQueries.pagerankOf(txs).collect())
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_pr_ck").toString
+    val reliable = key(graft.queries.ChainQueries
+      .pagerankOf(txs, 3, Some(ckDir)).collect())
+    assert(local == reliable)
+    // exact integer fixpoint: on the single-edge graph a->b the source
+    // pins to the teleport floor after round 1, the sink's input is
+    // therefore constant from round 2, and round 3 observes zero moved
+    // ranks -> the loop must exit there, and extra budget can't move a
+    // converged fixpoint
+    import spark.implicits._
+    val tiny = Seq((Array[Byte](1), Array[Byte](2)))
+      .toDF("from_address", "to_address")
+    val fx = key(graft.queries.ChainQueries
+      .pagerankOf(tiny, maxIters = 10).collect())
+    val rounds = graft.queries.ChainQueries.lastPagerankRounds.get
+    assert(rounds == 3, s"expected convergence exit at round 3, ran $rounds")
+    val fx2 = key(graft.queries.ChainQueries
+      .pagerankOf(tiny, maxIters = rounds + 5).collect())
+    assert(fx == fx2)
+  }
+
   test("fee percentiles: ordered, bracketed by the block min/max") {
     def lv(r: org.apache.spark.sql.Row, c: String): Long =
       r.getAs[Number](c).longValue

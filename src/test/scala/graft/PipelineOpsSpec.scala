@@ -46,6 +46,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p3.contains("partial_topkagg"))
   }
 
+  test("ANN plan shape holds at nlist=256, K=256 (sf0.1)") {
+    // The fixture index is 16 cells / M=8, K=16. Same machinery at 16x
+    // the cells and codewords on the 2000-vector sf0.1 corpus: the
+    // driver-held index stays KB-sized and the PLAN SHAPE must not
+    // change — that is what makes the design parameter-independent at
+    // 100 TB (the index scales with nlist*K, the corpus cost stays one
+    // scan + one broadcast probe join + one partial-agg top-k).
+    val sf01 = "/root/testdata/sf0.1"
+    val e = Tables(spark, sf01, "embeddings")
+    val (assign, encode) = graft.queries.SimilarityOps
+      .annScaleParts(e, nlist = 256, kCodes = 256)
+    // assignment/encode stay scan-shaped projections: row-local argmin
+    // over the driver-held index, no exchange/window/join at any size
+    val p1 = assign.queryExecution.executedPlan.toString
+    assert(p1.contains("nearest_centroid_f32"))
+    assert(!p1.contains("Window") && !p1.contains("Exchange") && !p1.contains("Join"))
+    val p2 = encode.queryExecution.executedPlan.toString
+    assert(p2.contains("pq_encode_f32"))
+    assert(!p2.contains("Window") && !p2.contains("Exchange") && !p2.contains("Join"))
+    // assignment actually uses the widened index: >16 distinct cells
+    val nCells = assign.select("centroid_id").distinct().count()
+    assert(nCells > 16 && nCells <= 256, s"got $nCells cells")
+    // full search at scale: the codes side must meet the probe LUT by
+    // BROADCAST (never a shuffled join of the corpus-sized codes), and
+    // no sort-merge join may appear anywhere in the plan
+    val search = graft.queries.SimilarityOps
+      .ivfpqAtScale(e, nlist = 256, kCodes = 256)
+    val p3 = search.queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"))
+    assert(!p3.contains("SortMergeJoin"))
+    assert(p3.contains("partial_topkagg")) // top-k still partial-aggregates
+    val rows = search.collect()
+    assert(rows.length == 30) // 10 queries x k=3, same contract as fixture
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 3))
+  }
+
   test("minhash pairs are a subset of true-jaccard >= 0.5 and symmetric-free") {
     val pairs = SparkEntry.queries("q_doc_minhash_pairs")(spark, sf).collect()
     pairs.foreach { r =>

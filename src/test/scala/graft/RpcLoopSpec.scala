@@ -606,6 +606,98 @@ class RpcLoopSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("followLive: a 2-block reorg converges to the canonical chain") {
+    // The node advances to head 1023, ROLLS BACK to 1021 (blocks
+    // 1022-1023 were a dead fork with different hashes), then re-advances
+    // on the canonical fork past the range end + reorg buffer. followLive
+    // must detect the rollback from the head going backwards, re-fetch
+    // the window, rewrite bronze to canonical-only rows, and the frozen
+    // files must come out IDENTICAL to a run that never saw the fork —
+    // same chunk names, same rows, no duplicates, no orphan hashes.
+    def runFollow(withReorg: Boolean): (Seq[String], Seq[Seq[String]]) = {
+      val script: Seq[Long] =
+        if (withReorg) Seq(1005L, 1014L, 1023L, 1021L, 1030L, 1043L)
+        else Seq(1005L, 1014L, 1023L, 1030L, 1043L)
+      val idx = new AtomicInteger(0)
+      val lastServed = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+      // false = the stub is still on the doomed fork: blocks >= 1022
+      // answer with fork hashes. The ROLLBACK POLL flips it — exactly
+      // how a real node behaves (you only see the new fork after the
+      // head moved back).
+      val canonical = new java.util.concurrent.atomic.AtomicBoolean(!withReorg)
+      def oh(n: Long): String = "0x" + "%064x".format(n + 0x5a5a000000L)
+      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", { exchange =>
+        val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        def one(req: JValue): String = {
+          val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+          val JString(method) = (req \ "method"): @unchecked
+          val res = method match {
+            case "eth_blockNumber" =>
+              val h = script(math.min(idx.getAndIncrement(), script.size - 1))
+              if (h < lastServed.get()) canonical.set(true)
+              lastServed.set(h)
+              "\"0x" + h.toHexString + "\""
+            case "eth_getBlockByNumber" =>
+              val bn = (req \ "params") match {
+                case JArray(JString(s) :: _) =>
+                  java.lang.Long.parseLong(s.stripPrefix("0x"), 16)
+                case _ => 0L
+              }
+              val canon = result(method, req \ "params")
+              if (!canonical.get() && bn >= 1022) {
+                // fork blocks: own hashes, parent links inside the fork
+                var s = canon.replace(s""""hash":"${h64(bn)}"""",
+                  s""""hash":"${oh(bn)}"""")
+                if (bn >= 1023)
+                  s = s.replace(s""""parentHash":"${h64(bn - 1)}"""",
+                    s""""parentHash":"${oh(bn - 1)}"""")
+                s
+              } else canon
+            case m => result(m, req \ "params")
+          }
+          s"""{"jsonrpc":"2.0","id":$id,"result":$res}"""
+        }
+        val resp = JsonMethods.parse(body) match {
+          case JArray(reqs) => reqs.map(one).mkString("[", ",", "]")
+          case req => one(req)
+        }
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+      server.start()
+      try {
+        val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+        val bronze = java.nio.file.Files.createTempDirectory("graft_rg_bronze").toString
+        val out = java.nio.file.Files.createTempDirectory("graft_rg_out").toString
+        val chk = java.nio.file.Files.createTempDirectory("graft_rg_chk").toString
+        val spec = graft.chain.Freeze.FreezeSpec(
+          datasets = Seq("blocks"), blocks = BlockSyntax.Range(1000, 1040),
+          chunkSize = 20, reorgBuffer = 2, outputDir = out)
+        graft.streaming.FollowMode.followLive(spark,
+          new RpcSource(RpcConfig(url, chainId = 1, maxRetries = 0)),
+          bronze, spec, chk, pollMs = 10, maxPolls = 80, fetchPartitions = 2)
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+          .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+        val rows = files.map(f => spark.read.parquet(f)
+          .select("block_number", "block_hash", "parent_hash")
+          .collect().map { r =>
+            def hx(i: Int) = r.getAs[Array[Byte]](i).map("%02x".format(_)).mkString
+            s"${r.get(0)}|${hx(1)}|${hx(2)}"
+          }.sorted.toSeq)
+        (files.map(_.split('/').last), rows)
+      } finally server.stop(0)
+    }
+    val (reorgFiles, reorgRows) = runFollow(withReorg = true)
+    val (cleanFiles, cleanRows) = runFollow(withReorg = false)
+    assert(reorgFiles.size == 2, s"expected both chunks frozen: $reorgFiles")
+    assert(reorgFiles == cleanFiles) // same chunk files, no extras
+    assert(reorgRows == cleanRows)   // canonical rows only, orphans gone
+  }
+
   test("async pipelining: >1 request in flight per partition") {
     // A latch-gated stub: every eth_getBlockByNumber handler blocks until
     // TWO requests are present simultaneously, then all respond. With the
