@@ -373,12 +373,21 @@ object FollowMode {
     }
     var last = lo - 1           // highest block fetched into bronze
     var rawHead = Long.MinValue // last head the node reported (uncapped)
+    var maxHead = Long.MinValue // highest head ever reported
     // REORG tracking: a poll that reports a LOWER head than the previous
     // one means the node switched forks — every block above the new head
     // is orphaned. `refetchFrom` remembers the lowest such point until
     // the canonical refetch lands.
     var refetchFrom = Long.MaxValue
     var polls = 0
+    /** highest chunk boundary the buffered stream COULD have frozen by
+      * now (stream head ≤ maxHead; chunks freeze only below
+      * head − reorgBuffer) — the deep-reorg guard compares rollbacks
+      * against this bound, not against actual freeze timing, so the
+      * check is deterministic */
+    def frozenCeil: Long = lo + (math.max(0L,
+      math.min(maxHead, hiEnd - 1) + 1 - spec.reorgBuffer - lo)
+      / spec.chunkSize) * spec.chunkSize
     def replaceDir(target: String, tmp: String): Unit = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val old = Paths.get(target + "__old")
@@ -394,9 +403,23 @@ object FollowMode {
       * caller can stop the file stream whose files are about to move. */
     def fetchNew(beforeRewrite: () => Unit = () => ()): Boolean = {
       val head = source.fetchLatestBlock()
-      if (rawHead != Long.MinValue && head < rawHead)
+      if (rawHead != Long.MinValue && head < rawHead) {
         refetchFrom = math.min(refetchFrom, head + 1)
+        // a rollback reaching below what the buffer allowed to freeze
+        // means files on disk may hold orphaned rows skip-existing will
+        // never replace — refuse to continue silently (the reorg-buffer
+        // CONTRACT is "no fork deeper than the buffer"; when the chain
+        // breaks it, the honest move is a loud stop with a recovery
+        // path, not converged-looking bronze under diverged files)
+        if (refetchFrom < frozenCeil)
+          throw new IllegalStateException(
+            s"reorg deeper than the buffer: head rolled back to $head but " +
+            s"chunks below block $frozenCeil may already be frozen " +
+            s"(reorgBuffer=${spec.reorgBuffer}); re-run with --overwrite " +
+            s"from block $refetchFrom after raising the buffer")
+      }
       rawHead = head
+      maxHead = math.max(maxHead, head)
       val top = math.min(head, hiEnd - 1)
       val from = math.min(last + 1, refetchFrom)
       if (top >= from) {

@@ -698,6 +698,54 @@ class RpcLoopSpec extends AnyFunSuite {
     assert(reorgRows == cleanRows)   // canonical rows only, orphans gone
   }
 
+  test("followLive: a reorg deeper than the buffer fails loudly") {
+    // Head reaches 1023 (buffer 2 → chunk [1000,1020) is freezable),
+    // then rolls back SIX blocks to 1017 — below the freezable boundary.
+    // Files on disk may now hold orphaned rows that skip-existing would
+    // never replace, so followLive must refuse to continue rather than
+    // converge bronze under diverged frozen files.
+    val script = Seq(1023L, 1017L, 1030L, 1043L)
+    val idx = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      def one(req: JValue): String = {
+        val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+        val JString(method) = (req \ "method"): @unchecked
+        val res =
+          if (method == "eth_blockNumber")
+            "\"0x" + script(math.min(idx.getAndIncrement(), script.size - 1)).toHexString + "\""
+          else result(method, req \ "params")
+        s"""{"jsonrpc":"2.0","id":$id,"result":$res}"""
+      }
+      val resp = JsonMethods.parse(body) match {
+        case JArray(reqs) => reqs.map(one).mkString("[", ",", "]")
+        case req => one(req)
+      }
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val bronze = java.nio.file.Files.createTempDirectory("graft_dr_bronze").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_dr_out").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_dr_chk").toString
+      val spec = graft.chain.Freeze.FreezeSpec(
+        datasets = Seq("blocks"), blocks = BlockSyntax.Range(1000, 1040),
+        chunkSize = 20, reorgBuffer = 2, outputDir = out)
+      val e = intercept[IllegalStateException] {
+        graft.streaming.FollowMode.followLive(spark,
+          new RpcSource(RpcConfig(url, chainId = 1, maxRetries = 0)),
+          bronze, spec, chk, pollMs = 10, maxPolls = 40, fetchPartitions = 2)
+      }
+      assert(e.getMessage.contains("deeper than the buffer"))
+    } finally server.stop(0)
+  }
+
   test("async pipelining: >1 request in flight per partition") {
     // A latch-gated stub: every eth_getBlockByNumber handler blocks until
     // TWO requests are present simultaneously, then all respond. With the
