@@ -32,7 +32,7 @@ option parser to drift.
 import json
 
 __all__ = ["collect", "freeze", "pipeline", "prep", "index_build",
-           "index_search", "cli_args"]
+           "index_search", "index_compact", "cli_args"]
 
 
 def cli_args(*datatypes, **kwargs):
@@ -146,6 +146,16 @@ def index_search(sf_dir, index_dir, spark=None, out=None):
     argv = ["search", sf_dir, index_dir, "--show", "0"]
     if out is not None:
         argv += ["--out", str(out)]
+    spark._jvm.graft.Cli.indexRun(_jarr(spark, argv), spark._jsparkSession)
+
+
+def index_compact(index_dir, spark=None):
+    """Rewrite streaming-appended index artifacts (IVF-PQ codes, text
+    dedup bands) into key-partitioned files — search results are
+    hash-identical before/after, the file count collapses."""
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    argv = ["compact", index_dir]
     spark._jvm.graft.Cli.indexRun(_jarr(spark, argv), spark._jsparkSession)
 
 
