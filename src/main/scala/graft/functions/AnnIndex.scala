@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * re-collapsing with an aggregate. This is the classic Lloyd/encode
   * shape (Spark MLlib's KMeans collects centroids to the driver each
   * round and closes over them in the assignment map): the index is
-  * bounded by construction (k ≤ 16 centroids, M·K ≤ 128 codewords), and
-  * assignment/encode become pure scan-shaped projections — no join, no
-  * exchange, no sort, legal upstream of stateful streaming ops.
+  * bounded by the CALLER's construction — the fixture queries collect
+  * 16 centroids / M·K = 128 codewords, the parameter-scale spec 256 /
+  * 2048; either way nlist + M·K rows of floats (KBs to a few MB), never
+  * corpus-scale — and assignment/encode become pure scan-shaped
+  * projections: no join, no exchange, no sort, legal upstream of
+  * stateful streaming ops.
   *
   * Arithmetic is the EXACT fold the DataFrame form ran (see
   * VectorOps): sequential index-order double fold over floats for dot

@@ -46,6 +46,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p3.contains("partial_topkagg"))
   }
 
+  test("prep audit cache survives an external clearCache") {
+    // the bench clears all cached data between its cold and warm passes;
+    // the memoized audit must re-persist and recompute its (already
+    // built) plan rather than re-deriving a new CC pipeline
+    val a = SparkEntry.queries("q_doc_corpus_prep")(spark, sf)
+    assert(a.count() > 0) // materialize + persist
+    spark.sharedState.cacheManager.clearCache()
+    val before = graft.queries.TextOps.clustersInvocations.get()
+    val funnel = SparkEntry.queries("q_doc_prep_funnel")(spark, sf)
+    assert(funnel.count() == 5) // recomputes the memoized plan fine
+    // no NEW clustersOf derivation — the plan was built exactly once
+    assert(graft.queries.TextOps.clustersInvocations.get() == before)
+  }
+
   test("ANN plan shape holds at nlist=256, K=256 (sf0.1)") {
     // The fixture index is 16 cells / M=8, K=16. Same machinery at 16x
     // the cells and codewords on the 2000-vector sf0.1 corpus: the
