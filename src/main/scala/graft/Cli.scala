@@ -203,13 +203,20 @@ object Cli {
   def runIndex(args: Seq[String], spark: SparkSession): Unit = {
     val usage = "usage: index build <sf-dir> <index-dir> | " +
       "index search <sf-dir> <index-dir> [--out DIR] [--show N] | " +
-      "index compact <index-dir>"
+      "index compact <index-dir> [--fold-stream]"
     // `compact` rewrites streaming-appended artifacts into
-    // key-partitioned files (hash-identical search, far fewer files)
+    // key-partitioned files (hash-identical search, far fewer files).
+    // `--fold-stream` additionally merges the flat streaming
+    // side-artifacts in and removes them — requires ingest STOPPED
+    // (see IndexCompact doc); without it, compact is safe to run while
+    // a stream keeps appending.
     if (args.headOption.contains("compact")) {
-      require(args.length == 2, usage)
-      val done = graft.operators.IndexCompact.compact(spark, args(1))
-      println(s"compacted: ${done.mkString(", ")} under ${args(1)}")
+      val fold = args.contains("--fold-stream")
+      val rest = args.tail.filterNot(_ == "--fold-stream")
+      require(rest.length == 1, usage)
+      val done = graft.operators.IndexCompact.compact(spark, rest.head, fold)
+      println(s"compacted: ${done.mkString(", ")} under ${rest.head}" +
+        (if (fold) " (stream side-artifacts folded)" else ""))
       return
     }
     require(args.length >= 3, usage)

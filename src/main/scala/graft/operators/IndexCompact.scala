@@ -28,31 +28,106 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * compaction is idempotent for the same reason: the rewrite reads
   * through the same pinned schema.
   *
+  * Compact-during-ongoing-ingest: a directory-partitioned artifact
+  * must never receive flat per-micro-batch appends at its root —
+  * Spark's partition discovery rejects the mixed layout ("Conflicting
+  * directory structures"). Streaming sinks therefore target the FLAT
+  * side-artifact `streamArtifact(artifact)` (e.g.
+  * `codes_stream.parquet`), which `read` unions with the main layout
+  * through the pinned schema. `compact` rewrites only the main
+  * artifact, so an active ingest stream is never disturbed; once the
+  * stream is STOPPED, `compact(foldStream = true)` folds the side
+  * rows into the partitioned layout and removes the side-artifact
+  * (folding under an active writer would strand the sink's
+  * `_spark_metadata` log, so the fold path requires ingest stopped —
+  * enforced as a documented contract, spec-pinned for the stopped
+  * case).
+  *
   * The swap is the freeze-sink discipline (tmp dir + rename): readers
-  * never observe a half-written artifact, and a crash mid-compact
-  * leaves the original in place. */
+  * never observe a half-written artifact. Crash windows: the schema
+  * sidecar is written BEFORE the swap (its content is
+  * layout-independent — same columns either way — so an aborted
+  * compact leaving a fresh sidecar next to the old layout is
+  * harmless), and the old layout is parked at `.compact_old` until the
+  * new one is live; `recover` (run at the top of both `read` and
+  * `compact`) moves `.compact_old` back if a crash between the two
+  * ATOMIC_MOVEs left no live artifact, and drops it if the swap
+  * completed. Every crash point therefore leaves a readable artifact
+  * with a pinned schema. */
 object IndexCompact {
 
   private def sidecarPath(dir: String, artifact: String) =
     s"$dir/${artifact.stripSuffix(".parquet")}_schema.json"
 
-  /** read an index artifact with its recorded schema restored (column
-    * order AND types), regardless of physical layout */
-  def read(spark: SparkSession, dir: String, artifact: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$artifact")
-    val sc = Paths.get(sidecarPath(dir, artifact))
-    if (Files.exists(sc)) {
-      val schema = DataType.fromJson(Files.readString(sc)).asInstanceOf[StructType]
-      df.select(schema.fields.toSeq
-        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    } else df
+  /** flat side-artifact streaming sinks append to (never the main
+    * artifact root, which may be directory-partitioned post-compact) */
+  def streamArtifact(artifact: String): String =
+    s"${artifact.stripSuffix(".parquet")}_stream.parquet"
+
+  /** absolute sink path for a streaming ingest targeting `artifact` */
+  def streamPath(dir: String, artifact: String): String =
+    s"$dir/${streamArtifact(artifact)}"
+
+  /** restore a crash-interrupted swap: a crash between the two
+    * ATOMIC_MOVEs leaves only `.compact_old` → move it back; a crash
+    * just after the second move leaves both → the new layout is live,
+    * drop the stale `.compact_old`. Idempotent, cheap (two stats). */
+  private def recover(spark: SparkSession, dir: String, artifact: String): Unit = {
+    val target = Paths.get(s"$dir/$artifact")
+    val old = Paths.get(s"$dir/$artifact.compact_old")
+    if (Files.exists(old)) {
+      if (!Files.exists(target)) {
+        Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+        spark.catalog.refreshByPath(target.toString)
+      } else deleteRecursively(old)
+    }
+    // a tmp dir with a live target is an aborted rewrite — drop it
+    val tmp = Paths.get(s"$dir/$artifact.compact_tmp")
+    if (Files.exists(tmp) && Files.exists(target)) deleteRecursively(tmp)
   }
 
-  /** rewrite one artifact: read through the pinned schema, repartition
-    * on the cell key, write directory-partitioned, swap atomically */
+  /** read an index artifact with its recorded schema restored (column
+    * order AND types) regardless of physical layout, unioned with any
+    * streaming side-artifact rows not yet folded in */
+  def read(spark: SparkSession, dir: String, artifact: String): DataFrame = {
+    recover(spark, dir, artifact)
+    val main = spark.read.parquet(s"$dir/$artifact")
+    val sc = Paths.get(sidecarPath(dir, artifact))
+    val pinned =
+      if (Files.exists(sc)) {
+        val schema = DataType.fromJson(Files.readString(sc)).asInstanceOf[StructType]
+        main.select(schema.fields.toSeq
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      } else main
+    val side = Paths.get(streamPath(dir, artifact))
+    if (Files.exists(side)) {
+      val stream = spark.read.parquet(side.toString)
+      pinned.unionByName(stream.select(pinned.schema.fields.toSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
+    } else pinned
+  }
+
+  /** rewrite one artifact: read through the pinned schema (optionally
+    * folding the streaming side-artifact), repartition on the cell
+    * key, write directory-partitioned, swap atomically */
   private def rewrite(spark: SparkSession, dir: String, artifact: String,
-      partitionCols: Seq[String], sortCols: Seq[String]): Unit = {
-    val cur = read(spark, dir, artifact)
+      partitionCols: Seq[String], sortCols: Seq[String],
+      foldStream: Boolean): Unit = {
+    recover(spark, dir, artifact)
+    val sidePath = Paths.get(streamPath(dir, artifact))
+    val cur =
+      if (foldStream) read(spark, dir, artifact)
+      else {
+        // main artifact only — an active ingest keeps appending to the
+        // side-artifact undisturbed; read() unions it at query time
+        val df = spark.read.parquet(s"$dir/$artifact")
+        val sc = Paths.get(sidecarPath(dir, artifact))
+        if (Files.exists(sc)) {
+          val schema = DataType.fromJson(Files.readString(sc)).asInstanceOf[StructType]
+          df.select(schema.fields.toSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        } else df
+      }
     val schemaJson = cur.schema.json
     val target = Paths.get(s"$dir/$artifact")
     val tmp = Paths.get(s"$dir/$artifact.compact_tmp")
@@ -64,13 +139,20 @@ object IndexCompact {
     val w = shaped.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
-    // swap: old -> .old, tmp -> live, drop .old (rename-visible, never half-written)
+    // sidecar first (layout-independent content: same columns before
+    // and after the swap), then swap old -> .old, tmp -> live, drop
+    // .old — every crash point leaves a recoverable, schema-pinned
+    // artifact (see recover)
+    Files.writeString(Paths.get(sidecarPath(dir, artifact)), schemaJson)
     val old = Paths.get(s"$dir/$artifact.compact_old")
     deleteRecursively(old)
     Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
-    Files.writeString(Paths.get(sidecarPath(dir, artifact)), schemaJson)
+    if (foldStream && Files.exists(sidePath)) deleteRecursively(sidePath)
+    // the swap happened outside Spark's writers: drop any cached file
+    // listings for the artifact path or later scans chase renamed files
+    spark.catalog.refreshByPath(target.toString)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -90,8 +172,17 @@ object IndexCompact {
   /** Compact whatever index lives at `dir`: an IVF-PQ index (has
     * `codes.parquet`) gets centroid_id-partitioned codes; a text dedup
     * index (has `bands.parquet`) gets band_idx-partitioned bands and
-    * coalesced fps/sigs. Returns the artifacts rewritten. */
-  def compact(spark: SparkSession, dir: String): Seq[String] = {
+    * coalesced fps/sigs. `foldStream = true` additionally merges the
+    * flat streaming side-artifacts into the rewrite and removes them —
+    * legal only with ingest STOPPED (see class doc). Returns the
+    * artifacts rewritten. */
+  def compact(spark: SparkSession, dir: String,
+      foldStream: Boolean = false): Seq[String] = {
+    // restore any crash-parked artifact BEFORE the existence probes —
+    // a crash between the swap moves leaves only `.compact_old`, which
+    // must count as the artifact being present
+    for (a <- Seq("codes.parquet", "bands.parquet", "fps.parquet", "sigs.parquet"))
+      recover(spark, dir, a)
     val done = scala.collection.mutable.ArrayBuffer.empty[String]
     if (Files.exists(Paths.get(s"$dir/codes.parquet"))) {
       // one directory per IVF cell; rows within a file sorted by
@@ -99,16 +190,16 @@ object IndexCompact {
       // the repartition key keeps one shuffle partition per cell —
       // file count tracks nlist, not ingest history.
       rewrite(spark, dir, "codes.parquet",
-        Seq("centroid_id"), Seq("vec_id", "sub"))
+        Seq("centroid_id"), Seq("vec_id", "sub"), foldStream)
       done += "codes.parquet"
     }
     if (Files.exists(Paths.get(s"$dir/bands.parquet"))) {
       rewrite(spark, dir, "bands.parquet",
-        Seq("band_idx"), Seq("band_hash", "doc_id"))
+        Seq("band_idx"), Seq("band_hash", "doc_id"), foldStream)
       done += "bands.parquet"
       for (flat <- Seq("fps.parquet", "sigs.parquet")
           if Files.exists(Paths.get(s"$dir/$flat"))) {
-        rewrite(spark, dir, flat, Seq.empty, Seq.empty)
+        rewrite(spark, dir, flat, Seq.empty, Seq.empty, foldStream)
         done += flat
       }
     }

@@ -561,6 +561,15 @@ object TextOps {
   private val auditCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def corpusPrepCached(s: SparkSession, dir: String): DataFrame = {
+    // evict entries whose session has stopped — a long-lived process
+    // cycling sessions must not pin dead sessions (and their persisted
+    // plans) in driver memory forever, and re-persisting a DataFrame of
+    // a stopped session would throw. Map size is |live sessions × sf
+    // dirs| (tiny), so a full sweep per call is cheaper than a
+    // listener registration per session.
+    auditCache.keySet.forEach { k =>
+      if (k._1.sparkContext.isStopped) auditCache.remove(k)
+    }
     val df = auditCache.computeIfAbsent((s, dir), _ =>
       corpusPrepOf(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -257,10 +257,13 @@ object FollowMode {
     * tiers across separate arrival waves. */
   def indexDedupStream(spark: SparkSession, docs: DataFrame,
       indexDir: String, minAgree: Int = 4): DataFrame = {
-    val fpMin = spark.read.parquet(s"$indexDir/fps.parquet")
+    // IndexCompact.read, not a raw parquet read: the index may be
+    // compacted (directory-partitioned bands with re-inferred key
+    // types) and may carry unfolded streaming side-artifacts
+    val fpMin = graft.operators.IndexCompact.read(spark, indexDir, "fps.parquet")
       .groupBy("fp").agg(min("doc_id").as("dup_exact_of"))
-    val buckets = spark.read.parquet(s"$indexDir/bands.parquet")
-      .join(spark.read.parquet(s"$indexDir/sigs.parquet")
+    val buckets = graft.operators.IndexCompact.read(spark, indexDir, "bands.parquet")
+      .join(graft.operators.IndexCompact.read(spark, indexDir, "sigs.parquet")
         .withColumnRenamed("sigs", "idx_sigs"), "doc_id")
       .groupBy("band_idx", "band_hash")
       .agg(collect_list(struct(col("doc_id").as("idx_id"),
@@ -410,8 +413,12 @@ object FollowMode {
         // never replace — refuse to continue silently (the reorg-buffer
         // CONTRACT is "no fork deeper than the buffer"; when the chain
         // breaks it, the honest move is a loud stop with a recovery
-        // path, not converged-looking bronze under diverged files)
-        if (refetchFrom < frozenCeil)
+        // path, not converged-looking bronze under diverged files).
+        // frozenCeil > lo gates the throw on a chunk actually having
+        // been freezable: frozenCeil floors at lo, so a rollback below
+        // lo before anything could freeze is just a pre-start reorg
+        // the refetch handles normally.
+        if (refetchFrom < frozenCeil && frozenCeil > lo)
           throw new IllegalStateException(
             s"reorg deeper than the buffer: head rolled back to $head but " +
             s"chunks below block $frozenCeil may already be frozen " +
@@ -478,10 +485,33 @@ object FollowMode {
     // final sub-buffer chunks; once the range is complete and settled
     // (head cleared the end by the buffer, no refetch pending), freeze
     // the full range — skip-existing touches only the missing tail.
+    // An INCOMPLETE exit (maxPolls exhausted before the range fetched,
+    // a detected reorg whose canonical refetch never landed, or a head
+    // that never settled past the buffer) must fail loudly: returning
+    // silently would leave tail chunks unfrozen — and after a pending
+    // reorg, bronze may retain orphaned fork rows — while looking
+    // converged. Same fail-loudly contract as the deep-reorg guard.
     if (last == hiEnd - 1 && refetchFrom == Long.MaxValue &&
         rawHead >= hiEnd - 1 + spec.reorgBuffer)
       graft.chain.Freeze.freeze(spark, bronzeDir, spec)
-    ()
+    else {
+      val why =
+        if (last < hiEnd - 1)
+          s"range incomplete: fetched through block $last of [${lo}, ${hiEnd})"
+        else if (refetchFrom != Long.MaxValue)
+          s"a detected reorg's canonical refetch (from block $refetchFrom) never landed"
+        else
+          s"head $rawHead never settled past range end + reorgBuffer " +
+          s"(${hiEnd - 1 + spec.reorgBuffer})"
+      throw new IllegalStateException(
+        s"followLive exited before the range settled — $why after $polls " +
+        s"polls (maxPolls=$maxPolls). Tail chunks are NOT frozen" +
+        (if (refetchFrom != Long.MaxValue)
+          " and bronze may retain orphaned fork rows" else "") +
+        "; re-run followLive to resume from the checkpoint (skip-existing " +
+        "makes the retry idempotent), raising maxPolls/pollMs if the node " +
+        "is slow.")
+    }
   }
 
   /** write an append-only parquet sink with checkpoint (exactly-once per

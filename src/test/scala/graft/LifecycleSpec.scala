@@ -504,6 +504,96 @@ class CliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Cli.runIndex(Seq("compact", none), spark))
   }
 
+  test("compact during ingest: stream side-artifact unions, then folds in") {
+    import graft.operators.IndexCompact
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val e = Tables(spark, sf, "embeddings")
+    val idx = Files.createTempDirectory("graft_cpstream").toString
+    // build on the even half only; compact → directory-partitioned codes
+    graft.queries.SimilarityOps.saveIvfPqIndex(
+      e.filter(col("vec_id") % 2 === 0 || col("vec_id") < 16), idx)
+    Cli.runIndex(Seq("compact", idx), spark)
+    val nCompacted = IndexCompact.dataFileCount(idx, "codes.parquet")
+    // the odd half arrives on a stream AFTER compaction — the sink
+    // targets the FLAT side-artifact (appending flat files into the
+    // partitioned root would poison partition discovery)
+    val src = Files.createTempDirectory("graft_cpstream_src").toString
+    val odds = e.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 16)
+    odds.coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = graft.streaming.FollowMode.readAppendOnly(spark, src, e.schema)
+    val q = graft.queries.SimilarityOps.encodeStream(spark, stream, idx)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", IndexCompact.streamPath(idx, "codes.parquet"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cpstream_chk").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // read() unions partitioned main + flat side rows through one schema
+    val nUnioned = IndexCompact.read(spark, idx, "codes.parquet").count()
+    val nMain = spark.read.parquet(s"$idx/codes.parquet").count()
+    assert(nUnioned > nMain, "stream rows must be visible to read()")
+    val queries = e.filter(col("vec_id") < 10)
+    val preFold = rows(graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx))
+    // a non-fold compact leaves the (possibly active) stream artifact
+    // alone — side rows still visible afterwards
+    Cli.runIndex(Seq("compact", idx), spark)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      IndexCompact.streamPath(idx, "codes.parquet"))))
+    assert(rows(graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx)) == preFold)
+    // ingest stopped → fold: side artifact merged into the partitioned
+    // layout and removed; search results byte-identical
+    Cli.runIndex(Seq("compact", idx, "--fold-stream"), spark)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      IndexCompact.streamPath(idx, "codes.parquet"))))
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nUnioned)
+    assert(rows(graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx)) == preFold)
+    assert(IndexCompact.dataFileCount(idx, "codes.parquet") <= nCompacted + 16)
+  }
+
+  test("compact crash windows: .compact_old recovers, sidecar precedes swap") {
+    import graft.operators.IndexCompact
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val idx = Files.createTempDirectory("graft_cpcrash").toString
+    Cli.runIndex(Seq("build", sf, idx), spark)
+    Cli.runIndex(Seq("compact", idx), spark)
+    val want = rows(IndexCompact.read(spark, idx, "codes.parquet"))
+    // crash between the two ATOMIC_MOVEs: live artifact gone, only
+    // .compact_old remains → read() must restore it, not fail
+    JFiles.move(Paths.get(s"$idx/codes.parquet"),
+      Paths.get(s"$idx/codes.parquet.compact_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
+    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet")) &&
+      !JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_old")))
+    // crash just after the swap: stale .compact_old next to a live
+    // artifact → dropped, live layout wins
+    spark.read.parquet(s"$idx/codes.parquet").limit(5).write
+      .parquet(s"$idx/codes.parquet.compact_old")
+    assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
+    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_old")))
+    // compact after a simulated crash works too (recover runs first)
+    JFiles.move(Paths.get(s"$idx/codes.parquet"),
+      Paths.get(s"$idx/codes.parquet.compact_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Cli.runIndex(Seq("compact", idx), spark)
+    assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
+    // the sidecar is already on disk when the swap begins: pin by
+    // checking it exists and pins the partitioned artifact's schema
+    val sc = s"$idx/codes_schema.json"
+    assert(JFiles.exists(Paths.get(sc)))
+    val pinned = org.apache.spark.sql.types.DataType
+      .fromJson(JFiles.readString(Paths.get(sc)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(IndexCompact.read(spark, idx, "codes.parquet").schema == pinned)
+  }
+
   test("--blocks accepts a parquet file ref; lists filter within chunks") {
     // a block-list file with duplicates → deduplicated (parse/blocks.rs:79-83)
     val listFile = Files.createTempDirectory("graft_blist").toString + "/blocks.parquet"

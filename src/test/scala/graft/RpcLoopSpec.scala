@@ -590,11 +590,19 @@ class RpcLoopSpec extends AnyFunSuite {
       val spec = graft.chain.Freeze.FreezeSpec(
         datasets = Seq("blocks"), blocks = BlockSyntax.Range(1000, 1060),
         chunkSize = 25, outputDir = out)
-      graft.streaming.FollowMode.followLive(spark,
-        new RpcSource(RpcConfig(url, chainId = 1, maxRetries = 0)),
-        bronze, spec, chk, pollMs = 10, maxPolls = 100, fetchPartitions = 2)
-      // head stalls at 1055 → chunks [1000,1025) and [1025,1050) are
-      // complete and frozen; [1050,1060) is partial and must NOT exist
+      // head stalls at 1055 < range end 1059: completed chunks freeze
+      // incrementally, then followLive FAILS LOUDLY that the range
+      // never settled (a silent return would look converged while the
+      // tail is unfrozen) — the message names the resume path
+      val ex = intercept[IllegalStateException] {
+        graft.streaming.FollowMode.followLive(spark,
+          new RpcSource(RpcConfig(url, chainId = 1, maxRetries = 0)),
+          bronze, spec, chk, pollMs = 10, maxPolls = 100, fetchPartitions = 2)
+      }
+      assert(ex.getMessage.contains("range incomplete") &&
+        ex.getMessage.contains("re-run followLive"))
+      // chunks [1000,1025) and [1025,1050) are complete and frozen
+      // BEFORE the loud exit; [1050,1060) is partial and must NOT exist
       val written = java.nio.file.Files.list(java.nio.file.Paths.get(out))
         .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
       assert(written.map(p => p.substring(p.indexOf("__000") + 2)) ==
@@ -743,6 +751,106 @@ class RpcLoopSpec extends AnyFunSuite {
           bronze, spec, chk, pollMs = 10, maxPolls = 40, fetchPartitions = 2)
       }
       assert(e.getMessage.contains("deeper than the buffer"))
+    } finally server.stop(0)
+  }
+
+  test("followLive: a rollback before anything was freezable is not a deep reorg") {
+    // Head starts barely past the range start (1002; buffer 2 → NOTHING
+    // is freezable yet, frozenCeil == lo), rolls back BELOW lo to 998,
+    // then re-advances past the range end + buffer. The deep-reorg
+    // guard compares the rollback against the freezable boundary; with
+    // no chunk freezable the rollback is an ordinary refetch, not a
+    // buffer violation — followLive must converge, not spuriously fail.
+    val script = Seq(1002L, 998L, 1012L, 1026L, 1043L)
+    val idx = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      def one(req: JValue): String = {
+        val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+        val JString(method) = (req \ "method"): @unchecked
+        val res =
+          if (method == "eth_blockNumber")
+            "\"0x" + script(math.min(idx.getAndIncrement(), script.size - 1)).toHexString + "\""
+          else result(method, req \ "params")
+        s"""{"jsonrpc":"2.0","id":$id,"result":$res}"""
+      }
+      val resp = JsonMethods.parse(body) match {
+        case JArray(reqs) => reqs.map(one).mkString("[", ",", "]")
+        case req => one(req)
+      }
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val bronze = java.nio.file.Files.createTempDirectory("graft_pr_bronze").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_pr_out").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_pr_chk").toString
+      val spec = graft.chain.Freeze.FreezeSpec(
+        datasets = Seq("blocks"), blocks = BlockSyntax.Range(1000, 1040),
+        chunkSize = 20, reorgBuffer = 2, outputDir = out)
+      graft.streaming.FollowMode.followLive(spark,
+        new RpcSource(RpcConfig(url, chainId = 1, maxRetries = 0)),
+        bronze, spec, chk, pollMs = 10, maxPolls = 80, fetchPartitions = 2)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+      assert(files.size == 2, s"expected both chunks frozen: $files")
+      val bns = spark.read.parquet(files: _*)
+        .select("block_number").collect().map(_.getInt(0)).sorted
+      assert(bns.head == 1000 && bns.last == 1039 && bns.distinct.length == 40)
+    } finally server.stop(0)
+  }
+
+  test("followLive: a head that never settles past the buffer fails loudly") {
+    // Head reaches the range end (1039) but never clears it by the
+    // reorg buffer — the tail chunk is complete on disk but UNSETTLED.
+    // A silent return would look converged while the closing freeze
+    // never ran; followLive must raise with the resume guidance.
+    val script = Seq(1012L, 1026L, 1039L)
+    val idx = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      def one(req: JValue): String = {
+        val id = (req \ "id") match { case JInt(i) => i.toString; case _ => "0" }
+        val JString(method) = (req \ "method"): @unchecked
+        val res =
+          if (method == "eth_blockNumber")
+            "\"0x" + script(math.min(idx.getAndIncrement(), script.size - 1)).toHexString + "\""
+          else result(method, req \ "params")
+        s"""{"jsonrpc":"2.0","id":$id,"result":$res}"""
+      }
+      val resp = JsonMethods.parse(body) match {
+        case JArray(reqs) => reqs.map(one).mkString("[", ",", "]")
+        case req => one(req)
+      }
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val bronze = java.nio.file.Files.createTempDirectory("graft_ns_bronze").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_ns_out").toString
+      val chk = java.nio.file.Files.createTempDirectory("graft_ns_chk").toString
+      val spec = graft.chain.Freeze.FreezeSpec(
+        datasets = Seq("blocks"), blocks = BlockSyntax.Range(1000, 1040),
+        chunkSize = 20, reorgBuffer = 2, outputDir = out)
+      val e = intercept[IllegalStateException] {
+        graft.streaming.FollowMode.followLive(spark,
+          new RpcSource(RpcConfig(url, chainId = 1, maxRetries = 0)),
+          bronze, spec, chk, pollMs = 10, maxPolls = 15, fetchPartitions = 2)
+      }
+      assert(e.getMessage.contains("never settled") &&
+        e.getMessage.contains("re-run followLive"))
     } finally server.stop(0)
   }
 
