@@ -69,11 +69,26 @@ object Bench {
     // ("parsed": null). The contract line below stays short and LAST.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val cqs = coldResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     println(s"""{"per_query":$qs,"sf":"$sfDir"}""")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft_bench_per_query.json"),
-      s"""{"per_query":$qs,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
+    // full history record: warm AND cold per-query (the cold map is what
+    // attributes first-pass regressions — the warm tail alone can't).
+    // Written to /tmp for ad-hoc inspection and, when the repo layout is
+    // reachable from the cwd, to bench_history/latest.json so each round
+    // commits its complete 172-query map (SPARK_GRAFT_BENCH_HISTORY
+    // overrides the in-repo path).
+    val record =
+      s"""{"sf":"$sfDir","total":${f"$total%.3f"},"cold_total":${f"$coldTotal%.3f"},""" +
+      s""""per_query":$qs,"cold_per_query":$cqs}"""
+    for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+        "bench_history/latest.json"), "/tmp/graft_bench_per_query.json")) {
+      try {
+        val path = java.nio.file.Paths.get(p)
+        if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
+        java.nio.file.Files.writeString(path, record)
+      } catch { case _: Throwable => () }
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
