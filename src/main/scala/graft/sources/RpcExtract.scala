@@ -230,7 +230,15 @@ object RpcExtract {
 
   /** rpc_geth_calls rows from one debug_traceBlockByNumber callTracer
     * response: the nested CallFrame tree flattened depth-first
-    * (geth_calls.rs:33-84). */
+    * (geth_calls.rs:33-84). The frame `type` is stored RAW — geth
+    * reports "CALL"/"STATICCALL"/… uppercase and the reference keeps
+    * `trace.typ` verbatim (geth_calls.rs:88 `store! typ`); lowercasing
+    * here would diverge from a fixture-path collection (caught by the
+    * DifferentialSpec sweep). A tx entry whose `result` is missing
+    * (geth returns {txHash, error} with NO frame when a trace fails)
+    * contributes zero rows instead of a fabricated null frame; the
+    * entry stays in the array so later txs keep their positional
+    * index. */
   def gethCallFrames(body: String, blockNumber: Int,
       chainId: Long): Seq[Row] = {
     def flatten(frame: JValue, txIdx: Int, depth: Int): Seq[Row] = {
@@ -240,7 +248,7 @@ object RpcExtract {
         jlong(frame, "gas").getOrElse(0L),
         jlong(frame, "gasUsed").getOrElse(0L),
         hexB(frame, "input"), hexB(frame, "output"),
-        Option(jstr(frame, "type")).map(_.toLowerCase).getOrElse("call"),
+        jstr(frame, "type"),
         jstr(frame, "error"), depth, chainId)
       val children = (frame \ "calls") match {
         case JArray(cs) => cs.flatMap(flatten(_, txIdx, depth + 1))
@@ -250,7 +258,11 @@ object RpcExtract {
     }
     (JsonMethods.parse(body) \ "result") match {
       case JArray(txs) => txs.zipWithIndex.flatMap { case (t, i) =>
-        flatten(t \ "result", i, 0)
+        (t \ "result") match {
+          case frame: JObject if (frame \ "from") != JNothing =>
+            flatten(frame, i, 0)
+          case _ => Nil
+        }
       }
       case _ => Nil
     }
@@ -371,13 +383,21 @@ object RpcExtract {
     * opaque). */
   def jsTraceBlock(body: String, blockNumber: Int, chainId: Long): Seq[Row] =
     (JsonMethods.parse(body) \ "result") match {
-      case JArray(txs) => txs.zipWithIndex.map { case (t, i) =>
-        val inner = (t \ "result") match {
-          case JNothing => t
-          case r => r
+      case JArray(txs) => txs.zipWithIndex.flatMap { case (t, i) =>
+        // a {txHash, error} entry with no tracer result (geth reports
+        // per-tx trace failures this way) yields no row; the entry
+        // still occupies its array slot so positions stay aligned
+        (t \ "result") match {
+          case JNothing | JNull =>
+            if ((t \ "txHash") == JNothing && t != JNothing && t != JNull)
+              // legacy nodes return the bare tracer output per tx
+              Some(Row(blockNumber, i, hexB(t, "txHash"),
+                JsonMethods.compact(JsonMethods.render(t)), chainId))
+            else None
+          case r =>
+            Some(Row(blockNumber, i, hexB(t, "txHash"),
+              JsonMethods.compact(JsonMethods.render(r)), chainId))
         }
-        Row(blockNumber, i, hexB(t, "txHash"),
-          JsonMethods.compact(JsonMethods.render(inner)), chainId)
       }
       case _ => Nil
     }

@@ -895,8 +895,10 @@ class RpcCodecSpec extends AnyFunSuite {
         |           "gasUsed":"0x20","input":"0xcd","error":"execution reverted"}]}}]}""".stripMargin
     val rows = RpcExtract.gethCallFrames(body, blockNumber = 16, chainId = 1)
     assert(rows.size == 2)
-    assert(rows(0).getInt(11) == 0 && rows(0).getString(9) == "call")
-    assert(rows(1).getInt(11) == 1 && rows(1).getString(9) == "staticcall")
+    // type is stored RAW (geth reports uppercase; the reference keeps
+    // trace.typ verbatim, geth_calls.rs:88)
+    assert(rows(0).getInt(11) == 0 && rows(0).getString(9) == "CALL")
+    assert(rows(1).getInt(11) == 1 && rows(1).getString(9) == "STATICCALL")
     assert(rows(1).getString(10) == "execution reverted")
   }
 

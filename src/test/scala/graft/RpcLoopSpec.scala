@@ -342,7 +342,7 @@ class RpcLoopSpec extends AnyFunSuite {
       val rows = df.collect()
       assert(rows.length == 16) // (root + 1 nested) × 2 txs × 4 blocks
       assert(rows.map(_.getAs[Int]("depth")).toSet == Set(0, 1))
-      assert(rows.map(_.getAs[String]("call_type")).toSet == Set("call", "staticcall"))
+      assert(rows.map(_.getAs[String]("call_type")).toSet == Set("CALL", "STATICCALL"))
     }
   }
 
