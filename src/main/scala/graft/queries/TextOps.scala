@@ -370,7 +370,11 @@ object TextOps {
       .withColumn("label", col("doc_id"))
     val zero = new java.math.BigDecimal(0)
     def labelSum(o: Observation): java.math.BigDecimal =
-      o.get("label_sum") match {
+      // getOrElse, not apply: an EMPTY pair graph (fully pre-deduped
+      // corpus) lets PropagateEmptyRelation prune the observe node, so
+      // the metric key never materializes — that is "sum over zero
+      // rows", not an error
+      o.get.getOrElse("label_sum", null) match {
         case null => zero // empty graph: sum over zero rows is null
         case d: java.math.BigDecimal => d
         case d: BigDecimal => d.bigDecimal

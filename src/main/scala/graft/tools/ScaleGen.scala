@@ -1,0 +1,172 @@
+package graft.tools
+
+import java.util.{Random => JRandom}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Deterministic scale-test corpus generator for the heavy-hitter
+  * scale-proof (round-8 brief item 3): emits `documents`, `embeddings`,
+  * `lineitem` and `part` tables shaped like the driver's testdata
+  * (TESTDATA.md measured distributions at sf0.1: ~31-word per-language
+  * vocab, 5 languages at the observed mix, 20 sources, 44-577 char
+  * docs, ~0.2% planted exact dups + ~1% near dups; embeddings 64-dim
+  * 10-center mixture with 5% planted near-dups; lineitem/part with
+  * 20k·m parts, 1k·m suppliers, 600k·m lines) at any multiplier `m`.
+  *
+  * Usage: runMain graft.tools.ScaleGen <outDir> <multiplier>
+  *
+  * The point is RATIO benchmarking: generate m=1 and m=10 with the
+  * same generator, run the same queries on both, and the runtime ratio
+  * isolates data scaling from generator drift. Seeded java.util.Random
+  * (spec-fixed LCG) ⇒ byte-identical output on every run/platform.
+  * Row construction is distributed: each Spark partition seeds its own
+  * RNG from (seed, partitionId), so the build itself scales. */
+object ScaleGen extends Serializable {
+
+  /** splitmix64 finalizer: java.util.Random's seed scramble does not
+    * decorrelate sequential seeds (the first draw of seeds k and k+1 is
+    * strongly correlated — measured as a 3:1 language skew and a 10×
+    * under-planting of dups), so every per-row RNG seeds from a mixed
+    * (salt, id) instead */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def rng(salt: Long, id: Long): JRandom =
+    new JRandom(mix(mix(salt) ^ id))
+
+  private val langs = Seq("en", "de", "fr", "es", "zh")
+  // observed sf0.1 language mix: en ~41%, others ~15% each
+  private val langCum = Seq(0.41, 0.55, 0.70, 0.85, 1.0)
+  private def vocab(lang: String): IndexedSeq[String] = {
+    val base = IndexedSeq("spark", "column", "line", "part", "scan", "fast",
+      "query", "agg", "table", "hash", "value", "key", "group", "filter",
+      "customer", "stream", "slow", "sort", "batch", "order", "small",
+      "vector", "join", "shuffle", "cache", "disk", "merge", "row",
+      "plan", "stage", "task")
+    if (lang == "en") base else base.map(w => s"${w}_$lang")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <outDir> <multiplier>")
+    val out = args(0)
+    val m = args(1).toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, out, m)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, out: String, m: Int): Unit = {
+    val nDocs = 5000L * m
+    val nVecs = 2000L * m
+    val nLines = 600000L * m
+    val nParts = 20000L * m
+    val nSupps = 1000L * m
+
+    // documents: per-language word salad with planted exact/near dups.
+    // A dup row re-generates its BASE doc's text from the base id's own
+    // deterministic RNG — no shuffle, no self-join, scales linearly.
+    def docText(id: Long): String = {
+      val r = rng(1, id)
+      val u = r.nextDouble()
+      val lang = langs(langCum.indexWhere(u <= _))
+      val v = vocab(lang)
+      val nTokens = 8 + r.nextInt(90)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < nTokens && sb.length < 560) {
+        if (i > 0) sb.append(' ')
+        sb.append(v(r.nextInt(v.size)))
+        i += 1
+      }
+      sb.toString
+    }
+    def docLang(id: Long): String = {
+      val r = rng(1, id)
+      langs(langCum.indexWhere(r.nextDouble() <= _))
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType, false),
+      StructField("text", StringType, false),
+      StructField("lang", StringType, false),
+      StructField("source", StringType, false),
+      StructField("n_chars", LongType, false)))
+    val docRdd = spark.sparkContext.range(0L, nDocs, numSlices = 32).map { id =>
+      val r = rng(2, id)
+      val roll = r.nextDouble()
+      val baseId =
+        if (id >= 100 && roll < 0.002) id - 1 - r.nextInt(100).toLong // exact dup
+        else id
+      val base = docText(baseId)
+      val text =
+        if (id >= 100 && roll >= 0.002 && roll < 0.012) {
+          // near dup: the base doc with one token appended
+          base + " " + vocab(docLang(baseId))(r.nextInt(31))
+        } else base
+      Row(id, text, docLang(baseId), s"src${(id % 20).toInt}", text.length.toLong)
+    }
+    spark.createDataFrame(docRdd, docSchema)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: 64-dim 10-center Gaussian mixture, 5% near-dups
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), false),
+      StructField("label", IntegerType, false)))
+    def vecOf(id: Long): (Array[Float], Int) = {
+      val r = rng(3, id)
+      val label = r.nextInt(10)
+      val c = rng(4, label) // shared center per label
+      val e = Array.tabulate(64)(_ =>
+        (c.nextGaussian() + 0.3 * r.nextGaussian()).toFloat)
+      (e, label)
+    }
+    val vecRdd = spark.sparkContext.range(0L, nVecs, numSlices = 32).map { id =>
+      val r = rng(5, id)
+      val (e, label) =
+        if (id >= 50 && r.nextDouble() < 0.05) {
+          val (base, lb) = vecOf(id - 1 - r.nextInt(50).toLong)
+          (base.map(x => x + 0.01f * r.nextGaussian().toFloat), lb)
+        } else vecOf(id)
+      Row(id, e.toSeq, label)
+    }
+    spark.createDataFrame(vecRdd, vecSchema)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // lineitem/part: only the columns the q16 shape reads — uniform
+    // part/supplier references over key spaces that scale with m (the
+    // distinct-pair reduction then genuinely grows with scale)
+    val liSchema = StructType(Seq(
+      StructField("l_partkey", LongType, false),
+      StructField("l_suppkey", LongType, false),
+      StructField("l_quantity", DoubleType, false)))
+    val liRdd = spark.sparkContext.range(0L, nLines, numSlices = 32).map { id =>
+      val r = rng(6, id)
+      Row(1L + r.nextLong(nParts), 1L + r.nextLong(nSupps),
+        1.0 + r.nextInt(50))
+    }
+    spark.createDataFrame(liRdd, liSchema)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val partSchema = StructType(Seq(
+      StructField("p_partkey", LongType, false),
+      StructField("p_brand", StringType, false),
+      StructField("p_type", StringType, false),
+      StructField("p_size", IntegerType, false)))
+    val partRdd = spark.sparkContext.range(1L, nParts + 1, numSlices = 32).map { id =>
+      val r = rng(7, id)
+      Row(id, s"Brand#${1 + r.nextInt(25)}", s"type${r.nextInt(6)}",
+        1 + r.nextInt(50))
+    }
+    spark.createDataFrame(partRdd, partSchema)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+  }
+}

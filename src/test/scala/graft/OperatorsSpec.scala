@@ -27,6 +27,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SaltedJoin.join(l, o, "k", salts = 8).count() == salted.count())
   }
 
+  test("AQE skew-join splits the hot key; salted and adaptive joins agree") {
+    // The SAME pathological shape q_salted_join_orders exists for — one
+    // key carrying most of the large side — run under AQE's skew-join
+    // instead of manual salting: a fresh session (session-global confs)
+    // with the skew thresholds scaled down to spec-size data, broadcast
+    // disabled so the join is a genuine sort-merge. The final adaptive
+    // plan must carry the isSkew mark (AQE split the hot partition) and
+    // the three formulations — plain SMJ, AQE skew-split SMJ, manual
+    // SaltedJoin — must agree exactly. PLANS.md ("AQE skew-join vs
+    // manual salting") records when each applies at 100 TB.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // 70% of the large side lands on key 1; the rest spreads over 1000
+    val large = s2.range(0, 200000).select(
+      when(col("id") % 10 < 7, lit(1L)).otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+    val small = s2.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"), sum("w").as("sw"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val adaptive = large.join(small, "k")
+    // drive THIS queryExecution (a write plans a fresh one, and
+    // Dataset.foreach runs through a separate deserializer execution):
+    // the adaptive plan only carries its skew marks after execution
+    adaptive.queryExecution.toRdd.count()
+    val finalPlan = adaptive.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("SortMergeJoin"), s"expected SMJ:\n$finalPlan")
+    assert(finalPlan.contains("isSkew=true") || finalPlan.contains("skew=true"),
+      s"AQE did not mark a skew split:\n$finalPlan")
+    val want = sig(adaptive)
+    // AQE-off plain join and the manual SaltedJoin produce identical rows
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.adaptive.enabled", "false")
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val large3 = s3.range(0, 200000).select(
+      when(col("id") % 10 < 7, lit(1L)).otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+    val small3 = s3.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    assert(sig(large3.join(small3, "k")) == want)
+    assert(sig(SaltedJoin.join(large3, small3, "k", salts = 8)) == want)
+  }
+
   test("erc20 transfer from-filter pushes into topic position") {
     val dir = graft.queries.ChainQueries.FixDir
     val all = ChainDatasets.erc20Transfers(spark, dir)
