@@ -63,10 +63,12 @@ assert found.count() == 30, found.count()
 FIX = "/root/repo/fixtures/chain"
 
 def rows_of(pdf, keep_order=False):
-    vals = [tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
-                  for v in row)
+    # compare REPRs: NaN (pandas' null for nullable ints) breaks tuple
+    # equality (nan != nan) while repr('nan') compares fine
+    vals = [repr(tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                       for v in row))
             for row in pdf.itertuples(index=False, name=None)]
-    return vals if keep_order else sorted(vals, key=repr)
+    return vals if keep_order else sorted(vals)
 
 def parity(datatype, keep_order=False, expect_files=1, **flags):
     got = graft.collect(datatype, spark=spark, source_dir=FIX,
