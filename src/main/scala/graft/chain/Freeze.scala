@@ -113,7 +113,17 @@ object Freeze {
     "eth_calls" -> ((s, d) => ChainDatasets.ethCalls(s, d)),
     "erc20_metadata" -> ((s, d) => ChainDatasets.erc20Metadata(s, d)),
     "erc20_supplies" -> ((s, d) => ChainDatasets.erc20Supplies(s, d)),
-    "erc20_balances" -> ((s, d) => ChainDatasets.erc20Balances(s, d)))
+    "erc20_balances" -> ((s, d) => ChainDatasets.erc20Balances(s, d)),
+    // tracer-family datasets: registered here so the CLI freeze path
+    // covers them too, not just the driver query registry — the
+    // file-layer differential sweep caught `graft.Cli vm_traces`
+    // erroring per chunk while chain_vm_traces was green
+    "vm_traces" -> ((s, d) => ChainDatasets.vmTraces(s, d)),
+    "geth_opcodes" -> ((s, d) => ChainDatasets.gethOpcodes(s, d)),
+    "geth_calls" -> ((s, d) => ChainDatasets.gethCalls(s, d)),
+    "javascript_traces" -> ((s, d) => ChainDatasets.javascriptTraces(s, d)),
+    "trace_calls" -> ((s, d) => ChainDatasets.traceCalls(s, d)),
+    "erc721_metadata" -> ((s, d) => ChainDatasets.erc721Metadata(s, d)))
 
   /** In-memory collect — the library API of the reference
     * (cryo collect.rs:5-30): one dataset, no files. Takes the same

@@ -616,4 +616,39 @@ class DifferentialSpec extends AnyFunSuite {
       h.stop()
     }
   }
+
+  test("file-layer differential: CLI --rpc freeze equals fixture-path freeze chunk for chunk") {
+    // the same comparison one layer up: the WHOLE CLI (chunking, cryo
+    // file naming, parquet sink) driven once from the fixture dir and
+    // once live against the stub node — every chunk file must come out
+    // with the same name and the same rows (the cryo_test harness diffs
+    // at exactly this level)
+    val h = FixtureRpcServer.start(spark, fixDir)
+    try {
+      val datatypes = Seq("blocks", "transactions", "logs", "traces",
+        "native_transfers", "contracts", "address_appearances",
+        "erc20_transfers", "four_byte_counts", "balance_diffs",
+        "storage_diffs", "geth_calls", "geth_opcodes", "vm_traces")
+      val common = Seq("--blocks", "1000:1060", "--chunk-size", "30",
+        "--no-verbose", "--no-report")
+      val outFix = java.nio.file.Files.createTempDirectory("graft_fd_fix").toString
+      val rFix = Cli.run((datatypes ++ Seq("--source-dir", fixDir,
+        "--output-dir", outFix) ++ common).toArray, spark).get
+      val outLive = java.nio.file.Files.createTempDirectory("graft_fd_live").toString
+      val rLive = Cli.run((datatypes ++ Seq("--rpc", h.url,
+        "--output-dir", outLive) ++ common).toArray, spark).get
+      def names(rs: Seq[String], root: String) =
+        rs.map(_.stripPrefix(root + "/")).sorted
+      assert(names(rFix.completed, outFix) == names(rLive.completed, outLive),
+        s"chunk layout differs:\n${names(rFix.completed, outFix)}\n${names(rLive.completed, outLive)}")
+      assert(rFix.completed.size == datatypes.size * 2, s"errored: ${rFix.errored}") // 2 chunks each
+      for (f <- names(rFix.completed, outFix)) {
+        val a = canon(spark.read.parquet(s"$outFix/$f"))
+        val b = canon(spark.read.parquet(s"$outLive/$f"))
+        assert(a.nonEmpty, s"$f: empty fixture-path chunk")
+        assert(a == b, s"$f: ${a.size} vs ${b.size} rows; " +
+          s"first diff ${a.zipAll(b, "<none>", "<none>").find(p => p._1 != p._2)}")
+      }
+    } finally h.stop()
+  }
 }
