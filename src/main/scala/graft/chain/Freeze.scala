@@ -165,7 +165,21 @@ object Freeze {
     val ds = Datatypes(dataset)
     require(ds.byTransaction, s"${ds.name} does not support tx-hash collection")
     val df = allBuilders(ds.name)(spark, sourceDir)
-    df.filter(col("transaction_hash").isin(txHashes: _*))
+    if (df.columns.contains("transaction_hash"))
+      df.filter(col("transaction_hash").isin(txHashes: _*))
+    else {
+      // block-keyed datasets (blocks itself): the reference's
+      // CollectByTransaction resolves each tx's CONTAINING block
+      // (blocks.rs:71-90) — map hashes to block numbers through the
+      // transactions bronze, then filter the block dimension. The
+      // collect is |hash list|-bounded (tx lists are small by
+      // construction, the same discipline as the isin filter above).
+      val bns = ChainDatasets.fx(spark, sourceDir, "rpc_transactions")
+        .filter(col("transaction_hash").isin(txHashes: _*))
+        .select("block_number").distinct()
+        .collect().map(_.get(0)).toSeq
+      df.filter(col("block_number").isin(bns: _*))
+    }
   }
 
   private[graft] def filterBlocks(df: DataFrame, blocks: BlockSyntax.Blocks): DataFrame =

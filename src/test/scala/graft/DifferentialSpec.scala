@@ -612,6 +612,34 @@ class DifferentialSpec extends AnyFunSuite {
       val jsLiv = jsNorm(ChainDatasets.javascriptTraces(spark, live))
       assert(jsFix.nonEmpty && jsFix == jsLiv,
         s"javascript_traces differ: ${jsFix.size} vs ${jsLiv.size}")
+
+      // TimeDimension::Transactions — the pinned corpus' SECOND time
+      // dimension (defaults.py default_combos pairs every datatype with
+      // both 'blocks' and 'transactions'): every tx-hash-capable
+      // datatype collects by hash list through both paths identically
+      val hashes = spark.read.parquet(s"$fixDir/rpc_transactions.parquet")
+        .filter(org.apache.spark.sql.functions.col("block_number") === 1008)
+        .select("transaction_hash").collect()
+        .map(_.getAs[Array[Byte]](0)).toSeq
+      assert(hashes.nonEmpty)
+      var nByTx = 0
+      val txFailures = corpus.flatMap { case (name, _) =>
+        val ds = try Some(graft.chain.Datatypes(name)) catch {
+          case _: Throwable => None
+        }
+        if (!ds.exists(_.byTransaction)) None
+        else {
+          nByTx += 1
+          val a = canon(graft.chain.Freeze.collectByTransaction(
+            spark, fixDir, name, hashes))
+          val b = canon(graft.chain.Freeze.collectByTransaction(
+            spark, live, name, hashes))
+          if (a == b) None
+          else Some(s"$name by-transaction: ${a.size} vs ${b.size} rows")
+        }
+      }
+      assert(txFailures.isEmpty, txFailures.mkString("\n"))
+      assert(nByTx >= 10, s"expected >=10 by-transaction datatypes, got $nByTx")
     } finally {
       h.stop()
     }
