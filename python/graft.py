@@ -32,7 +32,7 @@ option parser to drift.
 import json
 
 __all__ = ["collect", "freeze", "pipeline", "prep", "index_build",
-           "index_search", "index_compact", "cli_args"]
+           "index_search", "index_compact", "read_lake", "cli_args"]
 
 
 def cli_args(*datatypes, **kwargs):
@@ -126,6 +126,35 @@ def freeze(*datatypes, spark=None, **kwargs):
     argv = cli_args(*datatypes, **kwargs)
     out = spark._jvm.graft.Cli.freezeJson(_jarr(spark, argv), spark._jsparkSession)
     return json.loads(out)
+
+
+def read_lake(datatype, lake_dir, spark=None, output_format="spark",
+              **kwargs):
+    """Scan a FROZEN lake (the chunk files ``freeze``/follow-mode wrote)
+    back into a DataFrame, pruning files by their filename block ranges
+    at planning time. kwargs use the lake CLI flag vocabulary:
+    blocks="1015:1045" (``latest`` resolves to the lake head), network,
+    tag (label or partition-dim stub).
+
+    output_format: "spark" (default), "pandas", "list", or "dict".
+    """
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    from pyspark.sql import DataFrame
+
+    argv = cli_args(datatype, lake_dir=lake_dir, **kwargs)
+    jdf = spark._jvm.graft.Cli.lakeDf(_jarr(spark, argv), spark._jsparkSession)
+    df = DataFrame(jdf, spark)
+    if output_format == "spark":
+        return df
+    pdf = df.toPandas()
+    if output_format == "pandas":
+        return pdf
+    if output_format == "list":
+        return pdf.to_dict("records")
+    if output_format == "dict":
+        return pdf.to_dict("list")
+    raise ValueError(f"unknown output_format: {output_format}")
 
 
 def index_build(sf_dir, index_dir, spark=None):

@@ -132,5 +132,19 @@ assert len(by_tx) == 1 and by_tx["transaction_hash"].iloc[0] == one_hash
 assert graft.freeze("blocks", spark=spark, source_dir=FIX,
                     output_dir="/tmp/should_not_exist_graft",
                     blocks="1000:1060", dry_run=True) is None
+
+# lake read-back: freeze a chunked lake, scan a sub-range back with
+# filename pruning; `latest` resolves against the lake head
+lake = tempfile.mkdtemp(prefix="graft_pylake")
+graft.freeze("blocks", spark=spark, source_dir=FIX, output_dir=lake,
+             blocks="1000:1060", chunk_size=10, no_verbose=True)
+back = graft.read_lake("blocks", lake, spark=spark, blocks="1015:1045",
+                       output_format="pandas")
+assert len(back) == 30 and back["block_number"].min() == 1015, len(back)
+# `latest` = lake head (1059); range end stays exclusive per BlockSyntax
+head = graft.read_lake("blocks", lake, spark=spark, blocks="1050:latest",
+                       output_format="pandas")
+assert len(head) == 9 and head["block_number"].max() == 1058, len(head)
+
 print("PYSMOKE OK (flag parity: 15 flags byte-identical across surfaces)")
 spark.stop()

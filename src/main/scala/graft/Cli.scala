@@ -133,6 +133,8 @@ object Cli {
         runPrep(args.drop(1).toSeq, spark)
       } else if (args.headOption.contains("index")) {
         runIndex(args.drop(1).toSeq, spark)
+      } else if (args.headOption.contains("lake")) {
+        runLake(args.drop(1).toSeq, spark); ()
       } else run(args, spark).foreach { r =>
         println(s"completed: ${r.completed.size} file(s), skipped: ${r.skipped.size}, " +
           s"errored: ${r.errored.size}, rows: ${r.rows}")
@@ -174,6 +176,58 @@ object Cli {
     }
     df
   }
+
+  /** `graft.Cli lake <dataset> --lake-dir DIR [--blocks SPEC]
+    * [--network NAME] [--tag T] [--out DIR] [--show N]` — scan a FROZEN
+    * lake (the chunk files freeze/followLive wrote) back into a
+    * DataFrame, pruning files by their filename block ranges at planning
+    * time (Lake.scala). `latest` in a block spec resolves against the
+    * lake itself: the highest frozen block of the dataset. */
+  def runLake(args: Seq[String], spark: SparkSession): DataFrame = {
+    val usage = "usage: lake <dataset> --lake-dir DIR [--blocks SPEC] " +
+      "[--network NAME] [--tag T] [--out DIR] [--show N]"
+    require(args.nonEmpty, usage)
+    val dataset = args.head
+    var lakeDir: Option[String] = None
+    var blocksSpec: Option[String] = None
+    var network: Option[String] = None
+    var tag: Option[String] = None
+    var out: Option[String] = None
+    var show = 20
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--lake-dir" => lakeDir = Some(args(i + 1)); i += 2
+        case "--blocks" | "-b" => blocksSpec = Some(args(i + 1)); i += 2
+        case "--network" => network = Some(args(i + 1)); i += 2
+        case "--tag" => tag = Some(args(i + 1)); i += 2
+        case "--out" => out = Some(args(i + 1)); i += 2
+        case "--show" => show = args(i + 1).toInt; i += 2
+        case other =>
+          throw new IllegalArgumentException(s"unknown lake flag $other; $usage")
+      }
+    }
+    val dir = lakeDir.getOrElse(
+      throw new IllegalArgumentException(s"missing --lake-dir; $usage"))
+    def lakeHead: Long = {
+      val ends = graft.chain.Lake
+        .select(dir, dataset, network = network, tag = tag).map(_.endInclusive)
+      require(ends.nonEmpty, s"no chunk files for '$dataset' under $dir")
+      ends.max
+    }
+    val blocks = blocksSpec.map(BlockSyntax.parse(_, lakeHead))
+    val df = graft.chain.Lake.read(spark, dir, dataset, blocks, network, tag)
+    out match {
+      case Some(d) => df.write.mode("overwrite").parquet(d)
+      case None => if (show > 0) df.show(show, truncate = false)
+    }
+    df
+  }
+
+  /** py4j bridge for python/graft.py `read_lake` — same arg vocabulary
+    * as `runLake`, no side output */
+  def lakeDf(args: Array[String], spark: SparkSession): DataFrame =
+    runLake(args.toSeq ++ Seq("--show", "0"), spark)
 
   /** `graft.Cli prep <sf-dir> <out-dir>` — the persist-once corpus-prep
     * composition: the per-document audit (q_doc_corpus_prep, including

@@ -1,0 +1,198 @@
+package graft.chain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path, Paths}
+
+/** Query surface over a FROZEN lake — the directory of cryo-named chunk
+  * files that `Freeze.freeze` (and followLive's incremental appends)
+  * produce: `{network}__{dataset}[__{label}][__{dim}]__{start}_to_{end}.{fmt}`
+  * (Freeze.fileName; reference naming: types/files.rs:63-105,
+  * number_chunk.rs:18-20). The reference writes these files and leaves
+  * read-back to pandas/polars globbing; here read-back is a first-class
+  * Spark scan with PLANNING-TIME pruning.
+  *
+  * Why filename pruning instead of a custom DataSource V2 reader:
+  * the chunk range is encoded in every file NAME, so overlap selection
+  * for a block range is a driver-side string scan — no file footers
+  * opened, no object-store GETs, no listing of row groups. The selected
+  * files then go through `spark.read.parquet(files: _*)`, keeping
+  * Spark's native vectorized parquet reader, whole-stage codegen, and
+  * filter/column pushdown — a custom PartitionReader would forfeit all
+  * three to re-implement what the filename already gives us. The
+  * residual `block_number` predicate is still applied (chunk overlap is
+  * file-granular) and pushes into the scan as a parquet min/max
+  * row-group filter.
+  *
+  * At 100 TB: ~22M mainnet blocks at 1000-block chunks is ~22k files
+  * per dataset — listing file NAMES once from the driver is trivial
+  * (one recursive listing RPC on an object store), while the pruning it
+  * buys skips whole files at PLANNING time: a 100-block query over a
+  * 22k-file lake plans a 1-2 file scan. This mirrors what a
+  * partition-column layout gives Hive tables, but over the reference's
+  * own flat naming scheme, with no rewrite of existing lakes.
+  */
+object Lake {
+
+  /** one parsed chunk file; `tags` carries the optional label and/or
+    * partition-dim stubs between the dataset name and the range stub,
+    * verbatim (Freeze writes label first, then the dim value stub) */
+  case class ChunkFile(
+      path: String,
+      network: String,
+      dataset: String,
+      tags: Seq[String],
+      start: Long,
+      endInclusive: Long,
+      format: String)
+
+  private val Formats = Set("parquet", "csv", "json")
+  private val RangeRe = """(\d+)_to_(\d+)""".r
+
+  /** Parse a cryo-named chunk file name; None for anything else (run
+    * reports, remembered commands, `._tmp` staging dirs, foreign files)
+    * so a lake listing never trips on the freeze layer's own metadata. */
+  def parseFileName(path: Path): Option[ChunkFile] = {
+    val name = path.getFileName.toString
+    val dot = name.lastIndexOf('.')
+    if (dot <= 0) return None
+    val ext = name.substring(dot + 1)
+    if (!Formats(ext)) return None
+    val parts = name.substring(0, dot).split("__", -1)
+    if (parts.length < 3) return None
+    parts.last match {
+      case RangeRe(s, e) =>
+        Some(ChunkFile(path.toString, parts(0), parts(1),
+          parts.slice(2, parts.length - 1).toSeq, s.toLong, e.toLong, ext))
+      case _ => None
+    }
+  }
+
+  /** Driver-side recursive listing of every chunk file under `dir` —
+    * file NAMES only, no data or footer reads. Dot-directories
+    * (`.graft` reports, `.compact_old` recovery state) are skipped.
+    * Deterministic (sorted) order so downstream file lists are stable
+    * across runs. */
+  def listChunks(dir: String): Seq[ChunkFile] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val out = Seq.newBuilder[ChunkFile]
+    def walk(p: Path): Unit = {
+      val s = Files.list(p)
+      try {
+        s.sorted().forEach { c =>
+          val n = c.getFileName.toString
+          if (Files.isDirectory(c)) {
+            if (!n.startsWith(".") && !n.endsWith("._tmp")) walk(c)
+          } else parseFileName(c).foreach(out += _)
+        }
+      } finally s.close()
+    }
+    walk(root)
+    out.result()
+  }
+
+  /** file-granular overlap test: does this chunk's [start, endInclusive]
+    * intersect the requested blocks? */
+  private[graft] def overlaps(f: ChunkFile, blocks: BlockSyntax.Blocks): Boolean =
+    blocks match {
+      case BlockSyntax.Range(s, e) => f.start < e && f.endInclusive >= s
+      case BlockSyntax.Numbers(ns) =>
+        ns.exists(n => n >= f.start && n <= f.endInclusive)
+    }
+
+  /** The pruned file selection a read would scan — exposed so callers
+    * (and specs) can assert planning-time pruning without running a job.
+    * `dataset` resolves through the alias registry (txs → transactions). */
+  def select(dir: String, dataset: String,
+      blocks: Option[BlockSyntax.Blocks] = None,
+      network: Option[String] = None,
+      tag: Option[String] = None): Seq[ChunkFile] = {
+    val canonical = Datatypes(dataset).name
+    listChunks(dir).filter { f =>
+      f.dataset == canonical &&
+        network.forall(_ == f.network) &&
+        tag.forall(f.tags.contains) &&
+        blocks.forall(overlaps(f, _))
+    }
+  }
+
+  /** Scan a frozen lake back into a DataFrame.
+    *
+    *  - `blocks`: prunes FILES by the filename range (planning-time),
+    *    then applies the exact residual block filter (row-level, pushed
+    *    to parquet row-group stats).
+    *  - `network` / `tag`: restrict to one network / one label or
+    *    partition-dim stub when several share the directory.
+    *  - `schema`: optional explicit schema for csv/json lakes (parquet
+    *    carries its own). Without it csv falls back to inference — fine
+    *    interactively, pass a schema in pipelines.
+    *
+    * All selected files must share one format (a lake frozen twice with
+    * different --csv/--json flags is ambiguous — fail loudly). */
+  def read(spark: SparkSession, dir: String, dataset: String,
+      blocks: Option[BlockSyntax.Blocks] = None,
+      network: Option[String] = None,
+      tag: Option[String] = None,
+      schema: Option[StructType] = None): DataFrame = {
+    val files = select(dir, dataset, blocks, network, tag)
+    require(files.nonEmpty,
+      s"no chunk files for dataset '$dataset'" +
+        blocks.map(b => s" blocks $b").getOrElse("") +
+        network.map(n => s" network $n").getOrElse("") + s" under $dir")
+    val formats = files.map(_.format).distinct
+    require(formats.size == 1,
+      s"mixed formats ${formats.sorted.mkString(", ")} for dataset " +
+        s"'$dataset' under $dir — freeze format must be uniform per dataset")
+    val paths = files.map(_.path)
+    val df0 = formats.head match {
+      case "parquet" => spark.read.parquet(paths: _*)
+      case "csv" =>
+        val r = spark.read.option("header", "true")
+        schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
+          .csv(paths: _*)
+      case "json" =>
+        schema.map(spark.read.schema).getOrElse(spark.read).json(paths: _*)
+    }
+    blocks match {
+      case Some(b) if df0.columns.contains("block_number") =>
+        Freeze.filterBlocks(df0, b)
+      case _ => df0
+    }
+  }
+
+  /** Tail a frozen lake as a STREAM: every chunk file `followLive` (or a
+    * scheduled batch freeze) appends is picked up by Spark's file stream
+    * source on its next trigger — the read-side twin of the follow-mode
+    * write path, giving downstream jobs (streaming dedup, index ingest,
+    * alerting) an incremental view of the lake with exactly-once file
+    * tracking from the source's own checkpoint log.
+    *
+    * The dataset/network restriction compiles to a `pathGlobFilter` on
+    * the cryo file NAME — the same planning-time pruning as the batch
+    * path, applied per listing, so co-located datasets never enter the
+    * stream. `schema` is required (file stream sources cannot infer),
+    * and `recursiveFileLookup` handles `subdirs` layouts.
+    *
+    * At 100 TB the steady-state cost is the periodic listing; a lake
+    * tailed from its head (`maxFilesPerTrigger` via `options`) processes
+    * each ~chunk-sized file once and never rescans old data. */
+  def readStream(spark: SparkSession, dir: String, dataset: String,
+      schema: StructType,
+      network: Option[String] = None,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(Formats(format), s"unsupported lake format '$format'")
+    val canonical = Datatypes(dataset).name
+    val glob = s"${network.getOrElse("*")}__${canonical}__*.$format"
+    val r0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+    val r = options.foldLeft(r0) { case (b, (k, v)) => b.option(k, v) }
+    format match {
+      case "parquet" => r.parquet(dir)
+      case "csv" => r.option("header", "true").csv(dir)
+      case "json" => r.json(dir)
+    }
+  }
+}
