@@ -32,7 +32,8 @@ option parser to drift.
 import json
 
 __all__ = ["collect", "freeze", "pipeline", "prep", "index_build",
-           "index_search", "index_compact", "read_lake", "cli_args"]
+           "index_search", "index_compact", "read_lake", "compact_lake",
+           "cli_args"]
 
 
 def cli_args(*datatypes, **kwargs):
@@ -155,6 +156,22 @@ def read_lake(datatype, lake_dir, spark=None, output_format="spark",
     if output_format == "dict":
         return pdf.to_dict("list")
     raise ValueError(f"unknown output_format: {output_format}")
+
+
+def compact_lake(lake_dir, target_chunk_size, spark=None, network=None,
+                 up_to_block=None):
+    """Coalesce contiguous small chunk files in a frozen lake into files
+    of up to ``target_chunk_size`` blocks (content-preserving, crash-safe
+    — see LakeCompact.scala). Follow-mode lakes accrete small chunks;
+    compaction keeps later scans planning over proportionally fewer
+    files. Pass ``up_to_block`` (e.g. the slowest stream consumer's
+    processed head) when the lake is being tailed live."""
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    argv = cli_args("compact", lake_dir=lake_dir,
+                    target_chunk_size=target_chunk_size, network=network,
+                    up_to_block=up_to_block)
+    spark._jvm.graft.Cli.lakeDf(_jarr(spark, argv), spark._jsparkSession)
 
 
 def index_build(sf_dir, index_dir, spark=None):

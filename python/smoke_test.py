@@ -145,6 +145,12 @@ assert len(back) == 30 and back["block_number"].min() == 1015, len(back)
 head = graft.read_lake("blocks", lake, spark=spark, blocks="1050:latest",
                        output_format="pandas")
 assert len(head) == 9 and head["block_number"].max() == 1058, len(head)
+# compact the 6×10-block files to 2×30; reads are unchanged
+graft.compact_lake(lake, 30, spark=spark)
+assert len(glob.glob(lake + "/*.parquet")) == 2
+back2 = graft.read_lake("blocks", lake, spark=spark, blocks="1015:1045",
+                        output_format="pandas")
+assert sorted(back2["block_number"]) == sorted(back["block_number"])
 
 print("PYSMOKE OK (flag parity: 15 flags byte-identical across surfaces)")
 spark.stop()

@@ -178,18 +178,30 @@ object Cli {
   }
 
   /** `graft.Cli lake <dataset> --lake-dir DIR [--blocks SPEC]
-    * [--network NAME] [--tag T] [--out DIR] [--show N]` — scan a FROZEN
-    * lake (the chunk files freeze/followLive wrote) back into a
-    * DataFrame, pruning files by their filename block ranges at planning
-    * time (Lake.scala). `latest` in a block spec resolves against the
-    * lake itself: the highest frozen block of the dataset. */
+    * [--timestamps T1:T2] [--network NAME] [--tag T] [--out DIR]
+    * [--show N]` — scan a FROZEN lake (the chunk files freeze/followLive
+    * wrote) back into a DataFrame, pruning files by their filename block
+    * ranges at planning time (Lake.scala). `latest` in a block spec
+    * resolves against the lake itself: the highest frozen block of the
+    * dataset. `--timestamps` resolves through the LAKE'S OWN frozen
+    * blocks dataset (≤-semantics binary search, TimestampSyntax) — the
+    * read-side twin of freeze's timestamp dimension, requiring `blocks`
+    * to be frozen alongside.
+    *
+    * `graft.Cli lake compact --lake-dir DIR --target-chunk-size N
+    * [--network NAME]` — coalesce contiguous small chunk files
+    * (LakeCompact.scala). */
   def runLake(args: Seq[String], spark: SparkSession): DataFrame = {
     val usage = "usage: lake <dataset> --lake-dir DIR [--blocks SPEC] " +
-      "[--network NAME] [--tag T] [--out DIR] [--show N]"
+      "[--timestamps T1:T2] [--network NAME] [--tag T] [--out DIR] " +
+      "[--show N] | lake compact --lake-dir DIR --target-chunk-size N " +
+      "[--network NAME] [--up-to-block N]"
     require(args.nonEmpty, usage)
+    if (args.head == "compact") return runLakeCompact(args.drop(1), spark, usage)
     val dataset = args.head
     var lakeDir: Option[String] = None
     var blocksSpec: Option[String] = None
+    var tsSpec: Option[String] = None
     var network: Option[String] = None
     var tag: Option[String] = None
     var out: Option[String] = None
@@ -199,6 +211,7 @@ object Cli {
       args(i) match {
         case "--lake-dir" => lakeDir = Some(args(i + 1)); i += 2
         case "--blocks" | "-b" => blocksSpec = Some(args(i + 1)); i += 2
+        case "--timestamps" => tsSpec = Some(args(i + 1)); i += 2
         case "--network" => network = Some(args(i + 1)); i += 2
         case "--tag" => tag = Some(args(i + 1)); i += 2
         case "--out" => out = Some(args(i + 1)); i += 2
@@ -215,7 +228,17 @@ object Cli {
       require(ends.nonEmpty, s"no chunk files for '$dataset' under $dir")
       ends.max
     }
-    val blocks = blocksSpec.map(BlockSyntax.parse(_, lakeHead))
+    val blocks = (blocksSpec, tsSpec) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "--blocks and --timestamps are mutually exclusive")
+      case (Some(b), None) => Some(BlockSyntax.parse(b, lakeHead))
+      case (None, Some(t)) =>
+        val blocksDf = graft.chain.Lake.read(spark, dir, "blocks",
+          network = network)
+        Some(TimestampSyntax.resolveRange(t, blocksDf,
+          now = System.currentTimeMillis() / 1000))
+      case (None, None) => None
+    }
     val df = graft.chain.Lake.read(spark, dir, dataset, blocks, network, tag)
     out match {
       case Some(d) => df.write.mode("overwrite").parquet(d)
@@ -228,6 +251,34 @@ object Cli {
     * as `runLake`, no side output */
   def lakeDf(args: Array[String], spark: SparkSession): DataFrame =
     runLake(args.toSeq ++ Seq("--show", "0"), spark)
+
+  private def runLakeCompact(args: Seq[String], spark: SparkSession,
+      usage: String): DataFrame = {
+    var lakeDir: Option[String] = None
+    var target: Option[Long] = None
+    var network: Option[String] = None
+    var upTo: Option[Long] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--lake-dir" => lakeDir = Some(args(i + 1)); i += 2
+        case "--target-chunk-size" => target = Some(args(i + 1).toLong); i += 2
+        case "--network" => network = Some(args(i + 1)); i += 2
+        case "--up-to-block" => upTo = Some(args(i + 1).toLong); i += 2
+        case "--show" => i += 2 // tolerated: the py4j bridge appends it
+        case other =>
+          throw new IllegalArgumentException(s"unknown compact flag $other; $usage")
+      }
+    }
+    val dir = lakeDir.getOrElse(
+      throw new IllegalArgumentException(s"missing --lake-dir; $usage"))
+    val t = target.getOrElse(
+      throw new IllegalArgumentException(s"missing --target-chunk-size; $usage"))
+    val written = graft.chain.LakeCompact.compact(spark, dir, t, network, upTo)
+    println(s"compacted ${written.size} file(s):")
+    written.foreach(w => println(s"  $w"))
+    spark.emptyDataFrame
+  }
 
   /** `graft.Cli prep <sf-dir> <out-dir>` — the persist-once corpus-prep
     * composition: the per-document audit (q_doc_corpus_prep, including

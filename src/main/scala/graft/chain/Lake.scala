@@ -101,6 +101,28 @@ object Lake {
         ns.exists(n => n >= f.start && n <= f.endInclusive)
     }
 
+  /** Drop files whose range is STRICTLY contained in another file of the
+    * same (network, dataset, tags, format). A healthy lake never has
+    * overlapping ranges — freeze chunks are disjoint — so containment
+    * only arises from an interrupted `LakeCompact` run that wrote the
+    * merged file but crashed before deleting the originals. Preferring
+    * the container makes every read see each row exactly once through
+    * the interruption; the next compact (or `cleanContained`) finishes
+    * the deletion. One sort + sweep per key group: O(n log n) over file
+    * NAMES, still driver-trivial at 100 TB file counts. */
+  private[graft] def dropContained(files: Seq[ChunkFile]): Seq[ChunkFile] =
+    files.groupBy(f => (f.network, f.dataset, f.tags, f.format)).values.flatMap {
+      group =>
+        // start asc, end desc: any container precedes its contained files
+        val sorted = group.sortBy(f => (f.start, -f.endInclusive))
+        var maxEnd = Long.MinValue
+        sorted.filter { f =>
+          val contained = f.endInclusive <= maxEnd
+          if (f.endInclusive > maxEnd) maxEnd = f.endInclusive
+          !contained
+        }
+    }.toSeq
+
   /** The pruned file selection a read would scan — exposed so callers
     * (and specs) can assert planning-time pruning without running a job.
     * `dataset` resolves through the alias registry (txs → transactions). */
@@ -109,12 +131,11 @@ object Lake {
       network: Option[String] = None,
       tag: Option[String] = None): Seq[ChunkFile] = {
     val canonical = Datatypes(dataset).name
-    listChunks(dir).filter { f =>
+    dropContained(listChunks(dir).filter { f =>
       f.dataset == canonical &&
         network.forall(_ == f.network) &&
-        tag.forall(f.tags.contains) &&
-        blocks.forall(overlaps(f, _))
-    }
+        tag.forall(f.tags.contains)
+    }).filter(f => blocks.forall(overlaps(f, _)))
   }
 
   /** Scan a frozen lake back into a DataFrame.
@@ -189,10 +210,20 @@ object Lake {
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
     val r = options.foldLeft(r0) { case (b, (k, v)) => b.option(k, v) }
-    format match {
+    val df = format match {
       case "parquet" => r.parquet(dir)
       case "csv" => r.option("header", "true").csv(dir)
       case "json" => r.json(dir)
     }
+    // the glob's `*` matches `__` too, so a file whose LABEL equals a
+    // dataset name (ethereum__transactions__blocks__…) would slip in;
+    // re-check the exact second filename segment row-level (codegen
+    // projection over input_file_name — no shuffle, negligible cost)
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name, regexp_extract, split}
+    val fname = regexp_extract(input_file_name(), "[^/]+$", 0)
+    val segOk = element_at(split(fname, "__"), 2) === canonical
+    val netOk = network.map(n => element_at(split(fname, "__"), 1) === n)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    df.where(segOk && netOk)
   }
 }

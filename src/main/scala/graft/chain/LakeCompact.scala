@@ -1,0 +1,114 @@
+package graft.chain
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Paths}
+
+/** Small-file compaction for a frozen lake — the maintenance operator a
+  * follow-mode lake needs at scale: followLive freezes reorg-buffer-
+  * bounded chunks (often tens of blocks), so a month of tailing leaves
+  * thousands of tiny files whose per-file open/footer cost starts to
+  * dominate scans. `compact` coalesces CONTIGUOUS runs of chunk files of
+  * the same (directory, network, dataset, tags, format) into files of up
+  * to `targetBlocks` blocks, keeping the cryo naming scheme — so every
+  * Lake read, the CLI, python and any external globbing consumer keep
+  * working unchanged, with proportionally fewer files to plan over.
+  *
+  * Invariants:
+  *  - CONTENT-preserving: the merged file holds exactly the union of its
+  *    source files' rows (row-count re-checked before any delete; order
+  *    follows the dataset's declared default sort). File BYTES are not
+  *    preserved — this is a rewrite, like parquet compaction anywhere.
+  *  - Never bridges a GAP: only runs where each file starts at the
+  *    previous file's end+1 merge, so a merged file's name never claims
+  *    block coverage the lake does not have (freeze's idempotent-skip
+  *    and follow-mode resumption both reason from filename ranges).
+  *  - Crash-safe without a journal: the merged file is written first
+  *    (tmp + atomic rename inside Freeze.writeOneFile), then the
+  *    originals are deleted. A crash in between leaves BOTH — which is
+  *    why `Lake.select` drops files strictly CONTAINED in another file
+  *    of the same key: readers see each row exactly once through the
+  *    interruption, and the next compact run finishes the deletion
+  *    (merged target already present → skip rewrite, delete originals).
+  *  - Parquet only: csv/json lakes would round-trip through schema
+  *    inference, which can silently re-type columns — refused loudly.
+  *
+  * At 100 TB the per-run cost is one scan + one write of the small files
+  * being merged (Spark-parallel across runs via the usual job
+  * scheduling), and the payoff is planning-time: a lake tailed at
+  * 50-block chunks compacted to 10k-block files is 200× fewer listing
+  * entries, footers and scan splits for every later query.
+  */
+object LakeCompact {
+
+  /** Compact all eligible runs under `dir`; returns the merged file
+    * paths written (or adopted, when an interrupted run left them).
+    * `network` restricts to one network's files when several share the
+    * lake.
+    *
+    * `upTo`: only files ENTIRELY at or below this block participate.
+    * This is the live-tailing guard: `Lake.readStream` consumers track
+    * files by path, so rewriting a file a stream has not yet processed
+    * makes its rows arrive via the NEW merged file too — duplicate
+    * delivery. Compacting only below the slowest consumer's processed
+    * head (followLive's frozen ceiling is the natural bound) keeps
+    * tailing exactly-once while the cold tail of the lake compacts
+    * freely. Batch `Lake.read` needs no such care — the containment
+    * rule resolves any interleaving. */
+  def compact(spark: SparkSession, dir: String, targetBlocks: Long,
+      network: Option[String] = None,
+      upTo: Option[Long] = None): Seq[String] = {
+    require(targetBlocks > 0, "targetBlocks must be positive")
+    val all = Lake.listChunks(dir)
+      .filter(f => network.forall(_ == f.network))
+      .filter(f => upTo.forall(f.endInclusive <= _))
+    val bad = all.filter(_.format != "parquet")
+    require(bad.isEmpty,
+      s"lake compaction is parquet-only; found ${bad.head.format} files " +
+        s"(e.g. ${bad.head.path}) — csv/json round-trips re-infer schemas")
+    val written = Seq.newBuilder[String]
+    all.groupBy(f => (Paths.get(f.path).getParent, f.network, f.dataset,
+        f.tags)).foreach { case ((parent, net, dataset, tags), group) =>
+      val sorted = group.sortBy(f => (f.start, -f.endInclusive))
+      // finish any interrupted run first: originals strictly contained
+      // in a survivor are leftovers whose merged file already landed
+      val live = Lake.dropContained(sorted)
+      (sorted.toSet -- live.toSet).foreach { leftover =>
+        Files.deleteIfExists(Paths.get(leftover.path))
+      }
+      // maximal contiguous runs, greedily cut at targetBlocks
+      val runs = live.foldLeft(Vector.empty[Vector[Lake.ChunkFile]]) {
+        case (acc, f) =>
+          acc.lastOption match {
+            case Some(run) if run.last.endInclusive + 1 == f.start &&
+                f.endInclusive - run.head.start + 1 <= targetBlocks =>
+              acc.init :+ (run :+ f)
+            case _ => acc :+ Vector(f)
+          }
+      }
+      runs.filter(_.size >= 2).foreach { run =>
+        val range = BlockSyntax.Range(run.head.start, run.last.endInclusive + 1)
+        val stub = tags.map("__" + _).mkString
+        val name = s"${net}__${dataset}$stub" +
+          s"__${Freeze.chunkStub(range)}.parquet"
+        val target = parent.resolve(name)
+        if (!Files.exists(target)) {
+          val paths = run.map(_.path)
+          val src = spark.read.parquet(paths: _*)
+          val expected = src.count()
+          val sortKeys = TableSchema.defaultSort(Datatypes(dataset))
+            .filter(src.columns.contains)
+          val ordered =
+            if (sortKeys.isEmpty) src else src.orderBy(sortKeys.map(col): _*)
+          val n = Freeze.writeOneFile(ordered, target, "parquet")
+          require(n == expected,
+            s"compaction row mismatch for $name: wrote $n, sources had " +
+              s"$expected — originals left in place")
+        }
+        run.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        written += target.toString
+      }
+    }
+    written.result()
+  }
+}

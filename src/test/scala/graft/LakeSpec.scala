@@ -158,9 +158,13 @@ class LakeSpec extends AnyFunSuite {
       // only the blocks chunk is in the stream — transactions filtered
       // by the filename glob at listing time
       assert(spark.sql("select count(*) from lake_tail").head().getLong(0) == 20L)
-      // a live freeze appends two more chunks; the stream picks them up
+      // a live freeze appends two more chunks; the stream picks them up.
+      // A transactions file LABELED "blocks" also lands — the glob's `*`
+      // matches it, but the exact-segment re-check must exclude it
       freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1020, 1060),
         chunkSize = 20)
+      freeze(out, Seq("transactions"), blocks = BlockSyntax.Range(1000, 1020),
+        chunkSize = 20, label = Some("blocks"))
       q.processAllAvailable()
       val got = spark.sql(
         "select count(*), min(block_number), max(block_number) from lake_tail")
@@ -168,6 +172,123 @@ class LakeSpec extends AnyFunSuite {
       assert(got.getLong(0) == 60L)
       assert(got.getInt(1) == 1000 && got.getInt(2) == 1059)
     } finally q.stop()
+  }
+
+  test("CLI lake read resolves --timestamps against the lake's own blocks") {
+    val out = freshDir("lake_ts_")
+    freeze(out, Seq("blocks"), chunkSize = 10)
+    // fixture timestamps: 1700012000 + 12s/block → [1700012120, 1700012300]
+    // resolves to blocks [1010, 1025] via ≤-semantics at both ends
+    val df = Cli.runLake(Seq("blocks", "--lake-dir", out,
+      "--timestamps", "1700012120:1700012300", "--show", "0"), spark)
+    val got = df.agg(min("block_number"), max("block_number"),
+      count(lit(1))).head()
+    assert(got.getInt(0) == 1010 && got.getInt(1) == 1025)
+    assert(got.getLong(2) == 16L)
+  }
+
+  test("compact coalesces contiguous runs but never bridges a gap") {
+    val out = freshDir("lake_compact_")
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1000, 1030),
+      chunkSize = 10) // 3 files
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1040, 1060),
+      chunkSize = 10) // 2 files, 1030-1039 never frozen
+    // snapshot BEFORE the rewrite (binary columns compare by value via
+    // exceptAll on a persisted copy, not Row.equals on byte arrays)
+    val before = Lake.read(spark, out, "blocks").persist()
+    before.count()
+    graft.chain.LakeCompact.compact(spark, out, targetBlocks = 30)
+    val files = Lake.listChunks(out)
+    assert(files.map(f => (f.start, f.endInclusive)).sortBy(_._1) ==
+      Seq((1000L, 1029L), (1040L, 1059L)))
+    val after = Lake.read(spark, out, "blocks")
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    before.unpersist()
+    // content is still pruned correctly post-compact
+    assert(Lake.select(out, "blocks",
+      Some(BlockSyntax.Range(1045, 1050))).size == 1)
+  }
+
+  test("interrupted compact: contained originals are invisible to reads " +
+      "and cleaned by the next run") {
+    val out = freshDir("lake_interrupt_")
+    freeze(out, Seq("blocks"), chunkSize = 10) // 6 originals
+    // simulate a crash after the merged write, before the deletes: the
+    // full-range file lands NEXT TO all six originals
+    freeze(out, Seq("blocks"), chunkSize = 60)
+    assert(Lake.listChunks(out).size == 7)
+    // reads prefer the container — each row exactly once
+    assert(Lake.read(spark, out, "blocks").count() == 60L)
+    assert(Lake.select(out, "blocks").size == 1)
+    // the next compact finishes the interrupted deletion
+    graft.chain.LakeCompact.compact(spark, out, targetBlocks = 60)
+    assert(Lake.listChunks(out).size == 1)
+    assert(Lake.read(spark, out, "blocks").count() == 60L)
+  }
+
+  test("compact respects target size, tag scoping, and refuses csv") {
+    val out = freshDir("lake_target_")
+    freeze(out, Seq("blocks"), chunkSize = 10, label = Some("a"))
+    freeze(out, Seq("blocks"), chunkSize = 10, label = Some("b"))
+    graft.chain.LakeCompact.compact(spark, out, targetBlocks = 30)
+    val files = Lake.listChunks(out)
+    // per label: 6×10 → 2×30; labels never merge across
+    assert(files.size == 4)
+    assert(files.forall(f => f.endInclusive - f.start + 1 <= 30))
+    assert(files.count(_.tags == Seq("a")) == 2)
+    assert(files.count(_.tags == Seq("b")) == 2)
+    assert(Lake.read(spark, out, "blocks", tag = Some("a")).count() == 60L)
+
+    // --up-to-block: the live-tailing guard — files above the bound
+    // stay untouched so a stream mid-backlog never sees rewrites
+    val outUp = freshDir("lake_upto_")
+    freeze(outUp, Seq("blocks"), chunkSize = 10)
+    graft.chain.LakeCompact.compact(spark, outUp, targetBlocks = 60,
+      upTo = Some(1029L))
+    val upFiles = Lake.listChunks(outUp).map(f => (f.start, f.endInclusive))
+      .sortBy(_._1)
+    assert(upFiles == Seq((1000L, 1029L), (1030L, 1039L), (1040L, 1049L),
+      (1050L, 1059L)))
+
+    val outCsv = freshDir("lake_csvcompact_")
+    freeze(outCsv, Seq("blocks"), chunkSize = 30, format = "csv")
+    val e = intercept[IllegalArgumentException] {
+      graft.chain.LakeCompact.compact(spark, outCsv, targetBlocks = 60)
+    }
+    assert(e.getMessage.contains("parquet-only"))
+  }
+
+  test("compact keeps the dataset's default sort inside merged files") {
+    val out = freshDir("lake_sorted_")
+    freeze(out, Seq("transactions"), chunkSize = 15)
+    graft.chain.LakeCompact.compact(spark, out, targetBlocks = 60)
+    val merged = Lake.listChunks(out)
+    assert(merged.size == 1)
+    val rows = spark.read.parquet(merged.head.path)
+      .select("block_number", "transaction_index")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == rows.toSeq.sorted)
+  }
+
+  test("selection over a 20k-file lake is exact and driver-trivial") {
+    // the 100 TB shape: ~22M blocks at 1000-block chunks ≈ 22k files.
+    // Selection is filename string work only — no footers, no Spark
+    // jobs — so it must stay well under a second at this file count.
+    val out = freshDir("lake_manyfiles_")
+    val dir = Paths.get(out)
+    (0 until 20000).foreach { i =>
+      val r = graft.chain.BlockSyntax.Range(i * 1000L, (i + 1) * 1000L)
+      Files.createFile(dir.resolve(
+        s"ethereum__blocks__${Freeze.chunkStub(r)}.parquet"))
+    }
+    val t0 = System.nanoTime()
+    val sel = Lake.select(out, "blocks",
+      Some(BlockSyntax.Range(7_654_321L, 7_657_000L)))
+    val ms = (System.nanoTime() - t0) / 1e6
+    // blocks 7,654,321–7,656,999 span chunk files 7654, 7655, 7656
+    assert(sel.map(_.start).sorted == Seq(7654000L, 7655000L, 7656000L))
+    info(f"20k-file selection took $ms%.0f ms")
+    assert(ms < 5000, f"selection took $ms%.0f ms over 20k files")
   }
 
   test("mixed-format and empty selections fail loudly") {
