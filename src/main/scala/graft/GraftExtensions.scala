@@ -4,6 +4,7 @@ import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL surface for the custom expression layer. Two entry points:
@@ -18,14 +19,18 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * plus the pipeline kernels: `md5_prefix60(str)`, `dot_f32(a, b)`,
   * `sum_sq_f32(a)`, `abs_max_f32(a)`, `sub_f32(a, b)`,
   * `minhash_sigs(toks, 3)` (default affine family),
-  * `explode_shingles(toks, 3)` (lateral view generator).
+  * `explode_shingles(toks, 3)` (lateral view generator), and the
+  * table-valued `graft_lake(dir, dataset[, blocks])` frozen-lake scan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     Graft.functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    e.injectTableFunction((FunctionIdentifier("graft_lake"),
+      new ExpressionInfo("graft", "graft_lake"), Graft.lakePlan))
+  }
 }
 
 object Graft {
@@ -63,10 +68,40 @@ object Graft {
       s"$what must be an integer literal, got: $other")
   }
 
+  /** Table-valued lake scan for SQL users:
+    * `SELECT * FROM graft_lake('/lake/dir', 'blocks'[, '1000:2000'])` —
+    * the TVF resolves at ANALYSIS time into the same pruned file scan
+    * as `Lake.read` (filename file pruning + residual block filter), so
+    * SQL-only consumers get identical plans to the Scala/CLI/python
+    * surfaces. Arguments must be literals: the file pruning happens at
+    * planning, before any row exists to evaluate an expression against.
+    * `latest` in the blocks spec resolves to the lake head. */
+  def lakePlan(es: Seq[Expression]): logical.LogicalPlan = {
+    require(es.size == 2 || es.size == 3,
+      s"graft_lake(dir, dataset[, blocks]) takes 2-3 arguments, got ${es.size}")
+    val dir = literalString(es(0), "lake dir")
+    val dataset = literalString(es(1), "dataset")
+    val spark = SparkSession.active
+    val blocks = if (es.size < 3) None else {
+      def lakeHead: Long = {
+        val ends = graft.chain.Lake.select(dir, dataset).map(_.endInclusive)
+        require(ends.nonEmpty, s"no chunk files for '$dataset' under $dir")
+        ends.max
+      }
+      Some(graft.chain.BlockSyntax.parse(
+        literalString(es(2), "blocks spec"), lakeHead))
+    }
+    graft.chain.Lake.read(spark, dir, dataset, blocks)
+      .queryExecution.logical
+  }
+
   /** register on an already-built session */
-  def registerFunctions(spark: SparkSession): Unit =
+  def registerFunctions(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_lake", lakePlan, "built-in")
+  }
 }

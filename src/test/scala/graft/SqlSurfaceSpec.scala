@@ -111,4 +111,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
         r.getAs[scala.collection.Seq[Long]]("sigs").toSeq)
     }
   }
+
+  test("graft_lake table function scans a frozen lake with file pruning") {
+    Graft.registerFunctions(spark)
+    import graft.chain.{BlockSyntax, Freeze, Lake}
+    val out = java.nio.file.Files.createTempDirectory("lake_tvf_").toString
+    Freeze.freeze(spark, "/root/repo/fixtures/chain", Freeze.FreezeSpec(
+      datasets = Seq("blocks"), blocks = BlockSyntax.Range(1000, 1060),
+      chunkSize = 10, outputDir = out, noReport = true,
+      maxConcurrentChunks = 1))
+    // full scan, pruned scan, aggregation over the TVF — all plain SQL
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake('$out', 'blocks')")
+      .head().getLong(0) == 60L)
+    val pruned = spark.sql(
+      s"SELECT * FROM graft_lake('$out', 'blocks', '1015:1045')")
+    assert(pruned.inputFiles.length == 4) // files 1010/1020/1030/1040
+    assert(pruned.count() == 30L)
+    val agg = spark.sql(
+      s"""SELECT min(block_number) AS lo, max(block_number) AS hi
+         |FROM graft_lake('$out', 'blocks', '1050:latest')""".stripMargin)
+      .head()
+    assert(agg.getInt(0) == 1050 && agg.getInt(1) == 1058)
+    // non-literal args fail at analysis with a clear message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake('$out', lower('BLOCKS'))").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
 }
