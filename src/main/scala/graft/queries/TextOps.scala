@@ -382,6 +382,19 @@ object TextOps {
     var prevSum: Option[java.math.BigDecimal] = None
     var round = 0
     var converged = false
+    // Batch size stays CONSTANT at roundsPerAction: growing it was
+    // measured and rejected. A long-chain graph (embedding cosine
+    // links, 12 rounds at sf0.1) tempts exponential batching (2,4,8 →
+    // 3 actions instead of 6), but composed batches degrade sharply —
+    // a 4-round batch ran ~1.8× and an 8-round batch ~8× slower than
+    // the same rounds in 2-round batches, because the intermediate
+    // rounds' MEMORY_AND_DISK persists are not reliably shared WITHIN
+    // the single composing action (each intermediate feeds two
+    // consumers — pointer edges and the join right side — and beyond
+    // ~2 composed rounds the deeper plan recomputes them), so plan
+    // cost grows super-linearly while the saved per-action overhead is
+    // ~0.25 s. Measured totals: rpa=2 constant 3.4 s; 2,4,4 batches
+    // 6.0 s; 2,4,8 batches 14-16 s (q_embed_dedup_clusters, sf0.1).
     while (!converged && round < maxRounds) {
       val k = math.min(roundsPerAction, maxRounds - round)
       var cur = labels
