@@ -559,8 +559,13 @@ object TextOps {
       .withColumn("keep",
         col("lang_ok") && col("quality_ok") &&
           col("exact_canonical") && col("neardup_canonical"))
+      // cluster_id is an INTERNAL column (null for docs in no pair):
+      // the memoized audit carries it so every cluster consumer
+      // (q_doc_dedup_clusters / _keep / quality_vs_dup) rides the ONE
+      // LSH+CC pass; the public q_doc_corpus_prep projection drops it
       .select("doc_id", "source", "lang_ok", "quality_ok",
-        "exact_canonical", "neardup_canonical", "split", "keep")
+        "exact_canonical", "neardup_canonical", "split", "keep",
+        "cluster_id")
   }
 
   /** Memoized persisted audit per (session, sf dir) — the production
@@ -808,7 +813,14 @@ object TextOps {
     // chains), so a small bounded round count converges; the loop stops
     // early the first round nothing changes.
     "q_doc_dedup_clusters" -> { (s, dir) =>
-      clustersOf(minhashPairsOf(Tables(s, dir, "documents")))
+      // rides the memoized audit's LSH+CC pass (corpusPrepCached):
+      // the audit left-joins clustersOf output against the corpus, so
+      // non-null cluster_id rows ARE exactly the clustersOf rows —
+      // same derivation, same values, one CC pipeline per process
+      // instead of one per cluster-consuming query
+      corpusPrepCached(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+        .where(col("cluster_id").isNotNull)
     },
 
     // Subword ("BPE-ish") token counting: a regex pre-tokenizer in the
@@ -998,10 +1010,9 @@ object TextOps {
     // AQE broadcasts it at any realistic dup rate, and the join
     // degrades to shuffle (not OOM) on a pathological corpus.
     "q_doc_dedup_keep" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val clusters = clustersOf(minhashPairsOf(docs))
-      docs.select(col("doc_id"))
-        .join(clusters, Seq("doc_id"), "left")
+      // the audit already joined clusters against every document —
+      // keep/drop is a projection of the memoized pass
+      corpusPrepCached(s, dir)
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         .withColumn("keep", col("cluster_id") === col("doc_id"))
@@ -1019,7 +1030,10 @@ object TextOps {
     // quality decile" policies before anyone trains on the result.
     "q_doc_quality_vs_dup" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val clusters = clustersOf(minhashPairsOf(docs))
+      // survivor-sized cluster table from the memoized audit pass
+      val clusters = corpusPrepCached(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+        .where(col("cluster_id").isNotNull)
       docs.select(col("doc_id"), col("source"),
           size(toks).as("n_tokens"), stopCount(toks, stop("en")).as("n_stop"))
         .withColumn("q_grid", expr("(n_stop * 1000) div n_tokens"))
@@ -1163,10 +1177,14 @@ object TextOps {
     // the content hash (one shuffle, no self-join); the near-dup verdict
     // left-joins the LSH-survivor-sized clusters table (AQE broadcasts
     // it at any realistic dup rate, degrades to shuffle otherwise).
-    // The three audit consumers below share corpusPrepCached — one
-    // LSH+CC pass per process serves the per-doc audit, the funnel and
-    // the per-source rollup (the persist-once production shape).
-    "q_doc_corpus_prep" -> { (s, dir) => corpusPrepCached(s, dir) },
+    // SIX audit consumers share corpusPrepCached — one LSH+CC pass per
+    // process serves the per-doc audit, the funnel, the per-source
+    // rollup, AND the cluster projections (q_doc_dedup_clusters /
+    // _keep / quality_vs_dup ride the audit's internal cluster_id
+    // column instead of re-deriving the pipeline — r8: those three
+    // paid ~2-4 s EACH at sf0.1 for identical cluster values).
+    "q_doc_corpus_prep" -> { (s, dir) =>
+      corpusPrepCached(s, dir).drop("cluster_id") },
 
     // Pipeline funnel — the observability table every corpus-prep run
     // reports: cumulative survivor counts through the ordered stages
