@@ -529,11 +529,40 @@ object TextOps {
     docs.select(col("doc_id"),
       graft.functions.BpeCount(toks, merges).as("n_subwords"))
 
+  /** Memoized persisted ALL-CANDIDATE LSH pair table (minJaccard = 0.0)
+    * per (session, sf dir) — the upstream half of the shared dedup
+    * derivation. Caching the UNFILTERED candidate table (still
+    * bucket-capped, so survivor-sized) lets every pair consumer derive
+    * from one pipeline: the default ≥0.5 table is a pure filter of it
+    * (identical rows to a direct minJaccard=0.5 run — same predicate on
+    * the same jaccard values), so q_doc_minhash_pairs, the audit's CC
+    * pass AND the threshold-tuning q_doc_pair_sim_hist all share the
+    * shingle→minhash→band→bucket-join work. (A first cut memoized only
+    * the ≥0.5 table; that DROPPED the cache-manager fragment sharing
+    * pair_sim_hist used to ride and regressed it 0.5 s → 2.7 s —
+    * caching the superset restores every consumer.) */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def allPairsCached(s: SparkSession, dir: String): DataFrame = {
+    pairsCache.keySet.forEach { k =>
+      if (k._1.sparkContext.isStopped) pairsCache.remove(k)
+    }
+    val df = pairsCache.computeIfAbsent((s, dir), _ =>
+      minhashPairsOf(Tables(s, dir, "documents"), minJaccard = 0.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+  /** the default ≥0.5 pair table as a filter of the memoized candidates */
+  private def minhashPairsCached(s: SparkSession, dir: String): DataFrame =
+    allPairsCached(s, dir).filter(col("jaccard") >= 0.5)
+
   /** the corpus-prep audit pipeline (see q_doc_corpus_prep) — shared by
     * the per-document audit query and the per-source rollup */
   private def corpusPrepOf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val clusters = clustersOf(minhashPairsOf(docs))
+    val clusters = clustersOf(minhashPairsCached(s, dir))
     docs
       .select(col("doc_id"), col("source"),
         size(toks).as("n_tokens"),
@@ -600,11 +629,13 @@ object TextOps {
     df
   }
 
-  /** drop every memoized audit — lets specs pin the exact number of CC
-    * passes without depending on suite execution order */
+  /** drop every memoized audit AND pair table — lets specs pin the
+    * exact number of CC/LSH passes without depending on suite order */
   private[graft] def clearAuditCache(): Unit = {
     auditCache.values.forEach(df => df.unpersist(false))
     auditCache.clear()
+    pairsCache.values.forEach(df => df.unpersist(false))
+    pairsCache.clear()
   }
 
   /** Stage-survivor funnel over a corpus-prep audit table (see the
@@ -787,7 +818,9 @@ object TextOps {
     // are id-only before distinct, and shingle arrays are joined back just
     // for the surviving candidates.
     "q_doc_minhash_pairs" -> { (s, dir) =>
-      minhashPairsOf(Tables(s, dir, "documents"))
+      // the memoized default-parameter pair table (shared with the
+      // audit's CC pass) — same derivation, one LSH pipeline per process
+      minhashPairsCached(s, dir)
     },
 
     // Threshold-tuning table: the same LSH candidate pipeline with the
@@ -798,7 +831,8 @@ object TextOps {
     // boundaries are exact because the jaccard doubles are identical
     // integer ratios in both engines.
     "q_doc_pair_sim_hist" -> { (s, dir) =>
-      minhashPairsOf(Tables(s, dir, "documents"), minJaccard = 0.0)
+      // the memoized all-candidate table IS the 0.0-threshold pipeline
+      allPairsCached(s, dir)
         .select(floor(col("jaccard") * 10).cast("long").as("sim_decile"))
         .groupBy("sim_decile").agg(count(lit(1)).as("n_pairs"))
     },
