@@ -164,8 +164,10 @@ def compact_lake(lake_dir, target_chunk_size, spark=None, network=None,
     of up to ``target_chunk_size`` blocks (content-preserving, crash-safe
     — see LakeCompact.scala). Follow-mode lakes accrete small chunks;
     compaction keeps later scans planning over proportionally fewer
-    files. Pass ``up_to_block`` (e.g. the slowest stream consumer's
-    processed head) when the lake is being tailed live."""
+    files. ``up_to_block`` bounds which files may be rewritten; a live
+    stream still sees merged files as new paths and REDELIVERS their
+    rows — compact under a live tail only if downstream dedupes on
+    redelivery, else quiesce the stream first (LakeCompact scaladoc)."""
     if spark is None:
         raise ValueError("pass spark=<SparkSession>")
     argv = cli_args("compact", lake_dir=lake_dir,

@@ -207,27 +207,26 @@ object Cli {
     var out: Option[String] = None
     var show = 20
     var i = 1
+    def value(flag: String): String = {
+      require(i + 1 < args.length, s"missing value for $flag; $usage")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--lake-dir" => lakeDir = Some(args(i + 1)); i += 2
-        case "--blocks" | "-b" => blocksSpec = Some(args(i + 1)); i += 2
-        case "--timestamps" => tsSpec = Some(args(i + 1)); i += 2
-        case "--network" => network = Some(args(i + 1)); i += 2
-        case "--tag" => tag = Some(args(i + 1)); i += 2
-        case "--out" => out = Some(args(i + 1)); i += 2
-        case "--show" => show = args(i + 1).toInt; i += 2
+        case f @ ("--lake-dir") => lakeDir = Some(value(f)); i += 2
+        case f @ ("--blocks" | "-b") => blocksSpec = Some(value(f)); i += 2
+        case f @ ("--timestamps") => tsSpec = Some(value(f)); i += 2
+        case f @ ("--network") => network = Some(value(f)); i += 2
+        case f @ ("--tag") => tag = Some(value(f)); i += 2
+        case f @ ("--out") => out = Some(value(f)); i += 2
+        case f @ ("--show") => show = value(f).toInt; i += 2
         case other =>
           throw new IllegalArgumentException(s"unknown lake flag $other; $usage")
       }
     }
     val dir = lakeDir.getOrElse(
       throw new IllegalArgumentException(s"missing --lake-dir; $usage"))
-    def lakeHead: Long = {
-      val ends = graft.chain.Lake
-        .select(dir, dataset, network = network, tag = tag).map(_.endInclusive)
-      require(ends.nonEmpty, s"no chunk files for '$dataset' under $dir")
-      ends.max
-    }
+    def lakeHead: Long = graft.chain.Lake.head(dir, dataset, network, tag)
     val blocks = (blocksSpec, tsSpec) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "--blocks and --timestamps are mutually exclusive")
@@ -259,12 +258,16 @@ object Cli {
     var network: Option[String] = None
     var upTo: Option[Long] = None
     var i = 0
+    def value(flag: String): String = {
+      require(i + 1 < args.length, s"missing value for $flag; $usage")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--lake-dir" => lakeDir = Some(args(i + 1)); i += 2
-        case "--target-chunk-size" => target = Some(args(i + 1).toLong); i += 2
-        case "--network" => network = Some(args(i + 1)); i += 2
-        case "--up-to-block" => upTo = Some(args(i + 1).toLong); i += 2
+        case f @ ("--lake-dir") => lakeDir = Some(value(f)); i += 2
+        case f @ ("--target-chunk-size") => target = Some(value(f).toLong); i += 2
+        case f @ ("--network") => network = Some(value(f)); i += 2
+        case f @ ("--up-to-block") => upTo = Some(value(f).toLong); i += 2
         case "--show" => i += 2 // tolerated: the py4j bridge appends it
         case other =>
           throw new IllegalArgumentException(s"unknown compact flag $other; $usage")

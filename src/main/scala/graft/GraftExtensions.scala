@@ -82,15 +82,10 @@ object Graft {
     val dir = literalString(es(0), "lake dir")
     val dataset = literalString(es(1), "dataset")
     val spark = SparkSession.active
-    val blocks = if (es.size < 3) None else {
-      def lakeHead: Long = {
-        val ends = graft.chain.Lake.select(dir, dataset).map(_.endInclusive)
-        require(ends.nonEmpty, s"no chunk files for '$dataset' under $dir")
-        ends.max
-      }
+    val blocks = if (es.size < 3) None else
       Some(graft.chain.BlockSyntax.parse(
-        literalString(es(2), "blocks spec"), lakeHead))
-    }
+        literalString(es(2), "blocks spec"),
+        graft.chain.Lake.head(dir, dataset)))
     graft.chain.Lake.read(spark, dir, dataset, blocks)
       .queryExecution.logical
   }

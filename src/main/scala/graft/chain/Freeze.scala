@@ -281,6 +281,16 @@ object Freeze {
       overrides: Map[String, DatasetBuilder] = Map.empty): FreezeResult = {
     def builderOf(canonical: String): DatasetBuilder =
       overrides.getOrElse(canonical, allBuilders(canonical))
+    // a label equal to a dataset name would make cryo filenames
+    // ambiguous for lake readers (Lake.readStream prunes by globbing
+    // the dataset segment; `*__blocks__*` would also match a
+    // transactions file LABELED "blocks", whose parquet schema then
+    // breaks the stream) — refuse to create such a lake at the source
+    spec.label.foreach { l =>
+      require(!Datatypes.byName.contains(l),
+        s"--label '$l' collides with a dataset name; pick a label that " +
+          "is not a datatype so lake reads/streams stay unambiguous")
+    }
     Files.createDirectories(Paths.get(spec.outputDir))
     val tStart = java.time.LocalDateTime.now()
     writeReport(spec, tStart, None)

@@ -115,6 +115,19 @@ object Lake {
       group =>
         // start asc, end desc: any container precedes its contained files
         val sorted = group.sortBy(f => (f.start, -f.endInclusive))
+        // EQUAL ranges cannot come from freeze (one filename) or an
+        // interrupted compact (a merged range strictly exceeds each
+        // source) — they mean the same dataset/range was frozen into
+        // two layouts under one root, and the copies may differ. Fail
+        // loudly like mixed formats, never silently pick one.
+        sorted.iterator.sliding(2).withPartial(false).foreach { w =>
+          if (w(0).start == w(1).start &&
+              w(0).endInclusive == w(1).endInclusive)
+            throw new IllegalArgumentException(
+              s"duplicate chunk files for the same range: ${w(0).path} " +
+                s"and ${w(1).path} — same dataset/range frozen into two " +
+                "layouts under one lake root; remove one")
+        }
         var maxEnd = Long.MinValue
         sorted.filter { f =>
           val contained = f.endInclusive <= maxEnd
@@ -122,6 +135,16 @@ object Lake {
           !contained
         }
     }.toSeq
+
+  /** highest frozen block of a dataset — the `latest` anchor every lake
+    * surface (CLI, python, SQL TVF) resolves block specs against */
+  def head(dir: String, dataset: String, network: Option[String] = None,
+      tag: Option[String] = None): Long = {
+    val ends = select(dir, dataset, network = network, tag = tag)
+      .map(_.endInclusive)
+    require(ends.nonEmpty, s"no chunk files for dataset '$dataset' under $dir")
+    ends.max
+  }
 
   /** The pruned file selection a read would scan — exposed so callers
     * (and specs) can assert planning-time pruning without running a job.
@@ -201,11 +224,24 @@ object Lake {
   def readStream(spark: SparkSession, dir: String, dataset: String,
       schema: StructType,
       network: Option[String] = None,
+      tag: Option[String] = None,
       format: String = "parquet",
       options: Map[String, String] = Map.empty): DataFrame = {
     require(Formats(format), s"unsupported lake format '$format'")
     val canonical = Datatypes(dataset).name
-    val glob = s"${network.getOrElse("*")}__${canonical}__*.$format"
+    // the glob prunes at LISTING time; the tag refinement is
+    // best-effort (a tag can substring-match) — the row filter below is
+    // exact. Freeze refuses labels that collide with dataset names, so
+    // a graft-written lake can never glob a foreign dataset's file into
+    // the stream; the row filter is defense-in-depth for externally
+    // written files with compatible schemas (an external file with an
+    // INCOMPATIBLE schema that matches the glob will still fail the
+    // stream at read — name files to the cryo convention, or point the
+    // stream at a clean directory).
+    val glob = tag match {
+      case Some(t) => s"${network.getOrElse("*")}__${canonical}__*${t}__*.$format"
+      case None => s"${network.getOrElse("*")}__${canonical}__*.$format"
+    }
     val r0 = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
@@ -215,15 +251,17 @@ object Lake {
       case "csv" => r.option("header", "true").csv(dir)
       case "json" => r.json(dir)
     }
-    // the glob's `*` matches `__` too, so a file whose LABEL equals a
-    // dataset name (ethereum__transactions__blocks__…) would slip in;
-    // re-check the exact second filename segment row-level (codegen
-    // projection over input_file_name — no shuffle, negligible cost)
-    import org.apache.spark.sql.functions.{col, element_at, input_file_name, regexp_extract, split}
+    // exact filename re-checks, row-level (codegen projection over
+    // input_file_name — no shuffle): dataset is the 2nd `__` segment,
+    // network the 1st, tags the 3rd..n-1th
+    import org.apache.spark.sql.functions.{array_contains, element_at, greatest, input_file_name, lit, regexp_extract, size, slice, split}
     val fname = regexp_extract(input_file_name(), "[^/]+$", 0)
-    val segOk = element_at(split(fname, "__"), 2) === canonical
-    val netOk = network.map(n => element_at(split(fname, "__"), 1) === n)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    df.where(segOk && netOk)
+    val segs = split(fname, "__")
+    val segOk = element_at(segs, 2) === canonical
+    val netOk = network.map(n => element_at(segs, 1) === n).getOrElse(lit(true))
+    val tagOk = tag.map(t => array_contains(
+      slice(segs, lit(3), greatest(size(segs) - 3, lit(0))), t))
+      .getOrElse(lit(true))
+    df.where(segOk && netOk && tagOk)
   }
 }

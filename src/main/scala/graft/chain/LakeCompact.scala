@@ -46,14 +46,17 @@ object LakeCompact {
     * `network` restricts to one network's files when several share the
     * lake.
     *
-    * `upTo`: only files ENTIRELY at or below this block participate.
-    * This is the live-tailing guard: `Lake.readStream` consumers track
-    * files by path, so rewriting a file a stream has not yet processed
-    * makes its rows arrive via the NEW merged file too — duplicate
-    * delivery. Compacting only below the slowest consumer's processed
-    * head (followLive's frozen ceiling is the natural bound) keeps
-    * tailing exactly-once while the cold tail of the lake compacts
-    * freely. Batch `Lake.read` needs no such care — the containment
+    * `upTo`: only files ENTIRELY at or below this block participate —
+    * it BOUNDS WHICH FILES MAY BE REWRITTEN, nothing more. A live
+    * `Lake.readStream` consumer tracks files by path, so a merged file
+    * is a never-seen path and its rows are REDELIVERED on the next
+    * trigger regardless of any bound — compaction under a live tail is
+    * at-least-once by construction. Compact while tailing only when
+    * downstream is idempotent on redelivery (the streaming dedup /
+    * index-ingest twins key on content and are), and use `upTo` to keep
+    * the redelivery window to spans the consumer has already absorbed;
+    * otherwise quiesce the stream, compact, and restart it with a fresh
+    * checkpoint. Batch `Lake.read` needs no such care — the containment
     * rule resolves any interleaving. */
   def compact(spark: SparkSession, dir: String, targetBlocks: Long,
       network: Option[String] = None,
@@ -101,9 +104,15 @@ object LakeCompact {
           val ordered =
             if (sortKeys.isEmpty) src else src.orderBy(sortKeys.map(col): _*)
           val n = Freeze.writeOneFile(ordered, target, "parquet")
-          require(n == expected,
-            s"compaction row mismatch for $name: wrote $n, sources had " +
-              s"$expected — originals left in place")
+          if (n != expected) {
+            // the bad merged file must NOT survive: the containment rule
+            // would make reads prefer it over the (correct) originals,
+            // and the next compact would adopt it and delete them
+            Files.deleteIfExists(target)
+            throw new IllegalStateException(
+              s"compaction row mismatch for $name: wrote $n, sources had " +
+                s"$expected — merged file removed, originals left in place")
+          }
         }
         run.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
         written += target.toString

@@ -158,13 +158,9 @@ class LakeSpec extends AnyFunSuite {
       // only the blocks chunk is in the stream — transactions filtered
       // by the filename glob at listing time
       assert(spark.sql("select count(*) from lake_tail").head().getLong(0) == 20L)
-      // a live freeze appends two more chunks; the stream picks them up.
-      // A transactions file LABELED "blocks" also lands — the glob's `*`
-      // matches it, but the exact-segment re-check must exclude it
+      // a live freeze appends two more chunks; the stream picks them up
       freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1020, 1060),
         chunkSize = 20)
-      freeze(out, Seq("transactions"), blocks = BlockSyntax.Range(1000, 1020),
-        chunkSize = 20, label = Some("blocks"))
       q.processAllAvailable()
       val got = spark.sql(
         "select count(*), min(block_number), max(block_number) from lake_tail")
@@ -239,8 +235,8 @@ class LakeSpec extends AnyFunSuite {
     assert(files.count(_.tags == Seq("b")) == 2)
     assert(Lake.read(spark, out, "blocks", tag = Some("a")).count() == 60L)
 
-    // --up-to-block: the live-tailing guard — files above the bound
-    // stay untouched so a stream mid-backlog never sees rewrites
+    // --up-to-block bounds which files may be rewritten (a live tail
+    // still sees merged files as new paths — see LakeCompact scaladoc)
     val outUp = freshDir("lake_upto_")
     freeze(outUp, Seq("blocks"), chunkSize = 10)
     graft.chain.LakeCompact.compact(spark, outUp, targetBlocks = 60,
@@ -289,6 +285,27 @@ class LakeSpec extends AnyFunSuite {
     assert(sel.map(_.start).sorted == Seq(7654000L, 7655000L, 7656000L))
     info(f"20k-file selection took $ms%.0f ms")
     assert(ms < 5000, f"selection took $ms%.0f ms over 20k files")
+  }
+
+  test("duplicate same-range files across layouts fail loudly") {
+    val out = freshDir("lake_dupe_")
+    freeze(out, Seq("blocks"), chunkSize = 60)
+    freeze(out, Seq("blocks"), chunkSize = 60, subdirs = Seq("datatype"))
+    val e = intercept[IllegalArgumentException] {
+      Lake.read(spark, out, "blocks")
+    }
+    assert(e.getMessage.contains("duplicate chunk files"))
+  }
+
+  test("freeze refuses a label that collides with a dataset name") {
+    // `*__blocks__*` would glob-match a transactions file LABELED
+    // "blocks", whose parquet schema would then break a blocks stream —
+    // such lakes must be impossible to create
+    val e = intercept[IllegalArgumentException] {
+      freeze(freshDir("lake_badlabel_"), Seq("transactions"),
+        chunkSize = 30, label = Some("blocks"))
+    }
+    assert(e.getMessage.contains("collides with a dataset name"))
   }
 
   test("mixed-format and empty selections fail loudly") {
