@@ -33,7 +33,7 @@ import json
 
 __all__ = ["collect", "freeze", "pipeline", "prep", "index_build",
            "index_search", "index_compact", "read_lake", "compact_lake",
-           "cli_args"]
+           "verify_lake", "cli_args"]
 
 
 def cli_args(*datatypes, **kwargs):
@@ -174,6 +174,19 @@ def compact_lake(lake_dir, target_chunk_size, spark=None, network=None,
                     target_chunk_size=target_chunk_size, network=network,
                     up_to_block=up_to_block)
     spark._jvm.graft.Cli.lakeDf(_jarr(spark, argv), spark._jsparkSession)
+
+
+def verify_lake(lake_dir, spark=None, network=None):
+    """Audit a frozen lake's coverage from file names only: one pandas
+    row per (network, dataset, tags, format) group with the covered
+    range plus gap/overlap counts (details print as ``!!`` lines)."""
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    from pyspark.sql import DataFrame
+
+    argv = cli_args("verify", lake_dir=lake_dir, network=network)
+    jdf = spark._jvm.graft.Cli.lakeDf(_jarr(spark, argv), spark._jsparkSession)
+    return DataFrame(jdf, spark).toPandas()
 
 
 def index_build(sf_dir, index_dir, spark=None):

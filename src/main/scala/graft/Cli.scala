@@ -195,9 +195,11 @@ object Cli {
     val usage = "usage: lake <dataset> --lake-dir DIR [--blocks SPEC] " +
       "[--timestamps T1:T2] [--network NAME] [--tag T] [--out DIR] " +
       "[--show N] | lake compact --lake-dir DIR --target-chunk-size N " +
-      "[--network NAME] [--up-to-block N]"
+      "[--network NAME] [--up-to-block N] | lake verify --lake-dir DIR " +
+      "[--network NAME]"
     require(args.nonEmpty, usage)
     if (args.head == "compact") return runLakeCompact(args.drop(1), spark, usage)
+    if (args.head == "verify") return runLakeVerify(args.drop(1), spark, usage)
     val dataset = args.head
     var lakeDir: Option[String] = None
     var blocksSpec: Option[String] = None
@@ -250,6 +252,51 @@ object Cli {
     * as `runLake`, no side output */
   def lakeDf(args: Array[String], spark: SparkSession): DataFrame =
     runLake(args.toSeq ++ Seq("--show", "0"), spark)
+
+  /** `graft.Cli lake verify --lake-dir DIR [--network N]` — coverage
+    * audit from file names only (Lake.audit): per dataset group, the
+    * covered range, interior gaps, and overlapping-range file pairs.
+    * Exit is nonzero-free; anomalies print as `!!` lines so scripts can
+    * grep. */
+  private def runLakeVerify(args: Seq[String], spark: SparkSession,
+      usage: String): DataFrame = {
+    var lakeDir: Option[String] = None
+    var network: Option[String] = None
+    var i = 0
+    def value(flag: String): String = {
+      require(i + 1 < args.length, s"missing value for $flag; $usage")
+      args(i + 1)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case f @ ("--lake-dir") => lakeDir = Some(value(f)); i += 2
+        case f @ ("--network") => network = Some(value(f)); i += 2
+        case "--show" => i += 2 // tolerated: the py4j bridge appends it
+        case other =>
+          throw new IllegalArgumentException(s"unknown verify flag $other; $usage")
+      }
+    }
+    val dir = lakeDir.getOrElse(
+      throw new IllegalArgumentException(s"missing --lake-dir; $usage"))
+    val audits = graft.chain.Lake.audit(dir, network)
+    audits.foreach { a =>
+      val tagStr = if (a.tags.isEmpty) "" else a.tags.mkString("[", ",", "] ")
+      println(s"${a.network}/${a.dataset} $tagStr${a.format}: " +
+        s"${a.nFiles} file(s), blocks ${a.minBlock}..${a.maxBlock}")
+      a.gaps.foreach { case (lo, hi) =>
+        println(s"  !! gap: blocks $lo..$hi not frozen")
+      }
+      a.overlaps.foreach { case (p1, p2) =>
+        println(s"  !! overlap: $p1 and $p2")
+      }
+    }
+    if (audits.isEmpty) println(s"no chunk files under $dir")
+    import spark.implicits._
+    audits.map(a => (a.network, a.dataset, a.tags.mkString("__"), a.format,
+      a.nFiles, a.minBlock, a.maxBlock, a.gaps.size, a.overlaps.size))
+      .toDF("network", "dataset", "tags", "format", "n_files",
+        "min_block", "max_block", "n_gaps", "n_overlaps")
+  }
 
   private def runLakeCompact(args: Seq[String], spark: SparkSession,
       usage: String): DataFrame = {

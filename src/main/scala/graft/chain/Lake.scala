@@ -146,6 +146,52 @@ object Lake {
     ends.max
   }
 
+  /** one (network, dataset, tags, format) group's coverage report */
+  case class DatasetAudit(
+      network: String, dataset: String, tags: Seq[String], format: String,
+      nFiles: Int, minBlock: Long, maxBlock: Long,
+      /** block spans present in NO file (between min and max) */
+      gaps: Seq[(Long, Long)],
+      /** adjacent file pairs whose ranges intersect (duplicate coverage
+        * — healthy freeze/compact lakes have none) */
+      overlaps: Seq[(String, String)])
+
+  /** Audit a lake's coverage from file NAMES only — no data reads, no
+    * Spark jobs: per (network, dataset, tags, format), the covered
+    * range, every interior gap (blocks a `latest`-anchored consumer
+    * would silently miss), and any overlapping-range file pairs
+    * (duplicate coverage that reads would fail loudly on or, for
+    * strict containment, resolve to the container). The operational
+    * pre-flight before pointing a backfill, a stream, or a compaction
+    * at a long-lived lake. */
+  def audit(dir: String, network: Option[String] = None): Seq[DatasetAudit] =
+    listChunks(dir)
+      .filter(f => network.forall(_ == f.network))
+      .groupBy(f => (f.network, f.dataset, f.tags, f.format))
+      .toSeq
+      .sortBy { case ((n, d, t, fmt), _) => (n, d, t.mkString("__"), fmt) }
+      .map { case ((net, ds, tags, fmt), group) =>
+        val sorted = group.sortBy(f => (f.start, -f.endInclusive))
+        val gaps = Seq.newBuilder[(Long, Long)]
+        val overlaps = Seq.newBuilder[(String, String)]
+        var cursor = sorted.head.start
+        // overlap = intersecting the FURTHEST-reaching earlier file
+        // (adjacent-only comparison would miss a long file spanning
+        // several later ones)
+        var reach: Option[ChunkFile] = None
+        sorted.foreach { f =>
+          reach.foreach { p =>
+            if (f.start <= p.endInclusive) overlaps += ((p.path, f.path))
+          }
+          if (f.start > cursor) gaps += ((cursor, f.start - 1))
+          cursor = math.max(cursor, f.endInclusive + 1)
+          if (reach.forall(_.endInclusive < f.endInclusive)) reach = Some(f)
+        }
+        DatasetAudit(net, ds, tags, fmt, group.size,
+          sorted.head.start, sorted.map(_.endInclusive).max,
+          gaps.result(), overlaps.result())
+      }
+
   /** The pruned file selection a read would scan — exposed so callers
     * (and specs) can assert planning-time pruning without running a job.
     * `dataset` resolves through the alias registry (txs → transactions). */

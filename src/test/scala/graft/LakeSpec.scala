@@ -287,6 +287,30 @@ class LakeSpec extends AnyFunSuite {
     assert(ms < 5000, f"selection took $ms%.0f ms over 20k files")
   }
 
+  test("lake verify audits gaps and overlaps from file names only") {
+    val out = freshDir("lake_audit_")
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1000, 1020),
+      chunkSize = 10)
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1040, 1060),
+      chunkSize = 10)
+    val a = Lake.audit(out).head
+    assert(a.nFiles == 4 && a.minBlock == 1000L && a.maxBlock == 1059L)
+    assert(a.gaps == Seq((1020L, 1039L)) && a.overlaps.isEmpty)
+    // a hand-named file spanning several others (out-of-contract
+    // external writer): flagged against the furthest-reaching file,
+    // not just the sort-adjacent one
+    Files.createFile(Paths.get(out)
+      .resolve("ethereum__blocks__00001005_to_00001045.parquet"))
+    val b = Lake.audit(out).head
+    assert(b.overlaps.size == 3) // 1010, 1040 overlap it; it overlaps 1000
+    // CLI/py4j surface returns the rollup as a DataFrame
+    val df = Cli.runLake(Seq("verify", "--lake-dir", out, "--show", "0"), spark)
+    val row = df.head()
+    assert(row.getAs[Int]("n_files") == 5)
+    // the spanning file also covers the former 1020-1039 gap
+    assert(row.getAs[Int]("n_gaps") == 0 && row.getAs[Int]("n_overlaps") == 3)
+  }
+
   test("duplicate same-range files across layouts fail loudly") {
     val out = freshDir("lake_dupe_")
     freeze(out, Seq("blocks"), chunkSize = 60)
