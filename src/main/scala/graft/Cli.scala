@@ -191,6 +191,13 @@ object Cli {
     * `graft.Cli lake compact --lake-dir DIR --target-chunk-size N
     * [--network NAME]` — coalesce contiguous small chunk files
     * (LakeCompact.scala). */
+  /** bounds-checked flag value: args(i+1) or a usage-bearing error */
+  private def flagValue(args: Seq[String], i: Int, flag: String,
+      usage: String): String = {
+    require(i + 1 < args.length, s"missing value for $flag; $usage")
+    args(i + 1)
+  }
+
   def runLake(args: Seq[String], spark: SparkSession): DataFrame = {
     val usage = "usage: lake <dataset> --lake-dir DIR [--blocks SPEC] " +
       "[--timestamps T1:T2] [--network NAME] [--tag T] [--out DIR] " +
@@ -209,10 +216,7 @@ object Cli {
     var out: Option[String] = None
     var show = 20
     var i = 1
-    def value(flag: String): String = {
-      require(i + 1 < args.length, s"missing value for $flag; $usage")
-      args(i + 1)
-    }
+    def value(flag: String): String = flagValue(args, i, flag, usage)
     while (i < args.length) {
       args(i) match {
         case f @ ("--lake-dir") => lakeDir = Some(value(f)); i += 2
@@ -263,10 +267,7 @@ object Cli {
     var lakeDir: Option[String] = None
     var network: Option[String] = None
     var i = 0
-    def value(flag: String): String = {
-      require(i + 1 < args.length, s"missing value for $flag; $usage")
-      args(i + 1)
-    }
+    def value(flag: String): String = flagValue(args, i, flag, usage)
     while (i < args.length) {
       args(i) match {
         case f @ ("--lake-dir") => lakeDir = Some(value(f)); i += 2
@@ -305,10 +306,7 @@ object Cli {
     var network: Option[String] = None
     var upTo: Option[Long] = None
     var i = 0
-    def value(flag: String): String = {
-      require(i + 1 < args.length, s"missing value for $flag; $usage")
-      args(i + 1)
-    }
+    def value(flag: String): String = flagValue(args, i, flag, usage)
     while (i < args.length) {
       args(i) match {
         case f @ ("--lake-dir") => lakeDir = Some(value(f)); i += 2

@@ -362,7 +362,16 @@ object Freeze {
     } yield {
       val stub = dimValue.map {
         case b: Array[Byte] => "__" + b.take(4).map("%02x".format(_)).mkString
-        case v => "__" + v.toString
+        case v =>
+          // same ambiguity guard as --label: a dim value equal to a
+          // dataset name would glob-match foreign readStream tails
+          // (binary dims are immune — 8-hex stubs can't spell one)
+          val sv = v.toString
+          require(!Datatypes.byName.contains(sv),
+            s"--partition-by value '$sv' collides with a dataset name in " +
+              "cryo file naming; partition on a different column or remap " +
+              "the value")
+          "__" + sv
       }.getOrElse("")
       val name = fileName(spec, canonical, chunk)
         .replace(s"__${chunkStub(chunk)}", s"$stub" + s"__${chunkStub(chunk)}")

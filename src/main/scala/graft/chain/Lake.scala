@@ -150,47 +150,67 @@ object Lake {
   case class DatasetAudit(
       network: String, dataset: String, tags: Seq[String], format: String,
       nFiles: Int, minBlock: Long, maxBlock: Long,
-      /** block spans present in NO file (between min and max) */
+      /** block spans frozen in NO file of the whole (network, dataset,
+        * format) — tags UNIONED, because a partition-dim lake is
+        * legitimately sparse per dim value (each value only appears in
+        * chunks that contain it); a gap here means the blocks are
+        * missing from the lake outright. Repeated identically on every
+        * tag group of the dataset. */
       gaps: Seq[(Long, Long)],
-      /** adjacent file pairs whose ranges intersect (duplicate coverage
-        * — healthy freeze/compact lakes have none) */
+      /** file pairs of THIS group whose ranges intersect — every
+        * colliding pair, not just against the widest file (duplicate
+        * coverage; healthy freeze/compact lakes have none). Within a
+        * tag group an overlap is always an anomaly; across different
+        * dim values overlapping ranges are normal and not reported. */
       overlaps: Seq[(String, String)])
 
   /** Audit a lake's coverage from file NAMES only — no data reads, no
     * Spark jobs: per (network, dataset, tags, format), the covered
-    * range, every interior gap (blocks a `latest`-anchored consumer
-    * would silently miss), and any overlapping-range file pairs
-    * (duplicate coverage that reads would fail loudly on or, for
+    * range, the dataset-level gaps (blocks a `latest`-anchored consumer
+    * would silently miss), and every overlapping-range file pair in the
+    * group (duplicate coverage that reads would fail loudly on or, for
     * strict containment, resolve to the container). The operational
     * pre-flight before pointing a backfill, a stream, or a compaction
     * at a long-lived lake. */
-  def audit(dir: String, network: Option[String] = None): Seq[DatasetAudit] =
-    listChunks(dir)
-      .filter(f => network.forall(_ == f.network))
-      .groupBy(f => (f.network, f.dataset, f.tags, f.format))
+  def audit(dir: String, network: Option[String] = None): Seq[DatasetAudit] = {
+    val all = listChunks(dir).filter(f => network.forall(_ == f.network))
+    // dataset-level gap computation: union coverage across ALL tags
+    val gapsByDataset: Map[(String, String, String), Seq[(Long, Long)]] =
+      all.groupBy(f => (f.network, f.dataset, f.format)).map {
+        case (key, files) =>
+          val sorted = files.sortBy(_.start)
+          val gaps = Seq.newBuilder[(Long, Long)]
+          var cursor = sorted.head.start
+          sorted.foreach { f =>
+            if (f.start > cursor) gaps += ((cursor, f.start - 1))
+            cursor = math.max(cursor, f.endInclusive + 1)
+          }
+          key -> gaps.result()
+      }
+    all.groupBy(f => (f.network, f.dataset, f.tags, f.format))
       .toSeq
       .sortBy { case ((n, d, t, fmt), _) => (n, d, t.mkString("__"), fmt) }
       .map { case ((net, ds, tags, fmt), group) =>
         val sorted = group.sortBy(f => (f.start, -f.endInclusive))
-        val gaps = Seq.newBuilder[(Long, Long)]
         val overlaps = Seq.newBuilder[(String, String)]
-        var cursor = sorted.head.start
-        // overlap = intersecting the FURTHEST-reaching earlier file
-        // (adjacent-only comparison would miss a long file spanning
-        // several later ones)
-        var reach: Option[ChunkFile] = None
+        // sweep with the full set of still-open earlier files, so every
+        // colliding pair reports (a single widest-file comparison would
+        // miss collisions among the files it spans). Quadratic only in
+        // the size of an anomaly cluster; capped to bound the report.
+        val open = scala.collection.mutable.ArrayBuffer.empty[ChunkFile]
+        var reported = 0
         sorted.foreach { f =>
-          reach.foreach { p =>
-            if (f.start <= p.endInclusive) overlaps += ((p.path, f.path))
+          open.filterInPlace(_.endInclusive >= f.start)
+          open.foreach { p =>
+            if (reported < 1000) { overlaps += ((p.path, f.path)); reported += 1 }
           }
-          if (f.start > cursor) gaps += ((cursor, f.start - 1))
-          cursor = math.max(cursor, f.endInclusive + 1)
-          if (reach.forall(_.endInclusive < f.endInclusive)) reach = Some(f)
+          open += f
         }
         DatasetAudit(net, ds, tags, fmt, group.size,
           sorted.head.start, sorted.map(_.endInclusive).max,
-          gaps.result(), overlaps.result())
+          gapsByDataset((net, ds, fmt)), overlaps.result())
       }
+  }
 
   /** The pruned file selection a read would scan — exposed so callers
     * (and specs) can assert planning-time pruning without running a job.
@@ -277,9 +297,10 @@ object Lake {
     val canonical = Datatypes(dataset).name
     // the glob prunes at LISTING time; the tag refinement is
     // best-effort (a tag can substring-match) — the row filter below is
-    // exact. Freeze refuses labels that collide with dataset names, so
-    // a graft-written lake can never glob a foreign dataset's file into
-    // the stream; the row filter is defense-in-depth for externally
+    // exact. Freeze refuses labels AND partition-dim values that
+    // collide with dataset names, so a graft-written lake can never
+    // glob a foreign dataset's file into the stream; the row filter is
+    // defense-in-depth for externally
     // written files with compatible schemas (an external file with an
     // INCOMPATIBLE schema that matches the glob will still fail the
     // stream at read — name files to the cryo convention, or point the

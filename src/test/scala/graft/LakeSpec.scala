@@ -170,6 +170,35 @@ class LakeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream tag scoping excludes other labels and foreign-named files") {
+    val out = freshDir("lake_streamtag_")
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1000, 1020),
+      chunkSize = 20, label = Some("run1"))
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1020, 1040),
+      chunkSize = 20, label = Some("run2"))
+    // defense-in-depth case: an EXTERNALLY named file (cannot be
+    // produced by freeze — the label guard forbids it) whose tag
+    // segments spell the dataset name and the tag; glob-matches, must
+    // be excluded by the exact dataset-segment row filter
+    val src = Lake.listChunks(out).find(_.tags == Seq("run1")).get.path
+    Files.copy(Paths.get(src), Paths.get(out).resolve(
+      "ethereum__fake__blocks__run1__00009000_to_00009019.parquet"))
+    val schema = Lake.read(spark, out, "blocks", tag = Some("run1")).schema
+    val stream = Lake.readStream(spark, out, "blocks", schema,
+      tag = Some("run1"))
+    val q = stream.writeStream.format("memory").queryName("lake_tag_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select count(*), min(block_number), " +
+        "max(block_number) from lake_tag_tail").head()
+      // only run1's 20 blocks: run2 (tag filter) and the foreign file
+      // (dataset-segment filter; would add 20 more rows) are excluded
+      assert(got.getLong(0) == 20L)
+      assert(got.getInt(1) == 1000 && got.getInt(2) == 1019)
+    } finally q.stop()
+  }
+
   test("CLI lake read resolves --timestamps against the lake's own blocks") {
     val out = freshDir("lake_ts_")
     freeze(out, Seq("blocks"), chunkSize = 10)
@@ -330,6 +359,16 @@ class LakeSpec extends AnyFunSuite {
         chunkSize = 30, label = Some("blocks"))
     }
     assert(e.getMessage.contains("collides with a dataset name"))
+    // the same guard covers explicit partition-dim values (binary dims
+    // are immune — an 8-hex stub cannot spell a dataset name)
+    val e2 = intercept[IllegalArgumentException] {
+      Freeze.freeze(spark, FixDir, Freeze.FreezeSpec(
+        datasets = Seq("transactions"), blocks = BlockSyntax.Range(1000, 1010),
+        outputDir = freshDir("lake_badpv_"), partitionBy = Some("to_address"),
+        partitionValues = Seq("blocks"), noReport = true,
+        maxConcurrentChunks = 1))
+    }
+    assert(e2.getMessage.contains("collides with a dataset name"))
   }
 
   test("mixed-format and empty selections fail loudly") {
