@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions.{col, lit}
   *
   * Plus `graft.Cli pipeline <query> <sf-dir> [--out DIR] [--show N]`,
   * which runs any registered SparkEntry query
-  * (TPC-H/text/similarity/events/chain_*) from the shell.
+  * (TPC-H/text/similarity/events/chain_*) from the shell, and
+  * `graft.Cli help [syntax | datasets | <dataset>…]` mirroring the
+  * reference's help subcommand family (cli/run.rs:75-130).
   *
   * Dataset aliases (txs, events, 4byte_counts, …) resolve via the
   * registry; multi names expand to their members. Entity flags remap per
@@ -119,7 +121,113 @@ object Cli {
     println(s"- rows written: ${r.rows}")
   }
 
+  /** `graft.Cli help` / `help syntax` / `help datasets` /
+    * `help <datatype>…` — the reference's help subcommand family
+    * (cli/run.rs:75-130): general flags, the block/tx/timestamp
+    * grammar, the dataset catalog, and per-dataset schema detail. No
+    * SparkSession is built for help. */
+  def printHelp(rest: Seq[String]): Unit = rest match {
+    case Seq() => println(generalHelp)
+    case Seq("syntax") => println(syntaxHelp)
+    case Seq("datasets") => println(datasetsHelp)
+    case names => names.zipWithIndex.foreach { case (n, i) =>
+      if (i > 0) println()
+      println(datasetInfo(n))
+    }
+  }
+
+  private def generalHelp: String =
+    """graft — cryo-compatible chain extraction on Spark
+      |
+      |usage: graft.Cli <datasets…> --blocks SPEC --source-dir DIR --output-dir DIR [flags]
+      |       graft.Cli pipeline <query> <sf-dir> [--out DIR] [--show N]
+      |       graft.Cli prep <sf-dir> <out-dir>
+      |       graft.Cli index build|search|compact …
+      |       graft.Cli lake <dataset> --lake-dir DIR [--blocks SPEC] …
+      |       graft.Cli lake compact|verify --lake-dir DIR …
+      |       graft.Cli help [syntax | datasets | <dataset>…]
+      |
+      |common flags: --chunk-size N  --n-chunks N  --align  --reorg-buffer N
+      |  --network NAME  --label L  --overwrite  --csv | --json  --hex
+      |  --columns c…|all  --include-columns c…  --exclude-columns c…
+      |  --u256-types t…  --sort c…  --txs h…  --timestamps T1:T2
+      |  --contract A…  --address A…  --topic0..3 H…  --exclude-failed
+      |  --partition-by col  --chunk-order normal|reverse|random
+      |  --rpc URL  --requests-per-second N  --max-retries N
+      |  --dry-run  --no-report  --remember  --verbose|--no-verbose
+      |
+      |`graft.Cli help syntax` shows the block/tx grammar;
+      |`graft.Cli help datasets` lists every dataset.""".stripMargin
+
+  private def syntaxHelp: String =
+    """Block specification syntax
+      |- numbers                      --blocks 5000 (multiple: 5000 6000)
+      |- ranges (end-exclusive)       --blocks 12M:13M
+      |- number suffixes { _ K M B }  5_000 5K 15M 15.5M
+      |- omitted end means latest     15.5M:   ==  15.5M:latest
+      |- omitted start means 0        :700     ==  0:700
+      |- minus on start = last n      -1000:7000  (the 1000 before 7000)
+      |- plus on end = start + n      15M:+1000
+      |- every nth value              2000:5000:1000 == 2000 3000 4000
+      |- n values total               100:200/5
+      |
+      |Timestamp specification (--timestamps T1:T2)
+      |- unix seconds                 1700000000:1700003600
+      |- now-relative durations       -1d:now   (units s m h d w M y)
+      |- each end resolves to the greatest block with timestamp <= t
+      |
+      |Transaction dimension (--txs)
+      |- transaction hashes           --txs 0xHASH1 0xHASH2
+      |- blocks --txs HASH collects the CONTAINING block""".stripMargin
+
+  /** dataset catalog: every scalar dataset with aliases + the multis */
+  def datasetsHelp: String = {
+    val scalars = Datatypes.all.map { d =>
+      "- " + d.name +
+        (if (d.aliases.nonEmpty) d.aliases.mkString(" (", ", ", ")") else "")
+    }.mkString("\n")
+    val multis = Datatypes.multis.toSeq.sortBy(_._1).map {
+      case (m, members) => s"- $m: ${members.mkString(", ")}"
+    }.mkString("\n")
+    s"datasets (${Datatypes.all.size}):\n$scalars\n\n" +
+      s"multi-dataset bundles:\n$multis\n\n" +
+      "use `graft.Cli help <dataset>` for schema details"
+  }
+
+  /** per-dataset schema detail (summaries.rs print_dataset_info shape):
+    * time dimensions, required dims, aliases, sort, full column list
+    * with types and default-excluded / u256 markers */
+  def datasetInfo(name: String): String = {
+    val d = Datatypes(name)
+    val dims = (d.byBlock, d.byTransaction) match {
+      case (true, true) => "can collect by block or by transaction"
+      case (true, false) => "can collect by block and not by transaction"
+      case (false, true) => "can collect by transaction and not by block"
+      case (false, false) => "cannot collect by block or by transaction"
+    }
+    def orNone(xs: Seq[String]) = if (xs.isEmpty) "[none]" else xs.mkString(", ")
+    val cols = d.columns.map { case (c, t) =>
+      val marks = Seq(
+        if (d.defaultExclude.contains(c)) Some("excluded by default") else None,
+        if (d.u256Columns.contains(c)) Some("u256 repr family") else None
+      ).flatten
+      f"    $c%-28s ${t.toString.toLowerCase}" +
+        (if (marks.isEmpty) "" else marks.mkString("  (", ", ", ")"))
+    }.mkString("\n")
+    s"""dataset: ${d.name}
+       |- $dims
+       |- required parameters: ${orNone(d.requiredDims.map(_.toString))}
+       |- dataset aliases: ${orNone(d.aliases)}
+       |- default sort: ${orNone(d.sortColumns)}
+       |- columns (${d.columns.size}, ${d.defaultColumns.size} by default):
+       |$cols""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("help")) {
+      printHelp(args.drop(1).toSeq)
+      return
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

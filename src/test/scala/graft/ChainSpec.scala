@@ -34,6 +34,22 @@ class DatatypesSpec extends AnyFunSuite {
     }
   }
 
+  test("help surfaces: dataset catalog and per-dataset schema detail") {
+    val cat = Cli.datasetsHelp
+    assert(cat.contains("datasets (37):"))
+    Datatypes.all.foreach(d => assert(cat.contains("- " + d.name), d.name))
+    assert(cat.contains("(txs)") && cat.contains("(events)"))
+    assert(cat.contains("multi-dataset bundles:"))
+
+    val info = Cli.datasetInfo("txs") // alias resolves
+    assert(info.contains("dataset: transactions"))
+    assert(info.contains("can collect by block or by transaction"))
+    assert(info.contains("default sort: block_number, transaction_index"))
+    assert(info.contains("u256 repr family"))
+    assert(info.contains("excluded by default"))
+    intercept[IllegalArgumentException] { Cli.datasetInfo("nope") }
+  }
+
   test("multis cover known members") {
     Datatypes.multis.values.flatten.foreach { m =>
       assert(Datatypes.byName.contains(m), m)
