@@ -176,9 +176,18 @@ object Cli {
       |- now-relative durations       -1d:now   (units s m h d w M y)
       |- each end resolves to the greatest block with timestamp <= t
       |
+      |- a parquet file               --blocks ./file.parquet[:COLUMN]
+      |                               (default column block_number)
+      |
       |Transaction dimension (--txs)
       |- transaction hashes           --txs 0xHASH1 0xHASH2
-      |- blocks --txs HASH collects the CONTAINING block""".stripMargin
+      |- a parquet file               --txs ./file.parquet[:COLUMN]
+      |                               (default column transaction_hash)
+      |- blocks --txs HASH collects the CONTAINING block
+      |
+      |Entity flags (--address --contract --to-address --from-address
+      |--slot --topic0..3) also accept parquet refs, each with its own
+      |default column (address, contract_address, …)""".stripMargin
 
   /** dataset catalog: every scalar dataset with aliases + the multis */
   def datasetsHelp: String = {
@@ -559,6 +568,34 @@ object Cli {
     }
   }
 
+  /** Binary-list flags (--txs, --address, --contract, --to-address,
+    * --from-address, --slot, --topic0..3) accept `path.parquet[:column]`
+    * references next to hex strings (parse_utils.rs:parse_binary_arg;
+    * per-flag default columns partitions.rs:32-44): the referenced
+    * column's DISTINCT values join the list as hex, sorted for
+    * deterministic downstream filters. Same bound as block refs — these
+    * lists ride isin filters and broadcasts, so they stay driver-sized
+    * by contract. */
+  private def resolveBinaryRefs(spark: SparkSession, values: Seq[String],
+      defaultColumn: String): Seq[String] = {
+    val FileRef = """(.+\.parquet)(?::([A-Za-z0-9_]+))?""".r
+    values.flatMap {
+      case ref @ FileRef(path, colName) if new java.io.File(path).exists() =>
+        val c = Option(colName).getOrElse(defaultColumn)
+        val rows = spark.read.parquet(path).select(col(c)).distinct()
+          .limit(MaxBlockListSize + 1).collect()
+        require(rows.nonEmpty, s"no values in $ref")
+        require(rows.length <= MaxBlockListSize,
+          s"value list in $ref exceeds $MaxBlockListSize distinct entries")
+        rows.toSeq.map(_.get(0) match {
+          case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+          case s: String => s
+          case other => other.toString
+        }).sorted
+      case v => Seq(v)
+    }
+  }
+
   /** Parse flags + execute; returns None for --dry-run. Separated from
     * main so specs can drive every flag against a shared session. */
   def run(args: Array[String], spark: SparkSession): Option[Freeze.FreezeResult] =
@@ -760,6 +797,17 @@ object Cli {
       case "d128" => U256.D128
       case other => throw new IllegalArgumentException(s"unknown u256 type: $other")
     }).getOrElse(U256.defaultReprs)
+
+    // parquet column references in the binary-list flags resolve before
+    // any filtering/collection (reference parse_binary_arg semantics)
+    contract = resolveBinaryRefs(spark, contract, "contract_address")
+    addressF = resolveBinaryRefs(spark, addressF, "address")
+    toAddress = resolveBinaryRefs(spark, toAddress, "to_address")
+    fromAddress = resolveBinaryRefs(spark, fromAddress, "from_address")
+    slotsF = resolveBinaryRefs(spark, slotsF, "slot")
+    (0 until 4).foreach(k =>
+      topics(k) = resolveBinaryRefs(spark, topics(k), s"topic$k"))
+    txHashes = resolveBinaryRefs(spark, txHashes, "transaction_hash")
 
     // calldata composition (cli/parse/partitions.rs:136-174): --call-data
     // raw, or --function selector hex [× --inputs hex] cross-product.

@@ -378,6 +378,27 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(done.head).count() == 2)
   }
 
+  test("binary-list flags accept parquet column references") {
+    // freeze a logs extraction once, then use ITS transaction_hash
+    // column as the --txs input and its address column (explicit
+    // :column syntax) as a --contract filter — the reference's
+    // parse_binary_arg re-collection loop
+    val (_, logsFiles) = runCli("logs")
+    val logsPath = logsFiles.head
+    val nHashes = spark.read.parquet(logsPath)
+      .select("transaction_hash").distinct().count()
+    val (_, byTx) = runCli("txs", "--txs", logsPath)
+    assert(byTx.size == 1)
+    val collected = spark.read.parquet(byTx.head)
+    assert(collected.count() == nHashes)
+
+    val (_, filtered) = runCli("erc20_transfers",
+      "--contract", s"$logsPath:address")
+    val ercs = spark.read.parquet(filtered.head)
+      .select("erc20").distinct().count()
+    assert(ercs >= 1) // every token that ever logged is in the ref list
+  }
+
   test("--timestamps resolves a block range via the fixture timestamps") {
     // fixture blocks: timestamp = 1700000000 + 12n for n in [1000, 1060)
     val t0 = 1700000000L
