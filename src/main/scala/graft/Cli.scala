@@ -545,56 +545,68 @@ object Cli {
     * partition-dim discovery. ~10M longs ≈ 80 MB of driver heap. */
   private[graft] val MaxBlockListSize = 10_000_000
 
+  /** one regex for every list-valued flag's `path.parquet[:column]` form */
+  private val FileRef = """(.+\.parquet)(?::([A-Za-z0-9_]+))?""".r
+
+  /** Shared parquet-ref machinery for list-valued flags: the referenced
+    * column's DISTINCT non-null values, collected to the driver under the
+    * MaxBlockListSize cap (limit+1 pushes into the distinct aggregation:
+    * the scan stops once the cap is disproven instead of collecting
+    * everything). NULL cells are dropped — a to_address ref over
+    * contract-creation txs legitimately holds nulls, and a null is never
+    * a list value. A ref whose file is missing fails with the real cause
+    * here, not a downstream "invalid hex: ./typo.parquet". */
+  private def parquetRefValues(spark: SparkSession, ref: String,
+      path: String, column: org.apache.spark.sql.Column,
+      capGuidance: String): Seq[Any] = {
+    require(new java.io.File(path).exists(),
+      s"parquet reference $ref: file not found: $path")
+    val rows = spark.read.parquet(path).select(column.as("v"))
+      .where(col("v").isNotNull).distinct()
+      .limit(MaxBlockListSize + 1).collect()
+    require(rows.nonEmpty, s"no non-null values in $ref")
+    require(rows.length <= MaxBlockListSize,
+      s"value list in $ref exceeds $MaxBlockListSize distinct entries; " +
+        capGuidance)
+    rows.toSeq.map(_.get(0))
+  }
+
   /** `--blocks` accepts the grammar OR a parquet file reference
     * `path.parquet[:column]` whose (deduplicated — parse/blocks.rs:79-83)
     * values become the block list. */
   private def parseBlocksArg(spark: SparkSession, blocks: String,
-      latest: Long): BlockSyntax.Blocks = {
-    val FileRef = """(.+\.parquet)(?::([A-Za-z0-9_]+))?""".r
-    blocks match {
-      case FileRef(path, colName) =>
-        val c = Option(colName).getOrElse("block_number")
-        // limit+1 pushes into the distinct aggregation: the scan stops
-        // once the cap is disproven instead of collecting everything
-        val ns = spark.read.parquet(path).select(col(c).cast("long"))
-          .distinct().limit(MaxBlockListSize + 1)
-          .collect().map(_.getLong(0)).sorted.toSeq
-        require(ns.nonEmpty, s"no blocks in $path")
-        require(ns.size <= MaxBlockListSize,
-          s"block list in $path exceeds $MaxBlockListSize distinct values; " +
-            "pass a block range instead of a parquet ref at this scale")
-        BlockSyntax.Numbers(ns)
-      case _ => BlockSyntax.parse(blocks, latest)
-    }
+      latest: Long): BlockSyntax.Blocks = blocks match {
+    case FileRef(path, colName) =>
+      val c = Option(colName).getOrElse("block_number")
+      val ns = parquetRefValues(spark, blocks, path, col(c).cast("long"),
+          "pass a block range instead of a parquet ref at this scale")
+        .map(_.asInstanceOf[Long]).sorted
+      BlockSyntax.Numbers(ns)
+    case _ => BlockSyntax.parse(blocks, latest)
   }
 
   /** Binary-list flags (--txs, --address, --contract, --to-address,
     * --from-address, --slot, --topic0..3) accept `path.parquet[:column]`
     * references next to hex strings (parse_utils.rs:parse_binary_arg;
     * per-flag default columns partitions.rs:32-44): the referenced
-    * column's DISTINCT values join the list as hex, sorted for
+    * column's DISTINCT non-null values join the list as hex, sorted for
     * deterministic downstream filters. Same bound as block refs — these
     * lists ride isin filters and broadcasts, so they stay driver-sized
     * by contract. */
   private def resolveBinaryRefs(spark: SparkSession, values: Seq[String],
-      defaultColumn: String): Seq[String] = {
-    val FileRef = """(.+\.parquet)(?::([A-Za-z0-9_]+))?""".r
+      defaultColumn: String): Seq[String] =
     values.flatMap {
-      case ref @ FileRef(path, colName) if new java.io.File(path).exists() =>
+      case ref @ FileRef(path, colName) =>
         val c = Option(colName).getOrElse(defaultColumn)
-        val rows = spark.read.parquet(path).select(col(c)).distinct()
-          .limit(MaxBlockListSize + 1).collect()
-        require(rows.nonEmpty, s"no values in $ref")
-        require(rows.length <= MaxBlockListSize,
-          s"value list in $ref exceeds $MaxBlockListSize distinct entries")
-        rows.toSeq.map(_.get(0) match {
-          case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
-          case s: String => s
-          case other => other.toString
-        }).sorted
+        parquetRefValues(spark, ref, path, col(c),
+            "pass explicit values instead of a parquet ref at this scale")
+          .map {
+            case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+            case s: String => s
+            case other => other.toString
+          }.sorted
       case v => Seq(v)
     }
-  }
 
   /** Parse flags + execute; returns None for --dry-run. Separated from
     * main so specs can drive every flag against a shared session. */

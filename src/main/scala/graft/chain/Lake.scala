@@ -108,7 +108,9 @@ object Lake {
     * merged file but crashed before deleting the originals. Preferring
     * the container makes every read see each row exactly once through
     * the interruption; the next compact (or `cleanContained`) finishes
-    * the deletion. One sort + sweep per key group: O(n log n) over file
+    * the deletion. Overlaps that are NOT containment — equal ranges and
+    * partial overlaps — are unresolvable from names and throw (see the
+    * inline cases). One sort + sweep per key group: O(n log n) over file
     * NAMES, still driver-trivial at 100 TB file counts. */
   private[graft] def dropContained(files: Seq[ChunkFile]): Seq[ChunkFile] =
     files.groupBy(f => (f.network, f.dataset, f.tags, f.format)).values.flatMap {
@@ -129,9 +131,27 @@ object Lake {
                 "layouts under one lake root; remove one")
         }
         var maxEnd = Long.MinValue
+        var widest: ChunkFile = null
         sorted.filter { f =>
           val contained = f.endInclusive <= maxEnd
-          if (f.endInclusive > maxEnd) maxEnd = f.endInclusive
+          // PARTIAL overlap (starts inside earlier coverage, ends past
+          // it) is unresolvable: neither file's rows are a superset, so
+          // reading both duplicates the shared span and reading one
+          // loses blocks. It cannot come from freeze (chunks of one run
+          // are disjoint) or compact (a merged file strictly contains
+          // its sources) — only from two freezes with misaligned
+          // ranges into one lake. Fail loudly; `lake verify` reports
+          // the colliding pairs and re-freezing either range aligned
+          // (or deleting one file) repairs it.
+          if (!contained && f.start <= maxEnd)
+            throw new IllegalArgumentException(
+              s"partially overlapping chunk files: ${widest.path} and " +
+                s"${f.path} share blocks [${f.start}, $maxEnd] but " +
+                "neither contains the other — two freezes with " +
+                "misaligned ranges wrote this lake; re-freeze one range " +
+                "aligned with the other (or remove one file). `lake " +
+                "verify` lists every colliding pair.")
+          if (f.endInclusive > maxEnd) { maxEnd = f.endInclusive; widest = f }
           !contained
         }
     }.toSeq

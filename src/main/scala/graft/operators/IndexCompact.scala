@@ -68,12 +68,31 @@ object IndexCompact {
   def streamPath(dir: String, artifact: String): String =
     s"$dir/${streamArtifact(artifact)}"
 
-  /** restore a crash-interrupted swap: a crash between the two
+  /** fold-in-progress marker: present iff a foldStream rewrite has
+    * folded the side-artifact's rows into the pending layout but the
+    * side-artifact may still be on disk (see recover) */
+  private def foldMarkerPath(dir: String, artifact: String) =
+    Paths.get(s"$dir/$artifact.fold_pending")
+
+  /** Restore a crash-interrupted swap: a crash between the two
     * ATOMIC_MOVEs leaves only `.compact_old` → move it back; a crash
     * just after the second move leaves both → the new layout is live,
-    * drop the stale `.compact_old`. Idempotent, cheap (two stats). */
+    * drop the stale `.compact_old`. The fold marker disambiguates the
+    * side-artifact: it is written after the tmp layout (which contains
+    * the folded side rows) is complete, so marker + tmp still present
+    * means the swap never happened (side rows live ONLY in the
+    * side-artifact → keep it, drop the marker), while marker + no tmp
+    * means the folded layout went live (the side rows are now IN the
+    * main artifact → finish the crash-interrupted side delete, or
+    * read() would union them in twice). Idempotent, cheap (few stats). */
   private def recover(spark: SparkSession, dir: String, artifact: String): Unit = {
     val target = Paths.get(s"$dir/$artifact")
+    val tmp = Paths.get(s"$dir/$artifact.compact_tmp")
+    val marker = foldMarkerPath(dir, artifact)
+    if (Files.exists(marker)) {
+      if (!Files.exists(tmp)) deleteRecursively(Paths.get(streamPath(dir, artifact)))
+      Files.delete(marker)
+    }
     val old = Paths.get(s"$dir/$artifact.compact_old")
     if (Files.exists(old)) {
       if (!Files.exists(target)) {
@@ -82,8 +101,21 @@ object IndexCompact {
       } else deleteRecursively(old)
     }
     // a tmp dir with a live target is an aborted rewrite — drop it
-    val tmp = Paths.get(s"$dir/$artifact.compact_tmp")
     if (Files.exists(tmp) && Files.exists(target)) deleteRecursively(tmp)
+  }
+
+  /** the main artifact read through its pinned sidecar schema (column
+    * order AND types), regardless of physical layout — shared by read()
+    * and the non-fold rewrite so compact and queries can never disagree
+    * on the pinned schema */
+  private def readMain(spark: SparkSession, dir: String, artifact: String): DataFrame = {
+    val main = spark.read.parquet(s"$dir/$artifact")
+    val sc = Paths.get(sidecarPath(dir, artifact))
+    if (Files.exists(sc)) {
+      val schema = DataType.fromJson(Files.readString(sc)).asInstanceOf[StructType]
+      main.select(schema.fields.toSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    } else main
   }
 
   /** read an index artifact with its recorded schema restored (column
@@ -91,14 +123,7 @@ object IndexCompact {
     * streaming side-artifact rows not yet folded in */
   def read(spark: SparkSession, dir: String, artifact: String): DataFrame = {
     recover(spark, dir, artifact)
-    val main = spark.read.parquet(s"$dir/$artifact")
-    val sc = Paths.get(sidecarPath(dir, artifact))
-    val pinned =
-      if (Files.exists(sc)) {
-        val schema = DataType.fromJson(Files.readString(sc)).asInstanceOf[StructType]
-        main.select(schema.fields.toSeq
-          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      } else main
+    val pinned = readMain(spark, dir, artifact)
     val side = Paths.get(streamPath(dir, artifact))
     if (Files.exists(side)) {
       val stream = spark.read.parquet(side.toString)
@@ -115,19 +140,11 @@ object IndexCompact {
       foldStream: Boolean): Unit = {
     recover(spark, dir, artifact)
     val sidePath = Paths.get(streamPath(dir, artifact))
+    // non-fold: main artifact only — an active ingest keeps appending
+    // to the side-artifact undisturbed; read() unions it at query time
     val cur =
       if (foldStream) read(spark, dir, artifact)
-      else {
-        // main artifact only — an active ingest keeps appending to the
-        // side-artifact undisturbed; read() unions it at query time
-        val df = spark.read.parquet(s"$dir/$artifact")
-        val sc = Paths.get(sidecarPath(dir, artifact))
-        if (Files.exists(sc)) {
-          val schema = DataType.fromJson(Files.readString(sc)).asInstanceOf[StructType]
-          df.select(schema.fields.toSeq
-            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        } else df
-      }
+      else readMain(spark, dir, artifact)
     val schemaJson = cur.schema.json
     val target = Paths.get(s"$dir/$artifact")
     val tmp = Paths.get(s"$dir/$artifact.compact_tmp")
@@ -140,16 +157,24 @@ object IndexCompact {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
     // sidecar first (layout-independent content: same columns before
-    // and after the swap), then swap old -> .old, tmp -> live, drop
-    // .old — every crash point leaves a recoverable, schema-pinned
-    // artifact (see recover)
+    // and after the swap), then — when folding — the fold marker (the
+    // tmp layout now holds the side rows; recover() uses marker+tmp
+    // state to finish or undo the side delete after any crash), then
+    // swap old -> .old, tmp -> live, drop .old — every crash point
+    // leaves a recoverable, schema-pinned, not-double-counted artifact
+    // (see recover)
     Files.writeString(Paths.get(sidecarPath(dir, artifact)), schemaJson)
+    val folding = foldStream && Files.exists(sidePath)
+    if (folding) Files.writeString(foldMarkerPath(dir, artifact), "")
     val old = Paths.get(s"$dir/$artifact.compact_old")
     deleteRecursively(old)
     Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
-    if (foldStream && Files.exists(sidePath)) deleteRecursively(sidePath)
+    if (folding) {
+      deleteRecursively(sidePath)
+      Files.delete(foldMarkerPath(dir, artifact))
+    }
     // the swap happened outside Spark's writers: drop any cached file
     // listings for the artifact path or later scans chase renamed files
     spark.catalog.refreshByPath(target.toString)

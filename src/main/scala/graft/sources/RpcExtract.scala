@@ -385,15 +385,28 @@ object RpcExtract {
     (JsonMethods.parse(body) \ "result") match {
       case JArray(txs) => txs.zipWithIndex.flatMap { case (t, i) =>
         // a {txHash, error} entry with no tracer result (geth reports
-        // per-tx trace failures this way) yields no row; the entry
-        // still occupies its array slot so positions stay aligned
+        // per-tx trace failures exactly this way: an object holding only
+        // txHash and/or error) yields no row; the entry still occupies
+        // its array slot so positions stay aligned. The shape test is
+        // FIELD-SET based, not txHash-presence based: legacy nodes
+        // return the bare tracer output per tx, and a custom tracer
+        // legitimately echoes a txHash key alongside its payload — only
+        // an object with NO fields beyond {txHash, error} (and error
+        // present) is geth's failure shape. A tracer whose entire
+        // output is literally {txHash, error} is indistinguishable and
+        // dropped; every payload-carrying output survives.
         (t \ "result") match {
           case JNothing | JNull =>
-            if ((t \ "txHash") == JNothing && t != JNothing && t != JNull)
-              // legacy nodes return the bare tracer output per tx
+            val failureShape = t match {
+              case JObject(fields) =>
+                fields.exists(_._1 == "error") &&
+                  fields.forall(f => f._1 == "error" || f._1 == "txHash")
+              case _ => false
+            }
+            if (failureShape || t == JNothing || t == JNull) None
+            else // legacy nodes: the bare tracer output per tx
               Some(Row(blockNumber, i, hexB(t, "txHash"),
                 JsonMethods.compact(JsonMethods.render(t)), chainId))
-            else None
           case r =>
             Some(Row(blockNumber, i, hexB(t, "txHash"),
               JsonMethods.compact(JsonMethods.render(r)), chainId))

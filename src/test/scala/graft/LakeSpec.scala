@@ -350,6 +350,26 @@ class LakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate chunk files"))
   }
 
+  test("partially overlapping files fail loudly instead of duplicating rows") {
+    // two freezes with misaligned ranges: 1000_to_1029 and 1015_to_1044
+    // share [1015,1029] but neither contains the other — no file choice
+    // reads each row exactly once, so reads must throw, not silently
+    // return the shared span twice (and not silently drop blocks)
+    val out = freshDir("lake_partial_")
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1000, 1030),
+      chunkSize = 30)
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1015, 1045),
+      chunkSize = 30)
+    val e = intercept[IllegalArgumentException] {
+      Lake.read(spark, out, "blocks")
+    }
+    assert(e.getMessage.contains("partially overlapping"))
+    // the audit (which never calls dropContained) still reports the
+    // colliding pair, so `lake verify` is the diagnosis path
+    val audit = Lake.audit(out)
+    assert(audit.exists(_.overlaps.nonEmpty))
+  }
+
   test("freeze refuses a label that collides with a dataset name") {
     // `*__blocks__*` would glob-match a transactions file LABELED
     // "blocks", whose parquet schema would then break a blocks stream —

@@ -399,6 +399,28 @@ class CliSpec extends AnyFunSuite {
     assert(ercs >= 1) // every token that ever logged is in the ref list
   }
 
+  test("parquet refs drop nulls and fail loudly on a missing file") {
+    // a to_address ref over contract-creation txs holds NULL cells —
+    // they are dropped, not NPE'd into (a null is never a list value)
+    val (_, txFiles) = runCli("transactions")
+    val txPath = txFiles.head
+    val hasNulls = spark.read.parquet(txPath)
+      .filter(org.apache.spark.sql.functions.col("to_address").isNull).count()
+    assert(hasNulls > 0, "fixture must contain contract creations")
+    val (_, byTo) = runCli("transactions", "--to-address", txPath)
+    val nonNullTargets = spark.read.parquet(byTo.head)
+      .filter(org.apache.spark.sql.functions.col("to_address").isNotNull)
+      .count()
+    assert(nonNullTargets > 0)
+    // a mistyped ref path reports file-not-found, not a downstream
+    // "invalid hex: ./typo.parquet" (and never silently becomes a
+    // literal value)
+    val e = intercept[IllegalArgumentException] {
+      runCli("transactions", "--to-address", "./typo.parquet")
+    }
+    assert(e.getMessage.contains("file not found"))
+  }
+
   test("--timestamps resolves a block range via the fixture timestamps") {
     // fixture blocks: timestamp = 1700000000 + 12n for n in [1000, 1060)
     val t0 = 1700000000L
@@ -613,6 +635,41 @@ class CliSpec extends AnyFunSuite {
       .fromJson(JFiles.readString(Paths.get(sc)))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(IndexCompact.read(spark, idx, "codes.parquet").schema == pinned)
+  }
+
+  test("fold crash windows: the side-artifact is never double-counted") {
+    import graft.operators.IndexCompact
+    import java.nio.file.{Files => JFiles, Paths}
+    val idx = Files.createTempDirectory("graft_foldcrash").toString
+    Cli.runIndex(Seq("build", sf, idx), spark)
+    Cli.runIndex(Seq("compact", idx), spark)
+    val nMain = IndexCompact.read(spark, idx, "codes.parquet").count()
+    val marker = Paths.get(s"$idx/codes.parquet.fold_pending")
+    val side = IndexCompact.streamPath(idx, "codes.parquet")
+    // crash AFTER the swap, BEFORE the side delete: the folded layout
+    // is live (its rows subsume the side artifact) and the fold marker
+    // survives with NO tmp dir → recover must finish the side delete,
+    // or read() would union the folded rows in twice
+    spark.read.parquet(s"$idx/codes.parquet")
+      .limit(7).write.parquet(side) // rows "already folded into" main
+    JFiles.writeString(marker, "")
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nMain)
+    assert(!JFiles.exists(Paths.get(side)) && !JFiles.exists(marker))
+    // crash BEFORE the swap (marker written, tmp still present): the
+    // side rows exist ONLY in the side artifact → recover must KEEP it
+    // (dropping just the marker and the aborted tmp)
+    spark.read.parquet(s"$idx/codes.parquet").limit(7).write.parquet(side)
+    val nWithSide = nMain + 7
+    JFiles.writeString(marker, "")
+    JFiles.createDirectories(Paths.get(s"$idx/codes.parquet.compact_tmp"))
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nWithSide)
+    assert(JFiles.exists(Paths.get(side)) && !JFiles.exists(marker))
+    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_tmp")))
+    // and a fold compact from this recovered state converges: side rows
+    // folded exactly once
+    Cli.runIndex(Seq("compact", idx, "--fold-stream"), spark)
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nWithSide)
+    assert(!JFiles.exists(Paths.get(side)))
   }
 
   test("--blocks accepts a parquet file ref; lists filter within chunks") {
@@ -921,6 +978,28 @@ class RpcCodecSpec extends AnyFunSuite {
     assert(rows(0).getInt(11) == 0 && rows(0).getString(9) == "CALL")
     assert(rows(1).getInt(11) == 1 && rows(1).getString(9) == "STATICCALL")
     assert(rows(1).getString(10) == "execution reverted")
+  }
+
+  test("jsTraceBlock: failure shape dropped, payload-bearing outputs kept") {
+    // geth's per-tx trace failure is EXACTLY {txHash, error}: dropped,
+    // but the slot keeps later txs' positional indexes aligned
+    val failed =
+      """{"result":[
+        | {"txHash":"0xaa","error":"execution timeout"},
+        | {"txHash":"0xbb","result":{"n":7}}]}""".stripMargin
+    val r1 = RpcExtract.jsTraceBlock(failed, blockNumber = 16, chainId = 1)
+    assert(r1.size == 1 && r1(0).getInt(1) == 1)
+    // a LEGACY node returns the bare tracer output per tx — a custom
+    // tracer that echoes txHash (and even an error field) alongside its
+    // payload is OUTPUT, not geth's failure shape, and must survive
+    val legacy =
+      """{"result":[
+        | {"txHash":"0xaa","error":"soft","steps":3},
+        | {"count":42}]}""".stripMargin
+    val r2 = RpcExtract.jsTraceBlock(legacy, blockNumber = 16, chainId = 1)
+    assert(r2.size == 2)
+    assert(r2(0).getString(3).contains("\"steps\":3"))
+    assert(r2(1).getString(3).contains("\"count\":42"))
   }
 
   test("gethOpcodes parses struct logs") {
