@@ -396,7 +396,14 @@ object RpcExtract {
         // output is literally {txHash, error} is indistinguishable and
         // dropped; every payload-carrying output survives.
         (t \ "result") match {
-          case JNothing | JNull =>
+          case JNull =>
+            // the result FIELD IS PRESENT and explicitly null: the
+            // tracer ran and returned null. The reference serializes
+            // every entry's value verbatim (javascript_traces.rs:
+            // process_javascript_traces — value.to_string(), one row
+            // per tx), so this row survives with output "null".
+            Some(Row(blockNumber, i, hexB(t, "txHash"), "null", chainId))
+          case JNothing =>
             val failureShape = t match {
               case JObject(fields) =>
                 fields.exists(_._1 == "error") &&

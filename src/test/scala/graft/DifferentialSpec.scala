@@ -323,10 +323,17 @@ object FixtureRpcServer {
       }
     })
 
+    // txs the fixture holds no tracer output for get geth's per-tx
+    // failure shape — EXACTLY {txHash, error} — which the extractor
+    // drops while the array slot keeps later positional indexes
+    // aligned. (An explicit "result": null would mean the tracer RAN
+    // and returned null; the reference stores that as a "null" row, so
+    // it is not a stand-in for "no fixture output".)
     def encJsTrace(b: Int): String = arr(txHashesOf(b).map { t =>
-      val out = jsTraces.getOrElse((b, txi(t)), Nil).headOption
-        .map(_.getAs[String]("output")).getOrElse("null")
-      obj("txHash" -> js(hx(bin(t, "transaction_hash"))), "result" -> out)
+      val h = js(hx(bin(t, "transaction_hash")))
+      jsTraces.getOrElse((b, txi(t)), Nil).headOption
+        .map(r => obj("txHash" -> h, "result" -> r.getAs[String]("output")))
+        .getOrElse(obj("txHash" -> h, "error" -> js("trace aborted")))
     })
 
     def encTraceCall(b: Int, to: String, data: String): String = {

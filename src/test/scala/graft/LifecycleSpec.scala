@@ -1000,6 +1000,17 @@ class RpcCodecSpec extends AnyFunSuite {
     assert(r2.size == 2)
     assert(r2(0).getString(3).contains("\"steps\":3"))
     assert(r2(1).getString(3).contains("\"count\":42"))
+    // an entry whose result field is PRESENT and explicitly null is a
+    // tracer that ran and returned null — the reference serializes the
+    // value verbatim (javascript_traces.rs process_javascript_traces),
+    // so the row survives with output "null"; {txHash, error} with NO
+    // result field stays dropped
+    val explicitNull =
+      """{"result":[
+        | {"txHash":"0xaa","result":null},
+        | {"txHash":"0xbb","error":"oops"}]}""".stripMargin
+    val r3 = RpcExtract.jsTraceBlock(explicitNull, blockNumber = 16, chainId = 1)
+    assert(r3.size == 1 && r3(0).getInt(1) == 0 && r3(0).getString(3) == "null")
   }
 
   test("gethOpcodes parses struct logs") {
