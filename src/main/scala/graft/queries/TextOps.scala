@@ -300,6 +300,9 @@ object TextOps {
     * (doc_id, cluster_id) for every node in some pair, cluster_id = the
     * component's min doc_id. `maxRounds` bounds the worst case (graph
     * diameter); the loop exits the first round with no label changes.
+    * Between batches the graph CONTRACTS (pairs relabeled by current
+    * labels, dedup, self-loops dropped), so each level's rounds join a
+    * shrinking edge set — see the contraction comment in the body.
     *
     * `checkpointDir`: None (default) truncates lineage via
     * localCheckpoint — executor-storage only, fine single-node and
@@ -356,18 +359,22 @@ object TextOps {
     val t0 = System.nanoTime()
     def dbg(msg: => String): Unit =
       if (debug) println(f"[cc] +${(System.nanoTime() - t0) / 1e9}%.2fs $msg")
-    val p = cut(pairs.select(col("id_a"), col("id_b")))
+    var und = cut(pairs.select(col("id_a"), col("id_b")))
     dbg("pairs checkpointed")
     // edges' plan is a Union of two narrow projects over checkpointed
-    // p — no exchange, no need for its own checkpoint.
-    val edges = p.union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst")
+    // und — no exchange, no need for its own checkpoint.
+    def symmetric(u: DataFrame): DataFrame =
+      u.union(u.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .toDF("src", "dst")
+    var edges = symmetric(und)
     // not checkpointed: only the first batch reads this plan (each
     // batch's checkpoint replaces `labels`), and its occurrences there
     // dedupe into one ReusedExchange — cheaper than an extra eager job
-    var labels = p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
+    def nodesOf(u: DataFrame): DataFrame =
+      u.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+        .withColumn("label", col("doc_id"))
+    var labels = nodesOf(und)
     val zero = new java.math.BigDecimal(0)
     def labelSum(o: Observation): java.math.BigDecimal =
       // getOrElse, not apply: an EMPTY pair graph (fully pre-deduped
@@ -395,7 +402,25 @@ object TextOps {
     // cost grows super-linearly while the saved per-action overhead is
     // ~0.25 s. Measured totals: rpa=2 constant 3.4 s; 2,4,4 batches
     // 6.0 s; 2,4,8 batches 14-16 s (q_embed_dedup_clusters, sf0.1).
-    while (!converged && round < maxRounds) {
+    // Graph CONTRACTION between batches: a batch that has not yet
+    // converged relabels the pair table by its current labels (dedup,
+    // self-loops dropped) and recurses on the contracted graph. Each
+    // partial cluster collapses to one node, so later rounds join a
+    // SHRINKING edge set instead of rescanning the full original graph
+    // every round — at sf0.1 the embedding cosine graph went from 12
+    // rounds × full-size joins (6 actions) to 3 shrinking levels, and
+    // at 100 TB the contraction is the difference between O(rounds)
+    // full-corpus shuffles and a geometric series. Correctness: labels
+    // never exceed ids, so each level's labels are real node ids of
+    // that level; contraction preserves connectivity exactly (an edge
+    // between labels exists iff some edge joined their preimages), the
+    // component-min id survives as a node at every level and labels
+    // itself, and composing the per-level maps top-down therefore
+    // yields exactly the component-min labels the flat iteration
+    // computes — the output is bit-identical by construction.
+    val levelMaps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var exhausted = false
+    while (!converged && !exhausted && round < maxRounds) {
       val k = math.min(roundsPerAction, maxRounds - round)
       var cur = labels
       val obs = scala.collection.mutable.ArrayBuffer.empty[Observation]
@@ -431,9 +456,42 @@ object TextOps {
         .exists(w => w.size == 2 && w(0).compareTo(w(1)) == 0)
       prevSum = Some(sums.last)
       round += k
-      dbg(s"rounds=$round converged=$converged sums=${sums.mkString(",")}")
+      levelMaps += labels
+      dbg(s"level=${levelMaps.size} rounds=$round converged=$converged " +
+        s"sums=${sums.mkString(",")}")
+      if (!converged && round < maxRounds) {
+        // contract: pairs between current labels, normalized to the
+        // undirected (min, max) form so both orientations dedupe; a
+        // fixpoint was not reached, so ≥1 cross-label edge remains
+        // unless every component happens to have gone label-uniform
+        // this exact batch — the empty check below catches that.
+        val la = labels.select(col("doc_id").as("id_a"), col("label").as("la"))
+        val lb = labels.select(col("doc_id").as("id_b"), col("label").as("lb"))
+        und = cut(und.join(la, "id_a").join(lb, "id_b")
+          .filter(col("la") =!= col("lb"))
+          .select(least(col("la"), col("lb")).as("id_a"),
+            greatest(col("la"), col("lb")).as("id_b"))
+          .distinct())
+        dbg(s"level=${levelMaps.size} contracted")
+        if (und.isEmpty) exhausted = true // every component label-uniform
+        else {
+          edges = symmetric(und)
+          labels = nodesOf(und)
+          prevSum = None // label sums are not comparable across levels
+        }
+      }
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // compose the per-level maps top-down: level 1 covers every node of
+    // the original pair graph; a deeper level only holds nodes whose
+    // component was still unresolved, so the join is left + coalesce
+    var root = levelMaps.lastOption.getOrElse(labels)
+    for (m <- levelMaps.dropRight(1).reverseIterator) {
+      val r = root.select(col("doc_id").as("k"), col("label").as("rl"))
+      root = m.join(r, m("label") === r("k"), "left")
+        .select(m("doc_id").as("doc_id"),
+          coalesce(col("rl"), m("label")).as("label"))
+    }
+    root.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Learn `nMerges` BPE merges from the corpus (Sennrich-style
