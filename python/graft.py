@@ -179,7 +179,11 @@ def compact_lake(lake_dir, target_chunk_size, spark=None, network=None,
 def verify_lake(lake_dir, spark=None, network=None):
     """Audit a frozen lake's coverage from file names only: one pandas
     row per (network, dataset, tags, format) group with the covered
-    range plus gap/overlap counts (details print as ``!!`` lines)."""
+    range plus gap/overlap counts (details print as ``!!`` lines).
+    ``n_cross_tag_overlaps`` counts range collisions between DIFFERENT
+    tag groups — expected for partition dims, duplicate coverage if the
+    tags are labels; ``overlaps_truncated`` flags a report capped at
+    1000 pairs (counts then under-report)."""
     if spark is None:
         raise ValueError("pass spark=<SparkSession>")
     from pyspark.sql import DataFrame

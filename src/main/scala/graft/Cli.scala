@@ -207,6 +207,16 @@ object Cli {
     * time dimensions, required dims, aliases, sort, full column list
     * with types and default-excluded / u256 markers */
   def datasetInfo(name: String): String = {
+    // multi-dataset bundles are listed by `help datasets` and accepted
+    // as CLI dataset args, so `help <bundle>` must resolve too — it
+    // expands the membership instead of crashing on the scalar lookup
+    Datatypes.multis.get(name).foreach { members =>
+      return s"""multi-dataset bundle: $name
+         |- expands to: ${members.mkString(", ")}
+         |- one shared fetch pass serves every member; freeze writes
+         |  each member as its own dataset files
+         |- `graft.Cli help <member>` shows each schema""".stripMargin
+    }
     val d = Datatypes(name)
     val dims = (d.byBlock, d.byTransaction) match {
       case (true, true) => "can collect by block or by transaction"
@@ -407,13 +417,26 @@ object Cli {
       a.overlaps.foreach { case (p1, p2) =>
         println(s"  !! overlap: $p1 and $p2")
       }
+      // advisory, summarized (a partition-dim lake legitimately has
+      // one per intersecting file pair per dim value — per-pair lines
+      // would drown the report; the pairs are in Lake.audit's struct)
+      if (a.crossTagOverlaps.nonEmpty)
+        println(s"  ?? ${a.crossTagOverlaps.size} cross-tag overlap " +
+          "pair(s): expected for partition dims; DUPLICATE COVERAGE if " +
+          "these tags are labels — untagged reads then return shared " +
+          "blocks once per label (read with tag=, or remove one run)")
+      if (a.overlapsTruncated)
+        println("  !! overlap report capped at 1000 pairs — counts " +
+          "under-report; re-verify after repairs")
     }
     if (audits.isEmpty) println(s"no chunk files under $dir")
     import spark.implicits._
     audits.map(a => (a.network, a.dataset, a.tags.mkString("__"), a.format,
-      a.nFiles, a.minBlock, a.maxBlock, a.gaps.size, a.overlaps.size))
+      a.nFiles, a.minBlock, a.maxBlock, a.gaps.size, a.overlaps.size,
+      a.crossTagOverlaps.size, a.overlapsTruncated))
       .toDF("network", "dataset", "tags", "format", "n_files",
-        "min_block", "max_block", "n_gaps", "n_overlaps")
+        "min_block", "max_block", "n_gaps", "n_overlaps",
+        "n_cross_tag_overlaps", "overlaps_truncated")
   }
 
   private def runLakeCompact(args: Seq[String], spark: SparkSession,
@@ -559,7 +582,12 @@ object Cli {
   private def parquetRefValues(spark: SparkSession, ref: String,
       path: String, column: org.apache.spark.sql.Column,
       capGuidance: String): Seq[Any] = {
-    require(new java.io.File(path).exists(),
+    // the friendly existence check only applies to plain LOCAL paths:
+    // a scheme (s3a://, hdfs://) or a glob resolves through the Hadoop
+    // filesystem inside spark.read, where java.io.File would falsely
+    // report not-found for refs Spark can read
+    val hadoopResolved = path.contains("://") || path.exists("*?[{" contains _)
+    require(hadoopResolved || new java.io.File(path).exists(),
       s"parquet reference $ref: file not found: $path")
     val rows = spark.read.parquet(path).select(column.as("v"))
       .where(col("v").isNotNull).distinct()

@@ -342,6 +342,13 @@ object Datatypes {
   val byName: Map[String, DatasetDef] =
     all.flatMap(d => (d.name +: d.aliases).map(_ -> d)).toMap
 
+  /** canonical dataset names only — the set cryo FILENAMES can carry.
+    * Ambiguity guards (labels, partition-dim values) check against
+    * this, not byName: aliases never appear in a filename's dataset
+    * segment or a readStream glob, so a label like "txs" is harmless
+    * while "transactions" is not. */
+  val canonicalNames: Set[String] = all.map(_.name).toSet
+
   def apply(name: String): DatasetDef =
     byName.getOrElse(name, throw new IllegalArgumentException(s"unknown dataset: $name"))
 }

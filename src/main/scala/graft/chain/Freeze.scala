@@ -286,8 +286,11 @@ object Freeze {
     // the dataset segment; `*__blocks__*` would also match a
     // transactions file LABELED "blocks", whose parquet schema then
     // breaks the stream) — refuse to create such a lake at the source
+    // canonical names only: filenames and readStream globs always use
+    // the canonical dataset segment, so an ALIAS ("txs", "events") can
+    // never glob-collide and stays a legal label
     spec.label.foreach { l =>
-      require(!Datatypes.byName.contains(l),
+      require(!Datatypes.canonicalNames.contains(l),
         s"--label '$l' collides with a dataset name; pick a label that " +
           "is not a datatype so lake reads/streams stay unambiguous")
     }
@@ -364,10 +367,11 @@ object Freeze {
         case b: Array[Byte] => "__" + b.take(4).map("%02x".format(_)).mkString
         case v =>
           // same ambiguity guard as --label: a dim value equal to a
-          // dataset name would glob-match foreign readStream tails
-          // (binary dims are immune — 8-hex stubs can't spell one)
+          // CANONICAL dataset name would glob-match foreign readStream
+          // tails (binary dims are immune — 8-hex stubs can't spell
+          // one; aliases never appear in filename dataset segments)
           val sv = v.toString
-          require(!Datatypes.byName.contains(sv),
+          require(!Datatypes.canonicalNames.contains(sv),
             s"--partition-by value '$sv' collides with a dataset name in " +
               "cryo file naming; partition on a different column or remap " +
               "the value")

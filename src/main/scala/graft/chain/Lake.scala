@@ -180,9 +180,21 @@ object Lake {
       /** file pairs of THIS group whose ranges intersect — every
         * colliding pair, not just against the widest file (duplicate
         * coverage; healthy freeze/compact lakes have none). Within a
-        * tag group an overlap is always an anomaly; across different
-        * dim values overlapping ranges are normal and not reported. */
-      overlaps: Seq[(String, String)])
+        * tag group an overlap is always an anomaly. */
+      overlaps: Seq[(String, String)],
+      /** file pairs of the whole (network, dataset, format) whose
+        * ranges intersect but whose TAG VECTORS DIFFER. Advisory, not
+        * an anomaly verdict: file names cannot distinguish a partition
+        * dim value (where every value legitimately covers the same
+        * block ranges and an untagged read correctly unions them) from
+        * a label (where equal coverage means an untagged read RETURNS
+        * EVERY ROW TWICE). The operator knows which kind their tags
+        * are; a labeled lake with entries here needs `tag=` on reads
+        * or a file cleanup. Repeated on every tag group, like gaps. */
+      crossTagOverlaps: Seq[(String, String)],
+      /** true when either overlap list hit the 1000-pair report cap —
+        * counts then UNDER-REPORT and repairs should be re-verified */
+      overlapsTruncated: Boolean)
 
   /** Audit a lake's coverage from file NAMES only — no data reads, no
     * Spark jobs: per (network, dataset, tags, format), the covered
@@ -194,8 +206,35 @@ object Lake {
     * at a long-lived lake. */
   def audit(dir: String, network: Option[String] = None): Seq[DatasetAudit] = {
     val all = listChunks(dir).filter(f => network.forall(_ == f.network))
-    // dataset-level gap computation: union coverage across ALL tags
-    val gapsByDataset: Map[(String, String, String), Seq[(Long, Long)]] =
+    // interval sweep shared by both overlap reports: every colliding
+    // pair among `files` that `keep` accepts (a single widest-file
+    // comparison would miss collisions among the files it spans).
+    // Quadratic only in the size of an anomaly cluster; capped to
+    // bound the report, with the truncation surfaced to the caller.
+    def sweep(files: Seq[ChunkFile],
+        keep: (ChunkFile, ChunkFile) => Boolean): (Seq[(String, String)], Boolean) = {
+      val sorted = files.sortBy(f => (f.start, -f.endInclusive))
+      val pairs = Seq.newBuilder[(String, String)]
+      val open = scala.collection.mutable.ArrayBuffer.empty[ChunkFile]
+      var reported = 0
+      var truncated = false
+      sorted.foreach { f =>
+        open.filterInPlace(_.endInclusive >= f.start)
+        open.foreach { p =>
+          if (keep(p, f)) {
+            if (reported < 1000) { pairs += ((p.path, f.path)); reported += 1 }
+            else truncated = true
+          }
+        }
+        open += f
+      }
+      (pairs.result(), truncated)
+    }
+    // dataset-level computations: gap coverage unions ALL tags; the
+    // cross-tag overlap report pairs files whose tag vectors differ
+    // (see the DatasetAudit scaladoc for why it is advisory)
+    val byDataset: Map[(String, String, String),
+        (Seq[(Long, Long)], Seq[(String, String)], Boolean)] =
       all.groupBy(f => (f.network, f.dataset, f.format)).map {
         case (key, files) =>
           val sorted = files.sortBy(_.start)
@@ -205,30 +244,19 @@ object Lake {
             if (f.start > cursor) gaps += ((cursor, f.start - 1))
             cursor = math.max(cursor, f.endInclusive + 1)
           }
-          key -> gaps.result()
+          val (cross, crossTrunc) = sweep(files, (a, b) => a.tags != b.tags)
+          key -> ((gaps.result(), cross, crossTrunc))
       }
     all.groupBy(f => (f.network, f.dataset, f.tags, f.format))
       .toSeq
       .sortBy { case ((n, d, t, fmt), _) => (n, d, t.mkString("__"), fmt) }
       .map { case ((net, ds, tags, fmt), group) =>
         val sorted = group.sortBy(f => (f.start, -f.endInclusive))
-        val overlaps = Seq.newBuilder[(String, String)]
-        // sweep with the full set of still-open earlier files, so every
-        // colliding pair reports (a single widest-file comparison would
-        // miss collisions among the files it spans). Quadratic only in
-        // the size of an anomaly cluster; capped to bound the report.
-        val open = scala.collection.mutable.ArrayBuffer.empty[ChunkFile]
-        var reported = 0
-        sorted.foreach { f =>
-          open.filterInPlace(_.endInclusive >= f.start)
-          open.foreach { p =>
-            if (reported < 1000) { overlaps += ((p.path, f.path)); reported += 1 }
-          }
-          open += f
-        }
+        val (overlaps, trunc) = sweep(group, (_, _) => true)
+        val (gaps, cross, crossTrunc) = byDataset((net, ds, fmt))
         DatasetAudit(net, ds, tags, fmt, group.size,
           sorted.head.start, sorted.map(_.endInclusive).max,
-          gapsByDataset((net, ds, fmt)), overlaps.result())
+          gaps, overlaps, cross, trunc || crossTrunc)
       }
   }
 
@@ -253,7 +281,11 @@ object Lake {
     *    then applies the exact residual block filter (row-level, pushed
     *    to parquet row-group stats).
     *  - `network` / `tag`: restrict to one network / one label or
-    *    partition-dim stub when several share the directory.
+    *    partition-dim stub when several share the directory. With no
+    *    `tag`, ALL tag groups union — correct for partition dims
+    *    (rows disjoint by the dim) but DOUBLE-READS a range frozen
+    *    under two labels; names cannot tell the two apart, so the
+    *    guard is `audit`'s cross-tag advisory, not a read failure.
     *  - `schema`: optional explicit schema for csv/json lakes (parquet
     *    carries its own). Without it csv falls back to inference — fine
     *    interactively, pass a schema in pipelines.

@@ -390,11 +390,13 @@ object RpcExtract {
         // its array slot so positions stay aligned. The shape test is
         // FIELD-SET based, not txHash-presence based: legacy nodes
         // return the bare tracer output per tx, and a custom tracer
-        // legitimately echoes a txHash key alongside its payload — only
-        // an object with NO fields beyond {txHash, error} (and error
-        // present) is geth's failure shape. A tracer whose entire
-        // output is literally {txHash, error} is indistinguishable and
-        // dropped; every payload-carrying output survives.
+        // legitimately echoes a txHash key alongside its payload — a
+        // NONEMPTY object with no fields beyond {txHash, error} is
+        // geth's failure/skip shape (a bare {txHash} is a skipped tx,
+        // not tracer output). A tracer whose entire output is literally
+        // {txHash, error} is indistinguishable and dropped; every
+        // payload-carrying output survives, as does a literal {} (a
+        // legacy tracer that returned the empty object).
         (t \ "result") match {
           case JNull =>
             // the result FIELD IS PRESENT and explicitly null: the
@@ -406,7 +408,7 @@ object RpcExtract {
           case JNothing =>
             val failureShape = t match {
               case JObject(fields) =>
-                fields.exists(_._1 == "error") &&
+                fields.nonEmpty &&
                   fields.forall(f => f._1 == "error" || f._1 == "txHash")
               case _ => false
             }

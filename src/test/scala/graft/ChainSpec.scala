@@ -48,6 +48,14 @@ class DatatypesSpec extends AnyFunSuite {
     assert(info.contains("u256 repr family"))
     assert(info.contains("excluded by default"))
     intercept[IllegalArgumentException] { Cli.datasetInfo("nope") }
+
+    // every bundle the catalog advertises must resolve through
+    // `help <bundle>` too (the CLI accepts bundles as dataset args)
+    Datatypes.multis.keys.foreach { m =>
+      val mi = Cli.datasetInfo(m)
+      assert(mi.contains(s"multi-dataset bundle: $m"), m)
+      Datatypes.multis(m).foreach(member => assert(mi.contains(member), member))
+    }
   }
 
   test("multis cover known members") {

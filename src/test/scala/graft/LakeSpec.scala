@@ -389,6 +389,40 @@ class LakeSpec extends AnyFunSuite {
         maxConcurrentChunks = 1))
     }
     assert(e2.getMessage.contains("collides with a dataset name"))
+    // an ALIAS is a legal label: filenames and readStream globs carry
+    // only canonical dataset segments, so "txs" can never glob-collide
+    val okDir = freshDir("lake_aliaslabel_")
+    freeze(okDir, Seq("blocks"), chunkSize = 30, label = Some("txs"))
+    assert(Lake.read(spark, okDir, "blocks", tag = Some("txs")).count() == 60)
+  }
+
+  test("audit reports cross-tag duplicate coverage as advisory") {
+    // the same range frozen untagged AND under --label run1: file
+    // names cannot distinguish a label (duplicate coverage — an
+    // untagged read returns every row twice) from a partition dim
+    // (legitimately overlapping ranges, disjoint rows), so reads stay
+    // permissive and `lake verify` carries the advisory
+    val out = freshDir("lake_crosstag_")
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1000, 1030),
+      chunkSize = 30)
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1000, 1030),
+      chunkSize = 30, label = Some("run1"))
+    val audits = Lake.audit(out)
+    assert(audits.size == 2) // one group per tag vector
+    audits.foreach { a =>
+      assert(a.overlaps.isEmpty) // within a tag group the lake is clean
+      assert(a.crossTagOverlaps.size == 1 && !a.overlapsTruncated)
+    }
+    // the untagged read really does see both files (30 blocks frozen
+    // twice -> 60 rows) — the advisory is what stands between the
+    // operator and silent row duplication
+    assert(Lake.select(out, "blocks").size == 2)
+    assert(Lake.read(spark, out, "blocks").count() == 60)
+    assert(Lake.read(spark, out, "blocks", tag = Some("run1")).count() == 30)
+    val df = Cli.runLake(Seq("verify", "--lake-dir", out, "--show", "0"), spark)
+    assert(df.collect().forall(r =>
+      r.getAs[Int]("n_cross_tag_overlaps") == 1 &&
+        !r.getAs[Boolean]("overlaps_truncated")))
   }
 
   test("mixed-format and empty selections fail loudly") {

@@ -1011,6 +1011,15 @@ class RpcCodecSpec extends AnyFunSuite {
         | {"txHash":"0xbb","error":"oops"}]}""".stripMargin
     val r3 = RpcExtract.jsTraceBlock(explicitNull, blockNumber = 16, chainId = 1)
     assert(r3.size == 1 && r3(0).getInt(1) == 0 && r3(0).getString(3) == "null")
+    // a bare {txHash} (skipped tx: no error, no result) is geth's
+    // no-output shape and drops; the empty object {} is legacy tracer
+    // OUTPUT and survives
+    val bare =
+      """{"result":[
+        | {"txHash":"0xaa"},
+        | {}]}""".stripMargin
+    val r4 = RpcExtract.jsTraceBlock(bare, blockNumber = 16, chainId = 1)
+    assert(r4.size == 1 && r4(0).getInt(1) == 1 && r4(0).getString(3) == "{}")
   }
 
   test("gethOpcodes parses struct logs") {
