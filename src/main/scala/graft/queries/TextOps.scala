@@ -491,6 +491,11 @@ object TextOps {
         .select(m("doc_id").as("doc_id"),
           coalesce(col("rl"), m("label")).as("label"))
     }
+    // multi-level runs cut the composed map once: the output plan is a
+    // flat checkpoint scan at every scale (single-level runs already
+    // are), so consumers never re-execute the composition joins per
+    // action and the operator's plan shape is scale-invariant
+    if (levelMaps.size > 1) root = cut(root)
     root.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
