@@ -203,6 +203,67 @@ class PipelineOpsSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("dedup clusters: random graphs match a driver union-find oracle") {
+    import spark.implicits._
+    // seeded generator over mixed shapes — long chains (force several
+    // contraction levels), cliques (collapse level 1), stars, isolated
+    // pairs, duplicate rows, self-loops, shuffled non-contiguous ids —
+    // checked against a driver-side union-find with min-id roots
+    val rnd = new scala.util.Random(20260814L)
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-id root: path-compress, then map every seen node
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // union-by-smaller-root above already makes every root the min
+      nodes.map(n => n -> find(n)).toMap
+    }
+    (0 until 6).foreach { trial =>
+      val ids = rnd.shuffle((0L until 400L).toVector).take(120 + rnd.nextInt(200))
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < ids.size) {
+        rnd.nextInt(4) match {
+          case 0 => // chain segment
+            val len = math.min(2 + rnd.nextInt(40), ids.size - i)
+            (0 until len - 1).foreach(j => pairs += ((ids(i + j), ids(i + j + 1))))
+            i += len
+          case 1 => // clique
+            val len = math.min(2 + rnd.nextInt(6), ids.size - i)
+            for (a <- 0 until len; b <- a + 1 until len)
+              pairs += ((ids(i + a), ids(i + b)))
+            i += len
+          case 2 => // star
+            val len = math.min(2 + rnd.nextInt(8), ids.size - i)
+            (1 until len).foreach(j => pairs += ((ids(i), ids(i + j))))
+            i += len
+          case 3 => // isolated pair + a duplicate row + a self-loop
+            if (ids.size - i >= 2) {
+              pairs += ((ids(i), ids(i + 1)))
+              pairs += ((ids(i + 1), ids(i))) // reversed duplicate
+              pairs += ((ids(i), ids(i)))     // self-loop
+            }
+            i += 2
+        }
+      }
+      val expected = unionFind(pairs.toSeq)
+      val rpa = 1 + rnd.nextInt(3)
+      val got = graft.queries.TextOps
+        .clustersOf(pairs.toSeq.toDF("id_a", "id_b"), roundsPerAction = rpa)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial $trial (rpa=$rpa): ${got.toSet.diff(expected.toSet).take(5)} vs " +
+          s"${expected.toSet.diff(got.toSet).take(5)}")
+    }
+  }
+
   test("dedup clusters: reliable checkpoint dir yields identical labels") {
     import spark.implicits._
     // a 9-node chain (diameter 8) forces several batches, exercising the
