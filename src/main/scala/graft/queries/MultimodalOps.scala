@@ -329,7 +329,13 @@ object MultimodalOps {
     // recomputes the identical hash from the raw bytes in SQL (the
     // PNG tier is lossless).
     "q_mm_image_neardup" -> { (s, dir) =>
+      // persist the per-doc hash table: the plan reads it FOUR times
+      // (both sides of the capped self-join and both rerank lookups),
+      // and each uncached read re-runs the PNG encode + ImageIO decode
+      // lineage — the dominant cost of this query. 5 narrow columns per
+      // doc; the cache-manager entry is shared across repeat calls.
       val hs = imageAHash(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = hs.select(col("doc_id"),
         expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"))
       val capped = bands

@@ -78,7 +78,17 @@ object FollowMode {
               out += SessionOut(uid, st.seq, st.n, st.start, st.last) // closed
               st = SessionState(st.seq + 1, ts, ts, 1)
             } else {
-              st = st.copy(last = ts, n = st.n + 1)
+              // a CROSS-batch late event (ts inside the open session's
+              // span) must not rewind `last` — that would invert the
+              // interval and spuriously split on the next event; min/max
+              // keep the session covering every absorbed event. An event
+              // later than the gap below `start` still splits where the
+              // batch sort would have merged — the inherent limit of
+              // unbuffered streaming sessionization; the stream==batch
+              // pin holds for in-order delivery.
+              val lo = if (micros(ts) < micros(st.start)) ts else st.start
+              val hi = if (micros(ts) > micros(st.last)) ts else st.last
+              st = st.copy(start = lo, last = hi, n = st.n + 1)
             }
           }
           if (st != null) {
@@ -217,14 +227,25 @@ object FollowMode {
             .filterNot(r => seen(r._1))
           val admitted = arrivals.take(math.max(0, bucketCap - prev.size))
           val out = scala.collection.mutable.ListBuffer.empty[VecCandPair]
+          // norms are loop invariants: one pass over the carried members
+          // per invocation plus one per arrival, instead of
+          // O(|members|·|arrivals|) recomputes inside the pair loop (the
+          // dot-product fold order — what the bit-identical-to-batch
+          // claim rests on — is untouched)
           var cur = prev
+          val curNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+          prev.foreach(m => curNorms += norm(m._2))
           admitted.foreach { case (id, e) =>
+            val ne = norm(e)
+            var j = 0
             cur.foreach { case (oid, oe) =>
-              val cos = dot(e, oe) / (norm(e) * norm(oe))
+              val cos = dot(e, oe) / (ne * curNorms(j))
               if (cos > threshold)
                 out += VecCandPair(math.min(oid, id), math.max(oid, id), cos)
+              j += 1
             }
             cur = cur :+ (id -> e)
+            curNorms += ne
           }
           if (admitted.nonEmpty) state.update(VecBucket(cur))
           out.iterator
@@ -324,9 +345,16 @@ object FollowMode {
       spec: graft.chain.Freeze.FreezeSpec,
       blockStream: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.chain.{BlockSyntax, Freeze}
+    // follow modes track a CONTIGUOUS head: silently densifying a
+    // Numbers spec to [min, max] would freeze blocks the caller
+    // explicitly excluded (the batch Freeze path honors the list) —
+    // refuse rather than diverge
     val lo = spec.blocks match {
       case BlockSyntax.Range(a, _) => a
-      case BlockSyntax.Numbers(ns) => ns.min
+      case BlockSyntax.Numbers(ns) => throw new IllegalArgumentException(
+        s"follow mode needs a contiguous --blocks range; a block list " +
+          s"(${ns.take(3).mkString(",")}…) would be silently densified " +
+          "— freeze the list with the batch path instead")
     }
     val seenHead = new java.util.concurrent.atomic.AtomicLong(lo - 1)
     blockStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
@@ -370,9 +398,13 @@ object FollowMode {
       fetchPartitions: Int = 4): Unit = {
     import graft.chain.BlockSyntax
     val blocksPath = s"$bronzeDir/rpc_blocks.parquet"
+    // same contiguity contract as incrementalFreeze (which this drives)
     val (lo, hiEnd) = spec.blocks match {
       case BlockSyntax.Range(a, b) => (a, b)
-      case BlockSyntax.Numbers(ns) => (ns.min, ns.max + 1)
+      case BlockSyntax.Numbers(ns) => throw new IllegalArgumentException(
+        s"followLive needs a contiguous --blocks range; a block list " +
+          s"(${ns.take(3).mkString(",")}…) would be silently densified " +
+          "— freeze the list with the batch path instead")
     }
     var last = lo - 1           // highest block fetched into bronze
     var rawHead = Long.MinValue // last head the node reported (uncapped)
@@ -391,14 +423,6 @@ object FollowMode {
     def frozenCeil: Long = lo + (math.max(0L,
       math.min(maxHead, hiEnd - 1) + 1 - spec.reorgBuffer - lo)
       / spec.chunkSize) * spec.chunkSize
-    def replaceDir(target: String, tmp: String): Unit = {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val old = Paths.get(target + "__old")
-      Files.move(Paths.get(target), old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), Paths.get(target), StandardCopyOption.ATOMIC_MOVE)
-      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
     /** poll once; fetch anything new (and re-fetch the post-reorg window).
       * A reorged window REWRITES bronze to canonical-only rows — settled
       * blocks below the rollback point plus the just-fetched canonical
@@ -406,7 +430,15 @@ object FollowMode {
       * caller can stop the file stream whose files are about to move. */
     def fetchNew(beforeRewrite: () => Unit = () => ()): Boolean = {
       val head = source.fetchLatestBlock()
-      if (rawHead != Long.MinValue && head < rawHead) {
+      // a head regression only taints bronze when bronze actually holds
+      // blocks above the new head (suspect set = fetched rows ≥ head+1).
+      // A rollback entirely above `last` — e.g. the head wobbling past
+      // the range end during the settle wait — orphans nothing we
+      // fetched; flagging it would set a refetchFrom ABOVE the range
+      // top that no rewrite can ever land (top = min(head, hiEnd-1)
+      // stays below it), turning a clean run into a spurious
+      // refetch-never-landed failure at exit.
+      if (rawHead != Long.MinValue && head < rawHead && head + 1 <= last) {
         refetchFrom = math.min(refetchFrom, head + 1)
         // a rollback reaching below what the buffer allowed to freeze
         // means files on disk may hold orphaned rows skip-existing will
@@ -450,6 +482,9 @@ object FollowMode {
         }
       } else false
     }
+    // a prior run may have died mid-swap — restore bronze before the
+    // first read/append touches it
+    recoverDir(blocksPath)
     // wait for the head to reach the range start — the first append also
     // creates the bronze dir the file source needs
     fetchNew()
@@ -524,4 +559,41 @@ object FollowMode {
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(intervalMs))
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+
+  /** Finish or undo an interrupted replaceDir so no crash point loses
+    * the bronze dir: a crash after move 1 (target gone, __old + tmp
+    * present) completes the swap from tmp; __old with no tmp restores
+    * the original; a surviving __old beside a live target (crash
+    * mid-delete) is cleaned. Runs at followLive start and before every
+    * swap (a stale __old would otherwise fail move 1 with
+    * FileAlreadyExists). */
+  private[graft] def recoverDir(target: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val t = Paths.get(target)
+    val old = Paths.get(target + "__old")
+    val tmp = Paths.get(target + "__reorg_tmp")
+    if (Files.exists(old)) {
+      if (!Files.exists(t)) {
+        if (Files.exists(tmp))
+          Files.move(tmp, t, StandardCopyOption.ATOMIC_MOVE)
+        else Files.move(old, t, StandardCopyOption.ATOMIC_MOVE)
+      }
+      if (Files.exists(t) && Files.exists(old)) deleteTree(old)
+    }
+  }
+
+  /** atomic-as-possible dir swap: target → __old, tmp → target, delete
+    * __old; recoverDir first so a stale __old from a crash heals. */
+  private[graft] def replaceDir(target: String, tmp: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverDir(target)
+    val old = Paths.get(target + "__old")
+    Files.move(Paths.get(target), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(target), StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(old)
+  }
 }

@@ -219,6 +219,19 @@ class ChainDatasetsSpec extends AnyFunSuite {
     assert(a.exists(_._2 > baseQ))
   }
 
+  test("pagerank: empty edge set yields an empty ranking, not a crash") {
+    import org.apache.spark.sql.functions.col
+    val txs = spark.read.parquet(s"$dir/rpc_transactions.parquet")
+    // every to_address nulled: no edges survive the filter, n = 0 —
+    // must return the empty table with the output schema instead of
+    // dividing the teleport grid by zero
+    val noEdges = txs.withColumn("to_address",
+      org.apache.spark.sql.functions.lit(null).cast("binary"))
+    val out = graft.queries.ChainQueries.pagerankOf(noEdges)
+    assert(out.columns.toSeq == Seq("address", "rank_q", "rank"))
+    assert(out.count() == 0)
+  }
+
   test("pagerank: reliable checkpoint dir identical; exact fixpoint early-exits") {
     val txs = spark.read.parquet(s"$dir/rpc_transactions.parquet")
     def key(rows: Array[org.apache.spark.sql.Row]): Seq[(String, Long)] = rows

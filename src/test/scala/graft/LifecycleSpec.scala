@@ -1097,6 +1097,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a cross-batch late event never inverts or splits the open session") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_sess_late").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("user_id", "ts").schema
+    Seq((1L, ts("2026-01-01 10:00:00"))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, schema,
+      maxFilesPerTrigger = 1)
+    val q = FollowMode.sessionize(spark, stream.toDF(), gapMinutes = 30)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sess_late").start()
+    try {
+      q.processAllAvailable() // batch 1: open session at 10:00
+      // batch 2: a LATE event (09:59, inside the open span) plus a
+      // following event 31 min after the true last (10:00) — before the
+      // min/max guard, the late row rewound `last` to 09:59, making the
+      // 10:30 event split a session the batch form keeps together and
+      // emitting session_end < session_start
+      Seq((1L, ts("2026-01-01 09:59:00")), (1L, ts("2026-01-01 10:30:00")))
+        .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT session_seq, n_events, session_start, session_end
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+          |        ORDER BY n_events DESC) rn FROM sess_late) WHERE rn = 1""".stripMargin)
+        .collect()
+      assert(rows.length == 1) // one session, not a spurious split
+      val r = rows(0)
+      assert(r.getAs[Int]("n_events") == 3)
+      assert(!r.getAs[java.sql.Timestamp]("session_end")
+        .before(r.getAs[java.sql.Timestamp]("session_start")))
+      assert(r.getAs[java.sql.Timestamp]("session_start") == ts("2026-01-01 09:59:00"))
+      assert(r.getAs[java.sql.Timestamp]("session_end") == ts("2026-01-01 10:30:00"))
+    } finally q.stop()
+  }
+
+  test("followLive dir swap recovery heals every crash window") {
+    import java.nio.file.{Files => F, Paths}
+    def mk(dir: String, name: String, content: String): Unit = {
+      F.createDirectories(Paths.get(dir))
+      F.writeString(Paths.get(dir, name), content)
+    }
+    def readMarker(dir: String): String =
+      F.readString(Paths.get(dir, "m"))
+    // crash after move 1: target gone, __old + tmp present → the swap
+    // completes from tmp (tmp is the canonical rewrite)
+    val a = Files.createTempDirectory("graft_swap_a").toString + "/b.parquet"
+    mk(a + "__old", "m", "old"); mk(a + "__reorg_tmp", "m", "new")
+    FollowMode.recoverDir(a)
+    assert(readMarker(a) == "new" && !F.exists(Paths.get(a + "__old")))
+    // crash after move 1 with no tmp (shouldn't happen, but heals):
+    // restore the original
+    val b = Files.createTempDirectory("graft_swap_b").toString + "/b.parquet"
+    mk(b + "__old", "m", "old")
+    FollowMode.recoverDir(b)
+    assert(readMarker(b) == "old" && !F.exists(Paths.get(b + "__old")))
+    // crash mid-delete: live target beside a stale __old → __old cleaned
+    val c = Files.createTempDirectory("graft_swap_c").toString + "/b.parquet"
+    mk(c, "m", "new"); mk(c + "__old", "m", "old")
+    FollowMode.recoverDir(c)
+    assert(readMarker(c) == "new" && !F.exists(Paths.get(c + "__old")))
+    // healthy dir: no-op
+    FollowMode.recoverDir(c)
+    assert(readMarker(c) == "new")
+  }
+
   test("streaming exact dedup suppresses cross-batch duplicate content") {
     val src = Files.createTempDirectory("graft_dedup_src").toString
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
