@@ -335,7 +335,11 @@ object Freeze {
             .toDF("chunk_idx", "c_start", "c_end")
           // limit BEFORE collect: bounds the driver-side list, so a
           // high-cardinality dim fails fast instead of OOMing the driver.
-          val collected = filterBlocks(builderOf(canonical)(spark, sourceDir), range)
+          // spec.blocks, NOT the densified range: a Numbers list must
+          // not discover dim values that exist only at unlisted blocks
+          // (runTask's membership filter would then write empty
+          // partition files for them)
+          val collected = filterBlocks(builderOf(canonical)(spark, sourceDir), spec.blocks)
             .join(broadcast(bounds),
               col("block_number") >= col("c_start") &&
                 col("block_number") < col("c_end"))
@@ -487,8 +491,15 @@ object Freeze {
       case "csv" => writer.option("header", "true").csv(tmp.toString)
       case "json" => writer.json(tmp.toString)
     }
-    val part = Files.list(tmp).filter(p =>
-      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    // close the directory stream (one leaked fd per chunk adds up over a
+    // 1000-chunk freeze) and fail with the real cause if no part- file
+    // materialized instead of a bare NoSuchElementException
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(
+          s"freeze wrote no part- file under $tmp for $target"))
+      finally listing.close()
     Files.move(part, target, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(tmp)

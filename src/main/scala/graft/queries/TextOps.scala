@@ -222,6 +222,18 @@ object TextOps {
     * overhead. Candidate shingle sets are rebuilt by re-shingling ONLY
     * the candidate docs (a semi-join on the documents scan), not by
     * caching 10M+ rows. */
+  /** inner MEMORY_AND_DISK intermediates created by minhashPairsOf —
+    * tracked so clearAuditCache can release them: the outer cached
+    * frames' unpersist does not reach these, and a long-lived process
+    * sweeping many corpora would otherwise pin LSH intermediates in the
+    * block manager forever. */
+  private val innerPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private def trackPersist(df: DataFrame): DataFrame = {
+    innerPersists.add(df)
+    df
+  }
+
   def minhashPairsOf(docs: DataFrame, bucketCap: Int = LshBucketCap,
       broadcastMaxDocs: Long = RerankBroadcastMaxDocs,
       minJaccard: Double = 0.5): DataFrame = {
@@ -231,12 +243,12 @@ object TextOps {
     // Cap hot buckets BEFORE the self-join: a window count over the band
     // key shares the self-join's shuffle partitioning (band_idx,
     // band_hash), so the cap costs no extra exchange on the build side.
-    val capped = banded
+    val capped = trackPersist(banded
       .withColumn("bsz", count(lit(1))
         .over(Window.partitionBy("band_idx", "band_hash")))
       .filter(col("bsz") <= bucketCap)
       .drop("bsz")
-      .persist(StorageLevel.MEMORY_AND_DISK) // skinny; feeds both join sides
+      .persist(StorageLevel.MEMORY_AND_DISK)) // skinny; feeds both join sides
     // Banded self-join for candidate pairs. A bucket-local pair
     // generator (groupBy + collect_list + generator) was measured 25%
     // SLOWER at sf0.1: collect_list forces ObjectHashAggregate with no
@@ -244,12 +256,13 @@ object TextOps {
     // of skinny (band, id) rows.
     val l = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val r = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
-    val pairs = l.join(r, Seq("band_idx", "band_hash"))
+    val pairs = trackPersist(l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val candIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val candIds = trackPersist(pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
     // The broadcast decision needs the real survivor count — pairs is
     // persisted, so this is a cheap scalar action on a tiny table, the
     // price of never broadcasting an unbounded set.
@@ -266,7 +279,8 @@ object TextOps {
           GraftSql.column(graft.functions.ExplodeShingles(
             GraftSql.expression(toks), 3)).as("shingle"))
         .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
-    }.persist(StorageLevel.MEMORY_AND_DISK) // feeds TWO broadcast exchanges
+    }
+    trackPersist(candSets.persist(StorageLevel.MEMORY_AND_DISK)) // feeds TWO broadcast exchanges
     val shA = candSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = candSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     pairs
@@ -699,6 +713,16 @@ object TextOps {
     auditCache.clear()
     pairsCache.values.forEach(df => df.unpersist(false))
     pairsCache.clear()
+    // inner LSH intermediates (capped/pairs/candIds/candSets) are
+    // invisible to the outer unpersists — drain the tracked queue so a
+    // long-lived process actually reclaims the block-manager storage
+    var inner = innerPersists.poll()
+    while (inner != null) {
+      try if (!inner.sparkSession.sparkContext.isStopped)
+        inner.unpersist(false)
+      catch { case _: Throwable => () }
+      inner = innerPersists.poll()
+    }
   }
 
   /** Stage-survivor funnel over a corpus-prep audit table (see the

@@ -96,10 +96,13 @@ object RpcCodec {
     out
   }
 
-  /** 32-byte big-endian from a hex quantity of any width */
+  /** 32-byte big-endian from a hex quantity of any width; bare "0x" is
+    * zero (some clients encode empty quantities that way — parseHexLong
+    * already accepts it, and BigInteger("", 16) would throw). */
   def parseHexU256(s: String): Array[Byte] = {
     if (s == null) return null
-    val bi = new BigInteger(s.stripPrefix("0x"), 16)
+    val h = s.stripPrefix("0x")
+    val bi = if (h.isEmpty) BigInteger.ZERO else new BigInteger(h, 16)
     graft.functions.U256.toBytes32(bi)
   }
 
@@ -213,17 +216,20 @@ object RpcCodec {
   def batch(requests: Seq[String]): String = requests.mkString("[", ",", "]")
 }
 
-/** Simple token bucket for per-executor rate limiting (the reference's
-  * governor limiter, sources.rs:986-997). Thread-safe enough for one
-  * partition-iterator thread. */
-final class TokenBucket(ratePerSecond: Int) extends Serializable {
+/** Simple token bucket for rate limiting (the reference's governor
+  * limiter, sources.rs:986-997). Thread-safe enough for one
+  * partition-iterator thread. The rate is a Double: each task gets its
+  * SHARE of the global --requests-per-second (see rateShare), which for
+  * rate < tasks is fractional — an Int floor would read as 0 =
+  * unlimited, the exact opposite of a tight limit. */
+final class TokenBucket(ratePerSecond: Double) extends Serializable {
   private var last = System.nanoTime()
-  private var tokens = math.max(1.0, ratePerSecond.toDouble)
+  private var tokens = math.max(1.0, ratePerSecond)
   def acquire(): Unit = {
     if (ratePerSecond <= 0) return
     while ({
       val now = System.nanoTime()
-      tokens = math.min(ratePerSecond.toDouble,
+      tokens = math.min(ratePerSecond,
         tokens + (now - last) * 1e-9 * ratePerSecond)
       last = now
       tokens < 1.0
@@ -259,9 +265,14 @@ class RpcSource(config: RpcConfig) extends Serializable {
       catch {
         case e: Throwable =>
           last = e
-          Thread.sleep(backoff)
-          backoff *= 2 // exponential (args.rs:101-107)
           attempt += 1
+          // no sleep after the FINAL failure — the exception is about
+          // to surface and the largest backoff (up to ~64 s at the
+          // defaults) would be dead wait before rethrowing
+          if (attempt <= config.maxRetries) {
+            Thread.sleep(backoff)
+            backoff *= 2 // exponential (args.rs:101-107)
+          }
       }
     }
     throw last
@@ -296,6 +307,15 @@ class RpcSource(config: RpcConfig) extends Serializable {
     * tasks that fetch concurrently. */
   private def inflightWindow(numTasks: Int): Int =
     math.max(1, config.maxConcurrentRequests / math.max(1, numTasks))
+
+  /** each task's share of the GLOBAL --requests-per-second: the buckets
+    * are per-partition (one per mapPartitions task), so handing every
+    * task the full rate would multiply the aggregate send rate by the
+    * task count — the same division discipline as inflightWindow. ≤0
+    * stays "unlimited". */
+  private def rateShare(numTasks: Int): Double =
+    if (config.requestsPerSecond <= 0) 0.0
+    else config.requestsPerSecond.toDouble / math.max(1, numTasks)
 
   /** Sliding-window async request pipeline — the Spark-side equivalent of
     * cryo's per-request concurrency semaphore (sources.rs:114): up to
@@ -387,17 +407,30 @@ class RpcSource(config: RpcConfig) extends Serializable {
     val starts = range.start until range.endExclusive by conf.innerRequestSize
     val nParts = math.min(numPartitions, starts.size).max(1)
     val window = inflightWindow(nParts)
+    val rps = rateShare(nParts)
     val rdd = spark.sparkContext
       .parallelize(starts, nParts)
       .mapPartitions { ss =>
         val client = HttpClient.newHttpClient()
-        val bucket = new TokenBucket(conf.requestsPerSecond)
+        val bucket = new TokenBucket(rps)
         pipelinePosts(ss, window, client, bucket) { s0 =>
           val to = math.min(s0 + conf.innerRequestSize, range.endExclusive) - 1
           RpcCodec.getLogsRequestTopics(1, s0, to, address, topics)
-        }.flatMap { case (_, json) =>
-          val results = (JsonMethods.parse(json) \ "result") match {
-            case JArray(xs) => xs; case _ => Nil
+        }.flatMap { case (s0, json) =>
+          val parsed = JsonMethods.parse(json)
+          val results = (parsed \ "result") match {
+            case JArray(xs) => xs
+            case JNothing | JNull =>
+              // an error response (e.g. the ubiquitous provider cap
+              // "query returned more than 10000 results") must FAIL the
+              // range, not silently write a bronze missing its logs
+              throw new RuntimeException(
+                s"eth_getLogs failed for blocks from $s0: " +
+                  JsonMethods.compact(JsonMethods.render(parsed \ "error")) +
+                  " — lower --inner-request-size to shrink the window")
+            case other => throw new RuntimeException(
+              s"eth_getLogs: unexpected result shape from $s0: " +
+                JsonMethods.compact(JsonMethods.render(other)).take(200))
           }
           results.iterator.map { r =>
             def str(k: String): String = (r \ k) match {
@@ -446,16 +479,17 @@ class RpcSource(config: RpcConfig) extends Serializable {
       request: (Long, Long) => String): org.apache.spark.rdd.RDD[(Long, String)] = {
     val conf = config
     val window = inflightWindow(numPartitions)
+    val rps = rateShare(numPartitions)
     spark.sparkContext
       .range(range.start, range.endExclusive, numSlices = numPartitions)
       .mapPartitions { nums =>
         val client = HttpClient.newHttpClient()
-        val bucket = new TokenBucket(conf.requestsPerSecond)
+        val bucket = new TokenBucket(rps)
         pipelinePosts(nums.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
             window, client, bucket) { blocks =>
           RpcCodec.batch(blocks.zipWithIndex.map { case (n, i) => request(i, n) })
         }.flatMap { case (blocks, json) =>
-          blocks.zip(RpcSource.splitBatch(json))
+          blocks.zip(RpcSource.splitBatch(json, blocks.size))
         }
       }
   }
@@ -481,11 +515,12 @@ class RpcSource(config: RpcConfig) extends Serializable {
       numPartitions: Int = 32): DataFrame = {
     val conf = config
     val window = inflightWindow(numPartitions)
+    val rps = rateShare(numPartitions)
     val rdd = spark.sparkContext
       .range(range.start, range.endExclusive, numSlices = numPartitions)
       .mapPartitions { nums =>
         val client = HttpClient.newHttpClient()
-        val bucket = new TokenBucket(conf.requestsPerSecond)
+        val bucket = new TokenBucket(rps)
         val failed = scala.collection.mutable.ArrayBuffer.empty[Long]
         val fast = pipelinePosts(
             nums.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
@@ -493,7 +528,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
           RpcCodec.batch(blocks.zipWithIndex.map { case (n, i) =>
             RpcCodec.getBlockReceiptsRequest(i, n) })
         }.flatMap { case (blocks, json) =>
-          blocks.zip(RpcSource.splitBatch(json)).flatMap { case (n, part) =>
+          blocks.zip(RpcSource.splitBatch(json, blocks.size)).flatMap { case (n, part) =>
             if (RpcSource.isError(part)) { failed += n; Nil }
             else RpcExtract.blockReceipts(part)
           }
@@ -507,7 +542,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
             RpcCodec.batch(blocks.zipWithIndex.map { case (n, i) =>
               RpcCodec.getBlockRequest(i, n, fullTxs = false) })
           }.flatMap { case (blocks, json) =>
-            blocks.zip(RpcSource.splitBatch(json))
+            blocks.zip(RpcSource.splitBatch(json, blocks.size))
               .flatMap { case (_, part) => RpcExtract.blockTxHashes(part) }
           }
           pipelinePosts(hashes.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
@@ -515,7 +550,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
             RpcCodec.batch(hs.zipWithIndex.map { case (h, i) =>
               RpcCodec.getTransactionReceiptRequest(i, h) })
           }.flatMap { case (hs, json) =>
-            hs.zip(RpcSource.splitBatch(json))
+            hs.zip(RpcSource.splitBatch(json, hs.size))
               .flatMap { case (_, part) => RpcExtract.transactionReceipt(part) }
           }
         }
@@ -554,7 +589,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
     * into the per-family bronze shapes — the node is hit once per block,
     * not once per family. Caller unpersists via the returned handle. */
   def fetchStateDiffs(spark: SparkSession, range: BlockSyntax.Range,
-      numPartitions: Int = 32): Map[String, DataFrame] = {
+      numPartitions: Int = 32): (Map[String, DataFrame], () => Unit) = {
     val conf = config
     val unified = fetchPerBlock(spark, range,
       RpcSource.stateDiffUnionSchema, numPartitions)(
@@ -589,7 +624,11 @@ class RpcSource(config: RpcConfig) extends Serializable {
           col("to_long").as("to_value"), col("chain_id")): _*),
       "rpc_storage_diffs" -> unified.filter(col("kind") === "storage")
         .select(common ++ Seq(col("slot"), col("from_bin").as("from_value"),
-          col("to_bin").as("to_value"), col("chain_id")): _*))
+          col("to_bin").as("to_value"), col("chain_id")): _*)) ->
+      // unpersist handle — same contract as fetchBlocksAndTransactions:
+      // the caller frees the shared replay pass after writing all four
+      // bronzes, or the MEMORY_AND_DISK blocks pin for the session
+      (() => { unified.unpersist(); () })
   }
 
   /** rpc_calls via batched eth_call: the (contract, calldata) cross
@@ -601,18 +640,19 @@ class RpcSource(config: RpcConfig) extends Serializable {
     val work = for (b <- blocks; (to, data) <- calls) yield (b, to, data)
     val nParts = math.min(numPartitions, work.size).max(1)
     val window = inflightWindow(nParts)
+    val rps = rateShare(nParts)
     val rdd = spark.sparkContext
       .parallelize(work, nParts)
       .mapPartitions { items =>
         val client = HttpClient.newHttpClient()
-        val bucket = new TokenBucket(conf.requestsPerSecond)
+        val bucket = new TokenBucket(rps)
         pipelinePosts(items.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
             window, client, bucket) { group =>
           RpcCodec.batch(group.zipWithIndex.map { case ((b, to, data), i) =>
             RpcCodec.ethCallRequest(i, to, data, b)
           })
         }.flatMap { case (group, json) =>
-          group.zip(RpcSource.splitBatch(json)).map { case ((b, to, data), res) =>
+          group.zip(RpcSource.splitBatch(json, group.size)).map { case ((b, to, data), res) =>
             RpcExtract.ethCallRow(b.toInt, RpcCodec.parseHexBytes(to),
               RpcCodec.parseHexBytes(data), res, conf.chainId)
           }
@@ -658,11 +698,12 @@ class RpcSource(config: RpcConfig) extends Serializable {
     val work = for (b <- blocks; a <- addresses) yield (b, a)
     val nParts = math.min(numPartitions, work.size).max(1)
     val window = inflightWindow(nParts)
+    val rps = rateShare(nParts)
     val rdd = spark.sparkContext
       .parallelize(work, nParts)
       .mapPartitions { items =>
         val client = HttpClient.newHttpClient()
-        val bucket = new TokenBucket(conf.requestsPerSecond)
+        val bucket = new TokenBucket(rps)
         pipelinePosts(items.grouped((conf.innerRequestSize.toInt / 3).max(1))
             .map(_.toSeq), window, client, bucket) { group =>
           RpcCodec.batch(group.zipWithIndex.flatMap { case ((b, a), i) => Seq(
@@ -671,7 +712,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
             RpcCodec.getCodeRequest(3L * i + 2, a, b))
           })
         }.flatMap { case (group, json) =>
-          val parts = RpcSource.splitBatch(json).grouped(3).toSeq
+          val parts = RpcSource.splitBatch(json, group.size * 3).grouped(3).toSeq
           group.zip(parts).map { case ((b, a), triple) =>
             val Seq(balB, nonB, codB) = triple: @unchecked
             def res(s: String): String = {
@@ -699,18 +740,19 @@ class RpcSource(config: RpcConfig) extends Serializable {
     val work = for (b <- blocks; (a, s) <- slots) yield (b, a, s)
     val nParts = math.min(numPartitions, work.size).max(1)
     val window = inflightWindow(nParts)
+    val rps = rateShare(nParts)
     val rdd = spark.sparkContext
       .parallelize(work, nParts)
       .mapPartitions { items =>
         val client = HttpClient.newHttpClient()
-        val bucket = new TokenBucket(conf.requestsPerSecond)
+        val bucket = new TokenBucket(rps)
         pipelinePosts(items.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
             window, client, bucket) { group =>
           RpcCodec.batch(group.zipWithIndex.map { case ((b, a, s), i) =>
             RpcCodec.getStorageAtRequest(i, a, s, b)
           })
         }.flatMap { case (group, json) =>
-          group.zip(RpcSource.splitBatch(json)).map { case ((b, a, s), part) =>
+          group.zip(RpcSource.splitBatch(json, group.size)).map { case ((b, a, s), part) =>
             import org.json4s._
             val v = (org.json4s.jackson.JsonMethods.parse(part) \ "result") match {
               case JString(x) => RpcCodec.parseHexU256(x); case _ => null
@@ -731,18 +773,19 @@ class RpcSource(config: RpcConfig) extends Serializable {
     val work = for (b <- blocks; (to, data) <- calls) yield (b, to, data)
     val nParts = math.min(numPartitions, work.size).max(1)
     val window = inflightWindow(nParts)
+    val rps = rateShare(nParts)
     val rdd = spark.sparkContext
       .parallelize(work, nParts)
       .mapPartitions { items =>
         val client = HttpClient.newHttpClient()
-        val bucket = new TokenBucket(conf.requestsPerSecond)
+        val bucket = new TokenBucket(rps)
         pipelinePosts(items.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
             window, client, bucket) { group =>
           RpcCodec.batch(group.zipWithIndex.map { case ((b, to, data), i) =>
             RpcCodec.traceCallRequest(i, to, data, b)
           })
         }.flatMap { case (group, json) =>
-          group.zip(RpcSource.splitBatch(json)).flatMap { case ((b, to, data), part) =>
+          group.zip(RpcSource.splitBatch(json, group.size)).flatMap { case ((b, to, data), part) =>
             RpcExtract.traceCallRows(part, b.toInt,
               RpcCodec.parseHexBytes(to), RpcCodec.parseHexBytes(data),
               conf.chainId)
@@ -852,11 +895,12 @@ class RpcSource(config: RpcConfig) extends Serializable {
     put("rpc_geth_opcodes")(fetchGethOpcodes(spark, range, numPartitions))
     put("rpc_vm_traces")(fetchVmTraces(spark, range, numPartitions))
     if (need.exists(_.endsWith("_diffs"))) {
-      val diffs = fetchStateDiffs(spark, range, numPartitions)
+      val (diffs, diffsDone) = fetchStateDiffs(spark, range, numPartitions)
       diffs.foreach { case (name, df) =>
         if (need(name))
           df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       }
+      diffsDone()
     }
     if (need("rpc_accounts")) {
       require(addresses.nonEmpty,
@@ -907,10 +951,11 @@ class RpcSource(config: RpcConfig) extends Serializable {
       .parquet(s"$outDir/rpc_traces.parquet")
     fetchGethPrestate(spark, range).write.mode("overwrite")
       .parquet(s"$outDir/rpc_geth_prestate.parquet")
-    val diffs = fetchStateDiffs(spark, range)
+    val (diffs, diffsDone) = fetchStateDiffs(spark, range)
     diffs.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
+    diffsDone()
     fetchGethOpcodes(spark, range).write.mode("overwrite")
       .parquet(s"$outDir/rpc_geth_opcodes.parquet")
     fetchVmTraces(spark, range).write.mode("overwrite")
@@ -923,22 +968,44 @@ object RpcSource {
     * order (ids are the batch indices). The `error` member rides along
     * so callers can detect per-request failures (a node rejecting one
     * method still answers 200 with an error object per request). */
-  def splitBatch(json: String): Seq[String] = {
+  def splitBatch(json: String, expected: Int = -1): Seq[String] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(json) match {
-      case JArray(xs) => xs.sortBy(x => (x \ "id") match {
-        case JInt(i) => i.toLong; case _ => 0L
-      }).map(x => JsonMethods.compact(JsonMethods.render(
-        JObject("result" -> (x \ "result"), "error" -> (x \ "error")))))
-      case _ => Nil
+      case JArray(xs) =>
+        // short batches MUST fail here: every caller zips the request
+        // list positionally against this result, so a node answering
+        // fewer responses than requests would silently drop work or
+        // pair block k with block k+1's response
+        if (expected >= 0 && xs.size != expected)
+          throw new RuntimeException(
+            s"JSON-RPC batch answered ${xs.size} of $expected requests; " +
+              "lower --inner-request-size if the node caps batch sizes")
+        xs.sortBy(x => (x \ "id") match {
+          case JInt(i) => i.toLong; case _ => 0L
+        }).map(x => JsonMethods.compact(JsonMethods.render(
+          JObject("result" -> (x \ "result"), "error" -> (x \ "error")))))
+      case other =>
+        // a batch-LEVEL failure (provider rejecting batch requests, a
+        // size cap, a proxy error body) answers 200 with a single
+        // object — returning Nil here silently vanished whole batches
+        val err = (other \ "error") match {
+          case JNothing => json.take(200)
+          case e => JsonMethods.compact(JsonMethods.render(e))
+        }
+        throw new RuntimeException(s"JSON-RPC batch request failed: $err")
     }
   }
 
-  /** true when a split response part carries a JSON-RPC error object */
+  /** true when a split response part carries a JSON-RPC error object —
+    * an explicit `"error": null` member (some nodes always emit the
+    * field) is NOT an error */
   def isError(part: String): Boolean = {
     import org.json4s._
-    (org.json4s.jackson.JsonMethods.parse(part) \ "error") != JNothing
+    (org.json4s.jackson.JsonMethods.parse(part) \ "error") match {
+      case JNothing | JNull => false
+      case _ => true
+    }
   }
 
   private def f(n: String, t: DataType, nullable: Boolean = true) = StructField(n, t, nullable)

@@ -512,7 +512,9 @@ class DifferentialSpec extends AnyFunSuite {
       put("rpc_geth_opcodes")(src.fetchGethOpcodes(spark, range, 4))
       put("rpc_vm_traces")(src.fetchVmTraces(spark, range, 4))
       put("rpc_js_traces")(src.fetchJsTraces(spark, range, "{fake: true}", 4))
-      src.fetchStateDiffs(spark, range, 4).foreach { case (name, df) => put(name)(df) }
+      val (sd, sdDone) = src.fetchStateDiffs(spark, range, 4)
+      sd.foreach { case (name, df) => put(name)(df) }
+      sdDone()
 
       // entity-scoped bronzes: work lists pinned from the fixture's own
       // entities — the cryo_test per-datatype params (defaults.py pins

@@ -1065,6 +1065,28 @@ class RpcCodecSpec extends AnyFunSuite {
     assert(RpcCodec.parseHexBytes("0xabc").toSeq == Seq(0x0a.toByte, 0xbc.toByte)) // odd-width pad
     val u = RpcCodec.parseHexU256("0xff")
     assert(u.length == 32 && (u(31) & 0xff) == 255)
+    // bare "0x" (empty quantity, seen in the wild for zero) is zero —
+    // BigInteger("", 16) would otherwise throw and kill the task
+    assert(RpcCodec.parseHexU256("0x").forall(_ == 0))
+  }
+
+  test("batch response guards: short batches, batch-level errors, error:null") {
+    import graft.sources.RpcSource
+    // a node answering fewer responses than requests must fail the batch
+    // (positional zips would misalign blocks with responses)
+    val short = """[{"id":0,"result":"0x1"}]"""
+    val e1 = intercept[RuntimeException] { RpcSource.splitBatch(short, 2) }
+    assert(e1.getMessage.contains("answered 1 of 2"))
+    assert(RpcSource.splitBatch(short, 1).size == 1)
+    // a batch-LEVEL failure answers 200 with a single error object —
+    // previously Nil, which silently vanished the whole batch
+    val rejected = """{"id":null,"error":{"code":-32600,"message":"batch too large"}}"""
+    val e2 = intercept[RuntimeException] { RpcSource.splitBatch(rejected, 2) }
+    assert(e2.getMessage.contains("batch too large"))
+    // an explicit "error": null member is not an error; receipts would
+    // otherwise fall back to per-tx fetches for every block
+    assert(!RpcSource.isError("""{"result":[1],"error":null}"""))
+    assert(RpcSource.isError("""{"result":null,"error":{"code":1}}"""))
   }
 }
 

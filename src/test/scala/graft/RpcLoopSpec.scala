@@ -348,7 +348,7 @@ class RpcLoopSpec extends AnyFunSuite {
 
   test("fetchStateDiffs: one replay pass feeds all four diff bronzes") {
     withStub { (url, posts) =>
-      val diffs = src(url).fetchStateDiffs(spark, range, numPartitions = 1)
+      val (diffs, diffsDone) = src(url).fetchStateDiffs(spark, range, numPartitions = 1)
       // per block: 2 txs × (addr1: balance,nonce,storage; addr2: balance,code)
       assert(diffs("rpc_balance_diffs").count() == 16)
       assert(diffs("rpc_nonce_diffs").count() == 8)
@@ -363,6 +363,7 @@ class RpcLoopSpec extends AnyFunSuite {
       val added = bal.filter(_.getAs[Array[Byte]]("from_value").forall(_ == 0))
       assert(added.nonEmpty)
       assert(added.head.getAs[Array[Byte]]("to_value").last == 5.toByte)
+      diffsDone() // release the shared replay-pass persist
     }
   }
 
