@@ -55,6 +55,23 @@ def cli_args(*datatypes, **kwargs):
     return argv
 
 
+def _convert(df, output_format):
+    """spark | pandas | list (records) | dict (columns) — the one
+    conversion ladder every DataFrame-returning entry point shares
+    (mirroring python/cryo/_collect.py's output choices). Unknown
+    formats fail BEFORE any toPandas work."""
+    if output_format == "spark":
+        return df
+    if output_format not in ("pandas", "list", "dict"):
+        raise ValueError(f"unknown output_format: {output_format}")
+    pdf = df.toPandas()
+    if output_format == "pandas":
+        return pdf
+    if output_format == "list":
+        return pdf.to_dict("records")
+    return pdf.to_dict("list")
+
+
 def _jarr(spark, argv):
     gateway = spark.sparkContext._gateway
     arr = gateway.new_array(gateway.jvm.java.lang.String, len(argv))
@@ -77,17 +94,7 @@ def collect(datatype, spark=None, output_format="pandas", **kwargs):
 
     argv = cli_args(datatype, **kwargs)
     jdf = spark._jvm.graft.Cli.collectDf(_jarr(spark, argv), spark._jsparkSession)
-    df = DataFrame(jdf, spark)
-    if output_format == "spark":
-        return df
-    pdf = df.toPandas()
-    if output_format == "pandas":
-        return pdf
-    if output_format == "list":
-        return pdf.to_dict("records")
-    if output_format == "dict":
-        return pdf.to_dict("list")
-    raise ValueError(f"unknown output_format: {output_format}")
+    return _convert(DataFrame(jdf, spark), output_format)
 
 
 def pipeline(query, sf_dir, spark=None, output_format="spark"):
@@ -103,17 +110,7 @@ def pipeline(query, sf_dir, spark=None, output_format="spark"):
 
     argv = [query, sf_dir, "--show", "0"]
     jdf = spark._jvm.graft.Cli.pipelineDf(_jarr(spark, argv), spark._jsparkSession)
-    df = DataFrame(jdf, spark)
-    if output_format == "spark":
-        return df
-    pdf = df.toPandas()
-    if output_format == "pandas":
-        return pdf
-    if output_format == "list":
-        return pdf.to_dict("records")
-    if output_format == "dict":
-        return pdf.to_dict("list")
-    raise ValueError(f"unknown output_format: {output_format}")
+    return _convert(DataFrame(jdf, spark), output_format)
 
 
 def freeze(*datatypes, spark=None, **kwargs):
@@ -145,17 +142,7 @@ def read_lake(datatype, lake_dir, spark=None, output_format="spark",
 
     argv = cli_args(datatype, lake_dir=lake_dir, **kwargs)
     jdf = spark._jvm.graft.Cli.lakeDf(_jarr(spark, argv), spark._jsparkSession)
-    df = DataFrame(jdf, spark)
-    if output_format == "spark":
-        return df
-    pdf = df.toPandas()
-    if output_format == "pandas":
-        return pdf
-    if output_format == "list":
-        return pdf.to_dict("records")
-    if output_format == "dict":
-        return pdf.to_dict("list")
-    raise ValueError(f"unknown output_format: {output_format}")
+    return _convert(DataFrame(jdf, spark), output_format)
 
 
 def compact_lake(lake_dir, target_chunk_size, spark=None, network=None,

@@ -115,7 +115,11 @@ object ChainDatasets {
           .sortWithinPartitions("block_number", "log_index")
       case Some(sig) =>
         val event = Abi.parseEvent(sig)
-        val base = TableSchema.resolve(Datatypes.logs)
+        // the user's column selection applies to the BASE columns in
+        // the decode branch too (the None arm honors it; silently
+        // dropping --columns/--include/--exclude here diverged) —
+        // decode-consumed topics/data stay excluded either way
+        val base = TableSchema.resolve(Datatypes.logs, include, exclude, columns)
           .filterNot(Seq("topic1", "topic2", "topic3", "data").contains)
         val decoded = split
           .withColumn("dec", Abi.decodeEvent(col("topics"), col("data"), sig))
@@ -277,12 +281,17 @@ object ChainDatasets {
   def fourByteCounts(spark: SparkSession, dir: String): DataFrame =
     fx(spark, dir, "rpc_traces")
       .filter(col("transaction_hash").isNotNull && length(col("action_input")) >= 4)
+      // chain_id rides the groupBy from the bronze (constant per chain,
+      // a grouping key so multi-chain lakes never cross-attribute) —
+      // NOT a fixture literal, which stamped Ethereum onto every chain
       .groupBy(col("block_number"), col("transaction_index"),
         col("transaction_hash"),
         expr("substring(action_input, 1, 4)").as("signature"),
-        length(col("action_input")).cast("long").as("size"))
+        length(col("action_input")).cast("long").as("size"),
+        col("chain_id"))
       .agg(count(lit(1)).as("count"))
-      .withColumn("chain_id", lit(GenFixtures.ChainId))
+      .select("block_number", "transaction_index", "transaction_hash",
+        "signature", "size", "count", "chain_id")
       .sortWithinPartitions("block_number", "transaction_index")
 
   /** datasets/address_appearances.rs:15-344 — union of address mentions

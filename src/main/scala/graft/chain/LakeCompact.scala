@@ -62,13 +62,23 @@ object LakeCompact {
       network: Option[String] = None,
       upTo: Option[Long] = None): Seq[String] = {
     require(targetBlocks > 0, "targetBlocks must be positive")
-    val all = Lake.listChunks(dir)
+    val candidates = Lake.listChunks(dir)
       .filter(f => network.forall(_ == f.network))
       .filter(f => upTo.forall(f.endInclusive <= _))
-    val bad = all.filter(_.format != "parquet")
-    require(bad.isEmpty,
-      s"lake compaction is parquet-only; found ${bad.head.format} files " +
-        s"(e.g. ${bad.head.path}) — csv/json round-trips re-infer schemas")
+    // compaction is parquet-only (csv/json round-trips re-infer
+    // schemas), but one csv export must not block merging a lake's
+    // thousands of parquet files: non-parquet GROUPS are skipped with
+    // a loud note, and only a lake with nothing compactable at all
+    // still fails
+    val (all, nonParquet) = candidates.partition(_.format == "parquet")
+    if (nonParquet.nonEmpty) {
+      require(all.nonEmpty,
+        s"lake compaction is parquet-only; found ${nonParquet.head.format} " +
+          s"files (e.g. ${nonParquet.head.path}) — csv/json round-trips " +
+          "re-infer schemas")
+      System.err.println(s"[lake compact] skipping ${nonParquet.size} " +
+        s"non-parquet file(s) (parquet-only; e.g. ${nonParquet.head.path})")
+    }
     val written = Seq.newBuilder[String]
     all.groupBy(f => (Paths.get(f.path).getParent, f.network, f.dataset,
         f.tags)).foreach { case ((parent, net, dataset, tags), group) =>
@@ -98,7 +108,18 @@ object LakeCompact {
         if (!Files.exists(target)) {
           val paths = run.map(_.path)
           val src = spark.read.parquet(paths: _*)
-          val expected = src.count()
+          // the row-preservation recheck reads source FOOTERS, not data:
+          // a src.count() pre-pass re-scanned every run twice (the exact
+          // cost writeOneFile's observe metric exists to avoid) — the
+          // footer record counts are the same independent ground truth
+          // at near-zero I/O
+          val hconf = spark.sessionState.newHadoopConf()
+          val expected = run.map { f =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.path), hconf))
+            try reader.getRecordCount finally reader.close()
+          }.sum
           val sortKeys = TableSchema.defaultSort(Datatypes(dataset))
             .filter(src.columns.contains)
           val ordered =

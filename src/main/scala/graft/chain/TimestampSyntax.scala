@@ -12,25 +12,37 @@ import org.apache.spark.sql.functions._
   * (≤-semantics, timestamps.rs:274-311) via binary search over the blocks
   * source — driver-side, memoized, O(log n) point lookups.
   */
-class TimestampResolver(lookup: Long => Option[Long], minBlock: Long, maxBlock: Long) {
-  private val memo = scala.collection.mutable.HashMap.empty[Long, Option[Long]]
+/** `lookup(n)` is a FLOOR probe: the greatest EXISTING block ≤ n with
+  * its timestamp. Probing by floor (not exact match) keeps the binary
+  * search correct over a blocks source with coverage gaps — a lake with
+  * ranges 0..999 and 2000..2999 frozen must resolve a timestamp inside
+  * the 2000s to a 2000s block, not silently converge into the low
+  * chunk because the exact probe at a missing block "looked late". */
+class TimestampResolver(lookup: Long => Option[(Long, Long)],
+    minBlock: Long, maxBlock: Long) {
+  private val memo =
+    scala.collection.mutable.HashMap.empty[Long, Option[(Long, Long)]]
 
-  private def tsOf(block: Long): Option[Long] =
+  private def floorOf(block: Long): Option[(Long, Long)] =
     memo.getOrElseUpdate(block, lookup(block))
 
-  /** greatest block with timestamp <= t; None if t precedes the chain */
+  /** greatest existing block with timestamp <= t; None if t precedes
+    * the chain (gap-safe: a probe landing in a hole steps to the
+    * nearest real block below it, or searches upward if none) */
   def blockAtOrBefore(t: Long): Option[Long] = {
-    if (tsOf(minBlock).exists(_ > t)) return None
     var lo = minBlock
     var hi = maxBlock
-    while (lo < hi) { // invariant: ts(lo) <= t
-      val mid = lo + (hi - lo + 1) / 2
-      tsOf(mid) match {
-        case Some(ts) if ts <= t => lo = mid
-        case _ => hi = mid - 1
+    var best: Option[Long] = None
+    while (lo <= hi) {
+      val mid = lo + (hi - lo) / 2
+      floorOf(mid) match {
+        case None => lo = mid + 1 // no block at or below mid
+        case Some((b, ts)) =>
+          if (ts <= t) { best = Some(b); lo = mid + 1 }
+          else hi = b - 1 // skip the gap straight to below the floor
       }
     }
-    Some(lo)
+    best
   }
 }
 
@@ -56,25 +68,35 @@ object TimestampSyntax {
     }
   }
 
-  /** resolver backed by a blocks DataFrame (fixture or bronze) */
+  /** resolver backed by a blocks DataFrame (fixture or bronze); the
+    * floor probe is one ≤-filtered top-1 scan per UNIQUE probe
+    * (memoized), with the predicate pushed to parquet row-group stats */
   def resolverFor(blocks: DataFrame): TimestampResolver = {
     val bounds = blocks.agg(min("block_number"), max("block_number")).collect()(0)
     val (lo, hi) = (bounds.getInt(0).toLong, bounds.getInt(1).toLong)
     val lookup = (n: Long) =>
-      blocks.filter(col("block_number") === n)
-        .select(col("timestamp").cast("long")).collect()
-        .headOption.map(_.getLong(0))
+      blocks.filter(col("block_number") <= n)
+        .orderBy(col("block_number").desc).limit(1)
+        .select(col("block_number").cast("long"), col("timestamp").cast("long"))
+        .collect()
+        .headOption.map(r => (r.getLong(0), r.getLong(1)))
     new TimestampResolver(lookup, lo, hi)
   }
 
-  /** `tsA:tsB` → block Range via ≤-resolution at both ends */
+  /** `tsA:tsB` → block Range via ≤-resolution at both ends. Either end
+    * may be EMPTY for an open bound — `-1d:` is "the last day of
+    * blocks" (end = now), `:1700000000` is "chain start through t"
+    * (split with limit -1: Java's split drops trailing empty tokens
+    * otherwise, rejecting the documented open-end grammar). */
   def resolveRange(spec: String, blocks: DataFrame, now: Long): BlockSyntax.Range = {
     val r = resolverFor(blocks)
-    val parts = spec.split(':')
+    val parts = spec.split(":", -1)
     require(parts.length == 2, s"timestamp range needs a:b, got $spec")
-    val a = parseTimestamp(parts(0), now)
-    val b = parseTimestamp(parts(1), now)
-    val start = r.blockAtOrBefore(a).getOrElse(0L)
+    val a =
+      if (parts(0).trim.isEmpty) None else Some(parseTimestamp(parts(0), now))
+    val b = parseTimestamp(
+      if (parts(1).trim.isEmpty) "now" else parts(1), now)
+    val start = a.flatMap(r.blockAtOrBefore).getOrElse(0L)
     val end = r.blockAtOrBefore(b).getOrElse(
       throw new IllegalArgumentException(s"end timestamp $b precedes chain"))
     BlockSyntax.Range(start, end + 1)

@@ -74,6 +74,19 @@ object IndexCompact {
   private def foldMarkerPath(dir: String, artifact: String) =
     Paths.get(s"$dir/$artifact.fold_pending")
 
+  /** per-(dir, artifact) in-process lock: read()'s recovery and
+    * rewrite()'s swap are mutually exclusive, so a concurrent search
+    * can never mistake an IN-FLIGHT compact's tmp dir or fold marker
+    * for crash leftovers and destroy them (previously a read during a
+    * fold could delete the marker a post-swap crash needed, silently
+    * double-counting folded stream rows forever, or delete the tmp a
+    * running compact was about to move). Cross-PROCESS concurrent
+    * compaction remains out of contract (class doc). */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def lockFor(dir: String, artifact: String): Object =
+    locks.computeIfAbsent(s"$dir/$artifact", _ => new Object)
+
   /** Restore a crash-interrupted swap: a crash between the two
     * ATOMIC_MOVEs leaves only `.compact_old` → move it back; a crash
     * just after the second move leaves both → the new layout is live,
@@ -81,27 +94,41 @@ object IndexCompact {
     * side-artifact: it is written after the tmp layout (which contains
     * the folded side rows) is complete, so marker + tmp still present
     * means the swap never happened (side rows live ONLY in the
-    * side-artifact → keep it, drop the marker), while marker + no tmp
-    * means the folded layout went live (the side rows are now IN the
-    * main artifact → finish the crash-interrupted side delete, or
-    * read() would union them in twice). Idempotent, cheap (few stats). */
-  private def recover(spark: SparkSession, dir: String, artifact: String): Unit = {
+    * side-artifact → keep it), while marker + no tmp means the folded
+    * layout went live (the side rows are now IN the main artifact →
+    * finish the crash-interrupted side delete, or read() would union
+    * them in twice). Idempotent, cheap (few stats).
+    *
+    * `destructive = false` (the read path) performs only the RESTORE
+    * actions — moving `.compact_old` back and finishing a completed
+    * fold's side delete. Dropping a stale tmp dir, a pre-swap fold
+    * marker, or a stale `.compact_old` is left to the compact path:
+    * those states are also exactly what an in-flight rewrite looks
+    * like, and only compact (serialized by the lock) can know the
+    * difference. */
+  private def recover(spark: SparkSession, dir: String, artifact: String,
+      destructive: Boolean = false): Unit = lockFor(dir, artifact).synchronized {
     val target = Paths.get(s"$dir/$artifact")
     val tmp = Paths.get(s"$dir/$artifact.compact_tmp")
     val marker = foldMarkerPath(dir, artifact)
     if (Files.exists(marker)) {
-      if (!Files.exists(tmp)) deleteRecursively(Paths.get(streamPath(dir, artifact)))
-      Files.delete(marker)
+      if (!Files.exists(tmp)) {
+        // fold swap completed, crash before the side delete — finish it
+        deleteRecursively(Paths.get(streamPath(dir, artifact)))
+        Files.delete(marker)
+      } else if (destructive) Files.delete(marker) // pre-swap crash leftover
     }
     val old = Paths.get(s"$dir/$artifact.compact_old")
     if (Files.exists(old)) {
       if (!Files.exists(target)) {
         Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
         spark.catalog.refreshByPath(target.toString)
-      } else deleteRecursively(old)
+      } else if (destructive) deleteRecursively(old)
     }
-    // a tmp dir with a live target is an aborted rewrite — drop it
-    if (Files.exists(tmp) && Files.exists(target)) deleteRecursively(tmp)
+    // a tmp dir with a live target is an aborted (or in-flight) rewrite
+    // — only the compact path may drop it
+    if (destructive && Files.exists(tmp) && Files.exists(target))
+      deleteRecursively(tmp)
   }
 
   /** the main artifact read through its pinned sidecar schema (column
@@ -138,7 +165,7 @@ object IndexCompact {
   private def rewrite(spark: SparkSession, dir: String, artifact: String,
       partitionCols: Seq[String], sortCols: Seq[String],
       foldStream: Boolean): Unit = {
-    recover(spark, dir, artifact)
+    recover(spark, dir, artifact, destructive = true)
     val sidePath = Paths.get(streamPath(dir, artifact))
     // non-fold: main artifact only — an active ingest keeps appending
     // to the side-artifact undisturbed; read() unions it at query time
@@ -163,35 +190,47 @@ object IndexCompact {
     // swap old -> .old, tmp -> live, drop .old — every crash point
     // leaves a recoverable, schema-pinned, not-double-counted artifact
     // (see recover)
-    Files.writeString(Paths.get(sidecarPath(dir, artifact)), schemaJson)
-    val folding = foldStream && Files.exists(sidePath)
-    if (folding) Files.writeString(foldMarkerPath(dir, artifact), "")
-    val old = Paths.get(s"$dir/$artifact.compact_old")
-    deleteRecursively(old)
-    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-    if (folding) {
-      deleteRecursively(sidePath)
-      Files.delete(foldMarkerPath(dir, artifact))
+    // the swap runs under the artifact lock so a concurrent read()'s
+    // recovery can neither restore the parked .compact_old mid-swap
+    // nor observe the marker/tmp in a half-written state
+    lockFor(dir, artifact).synchronized {
+      Files.writeString(Paths.get(sidecarPath(dir, artifact)), schemaJson)
+      val folding = foldStream && Files.exists(sidePath)
+      if (folding) Files.writeString(foldMarkerPath(dir, artifact), "")
+      val old = Paths.get(s"$dir/$artifact.compact_old")
+      deleteRecursively(old)
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+      if (folding) {
+        deleteRecursively(sidePath)
+        Files.delete(foldMarkerPath(dir, artifact))
+      }
+      // the swap happened outside Spark's writers: drop any cached file
+      // listings for the artifact path or later scans chase renamed
+      // files
+      spark.catalog.refreshByPath(target.toString)
     }
-    // the swap happened outside Spark's writers: drop any cached file
-    // listings for the artifact path or later scans chase renamed files
-    spark.catalog.refreshByPath(target.toString)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally walk.close() // unclosed walks leak directory fds
     }
 
   /** number of parquet data files under an artifact (spec observability) */
   def dataFileCount(dir: String, artifact: String): Long = {
     val root = Paths.get(s"$dir/$artifact")
     if (!Files.exists(root)) 0L
-    else Files.walk(root).filter(p => p.toString.endsWith(".parquet") ||
-      p.toString.endsWith(".snappy.parquet")).count()
+    else {
+      val walk = Files.walk(root)
+      try walk.filter(p => p.toString.endsWith(".parquet") ||
+        p.toString.endsWith(".snappy.parquet")).count()
+      finally walk.close()
+    }
   }
 
   /** Compact whatever index lives at `dir`: an IVF-PQ index (has
@@ -207,7 +246,7 @@ object IndexCompact {
     // a crash between the swap moves leaves only `.compact_old`, which
     // must count as the artifact being present
     for (a <- Seq("codes.parquet", "bands.parquet", "fps.parquet", "sigs.parquet"))
-      recover(spark, dir, a)
+      recover(spark, dir, a, destructive = true)
     val done = scala.collection.mutable.ArrayBuffer.empty[String]
     if (Files.exists(Paths.get(s"$dir/codes.parquet"))) {
       // one directory per IVF cell; rows within a file sorted by

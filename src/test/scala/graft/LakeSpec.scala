@@ -281,6 +281,15 @@ class LakeSpec extends AnyFunSuite {
       graft.chain.LakeCompact.compact(spark, outCsv, targetBlocks = 60)
     }
     assert(e.getMessage.contains("parquet-only"))
+    // a MIXED lake compacts its parquet groups and skips the csv group
+    // — one export must not block merging thousands of parquet chunks
+    val outMixed = freshDir("lake_mixedcompact_")
+    freeze(outMixed, Seq("blocks"), chunkSize = 30)
+    freeze(outMixed, Seq("transactions"), chunkSize = 30, format = "csv")
+    graft.chain.LakeCompact.compact(spark, outMixed, targetBlocks = 60)
+    val mixedFiles = Lake.listChunks(outMixed)
+    assert(mixedFiles.count(f => f.dataset == "blocks" && f.format == "parquet") == 1)
+    assert(mixedFiles.count(_.format == "csv") == 2) // untouched
   }
 
   test("compact keeps the dataset's default sort inside merged files") {

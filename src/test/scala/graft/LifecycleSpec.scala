@@ -235,6 +235,33 @@ class TimestampSpec extends AnyFunSuite {
     assert(r.blockAtOrBefore(t0 + 12 * 2000) == Some(1059))      // after head → last
   }
 
+  test("binary search stays exact over a blocks source with coverage gaps") {
+    import org.apache.spark.sql.functions.col
+    // simulate a lake with blocks 1000..1019 and 1040..1059 frozen but
+    // the 1020s gap missing (exactly what Lake.audit reports as a gap):
+    // a timestamp inside the high chunk must resolve into it, not
+    // converge into the low chunk because a probe at a missing block
+    // "looked late"; a timestamp inside the GAP floors to the last
+    // low-chunk block
+    val gappy = blocks.filter(col("block_number") < 1020 ||
+      col("block_number") >= 1040)
+    val r = TimestampSyntax.resolverFor(gappy)
+    assert(r.blockAtOrBefore(t0 + 12 * 1050) == Some(1050)) // high chunk
+    assert(r.blockAtOrBefore(t0 + 12 * 1030) == Some(1019)) // in the gap
+    assert(r.blockAtOrBefore(t0 + 12 * 1000 - 1).isEmpty)   // before chain
+    assert(r.blockAtOrBefore(t0 + 12 * 2000) == Some(1059)) // after head
+  }
+
+  test("open-ended timestamp ranges: '-<d>:' and ':<t>' resolve") {
+    // scaladoc grammar: `-1d:` = from now-1d to the head; `:t` = chain
+    // start through t (split must keep trailing empty tokens)
+    val now = t0 + 12 * 1059
+    val tail = TimestampSyntax.resolveRange(s"-${12 * 9}s:", blocks, now)
+    assert(tail == graft.chain.BlockSyntax.Range(1050, 1060))
+    val head = TimestampSyntax.resolveRange(s":${t0 + 12 * 1005}", blocks, now)
+    assert(head == graft.chain.BlockSyntax.Range(0, 1006))
+  }
+
   test("timestamp range resolves to a block range") {
     val range = TimestampSyntax.resolveRange(
       s"${t0 + 12 * 1005}:${t0 + 12 * 1010 + 3}", blocks, now = 0)
@@ -616,9 +643,14 @@ class CliSpec extends AnyFunSuite {
     assert(JFiles.exists(Paths.get(s"$idx/codes.parquet")) &&
       !JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_old")))
     // crash just after the swap: stale .compact_old next to a live
-    // artifact → dropped, live layout wins
+    // artifact. The live layout wins; read() LEAVES the stale dir
+    // (that state is also what an in-flight swap looks like, so only
+    // the compact path — lock-serialized — may drop it)
     spark.read.parquet(s"$idx/codes.parquet").limit(5).write
       .parquet(s"$idx/codes.parquet.compact_old")
+    assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
+    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_old")))
+    Cli.runIndex(Seq("compact", idx), spark) // compact cleans it
     assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
     assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_old")))
     // compact after a simulated crash works too (recover runs first)
@@ -656,15 +688,18 @@ class CliSpec extends AnyFunSuite {
     assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nMain)
     assert(!JFiles.exists(Paths.get(side)) && !JFiles.exists(marker))
     // crash BEFORE the swap (marker written, tmp still present): the
-    // side rows exist ONLY in the side artifact → recover must KEEP it
-    // (dropping just the marker and the aborted tmp)
+    // side rows exist ONLY in the side artifact → recover must KEEP it.
+    // read() also leaves the marker and tmp alone — marker+tmp is
+    // exactly what an IN-FLIGHT fold looks like, so only the compact
+    // path (lock-serialized) may drop them; the read still counts the
+    // side rows exactly once either way
     spark.read.parquet(s"$idx/codes.parquet").limit(7).write.parquet(side)
     val nWithSide = nMain + 7
     JFiles.writeString(marker, "")
     JFiles.createDirectories(Paths.get(s"$idx/codes.parquet.compact_tmp"))
     assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nWithSide)
-    assert(JFiles.exists(Paths.get(side)) && !JFiles.exists(marker))
-    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_tmp")))
+    assert(JFiles.exists(Paths.get(side)) && JFiles.exists(marker))
+    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_tmp")))
     // and a fold compact from this recovered state converges: side rows
     // folded exactly once
     Cli.runIndex(Seq("compact", idx, "--fold-stream"), spark)
