@@ -365,9 +365,10 @@ object Cli {
         "--blocks and --timestamps are mutually exclusive")
       case (Some(b), None) => Some(BlockSyntax.parse(b, lakeHead))
       case (None, Some(t)) =>
-        val blocksDf = graft.chain.Lake.read(spark, dir, "blocks",
-          network = network)
-        Some(TimestampSyntax.resolveRange(t, blocksDf,
+        // the lake-aware resolver bisects chunk-file NAMES and reads
+        // one file per probe — never a whole-lake scan per probe
+        Some(TimestampSyntax.resolveRange(t,
+          TimestampSyntax.resolverForLake(spark, dir, network),
           now = System.currentTimeMillis() / 1000))
       case (None, None) => None
     }

@@ -83,13 +83,48 @@ object TimestampSyntax {
     new TimestampResolver(lookup, lo, hi)
   }
 
+  /** resolver over a FROZEN LAKE's own blocks dataset: the floor probe
+    * bisects chunk-file NAMES first (driver-side string work — the
+    * Lake.select discipline) and reads ONLY the one file that holds the
+    * floor block. A DataFrame-backed probe scans the whole blocks
+    * dataset per probe; over a 22k-file lake that is dozens of
+    * full-lake list/plan/scan jobs per resolution, where this shape
+    * pays one single-file scan per unique probe. Gap-safe like the
+    * DataFrame path: a probe landing between files floors to the
+    * nearest file below it. */
+  def resolverForLake(spark: SparkSession, dir: String,
+      network: Option[String] = None): TimestampResolver = {
+    val files = Lake.select(dir, "blocks", network = network)
+      .sortBy(_.start)
+    require(files.nonEmpty, s"no blocks chunk files under $dir")
+    val lo = files.head.start
+    val hi = files.map(_.endInclusive).max
+    val lookup = (n: Long) =>
+      // greatest file starting at or below n holds the floor block (a
+      // frozen chunk contains every block its name claims)
+      files.takeWhile(_.start <= n).lastOption.flatMap { f =>
+        spark.read.parquet(f.path)
+          .filter(col("block_number") <= n)
+          .orderBy(col("block_number").desc).limit(1)
+          .select(col("block_number").cast("long"),
+            col("timestamp").cast("long"))
+          .collect()
+          .headOption.map(r => (r.getLong(0), r.getLong(1)))
+      }
+    new TimestampResolver(lookup, lo, hi)
+  }
+
   /** `tsA:tsB` → block Range via ≤-resolution at both ends. Either end
     * may be EMPTY for an open bound — `-1d:` is "the last day of
     * blocks" (end = now), `:1700000000` is "chain start through t"
     * (split with limit -1: Java's split drops trailing empty tokens
     * otherwise, rejecting the documented open-end grammar). */
-  def resolveRange(spec: String, blocks: DataFrame, now: Long): BlockSyntax.Range = {
-    val r = resolverFor(blocks)
+  def resolveRange(spec: String, blocks: DataFrame, now: Long): BlockSyntax.Range =
+    resolveRange(spec, resolverFor(blocks), now)
+
+  /** resolveRange against a pre-built resolver (lake or DataFrame) */
+  def resolveRange(spec: String, r: TimestampResolver,
+      now: Long): BlockSyntax.Range = {
     val parts = spec.split(":", -1)
     require(parts.length == 2, s"timestamp range needs a:b, got $spec")
     val a =

@@ -212,6 +212,27 @@ class LakeSpec extends AnyFunSuite {
     assert(got.getLong(2) == 16L)
   }
 
+  test("lake timestamp resolver agrees with the DataFrame path, gaps included") {
+    import graft.chain.TimestampSyntax
+    // a lake with a coverage gap (1020s missing) — the name-bisecting
+    // resolver must floor into the right chunk exactly like the
+    // DataFrame-backed resolver over the same rows
+    val out = freshDir("lake_tsgap_")
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1000, 1020),
+      chunkSize = 10)
+    freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1040, 1060),
+      chunkSize = 10)
+    val lakeR = TimestampSyntax.resolverForLake(spark, out)
+    val dfR = TimestampSyntax.resolverFor(Lake.read(spark, out, "blocks"))
+    val t0 = 1700012000L
+    for (t <- Seq(t0 - 1, t0, t0 + 12 * 5 + 3, t0 + 12 * 25, t0 + 12 * 45,
+        t0 + 12 * 59, t0 + 12 * 500)) {
+      assert(lakeR.blockAtOrBefore(t) == dfR.blockAtOrBefore(t), s"t=$t")
+    }
+    assert(lakeR.blockAtOrBefore(t0 + 12 * 25) == Some(1019)) // in the gap
+    assert(lakeR.blockAtOrBefore(t0 + 12 * 45) == Some(1045)) // high chunk
+  }
+
   test("compact coalesces contiguous runs but never bridges a gap") {
     val out = freshDir("lake_compact_")
     freeze(out, Seq("blocks"), blocks = BlockSyntax.Range(1000, 1030),
