@@ -19,8 +19,20 @@ object Tables {
       // newer ones write TIMESTAMP(MICROS), which loads natively as NTZ.
       // Dispatch on the loaded type; both normalize to the session-TZ
       // (UTC) TIMESTAMP the downstream queries and oracles assume.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The legacy flag is SESSION-wide (it would silently turn every
+      // later nanos timestamp in unrelated reads into a raw long), so
+      // it is restored as soon as the probe shows this drop does not
+      // need it; only a genuinely-nanos drop keeps it set, because the
+      // returned DataFrame's per-file reads still consult it.
+      val flag = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(flag)
+      spark.conf.set(flag, "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        prev match {
+          case Some(v) => spark.conf.set(flag, v)
+          case None => spark.conf.unset(flag)
+        }
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -190,13 +190,26 @@ object Abi {
     Event(name, params)
   }
 
-  /** decode one static 32-byte word into the param's catalyst value */
+  /** decode one static 32-byte word into the param's catalyst value.
+    * Width validation is per the DECLARED type for every width (a word
+    * whose value exceeds uint<n>/int<n> is a malformed row → the throw
+    * becomes the decode's skip-on-error null); uint64 values in
+    * [2^63, 2^64) are legal for their type and reinterpret as the
+    * signed long — the same wrapping-u64 convention as the u256 repr
+    * family (previously longValueExact threw on them, nulling valid
+    * rows like a max-allowance 2^64-1). */
   private def decodeWord(typ: AbiType, word: Array[Byte]): Any = typ match {
     case UIntT(bits) if bits <= 64 =>
-      new BigInteger(1, word).longValueExact()
+      val v = new BigInteger(1, word)
+      if (v.bitLength > bits)
+        throw new ArithmeticException(s"uint$bits value exceeds declared width")
+      if (bits == 64) v.longValue() else v.longValueExact()
     case UIntT(_) => word
     case IntT(bits) if bits <= 64 =>
-      new BigInteger(word).longValueExact() // sign-extended two's complement
+      val v = new BigInteger(word) // sign-extended two's complement
+      if (v.bitLength >= bits) // bitLength excludes the sign bit
+        throw new ArithmeticException(s"int$bits value exceeds declared width")
+      v.longValue()
     case IntT(_) => word
     case AddressT => word.takeRight(20)
     case BoolT => word.exists(_ != 0)
@@ -313,9 +326,15 @@ case class DecodeEvent(left: Expression, right: Expression, signature: String)
     val topicsRaw = left.eval(input)
     if (topicsRaw == null) return null
     val arr = topicsRaw.asInstanceOf[ArrayData]
-    val topics = (0 until arr.numElements()).map { i =>
+    // TRAILING nulls trim (callers legally pass fixed-width
+    // [topic0..topic3] arrays padded with nulls); an INTERIOR null is a
+    // corrupt log and must fail the row, not decode the prefix as if
+    // the topic count matched (takeWhile previously conflated the two)
+    val all = (0 until arr.numElements()).map { i =>
       if (arr.isNullAt(i)) null else arr.getBinary(i)
-    }.takeWhile(_ != null)
+    }
+    val topics = all.reverse.dropWhile(_ == null).reverse
+    if (topics.exists(_ == null)) return null
     val data = right.eval(input).asInstanceOf[Array[Byte]]
     Abi.decode(event, topics, data)
   }

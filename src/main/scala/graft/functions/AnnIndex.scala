@@ -144,7 +144,10 @@ case class PqEncodeF32(child: Expression, index: CodebookIndex)
 
 object PqEncodeF32 {
   def compute(arr: ArrayData, idx: CodebookIndex): ArrayData = {
-    if (arr.numElements() < idx.m * idx.dsub) return null
+    // EXACT length like NearestCentroidF32: a longer vector against a
+    // stale codebook config would otherwise encode only a prefix and
+    // return plausible-looking wrong codes instead of null
+    if (arr.numElements() != idx.m * idx.dsub) return null
     val out = new Array[Int](idx.m)
     var j = 0
     while (j < idx.m) {

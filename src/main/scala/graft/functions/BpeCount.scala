@@ -24,7 +24,7 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.put(a + BpeCount.Sep + b, Integer.valueOf(i))
+      m.put(BpeCount.pairKey(a, b), Integer.valueOf(i))
     }
     m
   }
@@ -44,10 +44,15 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
 }
 
 object BpeCount {
-  /** pair-key separator: NUL can't occur inside a merge symbol, so
-    * `a + Sep + b` is collision-free (written as an escape to keep
-    * this source file plain text) */
-  private[functions] val Sep = "\u0000"
+  /** collision-free pair key: merge symbols derive from arbitrary
+    * corpus text (which may legally contain ANY character, including
+    * NUL — a fixed separator is never safe), so the key length-prefixes
+    * the first symbol; the digits-then-'_' prefix determines the split
+    * point unambiguously, making the keying injective for all inputs
+    * and keeping rank lookups identical to the tuple-keyed spec twin
+    * (TextOps.bpeSegment). */
+  private[functions] def pairKey(a: String, b: String): String =
+    a.length.toString + "_" + a + b
 
   /** greedy BPE segment length of one word (compiled hot loop) */
   private def segLen(word: UTF8String,
@@ -62,7 +67,7 @@ object BpeCount {
       var bestI = -1
       var i = 0
       while (i < syms.length - 1) {
-        val r = ranks.get(syms(i) + Sep + syms(i + 1))
+        val r = ranks.get(BpeCount.pairKey(syms(i), syms(i + 1)))
         if (r != null && r.intValue < bestRank) { bestRank = r.intValue; bestI = i }
         i += 1
       }

@@ -19,9 +19,28 @@ object SaltedJoin {
   def join(large: DataFrame, small: DataFrame, key: String,
       salts: Int = 8): DataFrame = {
     require(salts > 0)
-    // deterministic row salt: positive xxhash of all large-side columns
+    // a pre-existing __salt column would be silently overwritten by the
+    // withColumn and then dropped from the output — refuse instead of
+    // corrupting the documented plain-join equivalence
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "SaltedJoin reserves the column name __salt; rename it on the inputs")
+    // deterministic row salt: positive xxhash of the HASHABLE large-side
+    // columns (hash over MapType fails analysis — a map column is legal
+    // in the plain equi-join, so it must not break the salted form; the
+    // remaining columns still spread a hot key's rows uniformly)
+    def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = large.schema.fields
+      .filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name)).toSeq
+    require(hashable.nonEmpty,
+      "SaltedJoin needs at least one non-map column on the large side")
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salts)))
+      pmod(xxhash64(hashable: _*), lit(salts)))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -28,10 +28,17 @@ object TopKPerKey {
     override def zero: List[Entry] = Nil
 
     private def insert(b: List[Entry], e: Entry): List[Entry] = {
-      // k is tiny: insertion into a sorted list beats heap overhead
+      // k is tiny: insertion into a sorted list beats heap overhead.
+      // Double.compare, not < / ==: primitive comparisons IGNORE NaN
+      // (every NaN comparison is false), which would leave the buffer
+      // unsorted and make results depend on arrival order the moment a
+      // zero-norm embedding yields a 0/0 cosine. Double.compare is
+      // Spark's NaN-greatest total order (AnnIndex pins the same rule),
+      // so the window form and this aggregator agree on NaN rows too.
+      def cmp(a: Double, c: Double) = java.lang.Double.compare(a, c)
       val (better, worse) = b.span(x =>
-        (if (asc) x.score < e.score else x.score > e.score) ||
-          (x.score == e.score && x.id < e.id))
+        (if (asc) cmp(x.score, e.score) < 0 else cmp(x.score, e.score) > 0) ||
+          (cmp(x.score, e.score) == 0 && x.id < e.id))
       val merged = better ::: e :: worse
       if (merged.length > k) merged.take(k) else merged
     }
@@ -48,13 +55,20 @@ object TopKPerKey {
   /** top-k rows of `df` per `keyCol`, ordered by `scoreCol` (desc by
     * default, asc with `asc = true`) with `idCol` asc tie-break; output
     * (key, rank, id, score). Long scores survive the double round-trip
-    * exactly below 2^53 — cast the score column back at the call site. */
+    * exactly below 2^53 — cast the score column back at the call site.
+    * Rows where any of the three columns is null (or casts to null)
+    * are DROPPED — the primitive tuple encoder would otherwise abort
+    * the job on the first null, and a null score can never belong to a
+    * top-k anyway (desc-order windows rank nulls last). */
   def topK(spark: SparkSession, df: DataFrame, keyCol: String,
       scoreCol: String, idCol: String, k: Int, asc: Boolean = false): DataFrame = {
     import spark.implicits._
     val ds: Dataset[(Long, Double, Long)] = df.select(
       col(keyCol).cast("long"), col(scoreCol).cast("double"),
-      col(idCol).cast("long")).as[(Long, Double, Long)]
+      col(idCol).cast("long"))
+      .where(col(keyCol).isNotNull && col(scoreCol).isNotNull &&
+        col(idCol).isNotNull)
+      .as[(Long, Double, Long)]
     ds.groupByKey(_._1)
       .agg(new TopKAgg(k, asc).toColumn.name("top"))
       .flatMap { case (key, top) =>

@@ -209,6 +209,47 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(d.getAs[String]("s") == "hello")
   }
 
+  test("abi decode: declared-width validation and the u64 wrap convention") {
+    import spark.implicits._
+    def word(v: BigInteger): Array[Byte] = U256.toBytes32(v)
+    // uint64 in [2^63, 2^64): legal for the type, reinterprets as the
+    // signed long (the u256-repr wrapping-u64 convention) — previously
+    // longValueExact nulled the whole row for a max-allowance value
+    val sigU = "U(uint64 x)"
+    val evU = Abi.parseEvent(sigU)
+    val maxU64 = BigInteger.TWO.pow(64).subtract(BigInteger.ONE)
+    val rows = Seq(
+      (1, Seq(evU.topic0), word(maxU64)),                       // wraps to -1
+      (2, Seq(evU.topic0), word(BigInteger.TWO.pow(64))),       // exceeds width -> null
+      (3, Seq(evU.topic0), word(BigInteger.valueOf(7)))).toDF("id", "topics", "data")
+      .select(col("id"), Abi.decodeEvent(col("topics"), col("data"), sigU).as("dec"))
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Row]("dec").getAs[Long]("x") == -1L)
+    assert(rows(1).isNullAt(1), "word above uint64 must null the row")
+    assert(rows(2).getAs[Row]("dec").getAs[Long]("x") == 7L)
+    // uint32: a word encoding 2^40 is out of DECLARED width -> null
+    // (previously accepted because it fit in a long)
+    val sig32 = "V(uint32 x)"
+    val ev32 = Abi.parseEvent(sig32)
+    val r32 = Seq((1, Seq(ev32.topic0), word(BigInteger.TWO.pow(40))))
+      .toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sig32).as("dec"))
+      .collect()(0)
+    assert(r32.isNullAt(0), "out-of-width uint32 must null the row")
+    // topics: TRAILING nulls trim (fixed-width topic arrays), an
+    // INTERIOR null is a corrupt log and nulls the row
+    val trail = Seq((1, Seq(evU.topic0, null, null), word(BigInteger.ONE)))
+      .toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sigU).as("dec"))
+      .collect()(0)
+    assert(trail.getAs[Row]("dec").getAs[Long]("x") == 1L)
+    val interior = Seq((1, Seq(null, evU.topic0), word(BigInteger.ONE)))
+      .toDF("id", "topics", "data")
+      .select(Abi.decodeEvent(col("topics"), col("data"), sigU).as("dec"))
+      .collect()(0)
+    assert(interior.isNullAt(0), "interior null topic must null the row")
+  }
+
   test("vector kernels match the interpreted fold bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{aggregate, lit, zip_with}

@@ -9,12 +9,42 @@ import org.scalatest.funsuite.AnyFunSuite
 class OperatorsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("top-k per key: NaN rows rank first like the window form; nulls drop") {
+    import spark.implicits._
+    // NaN cosines are live inputs (0/0 for a zero-norm embedding);
+    // Spark's total order ranks NaN greatest, so desc top-k must put it
+    // first REGARDLESS of arrival order — primitive < / == comparisons
+    // ignore NaN and made results arrival-order-dependent
+    val rowsA = Seq((1L, Double.NaN, 9L), (1L, 5.0, 1L), (1L, 3.0, 2L))
+    val rowsB = rowsA.reverse
+    def run(rows: Seq[(Long, Double, Long)]) =
+      graft.operators.TopKPerKey.topK(spark,
+        rows.toDF("k", "score", "id"), "k", "score", "id", 2)
+        .orderBy("rk").collect()
+        .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(run(rowsA) == Seq((1, 9L), (2, 1L)))
+    assert(run(rowsB) == run(rowsA)) // arrival-order invariant
+    // null key/score/id rows drop instead of crashing the primitive
+    // tuple encoder
+    val withNulls = Seq[(java.lang.Long, java.lang.Double, java.lang.Long)](
+      (1L, null, 5L), (1L, 2.0, 6L), (null, 1.0, 7L))
+      .toDF("k", "score", "id")
+    val got = graft.operators.TopKPerKey.topK(spark, withNulls,
+      "k", "score", "id", 2).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 6L)
+  }
+
   test("salted join equals plain join exactly") {
     val l = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey"), col("l_quantity"))
     val o = Tables(spark, sf, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice"))
     val plain = l.join(o, "k")
+    // the reserved salt column name is refused, not silently corrupted
+    val eSalt = intercept[IllegalArgumentException] {
+      SaltedJoin.join(l.withColumn("__salt", lit(1)), o, "k")
+    }
+    assert(eSalt.getMessage.contains("__salt"))
     val salted = SaltedJoin.join(l, o, "k", salts = 8)
     assert(salted.count() == plain.count())
     // same multiset of rows: compare an order-insensitive aggregate per key
