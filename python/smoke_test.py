@@ -141,10 +141,12 @@ graft.freeze("blocks", spark=spark, source_dir=FIX, output_dir=lake,
 back = graft.read_lake("blocks", lake, spark=spark, blocks="1015:1045",
                        output_format="pandas")
 assert len(back) == 30 and back["block_number"].min() == 1015, len(back)
-# `latest` = lake head (1059); range end stays exclusive per BlockSyntax
+# `latest` = lake head (1059); an explicit latest end INCLUDES the head
+# block, exactly like the omitted-end form (cryo blocks.rs:309 only
+# end-excludes numeric ends)
 head = graft.read_lake("blocks", lake, spark=spark, blocks="1050:latest",
                        output_format="pandas")
-assert len(head) == 9 and head["block_number"].max() == 1058, len(head)
+assert len(head) == 10 and head["block_number"].max() == 1059, len(head)
 # compact the 6×10-block files to 2×30; reads are unchanged
 graft.compact_lake(lake, 30, spark=spark)
 assert len(glob.glob(lake + "/*.parquet")) == 2

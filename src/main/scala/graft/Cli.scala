@@ -166,7 +166,7 @@ object Cli {
       |- number suffixes { _ K M B }  5_000 5K 15M 15.5M
       |- omitted end means latest     15.5M:   ==  15.5M:latest
       |- omitted start means 0        :700     ==  0:700
-      |- minus on start = last n      -1000:7000  (the 1000 before 7000)
+      |- minus on start = last n      -1000:7000  (6001..7000, end included)
       |- plus on end = start + n      15M:+1000
       |- every nth value              2000:5000:1000 == 2000 3000 4000
       |- n values total               100:200/5
@@ -603,6 +603,25 @@ object Cli {
   /** `--blocks` accepts the grammar OR a parquet file reference
     * `path.parquet[:column]` whose (deduplicated — parse/blocks.rs:79-83)
     * values become the block list. */
+  /** multiple --blocks specs union into one explicit list (reference
+    * parity: parse/blocks.rs extends the chunk list per spec); a single
+    * spec keeps its Range form so chunk planning stays contiguous */
+  private def parseBlocksArgs(spark: SparkSession, specs: Seq[String],
+      latest: Long): BlockSyntax.Blocks = {
+    val parsed = specs.map(parseBlocksArg(spark, _, latest))
+    if (parsed.size == 1) parsed.head
+    else {
+      val all = parsed.flatMap {
+        case BlockSyntax.Range(a, b) => a until b
+        case BlockSyntax.Numbers(ns) => ns
+      }.distinct.sorted
+      require(all.size <= MaxBlockListSize,
+        s"multiple --blocks specs expand past $MaxBlockListSize blocks; " +
+          "pass one contiguous range instead")
+      BlockSyntax.Numbers(all)
+    }
+  }
+
   private def parseBlocksArg(spark: SparkSession, blocks: String,
       latest: Long): BlockSyntax.Blocks = blocks match {
     case FileRef(path, colName) =>
@@ -672,7 +691,8 @@ object Cli {
   private def runImpl(args: Array[String], spark: SparkSession,
       collectMode: Boolean): Either[org.apache.spark.sql.DataFrame, Option[Freeze.FreezeResult]] = {
     var datasets = List.empty[String]
-    var blocks = "0:"
+    var blocks: Seq[String] = Seq("0:")
+    var blocksExplicit = false
     var sourceDir = "fixtures/chain"
     var outputDir = "out"
     var chunkSize = 1000L
@@ -737,27 +757,55 @@ object Cli {
     }
 
     var i = 0
+    def value(flag: String): String = {
+      // bounds-checked single-value read: a flag left without its value
+      // must report itself, not die as a raw index error
+      require(i + 1 < args.length, s"flag $flag needs a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--blocks" | "-b" => blocks = args(i + 1); i += 1
-        case "--source-dir" => sourceDir = args(i + 1); i += 1
-        case "--output-dir" | "-o" => outputDir = args(i + 1); i += 1
-        case "--chunk-size" => chunkSize = args(i + 1).toLong; i += 1
-        case "--n-chunks" => nChunks = Some(args(i + 1).toInt); i += 1
+        case "--blocks" | "-b" =>
+          // multiple specs are reference parity (cryo accepts
+          // `--blocks 5000 6000 12M:13M`; parse/blocks.rs extends the
+          // chunk list per spec) — previously the second value fell
+          // through as a bogus dataset name. Consumption stops at the
+          // first token that is not block-spec-shaped, so a dataset
+          // name may still follow the flag.
+          def specLike(t: String): Boolean =
+            if (t.startsWith("--")) false
+            else if (t.toLowerCase.contains(".parquet")) true
+            else {
+              val x = t.toLowerCase.replace("latest", "0")
+              x.nonEmpty && x.forall(c =>
+                c.isDigit || "kmb_.:+-/".contains(c))
+            }
+          var j = i + 1
+          val specs = scala.collection.mutable.ListBuffer.empty[String]
+          while (j < args.length && specLike(args(j))) {
+            specs += args(j); j += 1
+          }
+          require(specs.nonEmpty, "--blocks needs at least one value")
+          blocks = specs.toSeq; blocksExplicit = true; i = j - 1
+        case "--source-dir" => sourceDir = value("--source-dir"); i += 1
+        case "--output-dir" | "-o" => outputDir = value("--output-dir"); i += 1
+        case "--chunk-size" => chunkSize = value("--chunk-size").toLong; i += 1
+        case "--n-chunks" => nChunks = Some(value("--n-chunks").toInt); i += 1
         case "--align" => align = true
-        case "--reorg-buffer" => reorgBuffer = args(i + 1).toLong; i += 1
-        case "--network" => network = args(i + 1); networkExplicit = true; i += 1
-        case "--label" => label = Some(args(i + 1)); i += 1
+        case "--reorg-buffer" => reorgBuffer = value("--reorg-buffer").toLong; i += 1
+        case "--network" => network = value("--network"); networkExplicit = true; i += 1
+        case "--label" => label = Some(value("--label")); i += 1
         case "--overwrite" => overwrite = true
         case "--csv" => format = "csv"
         case "--json" => format = "json"
         case "--hex" => hex = true
         case "--dry-run" => dryRun = true
-        case "--latest" => latest = args(i + 1).toLong; i += 1
+        case "--latest" => latest = value("--latest").toLong; i += 1
         case "--contract" => val (v, j) = multi(i + 1); contract = v; i = j
         case "--address" => val (v, j) = multi(i + 1); addressF = v; i = j
         case "--to-address" => val (v, j) = multi(i + 1); toAddress = v; i = j
-        case t if t.startsWith("--topic") && t.length == 8 =>
+        case t if t.startsWith("--topic") && t.length == 8 &&
+            t.charAt(7) >= '0' && t.charAt(7) <= '3' =>
           val (v, j) = multi(i + 1); topics(t.charAt(7) - '0') = v; i = j
         case "--call-data" => val (v, j) = multi(i + 1); callDatas = v; i = j
         case "--function" => val (v, j) = multi(i + 1); functions = v; i = j
@@ -768,32 +816,32 @@ object Cli {
         case "--u256-types" => val (v, j) = multi(i + 1); u256Types = Some(v); i = j
         case "--sort" => val (v, j) = multi(i + 1); sortCols = v; i = j
         case "--txs" => val (v, j) = multi(i + 1); txHashes = v; i = j
-        case "--timestamps" => timestamps = Some(args(i + 1)); i += 1
-        case "--partition-by" => partitionBy = Some(args(i + 1)); i += 1
-        case "--compression" => compression = Some(args(i + 1)); i += 1
-        case "--row-group-size" => rowGroupSize = Some(args(i + 1).toInt); i += 1
-        case "--n-row-groups" => nRowGroups = Some(args(i + 1).toInt); i += 1
+        case "--timestamps" => timestamps = Some(value("--timestamps")); i += 1
+        case "--partition-by" => partitionBy = Some(value("--partition-by")); i += 1
+        case "--compression" => compression = Some(value("--compression")); i += 1
+        case "--row-group-size" => rowGroupSize = Some(value("--row-group-size").toInt); i += 1
+        case "--n-row-groups" => nRowGroups = Some(value("--n-row-groups").toInt); i += 1
         case "--no-stats" => noStats = true
         case "--subdirs" => val (v, j) = multi(i + 1); subdirs = v; i = j
-        case "--chunk-order" => chunkOrder = args(i + 1); i += 1
-        case "--max-concurrent-chunks" => maxConcurrentChunks = args(i + 1).toInt; i += 1
+        case "--chunk-order" => chunkOrder = value("--chunk-order"); i += 1
+        case "--max-concurrent-chunks" => maxConcurrentChunks = value("--max-concurrent-chunks").toInt; i += 1
         case "--remember" => remember = true
         case "--from-address" => val (v, j) = multi(i + 1); fromAddress = v; i = j
         case "--slot" => val (v, j) = multi(i + 1); slotsF = v; i = j
-        case "--event-signature" => eventSignature = Some(args(i + 1)); i += 1
+        case "--event-signature" => eventSignature = Some(value("--event-signature")); i += 1
         case "--exclude-failed" => excludeFailed = true
         case "--no-report" => noReport = true
-        case "--report-dir" => reportDir = Some(args(i + 1)); i += 1
+        case "--report-dir" => reportDir = Some(value("--report-dir")); i += 1
         case "--verbose" => verbose = true
         case "--no-verbose" => verbose = false
-        case "--rpc" => rpcUrl = Some(args(i + 1)); i += 1
-        case "--js-tracer" => jsTracer = Some(args(i + 1)); i += 1
-        case "--requests-per-second" => requestsPerSecond = args(i + 1).toInt; i += 1
-        case "--max-retries" => maxRetries = args(i + 1).toInt; i += 1
-        case "--initial-backoff" => initialBackoffMs = args(i + 1).toLong; i += 1
-        case "--inner-request-size" => innerRequestSize = args(i + 1).toLong; i += 1
-        case "--max-concurrent-requests" => maxConcurrentRequests = args(i + 1).toInt; i += 1
-        case "--compute-units-per-second" => computeUnitsPerSecond = args(i + 1).toLong; i += 1
+        case "--rpc" => rpcUrl = Some(value("--rpc")); i += 1
+        case "--js-tracer" => jsTracer = Some(value("--js-tracer")); i += 1
+        case "--requests-per-second" => requestsPerSecond = value("--requests-per-second").toInt; i += 1
+        case "--max-retries" => maxRetries = value("--max-retries").toInt; i += 1
+        case "--initial-backoff" => initialBackoffMs = value("--initial-backoff").toLong; i += 1
+        case "--inner-request-size" => innerRequestSize = value("--inner-request-size").toLong; i += 1
+        case "--max-concurrent-requests" => maxConcurrentRequests = value("--max-concurrent-requests").toInt; i += 1
+        case "--compute-units-per-second" => computeUnitsPerSecond = value("--compute-units-per-second").toLong; i += 1
         case flag if flag.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $flag")
         case ds => datasets ::= ds
@@ -807,6 +855,9 @@ object Cli {
       val remembered = loadRemembered(outputDir).getOrElse(
         throw new IllegalArgumentException("either 1) specify datasets to " +
           "collect or 2) specify a command to remember with --remember"))
+      require(remembered.command.nonEmpty,
+        s"remembered command under $outputDir is empty or corrupt — " +
+          "delete .graft/remembered_command.json and re-run with --remember")
       if (remembered.version != Version)
         System.err.println("remembered command comes from a different " +
           "graft version, proceed with caution")
@@ -898,6 +949,30 @@ object Cli {
       df
     }
 
+    // an entity flag whose mapped column exists on NO requested dataset
+    // is a typo or a wrong dataset choice — silently skipping the filter
+    // returned the FULL table while looking like a successful filter.
+    // (In a multi-dataset run the flag legitimately applies to a subset,
+    // so the requirement is ≥1 matching dataset, mirrored per dataset by
+    // decorate's column check.)
+    locally {
+      val checks: Seq[(String, String => String, Seq[String])] = Seq(
+        ("--contract", (n: String) => contractCol.getOrElse(n, "contract_address"), contract),
+        ("--address", (_: String) => "address", addressF),
+        ("--to-address", (_: String) => "to_address", toAddress),
+        ("--from-address", (_: String) => "from_address", fromAddress),
+        ("--slot", (_: String) => "slot", slotsF),
+        ("--call-data / --function", (_: String) => "call_data", composedCallData)) ++
+        (0 until 4).map(k => (s"--topic$k", (_: String) => s"topic$k", topics(k)))
+      checks.foreach { case (flag, colFor, vals) =>
+        if (vals.nonEmpty)
+          require(expanded.exists(n =>
+              Datatypes(n).columnNames.contains(colFor(n))),
+            s"$flag does not apply to ${expanded.mkString("/")}: no such " +
+              "filter column on any requested dataset")
+      }
+    }
+
     // validate explicit column lists eagerly (schemas.rs: unknown names in
     // --columns are an error, not a per-chunk failure)
     explicitCols.foreach { cols =>
@@ -933,6 +1008,12 @@ object Cli {
     // TimeDimension::Transactions: a tx-hash list replaces the block range
     // (types/queries.rs:75-80) — one file per dataset, hash-prefix stub
     if (txHashes.nonEmpty) {
+      // the hash path reads a LOCAL bronze/fixture dir; silently
+      // ignoring --rpc would return fixture rows while looking live
+      require(rpcUrl.isEmpty,
+        "--txs with --rpc is not supported: tx-hash collection reads a " +
+          "local bronze dir — freeze the blocks live first, then collect " +
+          "--txs against that bronze with --source-dir")
       val hashes = txHashes.map(RpcCodec.parseHexBytes)
       if (collectMode) {
         require(expanded.size == 1, "collect() takes exactly one datatype")
@@ -966,7 +1047,12 @@ object Cli {
           initialBackoffMs = initialBackoffMs,
           innerRequestSize = innerRequestSize,
           computeUnitsPerSecond = computeUnitsPerSecond))
-      val cid = try src(1).fetchChainId() catch { case _: Exception => 1L }
+      val cid = try src(1).fetchChainId() catch {
+        case e: Exception => throw new IllegalStateException(
+          s"could not detect the chain id from $url: ${e.getMessage} — " +
+            "a silent mainnet default would stamp chain_id=1 on another " +
+            "chain's data", e)
+      }
       if (!networkExplicit) network = Freeze.networkName(cid)
       src(cid)
     }
@@ -977,6 +1063,11 @@ object Cli {
       if (latest > 0) latest
       else liveSource.map(_.fetchLatestBlock()).getOrElse(
         graft.chain.GenFixtures.FirstBlock + graft.chain.GenFixtures.NBlocks - 1L)
+    // the same conflict the lake path refuses — silently preferring the
+    // timestamp range would discard the user's explicit block range on
+    // the WRITE path
+    require(timestamps.isEmpty || !blocksExplicit,
+      "--blocks and --timestamps are mutually exclusive")
     var blocksSpec: BlockSyntax.Blocks = timestamps match {
       // --timestamps T1:T2 → block range via the ≤-semantics binary search
       // (cli/parse/timestamps.rs)
@@ -984,7 +1075,7 @@ object Cli {
         val blocksDf = ChainDatasets.fx(spark, sourceDir, "rpc_blocks")
         TimestampSyntax.resolveRange(ts, blocksDf,
           now = System.currentTimeMillis() / 1000)
-      case None => parseBlocksArg(spark, blocks, maxFixtureBlock)
+      case None => parseBlocksArgs(spark, blocks, maxFixtureBlock)
     }
     if (reorgBuffer > 0) blocksSpec match {
       case r: BlockSyntax.Range =>

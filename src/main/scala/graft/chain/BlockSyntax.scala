@@ -7,7 +7,9 @@ package graft.chain
   *   `5K` `15.5M` `1B` magnitude suffixes
   *   `a:b`            range, end-exclusive
   *   `a:+n`           a to a+n
-  *   `-n:b`           b-n to b
+  *   `-n:b`           the n blocks ENDING AT b: b-n+1..b, b included
+  *                    (blocks.rs:315 — minus-start ranges keep their
+  *                    end block, unlike plain a:b)
   *   `a:b/n`          n evenly spaced blocks in [a,b)
   *   `a:b:k`          every k-th block in [a,b)
   *   `latest`         chain head (caller supplies)
@@ -83,7 +85,14 @@ object BlockSyntax {
       Range(a, a + parseNumber(r.drop(1), latest))
     } else {
       val a = if (l.isEmpty) 0L else parseNumber(l, latest)
-      val b = if (r.isEmpty) latest + 1 else parseNumber(r, latest)
+      // an explicit "latest" end INCLUDES the head block, exactly like
+      // the omitted-end form — the reference only end-excludes numeric
+      // ends (blocks.rs:309: `second_ref != "latest" && !empty`); a
+      // numeric-only exclusion here silently dropped the newest block
+      // from every `a:latest` spec
+      val b =
+        if (r.isEmpty || r.equalsIgnoreCase("latest")) latest + 1
+        else parseNumber(r, latest)
       Range(a, b)
     }
   }

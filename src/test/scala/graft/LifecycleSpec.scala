@@ -30,6 +30,12 @@ class BlockSyntaxSpec extends AnyFunSuite {
     assert(BlockSyntax.parse("17M:", latest) == Range(17000000, latest + 1))
     assert(BlockSyntax.parse("100:+50", latest) == Range(100, 150))
     assert(BlockSyntax.parse("-50:1000", latest) == Range(951, 1001))
+    // an explicit latest end INCLUDES the head block, same as the
+    // omitted-end form (blocks.rs:309 only end-excludes numeric ends) —
+    // `a:latest` previously dropped the newest block silently
+    assert(BlockSyntax.parse("17M:latest", latest) ==
+      BlockSyntax.parse("17M:", latest))
+    assert(BlockSyntax.parse("-50:latest", latest) == Range(latest - 49, latest + 1))
   }
 
   test("sampling a:b/n and striding a:b:k") {
@@ -450,13 +456,57 @@ class CliSpec extends AnyFunSuite {
 
   test("--timestamps resolves a block range via the fixture timestamps") {
     // fixture blocks: timestamp = 1700000000 + 12n for n in [1000, 1060)
+    // (no --blocks here: the two are mutually exclusive, like the lake
+    // path — the runCli base would otherwise smuggle one in)
     val t0 = 1700000000L
-    val (_, done) = runCli("blocks",
-      "--timestamps", s"${t0 + 12 * 1005}:${t0 + 12 * 1010}")
+    val out = Files.createTempDirectory("graft_cli_ts").toString
+    val r = Cli.run(Array("blocks", "--source-dir", fixDir,
+      "--output-dir", out, "--chunk-size", "60",
+      "--timestamps", s"${t0 + 12 * 1005}:${t0 + 12 * 1010}"), spark)
+    val done = r.map(_.completed).getOrElse(Nil)
     assert(done.size == 1, done)
     val bns = spark.read.parquet(done.head)
       .select("block_number").collect().map(_.getInt(0))
     assert(bns.min == 1005 && bns.max == 1010)
+    // the conflict itself is refused loudly on the write path too
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(Array("blocks", "--source-dir", fixDir,
+        "--output-dir", out, "--blocks", "1000:1010",
+        "--timestamps", s"${t0 + 12 * 1005}:${t0 + 12 * 1010}"), spark)
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("cli guards: multi --blocks, topic bounds, entity typos, trailing flags") {
+    // multiple --blocks specs union (reference parity) and a dataset
+    // name may follow the flag (shape-aware consumption)
+    val out = Files.createTempDirectory("graft_cli_mb").toString
+    val r = Cli.run(Array("--source-dir", fixDir, "--output-dir", out,
+      "--chunk-size", "60", "--blocks", "1000:1005", "1010:1015", "blocks"),
+      spark)
+    val done = r.map(_.completed).getOrElse(Nil)
+    assert(done.size == 1)
+    val bns = spark.read.parquet(done.head)
+      .select("block_number").collect().map(_.getInt(0)).sorted
+    assert(bns.toSeq == ((1000 to 1004) ++ (1010 to 1014)))
+    // --topic9 / --topics fall through to unknown-flag, not an index crash
+    val eT = intercept[IllegalArgumentException] {
+      Cli.run(Array("logs", "--topic9", "0xaa", "--source-dir", fixDir,
+        "--output-dir", out), spark)
+    }
+    assert(eT.getMessage.contains("unknown flag"))
+    // an entity flag with no matching column on any requested dataset is
+    // an error, not a silent full-table no-op
+    val eC = intercept[IllegalArgumentException] {
+      Cli.run(Array("transactions", "--contract", "0x" + "11" * 20,
+        "--source-dir", fixDir, "--output-dir", out), spark)
+    }
+    assert(eC.getMessage.contains("--contract does not apply"))
+    // a value-taking flag left dangling reports itself
+    val eV = intercept[IllegalArgumentException] {
+      Cli.run(Array("blocks", "--source-dir"), spark)
+    }
+    assert(eV.getMessage.contains("--source-dir needs a value"))
   }
 
   test("cli pipeline subcommand runs any registered query") {
