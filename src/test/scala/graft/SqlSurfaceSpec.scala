@@ -131,7 +131,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"""SELECT min(block_number) AS lo, max(block_number) AS hi
          |FROM graft_lake('$out', 'blocks', '1050:latest')""".stripMargin)
       .head()
-    assert(agg.getInt(0) == 1050 && agg.getInt(1) == 1058)
+    // an explicit latest end INCLUDES the lake head (1059), like the
+    // omitted-end form — the reference only end-excludes numeric ends
+    assert(agg.getInt(0) == 1050 && agg.getInt(1) == 1059)
     // non-literal args fail at analysis with a clear message
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_lake('$out', lower('BLOCKS'))").collect()
