@@ -34,8 +34,22 @@ object RpcExtract {
   }
   private def boxL(o: Option[Long]): java.lang.Long =
     o.map(java.lang.Long.valueOf).orNull
+  /** hex quantity → decimal string; bare "0x" is zero (the same client
+    * quirk RpcCodec.parseHexU256 guards — BigInteger("", 16) throws) */
+  private def hexQuantityToDecimal(v: String): String = {
+    val h = v.stripPrefix("0x")
+    if (h.isEmpty) "0" else new BigInteger(h, 16).toString
+  }
+
   private def boxI(o: Option[Long]): java.lang.Integer =
     o.map(n => java.lang.Integer.valueOf(n.toInt)).orNull
+
+  /** parity `traceAddress` array → the bronze's `_`-joined string —
+    * shared by trace_block and trace_call parsing */
+  private def traceAddr(t: JValue): String = (t \ "traceAddress") match {
+    case JArray(xs) => xs.collect { case JInt(i) => i }.mkString("_")
+    case _ => ""
+  }
 
   /** rpc_blocks row from one eth_getBlockByNumber response — header
     * fields only; a fullTxs=true response parses identically (the
@@ -44,6 +58,15 @@ object RpcExtract {
     * (cryo multi_datasets/blocks_and_transactions.rs:7-72). */
   def blockHeader(body: String, chainId: Long): Row = {
     val b = JsonMethods.parse(body) \ "result"
+    // a null result with NO error member (a pruned/unknown block on
+    // some providers) must fail, not fabricate Row(0, null, …) into the
+    // non-nullable bronze schema (error members throw upstream in
+    // fetchPerBlockRaw)
+    b match {
+      case _: JObject => ()
+      case _ => throw new RuntimeException(
+        s"eth_getBlockByNumber returned no block: ${body.take(200)}")
+    }
     def str(k: String): String = jstr(b, k)
     Row(
       RpcCodec.parseHexLong(str("number")).toInt,
@@ -91,7 +114,18 @@ object RpcExtract {
           boxL(jlong(t, "maxPriorityFeePerGas")),
           jlong(t, "type").getOrElse(0L).toInt,
           hexB(t, "r"), hexB(t, "s"),
-          jlong(t, "v").map(v => java.lang.Boolean.valueOf(v % 2 == 1)).orNull,
+          // v is the NORMALIZED y-parity like the reference (alloy
+          // Signature::v()): typed txs carry it raw (0/1), pre-155
+          // legacy encodes it as 27/28, EIP-155 as 35+2*chainId+parity
+          // — a raw v%2 flipped the meaning between encodings (27 is
+          // parity 0 but odd)
+          jlong(t, "v").map { v =>
+            val parity =
+              if (v >= 35) (v - 35) % 2 == 1
+              else if (v >= 27) v == 28
+              else v == 1
+            java.lang.Boolean.valueOf(parity)
+          }.orNull,
           ts, chainId)
       }
       case _ => Nil
@@ -105,7 +139,10 @@ object RpcExtract {
       case JArray(rs) => rs.map { r =>
         Row(hexB(r, "transactionHash"),
           jlong(r, "gasUsed").getOrElse(0L),
-          jlong(r, "status").getOrElse(1L).toInt)
+          // pre-Byzantium receipts carry "root" instead of "status":
+          // the honest value is NULL (unknown), not a fabricated
+          // success=1 that marks historical failed txs as succeeded
+          boxI(jlong(r, "status")))
       }
       case _ => Nil
     }
@@ -130,7 +167,7 @@ object RpcExtract {
     (JsonMethods.parse(body) \ "result") match {
       case r: JObject => Some(Row(hexB(r, "transactionHash"),
         jlong(r, "gasUsed").getOrElse(0L),
-        jlong(r, "status").getOrElse(1L).toInt))
+        boxI(jlong(r, "status")))) // pre-Byzantium: null, see blockReceipts
       case _ => None
     }
 
@@ -143,15 +180,22 @@ object RpcExtract {
         val action = t \ "action"
         val result = t \ "result"
         val typ = jstr(t, "type")
-        val traceAddr = (t \ "traceAddress") match {
-          case JArray(xs) => xs.collect { case JInt(i) => i }.mkString("_")
-          case _ => ""
-        }
+        val ta = traceAddr(t)
         Row(
-          hexB(action, "from"),
-          if (typ == "reward") hexB(action, "author") else hexB(action, "to"),
-          Option(jstr(action, "value"))
-            .map(v => new BigInteger(v.stripPrefix("0x"), 16).toString).orNull,
+          // selfdestruct actions carry {address, refundAddress, balance}
+          // instead of {from, to, value} — the reference folds them to
+          // (from, to, value) exactly like reward folds author→to
+          // (traces.rs:176-179); without the fold every SELFDESTRUCT
+          // lost its addresses and balance on the live path
+          if (typ == "suicide") hexB(action, "address") else hexB(action, "from"),
+          typ match {
+            case "reward" => hexB(action, "author")
+            case "suicide" => hexB(action, "refundAddress")
+            case _ => hexB(action, "to")
+          },
+          Option(jstr(action,
+              if (typ == "suicide") "balance" else "value"))
+            .map(hexQuantityToDecimal).orNull,
           boxI(jlong(action, "gas")),
           hexB(action, "input"),
           jstr(action, "callType"),
@@ -162,7 +206,7 @@ object RpcExtract {
           hexB(result, "output"),
           hexB(result, "code"),
           hexB(result, "address"),
-          traceAddr,
+          ta,
           jlong(t, "subtraces").getOrElse(0L).toInt,
           jstr(t, "error"),
           jlong(t, "blockNumber").getOrElse(0L).toInt,
@@ -397,7 +441,12 @@ object RpcExtract {
         // {txHash, error} is indistinguishable and dropped; every
         // payload-carrying output survives, as does a literal {} (a
         // legacy tracer that returned the empty object).
-        (t \ "result") match {
+        val wrappedShape = t match {
+          case JObject(fields) => fields.nonEmpty && fields.forall(f =>
+            f._1 == "txHash" || f._1 == "result" || f._1 == "error")
+          case _ => false
+        }
+        (if (wrappedShape) t \ "result" else JNothing) match {
           case JNull =>
             // the result FIELD IS PRESENT and explicitly null: the
             // tracer ran and returned null. The reference serializes
@@ -480,19 +529,16 @@ object RpcExtract {
     (JsonMethods.parse(body) \ "result" \ "trace") match {
       case JArray(ts) => ts.map { t =>
         val action = t \ "action"
-        val traceAddr = (t \ "traceAddress") match {
-          case JArray(xs) => xs.collect { case JInt(i) => i }.mkString("_")
-          case _ => ""
-        }
+        val ta = traceAddr(t)
         Row(blockNumber, contract, callData,
           hexB(action, "from"),
           hexB(action, "to"),
           Option(jstr(action, "value"))
-            .map(v => new BigInteger(v.stripPrefix("0x"), 16).toString).orNull,
+            .map(hexQuantityToDecimal).orNull,
           boxI(jlong(action, "gas")),
           hexB(action, "input"),
           jstr(t, "type"),
-          traceAddr,
+          ta,
           jlong(t, "subtraces").getOrElse(0L).toInt,
           jstr(t, "error"),
           chainId)

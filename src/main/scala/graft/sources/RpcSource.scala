@@ -489,7 +489,18 @@ class RpcSource(config: RpcConfig) extends Serializable {
             window, client, bucket) { blocks =>
           RpcCodec.batch(blocks.zipWithIndex.map { case (n, i) => request(i, n) })
         }.flatMap { case (blocks, json) =>
-          blocks.zip(RpcSource.splitBatch(json, blocks.size))
+          blocks.zip(RpcSource.splitBatch(json, blocks.size)).map {
+            case (n, part) =>
+              // a per-request error part must FAIL the block, not parse
+              // to zero rows: every array-shaped parser downstream maps
+              // "not an array" to Nil, which silently wrote bronzes
+              // missing whole blocks on provider timeouts/caps — the
+              // same loud-failure contract as fetchLogs and splitBatch
+              if (RpcSource.isError(part))
+                throw new RuntimeException(
+                  s"RPC error for block $n: ${part.take(300)}")
+              (n, part)
+          }
         }
       }
   }
@@ -542,8 +553,15 @@ class RpcSource(config: RpcConfig) extends Serializable {
             RpcCodec.batch(blocks.zipWithIndex.map { case (n, i) =>
               RpcCodec.getBlockRequest(i, n, fullTxs = false) })
           }.flatMap { case (blocks, json) =>
+            // the fallback is the LAST resort: an error here (or below)
+            // has no further degradation and silently dropping it would
+            // write a short rpc_receipts with null joins downstream
             blocks.zip(RpcSource.splitBatch(json, blocks.size))
-              .flatMap { case (_, part) => RpcExtract.blockTxHashes(part) }
+              .flatMap { case (n, part) =>
+                if (RpcSource.isError(part)) throw new RuntimeException(
+                  s"receipt fallback: block $n hash fetch failed: ${part.take(300)}")
+                RpcExtract.blockTxHashes(part)
+              }
           }
           pipelinePosts(hashes.grouped(conf.innerRequestSize.toInt).map(_.toSeq),
               window, client, bucket) { hs =>
@@ -551,7 +569,11 @@ class RpcSource(config: RpcConfig) extends Serializable {
               RpcCodec.getTransactionReceiptRequest(i, h) })
           }.flatMap { case (hs, json) =>
             hs.zip(RpcSource.splitBatch(json, hs.size))
-              .flatMap { case (_, part) => RpcExtract.transactionReceipt(part) }
+              .flatMap { case (h, part) =>
+                if (RpcSource.isError(part)) throw new RuntimeException(
+                  s"receipt fallback: receipt for $h failed: ${part.take(300)}")
+                RpcExtract.transactionReceipt(part)
+              }
           }
         }
         fast ++ fallback

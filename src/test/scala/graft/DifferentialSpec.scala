@@ -156,11 +156,19 @@ object FixtureRpcServer {
       def optI(c: String): Option[Int] =
         if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Int](c))
       val typ = r.getAs[String]("action_type")
-      val toKey = if (typ == "reward") "author" else "to"
+      // real node shapes per action type: reward folds author→to,
+      // selfdestruct carries {address, refundAddress, balance} instead
+      // of {from, to, value} (traces.rs:176-179) — the stub must speak
+      // the wire shape so the parser's folding is actually exercised
+      val (fromKey, toKey, valKey) = typ match {
+        case "reward" => ("from", "author", "value")
+        case "suicide" => ("address", "refundAddress", "balance")
+        case _ => ("from", "to", "value")
+      }
       val action = obj(
-        "from" -> js(hx(bin(r, "action_from"))),
+        fromKey -> js(hx(bin(r, "action_from"))),
         toKey -> js(hx(bin(r, "action_to"))),
-        "value" -> Option(r.getAs[String]("action_value"))
+        valKey -> Option(r.getAs[String]("action_value"))
           .map(v => js("0x" + new BigInteger(v).toString(16))).orNull,
         "gas" -> optI("action_gas").map(v => js(qty(v))).orNull,
         "input" -> js(hx(bin(r, "action_input"))),

@@ -981,7 +981,9 @@ class RpcCodecSpec extends AnyFunSuite {
     assert(t0.getInt(0) == 16 && t0.getInt(1) == 0)
     assert(t0.getAs[Array[Byte]](7).length == 32) // u256-padded
     assert(t0.getAs[java.lang.Long](10) == 12000000000L)
-    assert(t0.getAs[Boolean](16)) // 0x1b is odd
+    // 0x1b = 27 = pre-155 legacy encoding of y-parity 0 (alloy
+    // Signature::v() normalizes; raw %2 would flip legacy parities)
+    assert(!t0.getAs[Boolean](16))
     assert(t0.getInt(17) == 0x65)  // timestamp from the block
     val t1 = rows(1)
     assert(t1.getAs[Array[Byte]](6) == null)
@@ -1007,10 +1009,15 @@ class RpcCodecSpec extends AnyFunSuite {
         |  "traceAddress":[0,2],"subtraces":1,"type":"call",
         |  "blockNumber":16,"blockHash":"0xaa","transactionPosition":3,"transactionHash":"0x01"},
         | {"action":{"author":"0x33","rewardType":"block","value":"0x1bc16d674ec80000"},
-        |  "traceAddress":[],"subtraces":0,"type":"reward","blockNumber":16,"blockHash":"0xaa"}
+        |  "traceAddress":[],"subtraces":0,"type":"reward","blockNumber":16,"blockHash":"0xaa"},
+        | {"action":{"address":"0x44","refundAddress":"0x55","balance":"0x0de0b6b3a7640000"},
+        |  "traceAddress":[1],"subtraces":0,"type":"suicide","blockNumber":16,"blockHash":"0xaa",
+        |  "transactionPosition":0,"transactionHash":"0x02"},
+        | {"action":{"from":"0x66","to":"0x77","value":"0x","gas":"0x0","input":"0x"},
+        |  "traceAddress":[2],"subtraces":0,"type":"call","blockNumber":16,"blockHash":"0xaa"}
         |]}""".stripMargin
     val rows = RpcExtract.traceBlock(body, chainId = 1)
-    assert(rows.size == 2)
+    assert(rows.size == 4)
     val call = rows(0)
     assert(call.getString(2) == "1000000000000000000") // decimal string value
     assert(call.getString(13) == "0_2")                // _-joined trace address
@@ -1020,6 +1027,15 @@ class RpcCodecSpec extends AnyFunSuite {
     assert(reward.getString(8) == "reward" && reward.getString(13) == "")
     assert(reward.getAs[Array[Byte]](1) != null) // author → to
     assert(reward.getString(2) == "2000000000000000000")
+    // selfdestruct folds {address, refundAddress, balance} into
+    // (from, to, value) like the reference (traces.rs:176-179)
+    val sd = rows(2)
+    assert(sd.getString(8) == "suicide")
+    assert(sd.getAs[Array[Byte]](0).toSeq == Seq(0x44.toByte)) // address → from
+    assert(sd.getAs[Array[Byte]](1).toSeq == Seq(0x55.toByte)) // refund → to
+    assert(sd.getString(2) == "1000000000000000000")           // balance → value
+    // bare "0x" quantity (a live client quirk) is zero, not a crash
+    assert(rows(3).getString(2) == "0")
   }
 
   test("ethCallRow pairs request context with the call output") {
