@@ -611,13 +611,22 @@ object Cli {
     val parsed = specs.map(parseBlocksArg(spark, _, latest))
     if (parsed.size == 1) parsed.head
     else {
+      // enforce the cap on the SUM of per-spec sizes BEFORE expanding:
+      // two large ranges ('0:1B 5') would otherwise materialize billions
+      // of boxed longs on the driver before the guard could fire (the
+      // sum over-counts duplicates across specs, which only makes the
+      // guard stricter — a capped union can never exceed its spec sum)
+      val total = parsed.map {
+        case BlockSyntax.Range(a, b) => b - a
+        case BlockSyntax.Numbers(ns) => ns.size.toLong
+      }.sum
+      require(total <= MaxBlockListSize,
+        s"multiple --blocks specs expand past $MaxBlockListSize blocks; " +
+          "pass one contiguous range instead")
       val all = parsed.flatMap {
         case BlockSyntax.Range(a, b) => a until b
         case BlockSyntax.Numbers(ns) => ns
       }.distinct.sorted
-      require(all.size <= MaxBlockListSize,
-        s"multiple --blocks specs expand past $MaxBlockListSize blocks; " +
-          "pass one contiguous range instead")
       BlockSyntax.Numbers(all)
     }
   }

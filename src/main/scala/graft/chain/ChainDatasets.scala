@@ -227,11 +227,19 @@ object ChainDatasets {
   def nativeTransfers(spark: SparkSession, dir: String,
       u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame = {
     val t = fx(spark, dir, "rpc_traces").filter(col("error").isNull)
+    // reward endpoints (native_transfers.rs:99-103): from = the zero
+    // address, to = the author — which the traces bronze stores in
+    // action_from (traces.rs Action::Reward), so the endpoints swap here
+    val zeroAddr = lit(new Array[Byte](20))
     val xfers = t.filter(
       (col("action_type").isin("call", "create") && col("action_value") =!= "0") ||
         col("action_type").isin("suicide", "reward"))
+      .withColumn("from_unified",
+        when(col("action_type") === "reward", zeroAddr)
+          .otherwise(col("action_from")))
       .withColumn("to_unified",
         when(col("action_type") === "create", col("result_address"))
+          .when(col("action_type") === "reward", col("action_from"))
           .otherwise(col("action_to")))
     val w = Window.partitionBy("block_number")
       .orderBy(col("transaction_index").asc_nulls_last, col("trace_address"))
@@ -239,7 +247,7 @@ object ChainDatasets {
       .withColumn("transfer_index", row_number().over(w) - 1)
       .select(Seq(
         col("block_number"), col("transaction_index"), col("transfer_index"),
-        col("transaction_hash"), col("action_from").as("from_address"),
+        col("transaction_hash"), col("from_unified").as("from_address"),
         col("to_unified").as("to_address")) ++
         U256.expand(BinaryStats.u256FromString(col("action_value")), "value", u256Reprs) :+
         col("chain_id"): _*)

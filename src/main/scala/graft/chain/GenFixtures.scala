@@ -243,10 +243,12 @@ object GenFixtures {
         }
       }
     }
-    // block reward rows (tx-less traces)
+    // block reward rows (tx-less traces) — author sits in action_from
+    // with action_to null (traces.rs Action::Reward stores author in
+    // action_from)
     (0 until nBlocks).foreach { i =>
       val n = FirstBlock + i
-      traceRows += Row(null, addr(n % 5), "2000000000000000000",
+      traceRows += Row(addr(n % 5), null, "2000000000000000000",
         null, null, null, null, "block", "reward", null, null, null, null,
         "", 0, null, n, Keccak.hash(s"block$n"), null, null, ChainId)
     }

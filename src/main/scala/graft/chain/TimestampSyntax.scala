@@ -103,8 +103,20 @@ object TimestampSyntax {
       // greatest file starting at or below n holds the floor block (a
       // frozen chunk contains every block its name claims)
       files.takeWhile(_.start <= n).lastOption.flatMap { f =>
-        spark.read.parquet(f.path)
-          .filter(col("block_number") <= n)
+        // dispatch on the chunk's own format: a csv/json blocks lake
+        // used with --timestamps previously hit spark.read.parquet and
+        // died with a raw 'not a Parquet file' error. csv/json chunks
+        // hexify binary columns but keep block_number/timestamp integral,
+        // so inference is sound for the two columns the probe reads.
+        val df = f.format match {
+          case "parquet" => spark.read.parquet(f.path)
+          case "csv" => spark.read.option("header", "true")
+            .option("inferSchema", "true").csv(f.path)
+          case "json" => spark.read.json(f.path)
+          case other => throw new IllegalArgumentException(
+            s"timestamp resolution cannot read '$other' chunk ${f.path}")
+        }
+        df.filter(col("block_number") <= n)
           .orderBy(col("block_number").desc).limit(1)
           .select(col("block_number").cast("long"),
             col("timestamp").cast("long"))

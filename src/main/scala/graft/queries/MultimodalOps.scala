@@ -334,8 +334,10 @@ object MultimodalOps {
       // and each uncached read re-runs the PNG encode + ImageIO decode
       // lineage — the dominant cost of this query. 5 narrow columns per
       // doc; the cache-manager entry is shared across repeat calls.
-      val hs = imageAHash(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked for release via TextOps' queue: a bare persist leaked
+      // one block-manager entry per invocation in long-lived processes
+      val hs = TextOps.trackPersist(imageAHash(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val bands = hs.select(col("doc_id"),
         expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"))
       val capped = bands

@@ -229,7 +229,10 @@ object TextOps {
     * block manager forever. */
   private val innerPersists =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-  private def trackPersist(df: DataFrame): DataFrame = {
+  /** shared with MultimodalOps: its per-invocation image-hash persist
+    * rides the same release queue, so one clearAuditCache sweep reclaims
+    * every pipeline-internal block-manager entry */
+  private[queries] def trackPersist(df: DataFrame): DataFrame = {
     innerPersists.add(df)
     df
   }

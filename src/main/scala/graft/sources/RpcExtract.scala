@@ -173,7 +173,7 @@ object RpcExtract {
 
   /** rpc_traces rows from one trace_block response (traces.rs:45-90):
     * flat parity traces with `_`-joined trace addresses, decimal-string
-    * values, and reward recipients folded into action_to. */
+    * values, and reward authors folded into action_from. */
   def traceBlock(body: String, chainId: Long): Seq[Row] =
     (JsonMethods.parse(body) \ "result") match {
       case JArray(ts) => ts.map { t =>
@@ -184,12 +184,18 @@ object RpcExtract {
         Row(
           // selfdestruct actions carry {address, refundAddress, balance}
           // instead of {from, to, value} — the reference folds them to
-          // (from, to, value) exactly like reward folds author→to
-          // (traces.rs:176-179); without the fold every SELFDESTRUCT
-          // lost its addresses and balance on the live path
-          if (typ == "suicide") hexB(action, "address") else hexB(action, "from"),
+          // (from, to, value); reward actions carry {author, rewardType,
+          // value} and fold author→action_from with action_to left null
+          // (traces.rs:176-196 Action::Reward stores author in
+          // action_from) — without the folds SELFDESTRUCTs lost their
+          // addresses/balance and rewards their author on the live path
           typ match {
+            case "suicide" => hexB(action, "address")
             case "reward" => hexB(action, "author")
+            case _ => hexB(action, "from")
+          },
+          typ match {
+            case "reward" => null
             case "suicide" => hexB(action, "refundAddress")
             case _ => hexB(action, "to")
           },

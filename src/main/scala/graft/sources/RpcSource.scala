@@ -224,12 +224,19 @@ object RpcCodec {
   * unlimited, the exact opposite of a tight limit. */
 final class TokenBucket(ratePerSecond: Double) extends Serializable {
   private var last = System.nanoTime()
-  private var tokens = math.max(1.0, ratePerSecond)
+  // Burst capacity ≥ 1 token: a fractional rate (global rps split across
+  // more tasks than rps, e.g. 10 rps / 32 tasks = 0.3125) must still be
+  // able to ACCUMULATE the single token acquire() waits for — capping the
+  // refill at ratePerSecond < 1 would make `tokens < 1.0` permanently
+  // true and hang every task in the sleep loop. With cap 1.0 a
+  // sub-1-rate bucket simply spaces requests 1/rate seconds apart.
+  private val capacity = math.max(1.0, ratePerSecond)
+  private var tokens = capacity
   def acquire(): Unit = {
     if (ratePerSecond <= 0) return
     while ({
       val now = System.nanoTime()
-      tokens = math.min(ratePerSecond,
+      tokens = math.min(capacity,
         tokens + (now - last) * 1e-9 * ratePerSecond)
       last = now
       tokens < 1.0

@@ -195,7 +195,14 @@ class ChainDatasetsSpec extends AnyFunSuite {
 
   test("native transfers include rewards and suicides with correct endpoints") {
     val nt = ChainDatasets.nativeTransfers(spark, dir, Seq(U256.Str)).collect()
-    assert(nt.exists(_.isNullAt(1))) // reward rows: null transaction_index
+    val rewards = nt.filter(_.isNullAt(1)) // reward rows: null transaction_index
+    assert(rewards.nonEmpty)
+    // reward endpoints (native_transfers.rs:99-103): from = zero address,
+    // to = author (which the traces bronze stores in action_from)
+    rewards.foreach { r =>
+      assert(r.getAs[Array[Byte]]("from_address").toSeq == Seq.fill(20)(0.toByte))
+      assert(r.getAs[Array[Byte]]("to_address") != null)
+    }
     assert(nt.forall(r => BigInt(r.getAs[String]("value_string")) >= 0))
   }
 

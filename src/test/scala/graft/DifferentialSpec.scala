@@ -156,12 +156,14 @@ object FixtureRpcServer {
       def optI(c: String): Option[Int] =
         if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Int](c))
       val typ = r.getAs[String]("action_type")
-      // real node shapes per action type: reward folds author→to,
-      // selfdestruct carries {address, refundAddress, balance} instead
-      // of {from, to, value} (traces.rs:176-179) — the stub must speak
-      // the wire shape so the parser's folding is actually exercised
+      // real node shapes per action type: reward carries {author,
+      // rewardType, value} (author lands in the bronze's action_from,
+      // traces.rs:186-188), selfdestruct carries {address,
+      // refundAddress, balance} instead of {from, to, value}
+      // (traces.rs:176-179) — the stub must speak the wire shape so the
+      // parser's folding is actually exercised
       val (fromKey, toKey, valKey) = typ match {
-        case "reward" => ("from", "author", "value")
+        case "reward" => ("author", "to", "value")
         case "suicide" => ("address", "refundAddress", "balance")
         case _ => ("from", "to", "value")
       }

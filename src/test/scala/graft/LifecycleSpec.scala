@@ -1025,7 +1025,9 @@ class RpcCodecSpec extends AnyFunSuite {
     assert(call.getAs[java.lang.Integer](18) == 3)
     val reward = rows(1)
     assert(reward.getString(8) == "reward" && reward.getString(13) == "")
-    assert(reward.getAs[Array[Byte]](1) != null) // author → to
+    // author → action_from, action_to stays null (traces.rs:186-188)
+    assert(reward.getAs[Array[Byte]](0).toSeq == Seq(0x33.toByte))
+    assert(reward.getAs[Array[Byte]](1) == null)
     assert(reward.getString(2) == "2000000000000000000")
     // selfdestruct folds {address, refundAddress, balance} into
     // (from, to, value) like the reference (traces.rs:176-179)

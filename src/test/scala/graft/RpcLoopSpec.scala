@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import com.sun.net.httpserver.HttpServer
 import graft.chain.BlockSyntax
-import graft.sources.{RpcConfig, RpcSource}
+import graft.sources.{RpcConfig, RpcSource, TokenBucket}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.scalatest.funsuite.AnyFunSuite
@@ -922,5 +922,24 @@ class RpcLoopSpec extends AnyFunSuite {
       val df = new RpcSource(cfg).fetchBlocks(spark, range, numPartitions = 1)
       assert(df.count() == 4)
     } finally server.stop(0)
+  }
+
+  test("fractional-rate token bucket (rps < task count) spaces instead of hanging") {
+    // a global rate split across more tasks than rps hands each bucket a
+    // rate < 1.0; the refill cap must still allow accumulating the one
+    // token acquire() waits for (capping at ratePerSecond < 1 hung every
+    // task forever). rate=0.8 → burst token spent instantly, second
+    // acquire waits ~1.25 s — assert completion and that spacing happened.
+    val bucket = new TokenBucket(0.8)
+    val t0 = System.nanoTime()
+    bucket.acquire() // initial burst token
+    val t1 = System.nanoTime()
+    bucket.acquire() // must refill past 1.0 despite rate < 1
+    val t2 = System.nanoTime()
+    assert((t1 - t0) < 500_000_000L, "first acquire should be instant")
+    val spacingMs = (t2 - t1) / 1_000_000L
+    assert(spacingMs >= 1000, s"second acquire returned after ${spacingMs}ms; " +
+      "a sub-1 rate must space requests at ~1/rate seconds")
+    assert(spacingMs < 10_000, "second acquire took implausibly long")
   }
 }
