@@ -65,24 +65,25 @@ object Cli {
   private case class Remembered(version: String, command: Seq[String])
 
   private def rememberPath(outputDir: String) =
-    java.nio.file.Paths.get(outputDir, ".graft", "remembered_command.json")
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(outputDir, ".graft"),
+      "remembered_command.json").toString
 
   private def saveRemembered(outputDir: String, command: Seq[String]): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val p = rememberPath(outputDir)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, JsonMethods.compact(JsonMethods.render(
-      ("graft_version" -> Version) ~ ("command" -> command))))
+    graft.chain.LakeFs.writeString(rememberPath(outputDir),
+      JsonMethods.compact(JsonMethods.render(
+        ("graft_version" -> Version) ~ ("command" -> command))))
   }
 
   private def loadRemembered(outputDir: String): Option[Remembered] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val p = rememberPath(outputDir)
-    if (!java.nio.file.Files.exists(p)) None
+    if (!graft.chain.LakeFs.exists(p)) None
     else {
-      val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+      val j = JsonMethods.parse(graft.chain.LakeFs.readString(p))
       val v = (j \ "graft_version") match { case JString(s) => s; case _ => "" }
       val cmd = (j \ "command") match {
         case JArray(xs) => xs.collect { case JString(s) => s }
@@ -145,6 +146,7 @@ object Cli {
       |       graft.Cli index build|search|compact …
       |       graft.Cli lake <dataset> --lake-dir DIR [--blocks SPEC] …
       |       graft.Cli lake compact|verify --lake-dir DIR …
+      |       graft.Cli difftest --rpc URL --source-dir DIR [--blocks a:b]
       |       graft.Cli help [syntax | datasets | <dataset>…]
       |
       |common flags: --chunk-size N  --n-chunks N  --align  --reorg-buffer N
@@ -262,6 +264,8 @@ object Cli {
         runIndex(args.drop(1).toSeq, spark)
       } else if (args.headOption.contains("lake")) {
         runLake(args.drop(1).toSeq, spark); ()
+      } else if (args.headOption.contains("difftest")) {
+        runDiffTest(args.drop(1).toSeq, spark)
       } else run(args, spark).foreach { r =>
         println(s"completed: ${r.completed.size} file(s), skipped: ${r.skipped.size}, " +
           s"errored: ${r.errored.size}, rows: ${r.rows}")
@@ -323,6 +327,56 @@ object Cli {
       usage: String): String = {
     require(i + 1 < args.length, s"missing value for $flag; $usage")
     args(i + 1)
+  }
+
+  /** `graft.Cli difftest --rpc URL --source-dir DIR [--blocks a:b]
+    * [--partitions N] [--js-tracer CODE]` — the cryo_test-style
+    * differential sweep against an arbitrary endpoint: every corpus
+    * datatype (37 scalars, JSON-normalized js traces, plus the
+    * by-transaction dimension) collects live from --rpc AND from the
+    * reference bronze dir, and must come out row-identical. Prints one
+    * pass/FAIL line per datatype and throws (nonzero exit) on any
+    * mismatch — usable in CI against a stub or a real node the way the
+    * reference's cryo_test harness is. */
+  def runDiffTest(args: Seq[String], spark: SparkSession): Seq[graft.chain.DiffTest.Outcome] = {
+    val usage = "usage: difftest --rpc URL --source-dir DIR " +
+      "[--blocks a:b] [--partitions N] [--js-tracer CODE]"
+    var rpc: Option[String] = None
+    var sourceDir: Option[String] = None
+    var blocks = "1000:1060"
+    var partitions = 4
+    var jsTracer = "{fake: true}"
+    var i = 0
+    while (i < args.length) {
+      def value(flag: String): String = flagValue(args, i, flag, usage)
+      args(i) match {
+        case "--rpc" => rpc = Some(value("--rpc")); i += 1
+        case "--source-dir" => sourceDir = Some(value("--source-dir")); i += 1
+        case "--blocks" => blocks = value("--blocks"); i += 1
+        case "--partitions" => partitions = value("--partitions").toInt; i += 1
+        case "--js-tracer" => jsTracer = value("--js-tracer"); i += 1
+        case other =>
+          throw new IllegalArgumentException(s"unknown difftest flag $other; $usage")
+      }
+      i += 1
+    }
+    val url = rpc.getOrElse(throw new IllegalArgumentException(s"missing --rpc; $usage"))
+    val ref = sourceDir.getOrElse(
+      throw new IllegalArgumentException(s"missing --source-dir; $usage"))
+    val range = BlockSyntax.parse(blocks, latest = Long.MaxValue) match {
+      case r: BlockSyntax.Range => r
+      case _ => throw new IllegalArgumentException(
+        s"difftest needs a contiguous a:b block range; $usage")
+    }
+    val outcomes = graft.chain.DiffTest.run(spark, ref, url, range,
+      partitions, jsTracer)
+    outcomes.foreach(o => println(o.describe))
+    val failed = outcomes.filterNot(_.ok)
+    println(s"difftest: ${outcomes.size - failed.size} pass, ${failed.size} fail")
+    require(failed.isEmpty,
+      s"difftest: ${failed.size} datatype(s) differ: " +
+        failed.map(_.datatype).mkString(", "))
+    outcomes
   }
 
   def runLake(args: Seq[String], spark: SparkSession): DataFrame = {
@@ -1030,15 +1084,15 @@ object Cli {
           spark, sourceDir, expanded.head, hashes.toSeq))
         return Left(if (hex) Freeze.hexifyBinary(df) else df)
       }
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+      graft.chain.LakeFs.mkdirs(outputDir)
       val completed = expanded.map { name =>
         val df = decorate(name)(
           Freeze.collectByTransaction(spark, sourceDir, name, hashes.toSeq))
         val stub = txHashes.head.stripPrefix("0x").take(8) + s"_${txHashes.size}txs"
-        val target = java.nio.file.Paths.get(outputDir,
-          s"${network}__${name}__txs_$stub.$format")
+        val target = graft.chain.LakeFs.display(new org.apache.hadoop.fs.Path(
+          outputDir, s"${network}__${name}__txs_$stub.$format"))
         Freeze.writeOneFile(df, target, format)
-        target.toString
+        target
       }
       return Right(Some(Freeze.FreezeResult(completed, Nil, Nil, -1)))
     }

@@ -1,7 +1,6 @@
 package graft.chain
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,7 +13,10 @@ import org.apache.spark.sql.functions._
   * `{network}__{datatype}[__{label}]__{start:08d}_to_{end:08d}.parquet`;
   * existing files are skipped unless overwrite — re-running a job touches
   * only missing chunks (incremental/resumable extraction). Writes go
-  * through a `_tmp` directory + atomic rename (export.rs:13-23).
+  * through a `._tmp` directory + single-file promotion (export.rs:13-23)
+  * over the Hadoop FileSystem of the output path — a lake can live on
+  * local disk, HDFS or an object store (see LakeFs for the per-FS
+  * rename semantics; PLANS.md carries the swap-site atomicity audit).
   *
   * Scale note: each chunk writes via a block-range filter that Catalyst
   * pushes into the parquet scan (partition pruning), so a 1000-chunk
@@ -294,7 +296,7 @@ object Freeze {
         s"--label '$l' collides with a dataset name; pick a label that " +
           "is not a datatype so lake reads/streams stay unambiguous")
     }
-    Files.createDirectories(Paths.get(spec.outputDir))
+    LakeFs.mkdirs(spec.outputDir)
     val tStart = java.time.LocalDateTime.now()
     writeReport(spec, tStart, None)
     val range = spec.blocks match {
@@ -388,14 +390,14 @@ object Freeze {
         case "network" => spec.network
         case custom => custom
       }
-      val dir = sub.foldLeft(Paths.get(spec.outputDir))(_.resolve(_))
-      Files.createDirectories(dir)
-      (canonical, chunk, dimValue, dir.resolve(name))
+      val dir = sub.foldLeft(new HPath(spec.outputDir))(new HPath(_, _))
+      LakeFs.mkdirs(dir.toString)
+      (canonical, chunk, dimValue, LakeFs.display(new HPath(dir, name)))
     }
     def runTask(canonical: String, chunk: BlockSyntax.Range,
-        dimValue: Option[Any], target: Path): TaskOutcome =
-      if (Files.exists(target) && !spec.overwrite) {
-        Skipped(target.toString) // freeze.rs:92-110 idempotent skip
+        dimValue: Option[Any], target: String): TaskOutcome =
+      if (LakeFs.exists(target) && !spec.overwrite) {
+        Skipped(target) // freeze.rs:92-110 idempotent skip
       } else try {
         val ranged = filterBlocks(builderOf(canonical)(spark, sourceDir), chunk)
         // explicit block LISTS (a:b/n sampling, a:b:k strides, parquet
@@ -413,7 +415,7 @@ object Freeze {
         // CSV/JSON force hex encoding of binary columns; parquet only
         // under --hex (cryo cli/parse/schemas.rs:37-40 coupling)
         val df = if (spec.format != "parquet" || spec.hex) hexifyBinary(df0) else df0
-        Completed(target.toString,
+        Completed(target,
           writeSingleFile(df, target, spec.format, spec.compression,
             spec.rowGroupSize, spec.noStats))
       } catch {
@@ -458,19 +460,25 @@ object Freeze {
   }
 
   /** single-file write for non-chunked collection modes (e.g. --txs) */
-  def writeOneFile(df: DataFrame, target: Path, format: String): Long =
+  def writeOneFile(df: DataFrame, target: String, format: String): Long =
     writeSingleFile(df, target, format)
 
-  /** one file per chunk via tmp dir + atomic move (export.rs:13-23).
+  /** one file per chunk via tmp dir + single-file promotion
+    * (export.rs:13-23), over the Hadoop FileSystem of the target path —
+    * local, hdfs:// and s3a:// lakes all take the same path. The
+    * promotion is an atomic rename on HDFS/local; on object stores the
+    * part file lands as one object copy whose source sits in the `._tmp`
+    * dir lake listings skip (LakeFs scaladoc has the full semantics).
     * The row count rides the write job as an `observe` metric — the chunk
     * is computed exactly once (r1 pre-counted with df.count(), doubling
     * every chunk's work). */
-  private def writeSingleFile(df: DataFrame, target: Path, format: String,
+  private def writeSingleFile(df: DataFrame, target: String, format: String,
       compression: Option[String] = None, rowGroupSize: Option[Int] = None,
       noStats: Boolean = false): Long = {
-    val tmp = target.resolveSibling(target.getFileName.toString + "._tmp")
+    val targetPath = new HPath(target)
+    val tmp = new HPath(targetPath.getParent, targetPath.getName + "._tmp")
     val obs = org.apache.spark.sql.Observation(
-      s"freeze_${target.getFileName}_${System.nanoTime()}")
+      s"freeze_${targetPath.getName}_${System.nanoTime()}")
     val writer0 = df.observe(obs, count(lit(1)).as("rows"))
       .coalesce(1).write.mode("overwrite")
     // parquet default codec is lz4 raw like the reference
@@ -491,27 +499,17 @@ object Freeze {
       case "csv" => writer.option("header", "true").csv(tmp.toString)
       case "json" => writer.json(tmp.toString)
     }
-    // close the directory stream (one leaked fd per chunk adds up over a
-    // 1000-chunk freeze) and fail with the real cause if no part- file
-    // materialized instead of a bare NoSuchElementException
-    val listing = Files.list(tmp)
-    val part =
-      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().orElseThrow(() => new IllegalStateException(
-          s"freeze wrote no part- file under $tmp for $target"))
-      finally listing.close()
-    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(tmp)
+    // fail with the real cause if no part- file materialized instead of
+    // a bare NoSuchElementException
+    val tfs = LakeFs.fs(tmp)
+    val part = tfs.listStatus(tmp)
+      .find(_.getPath.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"freeze wrote no part- file under $tmp for $target"))
+      .getPath
+    LakeFs.promote(part, targetPath)
+    tfs.delete(tmp, true)
     obs.get("rows").asInstanceOf[Long]
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(deleteRecursively) finally s.close()
-    }
-    Files.deleteIfExists(p)
   }
 
   /** library version recorded in run reports (reports.rs cryo_version) */
@@ -521,9 +519,9 @@ object Freeze {
     t.format(java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd_HH-mm-ss.SSSSSS"))
 
-  def reportDir(spec: FreezeSpec): Path =
-    spec.reportDirOverride.map(Paths.get(_))
-      .getOrElse(Paths.get(spec.outputDir, ".graft", "reports"))
+  def reportDir(spec: FreezeSpec): String =
+    spec.reportDirOverride.getOrElse(
+      new HPath(new HPath(spec.outputDir, ".graft"), "reports").toString)
 
   /** Two-phase JSON run report (types/reports.rs:25-100): an
     * `incomplete_{t_start}.json` marker (results: null) is written when the
@@ -533,7 +531,7 @@ object Freeze {
       result: Option[FreezeResult]): Unit = {
     if (spec.noReport) return
     val dir = reportDir(spec)
-    Files.createDirectories(dir)
+    LakeFs.mkdirs(dir)
     def s(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def arr(xs: Seq[String]) = xs.map(s).mkString("[", ",", "]")
     val results = result match {
@@ -550,8 +548,8 @@ object Freeze {
          |"results":$results}""".stripMargin
     val stamp = reportStamp(tStart)
     val name = if (result.isDefined) s"$stamp.json" else s"incomplete_$stamp.json"
-    Files.writeString(dir.resolve(name), json)
+    LakeFs.writeString(new HPath(dir, name).toString, json)
     if (result.isDefined)
-      Files.deleteIfExists(dir.resolve(s"incomplete_$stamp.json"))
+      LakeFs.deleteFile(new HPath(dir, s"incomplete_$stamp.json").toString)
   }
 }

@@ -1,8 +1,9 @@
 package graft.chain
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Path
 
 /** Query surface over a FROZEN lake — the directory of cryo-named chunk
   * files that `Freeze.freeze` (and followLive's incremental appends)
@@ -52,8 +53,10 @@ object Lake {
   /** Parse a cryo-named chunk file name; None for anything else (run
     * reports, remembered commands, `._tmp` staging dirs, foreign files)
     * so a lake listing never trips on the freeze layer's own metadata. */
-  def parseFileName(path: Path): Option[ChunkFile] = {
-    val name = path.getFileName.toString
+  def parseFileName(path: Path): Option[ChunkFile] =
+    parseFileName(path.toString, path.getFileName.toString)
+
+  def parseFileName(fullPath: String, name: String): Option[ChunkFile] = {
     val dot = name.lastIndexOf('.')
     if (dot <= 0) return None
     val ext = name.substring(dot + 1)
@@ -62,34 +65,43 @@ object Lake {
     if (parts.length < 3) return None
     parts.last match {
       case RangeRe(s, e) =>
-        Some(ChunkFile(path.toString, parts(0), parts(1),
+        Some(ChunkFile(fullPath, parts(0), parts(1),
           parts.slice(2, parts.length - 1).toSeq, s.toLong, e.toLong, ext))
       case _ => None
     }
   }
 
   /** Driver-side recursive listing of every chunk file under `dir` —
-    * file NAMES only, no data or footer reads. Dot-directories
-    * (`.graft` reports, `.compact_old` recovery state) are skipped.
-    * Deterministic (sorted) order so downstream file lists are stable
-    * across runs. */
+    * file NAMES only, no data or footer reads. Routed through Hadoop's
+    * `FileSystem` (resolved from the active session's configuration) so
+    * an `s3a://`/`hdfs://`/custom-scheme lake lists the same way the
+    * data plane reads it; a lake directory costs one LIST call per
+    * directory level (a healthy lake is flat or a couple of subdirs
+    * deep — still a handful of paged RPCs at 22k files). The walk uses
+    * `listStatus`, NOT `listFiles(recursive)`: the latter materializes
+    * `LocatedFileStatus` whose constructor eagerly stats per-file
+    * permissions — ~4 ms/file on a local FS (measured 79 s over the
+    * 20k-file spec lake, vs <5 s lazy). Dot-directories (`.graft`
+    * reports, `.compact_old` recovery state) and `._tmp` staging dirs
+    * are skipped. Deterministic (sorted by path) so downstream file
+    * lists are stable across runs; local paths stay bare strings
+    * (LakeFs.display) so existing consumers and the oracle see
+    * unchanged values. */
   def listChunks(dir: String): Seq[ChunkFile] = {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) return Seq.empty
+    val fs = LakeFs.fs(dir)
+    val root = new HPath(dir)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory)
+      return Seq.empty
     val out = Seq.newBuilder[ChunkFile]
-    def walk(p: Path): Unit = {
-      val s = Files.list(p)
-      try {
-        s.sorted().forEach { c =>
-          val n = c.getFileName.toString
-          if (Files.isDirectory(c)) {
-            if (!n.startsWith(".") && !n.endsWith("._tmp")) walk(c)
-          } else parseFileName(c).foreach(out += _)
-        }
-      } finally s.close()
-    }
+    def walk(p: HPath): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!n.startsWith(".") && !n.endsWith("._tmp")) walk(st.getPath)
+        } else parseFileName(LakeFs.display(st.getPath), n).foreach(out += _)
+      }
     walk(root)
-    out.result()
+    out.result().sortBy(_.path)
   }
 
   /** file-granular overlap test: does this chunk's [start, endInclusive]

@@ -1,8 +1,8 @@
 package graft.chain
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
-import java.nio.file.{Files, Paths}
 
 /** Small-file compaction for a frozen lake — the maintenance operator a
   * follow-mode lake needs at scale: followLive freezes reorg-buffer-
@@ -79,15 +79,20 @@ object LakeCompact {
       System.err.println(s"[lake compact] skipping ${nonParquet.size} " +
         s"non-parquet file(s) (parquet-only; e.g. ${nonParquet.head.path})")
     }
+    // all moves/deletes go through the Hadoop FileSystem resolved from
+    // the session configuration, so compaction works on any lake the
+    // data plane can read (s3a/hdfs/local). On object stores the
+    // originals' deletes are per-object (no atomic batch) — the
+    // containment rule already makes every intermediate state readable.
     val written = Seq.newBuilder[String]
-    all.groupBy(f => (Paths.get(f.path).getParent, f.network, f.dataset,
-        f.tags)).foreach { case ((parent, net, dataset, tags), group) =>
+    all.groupBy(f => (new HPath(f.path).getParent.toString, f.network,
+        f.dataset, f.tags)).foreach { case ((parent, net, dataset, tags), group) =>
       val sorted = group.sortBy(f => (f.start, -f.endInclusive))
       // finish any interrupted run first: originals strictly contained
       // in a survivor are leftovers whose merged file already landed
       val live = Lake.dropContained(sorted)
       (sorted.toSet -- live.toSet).foreach { leftover =>
-        Files.deleteIfExists(Paths.get(leftover.path))
+        LakeFs.deleteFile(leftover.path)
       }
       // maximal contiguous runs, greedily cut at targetBlocks
       val runs = live.foldLeft(Vector.empty[Vector[Lake.ChunkFile]]) {
@@ -104,8 +109,8 @@ object LakeCompact {
         val stub = tags.map("__" + _).mkString
         val name = s"${net}__${dataset}$stub" +
           s"__${Freeze.chunkStub(range)}.parquet"
-        val target = parent.resolve(name)
-        if (!Files.exists(target)) {
+        val target = LakeFs.display(new HPath(parent, name))
+        if (!LakeFs.exists(target)) {
           val paths = run.map(_.path)
           val src = spark.read.parquet(paths: _*)
           // the row-preservation recheck reads source FOOTERS, not data:
@@ -129,14 +134,14 @@ object LakeCompact {
             // the bad merged file must NOT survive: the containment rule
             // would make reads prefer it over the (correct) originals,
             // and the next compact would adopt it and delete them
-            Files.deleteIfExists(target)
+            LakeFs.deleteFile(target)
             throw new IllegalStateException(
               s"compaction row mismatch for $name: wrote $n, sources had " +
                 s"$expected — merged file removed, originals left in place")
           }
         }
-        run.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
-        written += target.toString
+        run.foreach(f => LakeFs.deleteFile(f.path))
+        written += target
       }
     }
     written.result()

@@ -1,0 +1,99 @@
+package graft.chain
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-FileSystem resolution for every lake/freeze file operation.
+  *
+  * The lake's 100 TB story depends on living on an object store or HDFS
+  * (Lake scaladoc: "one recursive listing RPC on an object store"), so
+  * the file layer must speak the `FileSystem` API — `java.nio` walks
+  * only a local disk. Every path is resolved against the ACTIVE Spark
+  * session's `hadoopConfiguration`, the same configuration Spark's own
+  * readers/writers use, so `s3a://`, `hdfs://`, custom schemes and
+  * plain local paths all behave identically between the data plane
+  * (spark.read/write) and this control plane (listing, skip-existing,
+  * promotion renames, compaction swaps).
+  *
+  * Rename semantics, stated honestly (the crash-safety contracts in
+  * Freeze/LakeCompact reason from these):
+  *  - HDFS / local: `rename` is atomic; readers see old-name XOR new.
+  *  - S3A and most object stores: rename = server-side COPY + DELETE.
+  *    Single-FILE promotion stays safe for lake readers because the
+  *    destination appears atomically (one object PUT) and the source
+  *    lives in a `._tmp`/staging directory that `Lake.listChunks`
+  *    skips — a crash between copy and delete leaves only an invisible
+  *    leftover. What is NOT guaranteed without HDFS is atomic
+  *    REPLACEMENT of an existing destination: overwrite promotions
+  *    delete-then-rename, leaving a small no-file window (documented at
+  *    the call sites; PLANS.md carries the full swap-site audit).
+  */
+object LakeFs {
+
+  /** the active session's Hadoop configuration, falling back to a bare
+    * `Configuration` (core-default/core-site) for driver-side tooling
+    * that runs before any session exists */
+  def conf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def fs(path: String): FileSystem = fs(new HPath(path))
+
+  /** local paths unwrap to the RAW local filesystem: the default
+    * `LocalFileSystem` is checksummed and writes a hidden `.f.crc`
+    * sibling next to every create — reports, sidecars and lake files
+    * would grow shadow files the `java.nio` layer never produced (and
+    * report listings/readers would trip on the binary .crc). Remote
+    * schemes pass through untouched. */
+  def fs(path: HPath): FileSystem = path.getFileSystem(conf) match {
+    case c: org.apache.hadoop.fs.LocalFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  /** render a Hadoop path for storage in ChunkFile/report strings:
+    * local-FS paths stay bare (`/lake/x.parquet`, byte-compatible with
+    * every existing consumer and the DuckDB oracle), any other scheme
+    * keeps its full URI (`s3a://bucket/lake/x.parquet`) */
+  def display(p: HPath): String = {
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
+    else p.toString
+  }
+
+  def exists(path: String): Boolean = fs(path).exists(new HPath(path))
+
+  def mkdirs(path: String): Unit = fs(path).mkdirs(new HPath(path))
+
+  /** delete one file (no-op when absent) */
+  def deleteFile(path: String): Unit =
+    fs(path).delete(new HPath(path), false)
+
+  def deleteTree(path: String): Unit =
+    fs(path).delete(new HPath(path), true)
+
+  /** single-file promotion: rename `src` over `target`, replacing any
+    * existing file. Atomic replace on HDFS/local; on object stores the
+    * pre-delete opens a small no-file window (see scaladoc). */
+  def promote(src: HPath, target: HPath): Unit = {
+    val f = fs(target)
+    if (f.exists(target)) f.delete(target, false)
+    require(f.rename(src, target), s"rename $src -> $target failed")
+  }
+
+  def readString(path: String): String = {
+    val in = fs(path).open(new HPath(path))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** whole-file write via create(overwrite=true) — single-object PUT on
+    * stores, so readers never see a partial report/sidecar */
+  def writeString(path: String, content: String): Unit = {
+    val out = fs(path).create(new HPath(path), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+}

@@ -503,165 +503,51 @@ class DifferentialSpec extends AnyFunSuite {
   }
 
   test("default-corpus differential: live stub-RPC collection equals fixture collection for every datatype") {
+    // drives the FIRST-CLASS `graft.Cli difftest` entry point (the
+    // cryo_test analogue usable against a real node) — the CLI surface
+    // and this CI gate are one code path (chain/DiffTest.scala)
     val h = FixtureRpcServer.start(spark, fixDir)
-    val live = java.nio.file.Files.createTempDirectory("graft_diff_bronze").toString
+    try {
+      val outcomes = Cli.runDiffTest(Seq("--rpc", h.url,
+        "--source-dir", fixDir, "--blocks", "1000:1060",
+        "--partitions", "4"), spark)
+      // 37 scalars (36 corpus + js-normalized) plus >=10 by-transaction
+      assert(outcomes.count(!_.datatype.contains("by-transaction")) == 37)
+      assert(outcomes.count(_.datatype.contains("by-transaction")) >= 10)
+      assert(outcomes.forall(_.ok),
+        outcomes.filterNot(_.ok).map(_.describe).mkString("\n"))
+    } finally h.stop()
+  }
+
+  test("difftest surfaces a live-vs-reference mismatch loudly") {
+    // corrupt ONE datatype on the live side by pointing the sweep at a
+    // stub whose traces hide an action type — the affected datatypes
+    // must FAIL while blocks still passes (no silent cross-talk)
+    val h = FixtureRpcServer.start(spark, fixDir)
+    val live = java.nio.file.Files.createTempDirectory("graft_diff_bad").toString
     try {
       val src = new RpcSource(RpcConfig(h.url, chainId = 1, maxRetries = 0))
       val range = BlockSyntax.Range(1000, 1060)
-      def put(name: String)(df: DataFrame): Unit =
-        df.write.mode("overwrite").parquet(s"$live/$name.parquet")
-
-      // block-range bronzes, one fetch pass each (blocks+txs shared)
-      val (b, t, done) = src.fetchBlocksAndTransactions(spark, range, 4)
-      put("rpc_blocks")(b); put("rpc_transactions")(t); done()
-      put("rpc_receipts")(src.fetchReceipts(spark, range, 4))
-      put("rpc_logs")(src.fetchLogs(spark, range, numPartitions = 4))
-      put("rpc_traces")(src.fetchTraces(spark, range, 4))
-      put("rpc_geth_prestate")(src.fetchGethPrestate(spark, range, 4))
-      put("rpc_geth_calls")(src.fetchGethCalls(spark, range, 4))
-      put("rpc_geth_opcodes")(src.fetchGethOpcodes(spark, range, 4))
-      put("rpc_vm_traces")(src.fetchVmTraces(spark, range, 4))
-      put("rpc_js_traces")(src.fetchJsTraces(spark, range, "{fake: true}", 4))
-      val (sd, sdDone) = src.fetchStateDiffs(spark, range, 4)
-      sd.foreach { case (name, df) => put(name)(df) }
-      sdDone()
-
-      // entity-scoped bronzes: work lists pinned from the fixture's own
-      // entities — the cryo_test per-datatype params (defaults.py pins
-      // WETH/Azuki the same way for its real chain)
-      def hexes(table: String, col: String): Seq[String] =
-        spark.read.parquet(s"$fixDir/$table.parquet")
-          .select(col).distinct().collect()
-          .map(r => "0x" + r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString)
-          .sorted.toSeq
-      def blocksOf(table: String): Seq[Long] =
-        spark.read.parquet(s"$fixDir/$table.parquet")
-          .select("block_number").distinct().collect()
-          .map(_.getInt(0).toLong).sorted.toSeq
-      def pairs(table: String, c1: String, c2: String): Seq[(String, String)] =
-        spark.read.parquet(s"$fixDir/$table.parquet")
-          .select(c1, c2).distinct().collect()
-          .map(r => ("0x" + r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString,
-            "0x" + r.getAs[Array[Byte]](1).map("%02x".format(_)).mkString))
-          .sortBy(p => (p._1, p._2)).toSeq
-
-      put("rpc_accounts")(src.fetchAccounts(spark,
-        blocksOf("rpc_accounts"), hexes("rpc_accounts", "address"), 4))
-      put("rpc_storage")(src.fetchStorage(spark, blocksOf("rpc_storage"),
-        pairs("rpc_storage", "address", "slot"), 4))
-      put("rpc_calls")(src.fetchEthCalls(spark, blocksOf("rpc_calls"),
-        pairs("rpc_calls", "contract_address", "call_data"), 4))
-      put("rpc_calls_erc721")(src.fetchEthCalls(spark,
-        blocksOf("rpc_calls_erc721"),
-        pairs("rpc_calls_erc721", "contract_address", "call_data"), 4))
-      put("rpc_trace_calls")(src.fetchTraceCalls(spark,
-        blocksOf("rpc_trace_calls"),
-        pairs("rpc_trace_calls", "contract_address", "tx_call_data"), 4))
-
-      // the pinned corpus (defaults.py datatypes + multi members),
-      // plus every additional datatype this engine collects live
-      val corpus: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-        "blocks" -> (ChainDatasets.blocks(_, _)),
-        "transactions" -> ((s: SparkSession, d: String) => ChainDatasets.transactions(s, d)),
-        "logs" -> ((s: SparkSession, d: String) => ChainDatasets.logs(s, d)),
-        "traces" -> ((s: SparkSession, d: String) => ChainDatasets.traces(s, d)),
-        "erc20_transfers" -> ((s: SparkSession, d: String) => ChainDatasets.erc20Transfers(s, d)),
-        "erc20_approvals" -> ((s: SparkSession, d: String) => ChainDatasets.erc20Approvals(s, d)),
-        "erc721_transfers" -> ((s: SparkSession, d: String) => ChainDatasets.erc721Transfers(s, d)),
-        "native_transfers" -> ((s: SparkSession, d: String) => ChainDatasets.nativeTransfers(s, d)),
-        "contracts" -> ((s: SparkSession, d: String) => ChainDatasets.contracts(s, d)),
-        "four_byte_counts" -> ((s: SparkSession, d: String) => ChainDatasets.fourByteCounts(s, d)),
-        "address_appearances" -> ((s: SparkSession, d: String) => ChainDatasets.addressAppearances(s, d)),
-        "balances" -> ((s: SparkSession, d: String) => ChainDatasets.balances(s, d)),
-        "nonces" -> ((s: SparkSession, d: String) => ChainDatasets.nonces(s, d)),
-        "codes" -> ((s: SparkSession, d: String) => ChainDatasets.codes(s, d)),
-        "slots" -> ((s: SparkSession, d: String) => ChainDatasets.slots(s, d)),
-        "balance_diffs" -> ((s: SparkSession, d: String) => ChainDatasets.balanceDiffs(s, d)),
-        "code_diffs" -> ((s: SparkSession, d: String) => ChainDatasets.codeDiffs(s, d)),
-        "nonce_diffs" -> ((s: SparkSession, d: String) => ChainDatasets.nonceDiffs(s, d)),
-        "storage_diffs" -> ((s: SparkSession, d: String) => ChainDatasets.storageDiffs(s, d)),
-        "eth_calls" -> ((s: SparkSession, d: String) => ChainDatasets.ethCalls(s, d)),
-        "erc20_metadata" -> ((s: SparkSession, d: String) => ChainDatasets.erc20Metadata(s, d)),
-        "erc20_supplies" -> ((s: SparkSession, d: String) => ChainDatasets.erc20Supplies(s, d)),
-        "erc20_balances" -> ((s: SparkSession, d: String) => ChainDatasets.erc20Balances(s, d)),
-        "erc721_metadata" -> ((s: SparkSession, d: String) => ChainDatasets.erc721Metadata(s, d)),
-        "trace_calls" -> ((s: SparkSession, d: String) => ChainDatasets.traceCalls(s, d)),
-        "vm_traces" -> ((s: SparkSession, d: String) => ChainDatasets.vmTraces(s, d)),
-        "geth_opcodes" -> ((s: SparkSession, d: String) => ChainDatasets.gethOpcodes(s, d)),
-        "geth_calls" -> ((s: SparkSession, d: String) => ChainDatasets.gethCalls(s, d)),
-        "geth_balance_diffs" -> ((s: SparkSession, d: String) => ChainDatasets.gethBalanceDiffs(s, d)),
-        "geth_code_diffs" -> ((s: SparkSession, d: String) => ChainDatasets.gethCodeDiffs(s, d)),
-        "geth_nonce_diffs" -> ((s: SparkSession, d: String) => ChainDatasets.gethNonceDiffs(s, d)),
-        "geth_storage_diffs" -> ((s: SparkSession, d: String) => ChainDatasets.gethStorageDiffs(s, d)),
-        "balance_reads" -> ((s: SparkSession, d: String) => ChainDatasets.balanceReads(s, d)),
-        "code_reads" -> ((s: SparkSession, d: String) => ChainDatasets.codeReads(s, d)),
-        "nonce_reads" -> ((s: SparkSession, d: String) => ChainDatasets.nonceReads(s, d)),
-        "storage_reads" -> ((s: SparkSession, d: String) => ChainDatasets.storageReads(s, d)))
-
-      val failures = corpus.flatMap { case (name, bld) =>
-        val fix = canon(bld(spark, fixDir))
-        val liv = canon(bld(spark, live))
-        if (fix.isEmpty) Some(s"$name: EMPTY fixture side")
-        else if (fix == liv) None
-        else {
-          val firstDiff = fix.zipAll(liv, "<missing>", "<missing>")
-            .find { case (a, b) => a != b }
-          Some(s"$name: ${fix.size} fixture rows vs ${liv.size} live rows; " +
-            s"first diff: $firstDiff")
-        }
+      graft.chain.DiffTest.materializeBronzes(spark, src, fixDir, live,
+        range, 4, "{fake: true}")
+      // tamper: drop every reward trace from the live bronze
+      val t = spark.read.parquet(s"$live/rpc_traces.parquet")
+        .filter(org.apache.spark.sql.functions.col("action_type") =!= "reward")
+        .cache()
+      t.count()
+      t.write.mode("overwrite").parquet(s"$live/rpc_traces.parquet")
+      t.unpersist()
+      def cmp(name: String, bld: (SparkSession, String) => DataFrame) = {
+        val ref = graft.chain.DiffTest.canon(bld(spark, fixDir))
+        val liv = graft.chain.DiffTest.canon(bld(spark, live))
+        graft.chain.DiffTest.Outcome(name, ref.size, liv.size,
+          ref.zipAll(liv, "<m>", "<m>").find(p => p._1 != p._2))
       }
-      assert(failures.isEmpty, failures.mkString("\n"))
-
-      // javascript_traces: the tracer output is stored as opaque JSON
-      // text; the parse→render round trip through the stub legitimately
-      // normalizes whitespace, so this datatype compares JSON-normalized
-      def jsNorm(df: DataFrame): Seq[String] = {
-        import org.json4s.jackson.JsonMethods
-        df.collect().map { r =>
-          r.toSeq.zipWithIndex.map {
-            case (s: String, i) if df.schema(i).name == "output" =>
-              JsonMethods.compact(JsonMethods.parse(s))
-            case (null, _) => "∅"
-            case (b: Array[Byte], _) => b.map("%02x".format(_)).mkString
-            case (v, _) => String.valueOf(v)
-          }.mkString("|")
-        }.sorted.toSeq
-      }
-      val jsFix = jsNorm(ChainDatasets.javascriptTraces(spark, fixDir))
-      val jsLiv = jsNorm(ChainDatasets.javascriptTraces(spark, live))
-      assert(jsFix.nonEmpty && jsFix == jsLiv,
-        s"javascript_traces differ: ${jsFix.size} vs ${jsLiv.size}")
-
-      // TimeDimension::Transactions — the pinned corpus' SECOND time
-      // dimension (defaults.py default_combos pairs every datatype with
-      // both 'blocks' and 'transactions'): every tx-hash-capable
-      // datatype collects by hash list through both paths identically
-      val hashes = spark.read.parquet(s"$fixDir/rpc_transactions.parquet")
-        .filter(org.apache.spark.sql.functions.col("block_number") === 1008)
-        .select("transaction_hash").collect()
-        .map(_.getAs[Array[Byte]](0)).toSeq
-      assert(hashes.nonEmpty)
-      var nByTx = 0
-      val txFailures = corpus.flatMap { case (name, _) =>
-        val ds = try Some(graft.chain.Datatypes(name)) catch {
-          case _: Throwable => None
-        }
-        if (!ds.exists(_.byTransaction)) None
-        else {
-          nByTx += 1
-          val a = canon(graft.chain.Freeze.collectByTransaction(
-            spark, fixDir, name, hashes))
-          val b = canon(graft.chain.Freeze.collectByTransaction(
-            spark, live, name, hashes))
-          if (a == b) None
-          else Some(s"$name by-transaction: ${a.size} vs ${b.size} rows")
-        }
-      }
-      assert(txFailures.isEmpty, txFailures.mkString("\n"))
-      assert(nByTx >= 10, s"expected >=10 by-transaction datatypes, got $nByTx")
-    } finally {
-      h.stop()
-    }
+      assert(cmp("blocks", ChainDatasets.blocks(_, _)).ok)
+      val nt = cmp("native_transfers",
+        (s, d) => ChainDatasets.nativeTransfers(s, d))
+      assert(!nt.ok && nt.refRows > nt.liveRows)
+    } finally h.stop()
   }
 
   test("file-layer differential: CLI --rpc freeze equals fixture-path freeze chunk for chunk") {

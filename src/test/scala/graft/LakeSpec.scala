@@ -116,16 +116,26 @@ class LakeSpec extends AnyFunSuite {
     assert(back.schema == direct.schema)
     assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty)
 
-    // csv lake: freeze hex-encodes binaries; read back with the explicit
-    // schema (the pipeline path) and compare against the hexified silver
-    val outCsv = freshDir("lake_csv_")
-    freeze(outCsv, Seq("blocks"), chunkSize = 20, format = "csv")
+    // csv and json lakes: freeze hex-encodes binaries; read back with
+    // the explicit schema (the pipeline path) and require EXACT row-set
+    // equality with the hexified silver — and with each other, so every
+    // sink format holds the same bytes
     val hexDirect = graft.chain.Freeze.collect(spark, FixDir, "blocks",
-      BlockSyntax.Range(1000, 1060), hex = true)
-    val backCsv = Lake.read(spark, outCsv, "blocks",
-      schema = Some(hexDirect.schema))
-    assert(backCsv.count() == 60L)
-    assert(backCsv.exceptAll(hexDirect).isEmpty)
+      BlockSyntax.Range(1000, 1060), hex = true).persist()
+    hexDirect.count()
+    val byFormat = Seq("csv", "json").map { fmt =>
+      val outF = freshDir(s"lake_${fmt}_")
+      freeze(outF, Seq("blocks"), chunkSize = 20, format = fmt)
+      val backF = Lake.read(spark, outF, "blocks",
+        schema = Some(hexDirect.schema))
+      assert(backF.count() == 60L, s"$fmt lake row count")
+      assert(backF.exceptAll(hexDirect).isEmpty &&
+        hexDirect.exceptAll(backF).isEmpty, s"$fmt lake vs silver")
+      backF
+    }
+    assert(byFormat(0).exceptAll(byFormat(1)).isEmpty &&
+      byFormat(1).exceptAll(byFormat(0)).isEmpty, "csv lake vs json lake")
+    hexDirect.unpersist()
   }
 
   test("partitioned lake: tag filter selects one dim value's files") {
@@ -469,5 +479,49 @@ class LakeSpec extends AnyFunSuite {
       Lake.read(spark, out, "traces")
     }
     assert(eEmpty.getMessage.contains("no chunk files"))
+  }
+
+  test("object-store path: freeze/read/audit/compact on a non-file:// scheme") {
+    // the graftfs: scheme resolves ONLY through the Hadoop FileSystem
+    // API (GraftTestFs) — any lake operation still on java.nio fails
+    // on these paths, so this is the executable form of the claim that
+    // an s3a://, hdfs:// or custom-scheme lake works end to end
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val out = "graftfs:" + freshDir("lake_scheme_")
+
+    // freeze straight to the scheme (mkdirs + skip-existing + tmp dir +
+    // single-file promotion all cross the FileSystem API)
+    val r1 = freeze(out, Seq("blocks", "transactions"), chunkSize = 20)
+    assert(r1.completed.size == 6 && r1.errored.isEmpty)
+    assert(r1.completed.forall(_.startsWith("graftfs:")))
+    // idempotent re-run: skip-existing sees the scheme'd files
+    val r2 = freeze(out, Seq("blocks", "transactions"), chunkSize = 20)
+    assert(r2.skipped.size == 6 && r2.completed.isEmpty)
+
+    // listing, selection pruning, audit — names-only ops over the scheme
+    val files = Lake.listChunks(out)
+    assert(files.size == 6 && files.forall(_.path.startsWith("graftfs:")))
+    assert(Lake.select(out, "blocks",
+      Some(BlockSyntax.Range(1005, 1010))).size == 1)
+    val audit = Lake.audit(out)
+    assert(audit.size == 2 &&
+      audit.forall(a => a.gaps.isEmpty && a.overlaps.isEmpty))
+
+    // data read-back through the scheme matches the direct silver
+    val lakeBlocks = Lake.read(spark, out, "blocks")
+    assert(lakeBlocks.count() == 60L)
+    val direct = graft.chain.ChainDatasets.blocks(spark, FixDir)
+    assert(lakeBlocks.exceptAll(direct).isEmpty &&
+      direct.exceptAll(lakeBlocks).isEmpty)
+
+    // compaction: footer recount, merged write, promotion, deletes —
+    // every move on the FileSystem API
+    val merged = graft.chain.LakeCompact.compact(spark, out, targetBlocks = 60)
+    assert(merged.nonEmpty && merged.forall(_.startsWith("graftfs:")))
+    val post = Lake.listChunks(out)
+    assert(post.size == 2 &&
+      post.forall(f => f.start == 1000L && f.endInclusive == 1059L))
+    assert(Lake.read(spark, out, "blocks").count() == 60L)
   }
 }
