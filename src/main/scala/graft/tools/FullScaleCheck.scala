@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** FULL-suite true-sf1 runner (round-9 brief item 3): every registered
+  * query executes against BOTH an sf0.1-shaped dir and a 10×
+  * (ScaleUp-generated) sf1 dir; per query it reports warm seconds at
+  * each scale, the ratio, and whether the physical join strategy
+  * flipped (exchange / broadcast-hash / sort-merge node counts). The
+  * sidecar makes a super-linear scaler or a plan flip in ANY of the
+  * suite's queries visible, where the r8 top-5 sidecar could only see
+  * the heavy hitters.
+  *
+  * Discipline mirrors Bench: a full untimed warm pass per dir absorbs
+  * codegen/JIT, the memoized dedup tables rebuild untimed (their build
+  * is reported as its own memo line item per dir), and timed runs go
+  * through the noop sink so every output column materializes.
+  *
+  * Usage: runMain graft.tools.FullScaleCheck <dirSmall> <dirLarge> [outJson]
+  */
+object FullScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: FullScaleCheck <dirSmall> <dirLarge> [outJson]")
+    val Seq(small, large) = args.take(2).toSeq
+    val outJson = args.lift(2).getOrElse("bench_history/r09_sf1_sidecar.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+
+    def runNoop(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    def planSummary(name: String, dir: String): String =
+      try {
+        val plan = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(plan).length
+        s"ex=${n("Exchange")} bhj=${n("BroadcastHashJoin")} " +
+          s"smj=${n("SortMergeJoin")} bnlj=${n("BroadcastNestedLoopJoin")}"
+      } catch { case _: Throwable => "error" }
+
+    /** one dir's full pass: untimed warm (incl. memo rebuild), then
+      * timed; returns (per-query sec, memo seconds) */
+    def pass(dir: String): (Map[String, Double], Double) = {
+      names.foreach(runNoop(_, dir)) // warm codegen/JIT, populate memos
+      spark.sharedState.cacheManager.clearCache()
+      val m0 = System.nanoTime()
+      try graft.queries.TextOps.rebuildMemos(spark, dir)
+      catch { case _: Throwable => () }
+      val memoS = (System.nanoTime() - m0) / 1e9
+      (names.map(n => n -> runNoop(n, dir)).toMap, memoS)
+    }
+
+    val (tSmall, memoSmall) = pass(small)
+    val (tLarge, memoLarge) = pass(large)
+
+    val rows = names.map { q =>
+      val ts = tSmall(q); val tl = tLarge(q)
+      val ps = planSummary(q, small); val pl = planSummary(q, large)
+      val ratio = if (ts > 0) tl / ts else -1.0
+      println(f"$q%-34s small=$ts%7.2f large=$tl%7.2f ratio=$ratio%6.2f " +
+        s"flip=${ps != pl}${if (ps != pl) s"  [$ps -> $pl]" else ""}")
+      (q, ts, tl, ratio, ps != pl)
+    }
+    val qs = rows.map { case (q, ts, tl, r, flip) =>
+      s""""$q":{"small_sec":${f"$ts%.3f"},"large_sec":${f"$tl%.3f"},""" +
+        s""""ratio":${f"$r%.2f"},"plan_flip":$flip}"""
+    }.mkString("{", ",", "}")
+    val totS = tSmall.values.filter(_ >= 0).sum
+    val totL = tLarge.values.filter(_ >= 0).sum
+    val record =
+      s"""{"small":"$small","large":"$large","n_queries":${names.size},""" +
+      s""""total_small_s":${f"$totS%.3f"},"total_large_s":${f"$totL%.3f"},""" +
+      s""""memo_small_s":${f"$memoSmall%.3f"},"memo_large_s":${f"$memoLarge%.3f"},""" +
+      s""""per_query":$qs}"""
+    val p = java.nio.file.Paths.get(outJson)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, record)
+    println(s"""{"metric":"sf1_total","value":${f"$totL%.3f"},"unit":"sec","small_total":${f"$totS%.3f"},"n_queries":${names.size}}""")
+    spark.stop()
+  }
+}
