@@ -211,6 +211,21 @@ def index_compact(index_dir, spark=None):
     spark._jvm.graft.Cli.indexRun(_jarr(spark, argv), spark._jsparkSession)
 
 
+def difftest(rpc, source_dir, spark=None, blocks="1000:1060", partitions=4):
+    """Run the cryo_test-style differential sweep: collect every corpus
+    datatype live from ``rpc`` AND from the reference bronze dir, diff
+    canonical rows. Returns a list of dicts ``{datatype, ok, ref_rows,
+    live_rows}`` — does not raise on mismatches."""
+    import json
+    if spark is None:
+        raise ValueError("pass spark=<SparkSession>")
+    argv = ["--rpc", rpc, "--source-dir", source_dir,
+            "--blocks", blocks, "--partitions", str(partitions)]
+    out = spark._jvm.graft.Cli.diffTestJson(_jarr(spark, argv),
+                                            spark._jsparkSession)
+    return json.loads(out)
+
+
 def prep(sf_dir, out_dir, spark=None):
     """Persist-once corpus prep: write the per-document audit table
     (``<out>/audit``) from one pipeline run (single LSH+CC pass) and

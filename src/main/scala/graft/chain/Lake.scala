@@ -26,12 +26,15 @@ import java.nio.file.Path
   * row-group filter.
   *
   * At 100 TB: ~22M mainnet blocks at 1000-block chunks is ~22k files
-  * per dataset — listing file NAMES once from the driver is trivial
-  * (one recursive listing RPC on an object store), while the pruning it
-  * buys skips whole files at PLANNING time: a 100-block query over a
-  * 22k-file lake plans a 1-2 file scan. This mirrors what a
-  * partition-column layout gives Hive tables, but over the reference's
-  * own flat naming scheme, with no rewrite of existing lakes.
+  * per dataset — listing file NAMES once from the driver is trivial (a
+  * handful of paged LIST calls on an object store: one per directory
+  * level of a flat-or-shallow lake, resolved through the Hadoop
+  * FileSystem API so s3a://hdfs://custom schemes all work — see
+  * listChunks), while the pruning it buys skips whole files at
+  * PLANNING time: a 100-block query over a 22k-file lake plans a 1-2
+  * file scan. This mirrors what a partition-column layout gives Hive
+  * tables, but over the reference's own flat naming scheme, with no
+  * rewrite of existing lakes.
   */
 object Lake {
 

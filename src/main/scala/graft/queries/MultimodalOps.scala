@@ -189,6 +189,50 @@ object MultimodalOps {
     s.createDataFrame(out, schema)
   }
 
+  /** The WAVE file writer/reader, resolved ONCE per partition instead
+    * of per row: `AudioSystem.write`/`getAudioInputStream` both funnel
+    * every call through the JVM-GLOBAL synchronized provider registry
+    * (sun JDK13Services.getProviders), so 32 executor threads × one
+    * call per row convoy on a single lock — measured as the sf1 sweep's
+    * only >10× scaler (q_mm_wav_decode ×20 at 10× rows). ServiceLoader
+    * resolution outside the row loop keeps the identical javax.sound
+    * codec doing the identical container work, minus the lock. */
+  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        return w
+    }
+    throw new IllegalStateException("no WAVE AudioFileWriter provider")
+  }
+  private def wavReader(): javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val probe = new java.io.ByteArrayInputStream(waveProbeBytes)
+    while (it.hasNext) {
+      val r = it.next()
+      try {
+        probe.reset()
+        r.getAudioInputStream(probe).close()
+        return r
+      } catch { case _: Exception => () }
+    }
+    throw new IllegalStateException("no WAVE AudioFileReader provider")
+  }
+  /** a minimal valid 1-sample WAV used to pick the reader that actually
+    * speaks the container */
+  private lazy val waveProbeBytes: Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](0)), fmt, 1L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** documents rendered as REAL WAV files (8-bit unsigned PCM mono,
     * 8 kHz) — the audio codec tier. javax.sound.sampled is pure-JVM and
     * headless like ImageIO; PCM is lossless, so decoded samples are the
@@ -200,6 +244,7 @@ object MultimodalOps {
       StructField("content", BinaryType, nullable = false),
       StructField("mime", StringType, nullable = false)))
     val out = assets(s, dir).rdd.mapPartitions { it =>
+      val writer = wavWriter() // once per partition, see wavWriter scaladoc
       it.map { r =>
         val id = r.getAs[Long]("doc_id")
         val c0 = r.getAs[Array[Byte]]("content")
@@ -209,7 +254,7 @@ object MultimodalOps {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(c), fmt, c.length.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
+        writer.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         Row(id, bos.toByteArray, "audio/wav")
       }
@@ -383,10 +428,11 @@ object MultimodalOps {
         StructField("peak_amp", IntegerType, nullable = false),
         StructField("s_first", IntegerType, nullable = false)))
       val out = wavAssets(s, dir).rdd.mapPartitions { it =>
+        val reader = wavReader() // once per partition, see wavWriter scaladoc
         it.map { r =>
           val id = r.getAs[Long]("doc_id")
           val wav = r.getAs[Array[Byte]]("content")
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          val ais = reader.getAudioInputStream(
             new java.io.ByteArrayInputStream(wav))
           val fmt = ais.getFormat
           val samples = ais.readAllBytes()

@@ -52,9 +52,17 @@ object ScaleUp {
       df.agg(max(col(c))).collect()(0).getLong(0)
 
     /** replicate m× with per-replica key shifts; `shift` maps column →
-      * its key-space stride. One explode, no m-way union. */
+      * its key-space stride. One explode, no m-way union. The output
+      * repartitions to `nOut` files so the scaled corpus is SPLITTABLE:
+      * the source sf dirs are single-row-group files (fine at their
+      * size), and replicating one into a single 10× row group would
+      * serialize every compute-heavy scan onto one core — the first
+      * sweep showed exactly that (per-row queries at ×15-40 instead of
+      * ~×10, all parallelism lost at the scan). A real sf1 corpus
+      * arrives as many files; the generator must too. */
     def scale(df: DataFrame, shift: Map[String, Long],
-        mutate: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+        mutate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+        nOut: Int = 32): DataFrame = {
       val rep = df.withColumn("__k",
         explode(lit((0 until m).toArray))).withColumn("__kl",
         col("__k").cast("long"))
@@ -64,7 +72,7 @@ object ScaleUp {
           case None => mutate.getOrElse(c, col(c)).as(c)
         }
       }
-      rep.select(cols.toSeq: _*)
+      rep.select(cols.toSeq: _*).repartition(nOut)
     }
 
     val customer = rd("customer"); val supplier = rd("supplier")
@@ -91,7 +99,7 @@ object ScaleUp {
     wr(scale(orders, Map("o_orderkey" -> mOrd, "o_custkey" -> mCust)),
       "orders")
     wr(scale(lineitem, Map("l_orderkey" -> mOrd, "l_partkey" -> mPart,
-      "l_suppkey" -> mSupp)).repartition(32), "lineitem")
+      "l_suppkey" -> mSupp)), "lineitem")
     wr(scale(events, Map("event_id" -> mEvt, "user_id" -> mUser)), "events")
 
     // documents: per-replica token suffix keeps cross-replica texts

@@ -519,6 +519,22 @@ class DifferentialSpec extends AnyFunSuite {
     } finally h.stop()
   }
 
+  test("difftest CLI refuses missing and unknown flags with usage") {
+    val e1 = intercept[IllegalArgumentException] {
+      Cli.runDiffTest(Seq("--rpc", "http://x"), spark)
+    }
+    assert(e1.getMessage.contains("--source-dir"))
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.runDiffTest(Seq("--bogus"), spark)
+    }
+    assert(e2.getMessage.contains("unknown difftest flag"))
+    val e3 = intercept[IllegalArgumentException] {
+      Cli.runDiffTest(Seq("--rpc", "http://x", "--source-dir", "/tmp",
+        "--blocks", "1,5,9"), spark)
+    }
+    assert(e3.getMessage.contains("contiguous"))
+  }
+
   test("difftest surfaces a live-vs-reference mismatch loudly") {
     // corrupt ONE datatype on the live side by pointing the sweep at a
     // stub whose traces hide an action type — the affected datatypes
