@@ -529,8 +529,10 @@ class DifferentialSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("unknown difftest flag"))
     val e3 = intercept[IllegalArgumentException] {
+      // 0:100/3 parses to an explicit block LIST (evenly spaced
+      // sampling), which difftest refuses — it needs one a:b range
       Cli.runDiffTest(Seq("--rpc", "http://x", "--source-dir", "/tmp",
-        "--blocks", "1,5,9"), spark)
+        "--blocks", "0:100/3"), spark)
     }
     assert(e3.getMessage.contains("contiguous"))
   }
