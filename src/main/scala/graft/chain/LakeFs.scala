@@ -82,6 +82,18 @@ object LakeFs {
     require(f.rename(src, target), s"rename $src -> $target failed")
   }
 
+  /** strict rename: fails loudly if the FS refuses (missing parent,
+    * existing destination, cross-FS move). Atomic for single files on
+    * every FS that matters and for DIRECTORIES on HDFS/local; object
+    * stores rename directories as per-object copy+delete, which
+    * protocols that swap directory trees (IndexCompact) exclude by
+    * contract — see the PLANS.md swap-site audit. */
+  def rename(src: String, dst: String): Unit = {
+    val f = fs(src)
+    require(f.rename(new HPath(src), new HPath(dst)),
+      s"rename $src -> $dst failed")
+  }
+
   def readString(path: String): String = {
     val in = fs(path).open(new HPath(path))
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

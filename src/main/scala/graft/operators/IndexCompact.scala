@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.chain.LakeFs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,9 +51,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * harmless), and the old layout is parked at `.compact_old` until the
   * new one is live; `recover` (run at the top of both `read` and
   * `compact`) moves `.compact_old` back if a crash between the two
-  * ATOMIC_MOVEs left no live artifact, and drops it if the swap
+  * directory renames left no live artifact, and drops it if the swap
   * completed. Every crash point therefore leaves a readable artifact
-  * with a pinned schema. */
+  * with a pinned schema.
+  *
+  * Filesystem contract: all file operations go through the Hadoop
+  * FileSystem of the index dir (LakeFs), so artifacts live on local
+  * disk or HDFS interchangeably. The swap protocol REQUIRES atomic
+  * directory rename — true on local/HDFS, NOT on object stores (s3a
+  * renames a tree per-object); the recovery matrix's existence probes
+  * would mis-read a half-copied tree there, so object-store index
+  * dirs are out of contract (PLANS.md swap-site audit). */
 object IndexCompact {
 
   private def sidecarPath(dir: String, artifact: String) =
@@ -72,7 +80,7 @@ object IndexCompact {
     * folded the side-artifact's rows into the pending layout but the
     * side-artifact may still be on disk (see recover) */
   private def foldMarkerPath(dir: String, artifact: String) =
-    Paths.get(s"$dir/$artifact.fold_pending")
+    s"$dir/$artifact.fold_pending"
 
   /** per-(dir, artifact) in-process lock: read()'s recovery and
     * rewrite()'s swap are mutually exclusive, so a concurrent search
@@ -108,27 +116,27 @@ object IndexCompact {
     * difference. */
   private def recover(spark: SparkSession, dir: String, artifact: String,
       destructive: Boolean = false): Unit = lockFor(dir, artifact).synchronized {
-    val target = Paths.get(s"$dir/$artifact")
-    val tmp = Paths.get(s"$dir/$artifact.compact_tmp")
+    val target = s"$dir/$artifact"
+    val tmp = s"$dir/$artifact.compact_tmp"
     val marker = foldMarkerPath(dir, artifact)
-    if (Files.exists(marker)) {
-      if (!Files.exists(tmp)) {
+    if (LakeFs.exists(marker)) {
+      if (!LakeFs.exists(tmp)) {
         // fold swap completed, crash before the side delete — finish it
-        deleteRecursively(Paths.get(streamPath(dir, artifact)))
-        Files.delete(marker)
-      } else if (destructive) Files.delete(marker) // pre-swap crash leftover
+        LakeFs.deleteTree(streamPath(dir, artifact))
+        LakeFs.deleteFile(marker)
+      } else if (destructive) LakeFs.deleteFile(marker) // pre-swap crash leftover
     }
-    val old = Paths.get(s"$dir/$artifact.compact_old")
-    if (Files.exists(old)) {
-      if (!Files.exists(target)) {
-        Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
-        spark.catalog.refreshByPath(target.toString)
-      } else if (destructive) deleteRecursively(old)
+    val old = s"$dir/$artifact.compact_old"
+    if (LakeFs.exists(old)) {
+      if (!LakeFs.exists(target)) {
+        LakeFs.rename(old, target)
+        spark.catalog.refreshByPath(target)
+      } else if (destructive) LakeFs.deleteTree(old)
     }
     // a tmp dir with a live target is an aborted (or in-flight) rewrite
     // — only the compact path may drop it
-    if (destructive && Files.exists(tmp) && Files.exists(target))
-      deleteRecursively(tmp)
+    if (destructive && LakeFs.exists(tmp) && LakeFs.exists(target))
+      LakeFs.deleteTree(tmp)
   }
 
   /** the main artifact read through its pinned sidecar schema (column
@@ -137,9 +145,9 @@ object IndexCompact {
     * on the pinned schema */
   private def readMain(spark: SparkSession, dir: String, artifact: String): DataFrame = {
     val main = spark.read.parquet(s"$dir/$artifact")
-    val sc = Paths.get(sidecarPath(dir, artifact))
-    if (Files.exists(sc)) {
-      val schema = DataType.fromJson(Files.readString(sc)).asInstanceOf[StructType]
+    val sc = sidecarPath(dir, artifact)
+    if (LakeFs.exists(sc)) {
+      val schema = DataType.fromJson(LakeFs.readString(sc)).asInstanceOf[StructType]
       main.select(schema.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     } else main
@@ -151,9 +159,9 @@ object IndexCompact {
   def read(spark: SparkSession, dir: String, artifact: String): DataFrame = {
     recover(spark, dir, artifact)
     val pinned = readMain(spark, dir, artifact)
-    val side = Paths.get(streamPath(dir, artifact))
-    if (Files.exists(side)) {
-      val stream = spark.read.parquet(side.toString)
+    val side = streamPath(dir, artifact)
+    if (LakeFs.exists(side)) {
+      val stream = spark.read.parquet(side)
       pinned.unionByName(stream.select(pinned.schema.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
     } else pinned
@@ -166,15 +174,15 @@ object IndexCompact {
       partitionCols: Seq[String], sortCols: Seq[String],
       foldStream: Boolean): Unit = {
     recover(spark, dir, artifact, destructive = true)
-    val sidePath = Paths.get(streamPath(dir, artifact))
+    val sidePath = streamPath(dir, artifact)
     // non-fold: main artifact only — an active ingest keeps appending
     // to the side-artifact undisturbed; read() unions it at query time
     val cur =
       if (foldStream) read(spark, dir, artifact)
       else readMain(spark, dir, artifact)
     val schemaJson = cur.schema.json
-    val target = Paths.get(s"$dir/$artifact")
-    val tmp = Paths.get(s"$dir/$artifact.compact_tmp")
+    val target = s"$dir/$artifact"
+    val tmp = s"$dir/$artifact.compact_tmp"
     val shaped =
       if (partitionCols.nonEmpty)
         cur.repartition(partitionCols.map(col): _*)
@@ -182,7 +190,7 @@ object IndexCompact {
       else cur.repartition(cur.sparkSession.sessionState.conf.numShufflePartitions)
     val w = shaped.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
+      .parquet(tmp)
     // sidecar first (layout-independent content: same columns before
     // and after the swap), then — when folding — the fold marker (the
     // tmp layout now holds the side rows; recover() uses marker+tmp
@@ -194,42 +202,37 @@ object IndexCompact {
     // recovery can neither restore the parked .compact_old mid-swap
     // nor observe the marker/tmp in a half-written state
     lockFor(dir, artifact).synchronized {
-      Files.writeString(Paths.get(sidecarPath(dir, artifact)), schemaJson)
-      val folding = foldStream && Files.exists(sidePath)
-      if (folding) Files.writeString(foldMarkerPath(dir, artifact), "")
-      val old = Paths.get(s"$dir/$artifact.compact_old")
-      deleteRecursively(old)
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
+      LakeFs.writeString(sidecarPath(dir, artifact), schemaJson)
+      val folding = foldStream && LakeFs.exists(sidePath)
+      if (folding) LakeFs.writeString(foldMarkerPath(dir, artifact), "")
+      val old = s"$dir/$artifact.compact_old"
+      LakeFs.deleteTree(old)
+      LakeFs.rename(target, old)
+      LakeFs.rename(tmp, target)
+      LakeFs.deleteTree(old)
       if (folding) {
-        deleteRecursively(sidePath)
-        Files.delete(foldMarkerPath(dir, artifact))
+        LakeFs.deleteTree(sidePath)
+        LakeFs.deleteFile(foldMarkerPath(dir, artifact))
       }
       // the swap happened outside Spark's writers: drop any cached file
       // listings for the artifact path or later scans chase renamed
       // files
-      spark.catalog.refreshByPath(target.toString)
+      spark.catalog.refreshByPath(target)
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close() // unclosed walks leak directory fds
-    }
-
   /** number of parquet data files under an artifact (spec observability) */
   def dataFileCount(dir: String, artifact: String): Long = {
-    val root = Paths.get(s"$dir/$artifact")
-    if (!Files.exists(root)) 0L
+    val root = s"$dir/$artifact"
+    if (!LakeFs.exists(root)) 0L
     else {
-      val walk = Files.walk(root)
-      try walk.filter(p => p.toString.endsWith(".parquet") ||
-        p.toString.endsWith(".snappy.parquet")).count()
-      finally walk.close()
+      val fs = LakeFs.fs(root)
+      def walk(p: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(p).map { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
+        }.sum
+      walk(new org.apache.hadoop.fs.Path(root))
     }
   }
 
@@ -248,7 +251,7 @@ object IndexCompact {
     for (a <- Seq("codes.parquet", "bands.parquet", "fps.parquet", "sigs.parquet"))
       recover(spark, dir, a, destructive = true)
     val done = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (Files.exists(Paths.get(s"$dir/codes.parquet"))) {
+    if (LakeFs.exists(s"$dir/codes.parquet")) {
       // one directory per IVF cell; rows within a file sorted by
       // (vec_id, sub) so ADC scans run sequentially. At larger nlist
       // the repartition key keeps one shuffle partition per cell —
@@ -257,12 +260,12 @@ object IndexCompact {
         Seq("centroid_id"), Seq("vec_id", "sub"), foldStream)
       done += "codes.parquet"
     }
-    if (Files.exists(Paths.get(s"$dir/bands.parquet"))) {
+    if (LakeFs.exists(s"$dir/bands.parquet")) {
       rewrite(spark, dir, "bands.parquet",
         Seq("band_idx"), Seq("band_hash", "doc_id"), foldStream)
       done += "bands.parquet"
       for (flat <- Seq("fps.parquet", "sigs.parquet")
-          if Files.exists(Paths.get(s"$dir/$flat"))) {
+          if LakeFs.exists(s"$dir/$flat")) {
         rewrite(spark, dir, flat, Seq.empty, Seq.empty, foldStream)
         done += flat
       }

@@ -675,6 +675,35 @@ class CliSpec extends AnyFunSuite {
     assert(IndexCompact.dataFileCount(idx, "codes.parquet") <= nCompacted + 16)
   }
 
+  test("index build/search/compact on a non-file:// Hadoop scheme") {
+    // the swap protocol now runs on the Hadoop FileSystem API (HDFS or
+    // local; atomic-dir-rename FS required) — prove it by driving the
+    // whole lifecycle on a scheme java.nio cannot resolve
+    import graft.operators.IndexCompact
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val idx = "graftfs:" + Files.createTempDirectory("graft_cpidx_fs").toString
+    Cli.runIndex(Seq("build", sf, idx), spark)
+    // fragment the codes like a long ingest, then compact on the scheme
+    val frag = s"$idx/codes_frag"
+    spark.read.parquet(s"$idx/codes.parquet").write
+      .mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(8)
+      .write.mode("overwrite").option("maxRecordsPerFile", 100)
+      .parquet(s"$idx/codes.parquet")
+    val queries = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 10)
+    val before = rows(graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx))
+    val nBefore = IndexCompact.dataFileCount(idx, "codes.parquet")
+    Cli.runIndex(Seq("compact", idx), spark)
+    assert(IndexCompact.dataFileCount(idx, "codes.parquet") < nBefore)
+    assert(rows(graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx)) == before)
+  }
+
   test("compact crash windows: .compact_old recovers, sidecar precedes swap") {
     import graft.operators.IndexCompact
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
