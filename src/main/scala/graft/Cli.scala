@@ -364,6 +364,13 @@ object Cli {
     val url = rpc.getOrElse(throw new IllegalArgumentException(s"missing --rpc; $usage"))
     val ref = sourceDir.getOrElse(
       throw new IllegalArgumentException(s"missing --source-dir; $usage"))
+    // latest-relative forms ('1000:', '-100:', 'latest') would need a
+    // node round-trip to resolve and the Long.MaxValue parse sentinel
+    // turns them into a baffling overflow error — refuse them up front
+    require(!blocks.contains("latest") && !blocks.trim.endsWith(":") &&
+        !blocks.trim.startsWith(":") && !blocks.trim.startsWith("-"),
+      s"difftest needs an explicit numeric a:b block range " +
+        s"(latest-relative specs are not resolvable here); $usage")
     val range = BlockSyntax.parse(blocks, latest = Long.MaxValue) match {
       case r: BlockSyntax.Range => r
       case _ => throw new IllegalArgumentException(
@@ -671,8 +678,10 @@ object Cli {
       // of boxed longs on the driver before the guard could fire (the
       // sum over-counts duplicates across specs, which only makes the
       // guard stricter — a capped union can never exceed its spec sum)
+      // clamp each term before summing: two Long.MaxValue-sized ranges
+      // would wrap the Long sum negative and sail past the guard
       val total = parsed.map {
-        case BlockSyntax.Range(a, b) => b - a
+        case BlockSyntax.Range(a, b) => math.min(b - a, MaxBlockListSize + 1L)
         case BlockSyntax.Numbers(ns) => ns.size.toLong
       }.sum
       require(total <= MaxBlockListSize,
@@ -1171,8 +1180,23 @@ object Cli {
         case r: BlockSyntax.Range => r
         case BlockSyntax.Numbers(ns) => BlockSyntax.Range(ns.min, ns.max + 1)
       }
-      val bronzeDir = java.nio.file.Paths.get(outputDir, ".graft", "bronze")
-      java.nio.file.Files.createDirectories(bronzeDir)
+      // bronze is driver-local STAGING (FollowMode's reorg swap runs
+      // java.nio on it by contract) — a scheme'd --output-dir
+      // (s3a://…) must not have Paths.get mangle the URI into a
+      // relative local `s3a:/…` tree; the staging moves to the local
+      // tmpdir instead while the freeze output itself still lands on
+      // the scheme'd dir through the Hadoop-FS write path
+      val bronzeDir = {
+        val hasScheme = new org.apache.hadoop.fs.Path(outputDir)
+          .toUri.getScheme != null
+        if (hasScheme)
+          java.nio.file.Files.createTempDirectory("graft_bronze_")
+        else {
+          val p = java.nio.file.Paths.get(outputDir, ".graft", "bronze")
+          java.nio.file.Files.createDirectories(p)
+          p
+        }
+      }
       val liveCalls = for {
         to <- contract
         data <- if (composedCallData.nonEmpty) composedCallData else Seq.empty[String]

@@ -37,7 +37,11 @@ object DiffTest {
       (refRows > 0 || allowEmpty)
     def describe: String =
       if (ok) s"pass $datatype ($refRows rows)"
-      else if (refRows == 0) s"FAIL $datatype: EMPTY reference side"
+      // only an empty-BOTH-sides scalar reads as "tested nothing" — an
+      // empty reference with live rows is a genuine mismatch and must
+      // show both counts, not blame the reference
+      else if (refRows == 0 && liveRows == 0)
+        s"FAIL $datatype: EMPTY reference side"
       else s"FAIL $datatype: $refRows reference rows vs $liveRows live" +
         firstDiff.map { case (a, b) => s"; first diff: ($a, $b)" }.getOrElse("")
   }
@@ -175,6 +179,18 @@ object DiffTest {
       jsTracer: String = "{fake: true}",
       byTxSampleBlock: Option[Long] = None): Seq[Outcome] = {
     val live = java.nio.file.Files.createTempDirectory("graft_difftest_").toString
+    try runOver(spark, refDir, rpcUrl, live, range, nParts, jsTracer,
+      byTxSampleBlock)
+    finally {
+      // the staged live bronze is a full corpus per invocation —
+      // repeated CI sweeps would otherwise fill the host's tmp
+      try LakeFs.deleteTree(live) catch { case _: Exception => () }
+    }
+  }
+
+  private def runOver(spark: SparkSession, refDir: String, rpcUrl: String,
+      live: String, range: BlockSyntax.Range, nParts: Int,
+      jsTracer: String, byTxSampleBlock: Option[Long]): Seq[Outcome] = {
     val src = new RpcSource(RpcConfig(rpcUrl, chainId = 1, maxRetries = 0))
     materializeBronzes(spark, src, refDir, live, range, nParts, jsTracer)
 

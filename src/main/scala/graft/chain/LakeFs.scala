@@ -74,12 +74,30 @@ object LakeFs {
     fs(path).delete(new HPath(path), true)
 
   /** single-file promotion: rename `src` over `target`, replacing any
-    * existing file. Atomic replace on HDFS/local; on object stores the
-    * pre-delete opens a small no-file window (see scaladoc). */
+    * existing file. The replace path goes through `FileContext`'s
+    * Rename.OVERWRITE — genuinely atomic on local/HDFS (the plain
+    * `FileSystem.rename(src, dst)` refuses existing destinations, and a
+    * delete-then-rename would open a no-file window even on POSIX).
+    * Filesystems with no AbstractFileSystem binding (object stores,
+    * custom test schemes) fall back to delete+rename, which IS a
+    * no-file window — the same window their non-atomic rename gives
+    * any protocol (see scaladoc and the PLANS.md audit). */
   def promote(src: HPath, target: HPath): Unit = {
     val f = fs(target)
-    if (f.exists(target)) f.delete(target, false)
-    require(f.rename(src, target), s"rename $src -> $target failed")
+    if (!f.exists(target)) {
+      require(f.rename(src, target), s"rename $src -> $target failed")
+      return
+    }
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.makeQualified(target).toUri, conf)
+      fc.rename(f.makeQualified(src), f.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        f.delete(target, false)
+        require(f.rename(src, target), s"rename $src -> $target failed")
+    }
   }
 
   /** strict rename: fails loudly if the FS refuses (missing parent,

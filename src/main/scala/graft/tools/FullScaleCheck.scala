@@ -37,13 +37,22 @@ object FullScaleCheck {
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
 
+    // a query that crashes ONLY at the large scale is the headline
+    // finding this tool exists for — never swallow it silently: the
+    // failure is printed with its cause and lands in the sidecar as -1
+    // plus an "error" marker (see the rows loop)
     def runNoop(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scalecheck] $name FAILED at $dir: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
     }
     def planSummary(name: String, dir: String): String =
       try {
@@ -72,15 +81,20 @@ object FullScaleCheck {
     val rows = names.map { q =>
       val ts = tSmall(q); val tl = tLarge(q)
       val ps = planSummary(q, small); val pl = planSummary(q, large)
-      val ratio = if (ts > 0) tl / ts else -1.0
+      val err = ts < 0 || tl < 0
+      val ratio = if (ts > 0 && tl >= 0) tl / ts else -1.0
       println(f"$q%-34s small=$ts%7.2f large=$tl%7.2f ratio=$ratio%6.2f " +
-        s"flip=${ps != pl}${if (ps != pl) s"  [$ps -> $pl]" else ""}")
-      (q, ts, tl, ratio, ps != pl)
+        s"flip=${ps != pl}${if (ps != pl) s"  [$ps -> $pl]" else ""}" +
+        (if (err) "  ERROR" else ""))
+      (q, ts, tl, ratio, ps != pl, err)
     }
-    val qs = rows.map { case (q, ts, tl, r, flip) =>
+    val qs = rows.map { case (q, ts, tl, r, flip, err) =>
       s""""$q":{"small_sec":${f"$ts%.3f"},"large_sec":${f"$tl%.3f"},""" +
-        s""""ratio":${f"$r%.2f"},"plan_flip":$flip}"""
+        s""""ratio":${f"$r%.2f"},"plan_flip":$flip,"error":$err}"""
     }.mkString("{", ",", "}")
+    val nErrors = rows.count(_._6)
+    if (nErrors > 0)
+      System.err.println(s"[scalecheck] $nErrors quer${if (nErrors == 1) "y" else "ies"} FAILED — see lines above")
     val totS = tSmall.values.filter(_ >= 0).sum
     val totL = tLarge.values.filter(_ >= 0).sum
     val record =

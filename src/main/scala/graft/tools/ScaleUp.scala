@@ -48,8 +48,12 @@ object ScaleUp {
       spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // stride = max + 1: source keys are 0-based, so a stride of plain
+    // `max` collides replica k's key `max` with replica k+1's key `0`
+    // (ScaleUpSpec caught exactly this — 448 distinct keys out of 450)
+    // and quietly merges rows across replicas
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).collect()(0).getLong(0)
+      df.agg(max(col(c))).collect()(0).getLong(0) + 1L
 
     /** replicate m× with per-replica key shifts; `shift` maps column →
       * its key-space stride. One explode, no m-way union. The output
@@ -112,12 +116,17 @@ object ScaleUp {
           "n_chars" -> length(newText).cast("long"))),
       "documents")
 
-    // embeddings: replica k>0 shifts dimension (k-1) by +1.0 — replicas
-    // land in disjoint regions, intra-replica near-dup structure intact
+    // embeddings: replica k>0 shifts dimension (k-1) mod dim by an
+    // offset that GROWS once k wraps past the dimensionality — replicas
+    // land in disjoint regions at ANY multiplier (a bare `i = k-1`
+    // silently no-opped for k > dim, handing those replicas exact twin
+    // vectors and changing the near-dup workload's complexity class)
     wr(scale(vecs, Map("vec_id" -> mVec),
         mutate = Map("embedding" -> expr(
           "transform(embedding, (x, i) -> " +
-            "CASE WHEN __k > 0 AND i = __k - 1 THEN x + 1.0f ELSE x END)"))),
+            "CASE WHEN __k > 0 AND i = (__k - 1) % size(embedding) " +
+            "THEN x + CAST(1 + ((__k - 1) DIV size(embedding)) AS FLOAT) " +
+            "ELSE x END)"))),
       "embeddings")
   }
 }
