@@ -318,6 +318,42 @@ object MultimodalOps {
     s.createDataFrame(out, schema)
   }
 
+  /** MP4 media timescale: 8000 samples/s (matches the WAV tier) and
+    * the mvhd presentation timescale (1000 = milliseconds, the
+    * conventional value). */
+  private[graft] val Mp4MediaTimescale = 8000
+  private[graft] val Mp4MovieTimescale = 1000
+
+  /** documents rendered as REAL MP4 (ISO base media file format)
+    * containers — the VIDEO CONTAINER tier. The JVM sandbox has no
+    * H.264 bitstream decoder (and shipping one is out of scope), but a
+    * training-data pipeline's video handling starts one level below
+    * the codec: parse the container, read timing/track/sample-table
+    * metadata, and locate the payload — exactly what ffprobe does
+    * before any decode. Each document becomes a spec-shaped BMFF tree
+    * (ftyp + moov{mvhd, trak{tkhd, mdia{mdhd, hdlr, minf{smhd, dinf,
+    * stbl{stsd/stts/stsc/stsz/stco}}}}} + mdat) holding the payload as
+    * 1-byte 'twos' (raw PCM) samples at 8 kHz: every box size, the
+    * durations in BOTH timescales, the sample count and the stco chunk
+    * offset are real and internally consistent, so the probe must walk
+    * genuine box grammar to answer. Empty payloads become one zero
+    * sample (the WAV/GIF convention). */
+  private[graft] def mp4Assets(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false)))
+    val out = assets(s, dir).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val c0 = r.getAs[Array[Byte]]("content")
+        val payload = if (c0.isEmpty) Array[Byte](0) else c0
+        Row(id, Mp4.render(payload), "video/mp4")
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
+
   val defs: Map[String, Q] = Map(
     // REAL JPEG decode — the second (lossy) codec tier next to the
     // lossless PNG round trip: genuine JFIF bytes cross the DataFrame
@@ -653,6 +689,39 @@ object MultimodalOps {
         }
       }
       s.createDataFrame(out, schema)
+    },
+
+    // MP4 container probe — the VIDEO CONTAINER tier (what ffprobe
+    // answers before any codec runs): genuine ISO-BMFF bytes cross the
+    // DataFrame boundary and a recursive box-tree parse (Mp4.probe)
+    // finds the durations in both timescales, the sample table and the
+    // chunk offset, then reads the first payload byte THROUGH the stco
+    // offset — a parser that didn't really walk the tree cannot
+    // produce it. Every published column is an integer-exact function
+    // of the payload, so the oracle recomputes all of them from the
+    // raw bytes in SQL.
+    "q_mm_mp4_probe" -> { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("duration_ms", LongType, nullable = false),
+        StructField("media_duration", LongType, nullable = false),
+        StructField("n_tracks", IntegerType, nullable = false),
+        StructField("codec", StringType, nullable = false),
+        StructField("mdat_bytes", IntegerType, nullable = false),
+        StructField("m_first", IntegerType, nullable = false)))
+      val out = mp4Assets(s, dir).rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val p = Mp4.probe(r.getAs[Array[Byte]]("content"))
+          require(p.movieTimescale == Mp4MovieTimescale &&
+            p.mediaTimescale == Mp4MediaTimescale,
+            s"doc $id: unexpected timescales $p")
+          Row(id, p.nSamples, p.movieDuration, p.mediaDuration,
+            p.nTracks, p.codec, p.mdatBytes, p.firstByte)
+        }
+      }
+      s.createDataFrame(out, schema)
     }
   )
 
@@ -691,6 +760,24 @@ object MultimodalOps {
         |   AS INT) AS peak_amp,
         | CASE WHEN raw_n = 0 THEN 0
         |  ELSE CAST('0x' || substring(hex(c), 1, 2) AS INT) END AS s_first
+        |FROM a""".stripMargin,
+    // the container carries the payload as 1-byte samples at 8 kHz with
+    // a 1000-unit movie timescale, so every probed field is an exact
+    // integer function of the byte count (one zero sample when empty)
+    // and the first payload byte — the oracle needs no box grammar
+    "q_mm_mp4_probe" ->
+      """WITH a AS (
+        | SELECT doc_id, encode(text) AS c,
+        |  GREATEST(octet_length(encode(text)), 1) AS n,
+        |  octet_length(encode(text)) AS raw_n
+        | FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        | CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        | CAST(n AS BIGINT) AS media_duration,
+        | 1 AS n_tracks, 'twos' AS codec,
+        | CAST(n AS INT) AS mdat_bytes,
+        | CASE WHEN raw_n = 0 THEN 0
+        |  ELSE CAST('0x' || substring(hex(c), 1, 2) AS INT) END AS m_first
         |FROM a""".stripMargin,
     // reproduces the decoded raster arithmetic from the raw bytes:
     // grayscale PNG is lossless, so pixel(y*w+x) = byte(y*w+x) (0 in the
