@@ -12,6 +12,42 @@ import org.apache.spark.sql.SparkSession
   * footer-cache effects so per-query numbers reflect steady state.
   */
 object Bench {
+
+  /** Shared harness primitive (Bench + tools.FullScaleCheck — one
+    * benchmarking contract, not two drifting copies): time one query
+    * through the noop sink. `loud` prints the failure cause — the
+    * scale checker needs a crash-at-scale to be its headline, the
+    * per-round bench tolerates transient -1s the driver aggregates. */
+  private[graft] def runNoopOn(spark: SparkSession, name: String,
+      dir: String, loud: Boolean = false): Double = {
+    val t0 = System.nanoTime()
+    try {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        if (loud) System.err.println(s"[bench] $name FAILED at $dir: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        -1.0
+    }
+  }
+
+  /** clear the Spark cache, then rebuild the memoized dedup tables
+    * UNTIMED (their persisted blocks died with the clear): without
+    * this, the first dedup consumer of the next timed pass is charged
+    * the whole memo rebuild and per-query attribution is wrong.
+    * Returns the rebuild seconds for the caller's memo line item. */
+  private[graft] def rebuildMemosUntimed(spark: SparkSession, dir: String,
+      names: Seq[String]): Double = {
+    spark.sharedState.cacheManager.clearCache()
+    val t0 = System.nanoTime()
+    if (names.exists(_.startsWith("q_doc")))
+      try graft.queries.TextOps.rebuildMemos(spark, dir)
+      catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,14 +60,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runNoop(name: String): Double = {
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
-    }
+    def runNoop(name: String): Double = runNoopOn(spark, name, sfDir)
 
     // warmup: JIT + parquet footers + session codegen caches — including
     // the chain fixture dir, or the alphabetically-first chain query pays
@@ -60,17 +89,9 @@ object Bench {
     // warm-up accounting from real computation wins when comparing runs
     val coldResults = names.map(n => n -> runNoop(n))
     val coldTotal = coldResults.map(_._2).filter(_ >= 0).sum
-    spark.sharedState.cacheManager.clearCache()
-    // rebuild the memoized dedup tables UNTIMED (their persisted blocks
-    // died with clearCache): otherwise the warm pass charges the whole
-    // memo rebuild to whichever dedup consumer runs first and per-query
-    // warm attribution — the thing bench_history exists for — is wrong
-    // for that family. Reported as its own memo_build_s line item.
-    val memoT0 = System.nanoTime()
-    if (names.exists(_.startsWith("q_doc")))
-      try graft.queries.TextOps.rebuildMemos(spark, sfDir)
-      catch { case _: Throwable => () }
-    val memoBuildS = (System.nanoTime() - memoT0) / 1e9
+    // memo rebuild is reported as its own memo_build_s line item so
+    // warm per-query numbers stay attributable (see rebuildMemosUntimed)
+    val memoBuildS = rebuildMemosUntimed(spark, sfDir, names)
     val results = names.map(n => n -> runNoop(n))
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query detail on its own line (and file) — deliberately WITHOUT

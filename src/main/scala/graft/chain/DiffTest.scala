@@ -41,7 +41,8 @@ object DiffTest {
       // empty reference with live rows is a genuine mismatch and must
       // show both counts, not blame the reference
       else if (refRows == 0 && liveRows == 0)
-        s"FAIL $datatype: EMPTY reference side"
+        s"FAIL $datatype: EMPTY reference side" +
+          firstDiff.map { case (why, _) => s" — $why" }.getOrElse("")
       else s"FAIL $datatype: $refRows reference rows vs $liveRows live" +
         firstDiff.map { case (a, b) => s"; first diff: ($a, $b)" }.getOrElse("")
   }
@@ -191,7 +192,18 @@ object DiffTest {
   private def runOver(spark: SparkSession, refDir: String, rpcUrl: String,
       live: String, range: BlockSyntax.Range, nParts: Int,
       jsTracer: String, byTxSampleBlock: Option[Long]): Seq[Outcome] = {
-    val src = new RpcSource(RpcConfig(rpcUrl, chainId = 1, maxRetries = 0))
+    // detect the chain id from the node like the freeze CLI does
+    // (runImpl's loud-failure discipline): a hardcoded 1 would stamp
+    // mainnet onto every live row and false-fail all 37+ datatypes the
+    // moment the harness points at a non-mainnet node
+    val cid = try
+      new RpcSource(RpcConfig(rpcUrl, chainId = 1, maxRetries = 0))
+        .fetchChainId()
+    catch {
+      case e: Exception => throw new IllegalStateException(
+        s"could not detect the chain id from $rpcUrl: ${e.getMessage}", e)
+    }
+    val src = new RpcSource(RpcConfig(rpcUrl, chainId = cid, maxRetries = 0))
     materializeBronzes(spark, src, refDir, live, range, nParts, jsTracer)
 
     def compare(name: String, c: DataFrame => Seq[String],
@@ -210,19 +222,39 @@ object DiffTest {
 
     // by-transaction dimension: hash list sampled from one reference
     // block (cryo_test default_combos pairs every datatype with both
-    // time dimensions)
-    val sampleBlock = byTxSampleBlock.getOrElse(range.start + 8)
-    val hashes = spark.read.parquet(s"$refDir/rpc_transactions.parquet")
-      .filter(org.apache.spark.sql.functions.col("block_number") === sampleBlock)
-      .select("transaction_hash").collect()
-      .map(_.getAs[Array[Byte]](0)).toSeq
-    val byTx = corpus.flatMap { case (name, _) =>
-      val ds = try Some(Datatypes(name)) catch { case _: Throwable => None }
-      if (hashes.isEmpty || !ds.exists(_.byTransaction)) None
-      else Some(compare(s"$name (by-transaction)", canon,
-        (s, d) => Freeze.collectByTransaction(s, d, name, hashes),
-        allowEmpty = true))
-    }
+    // time dimensions). Unless a sample block was pinned, pick the
+    // FIRST in-range block that actually carries transactions — a
+    // fixed start+k could land on an empty block and silently skip the
+    // whole TimeDimension::Transactions surface while the summary
+    // still read all-green.
+    import org.apache.spark.sql.functions.{col, min => minC}
+    val txs = spark.read.parquet(s"$refDir/rpc_transactions.parquet")
+      .filter(col("block_number") >= range.start &&
+        col("block_number") < range.endExclusive)
+    val sampleBlock = byTxSampleBlock.orElse(
+      txs.agg(minC(col("block_number"))).collect()(0) match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getInt(0).toLong)
+      })
+    val hashes = sampleBlock.map { b =>
+      txs.filter(col("block_number") === b)
+        .select("transaction_hash").collect()
+        .map(_.getAs[Array[Byte]](0)).toSeq
+    }.getOrElse(Nil)
+    val byTx =
+      if (hashes.isEmpty)
+        // loud, not silent: an untestable dimension is a FAILED outcome
+        Seq(Outcome("by-transaction dimension", 0, 0, Some((
+          "no transactions in the reference range — the " +
+            "TimeDimension::Transactions surface was NOT exercised",
+          "pick a --blocks range containing transactions"))))
+      else corpus.flatMap { case (name, _) =>
+        val ds = try Some(Datatypes(name)) catch { case _: Throwable => None }
+        if (!ds.exists(_.byTransaction)) None
+        else Some(compare(s"$name (by-transaction)", canon,
+          (s, d) => Freeze.collectByTransaction(s, d, name, hashes),
+          allowEmpty = true))
+      }
     scalar ++ Seq(js) ++ byTx
   }
 }

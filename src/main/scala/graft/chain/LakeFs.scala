@@ -64,7 +64,15 @@ object LakeFs {
 
   def exists(path: String): Boolean = fs(path).exists(new HPath(path))
 
-  def mkdirs(path: String): Unit = fs(path).mkdirs(new HPath(path))
+  /** loud like the java.nio createDirectories it replaced: a false
+    * return (path exists as a FILE, FS refusal) must fail here with an
+    * attributable message, not later inside an unrelated write task */
+  def mkdirs(path: String): Unit = {
+    val f = fs(path)
+    val p = new HPath(path)
+    require(f.mkdirs(p) || f.getFileStatus(p).isDirectory,
+      s"mkdirs $path failed (exists as a file, or filesystem refused)")
+  }
 
   /** delete one file (no-op when absent) */
   def deleteFile(path: String): Unit =
@@ -74,23 +82,36 @@ object LakeFs {
     fs(path).delete(new HPath(path), true)
 
   /** single-file promotion: rename `src` over `target`, replacing any
-    * existing file. The replace path goes through `FileContext`'s
-    * Rename.OVERWRITE — genuinely atomic on local/HDFS (the plain
-    * `FileSystem.rename(src, dst)` refuses existing destinations, and a
-    * delete-then-rename would open a no-file window even on POSIX).
-    * Filesystems with no AbstractFileSystem binding (object stores,
-    * custom test schemes) fall back to delete+rename, which IS a
-    * no-file window — the same window their non-atomic rename gives
-    * any protocol (see scaladoc and the PLANS.md audit). */
+    * existing file, with the strongest replace semantics each FS class
+    * offers:
+    *  - LOCAL: `java.nio` ATOMIC_MOVE + REPLACE_EXISTING — a genuine
+    *    POSIX atomic replace. (Hadoop's FileContext is NOT a substitute
+    *    here: neither RawLocalFs nor ChecksumFs overrides
+    *    `renameInternal(src, dst, overwrite)`, so Rename.OVERWRITE
+    *    falls back to AbstractFileSystem's delete-then-rename.)
+    *  - HDFS: FileContext Rename.OVERWRITE — DFS implements the
+    *    overwrite rename natively and atomically server-side.
+    *  - everything else (object stores, custom schemes with no
+    *    AbstractFileSystem binding): delete+rename, which IS a no-file
+    *    window — the same window their non-atomic rename gives any
+    *    protocol (see scaladoc and the PLANS.md audit). */
   def promote(src: HPath, target: HPath): Unit = {
     val f = fs(target)
     if (!f.exists(target)) {
       require(f.rename(src, target), s"rename $src -> $target failed")
       return
     }
+    val uri = f.makeQualified(target).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(src).toUri.getPath),
+        java.nio.file.Paths.get(uri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      return
+    }
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.makeQualified(target).toUri, conf)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
       fc.rename(f.makeQualified(src), f.makeQualified(target),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {

@@ -37,23 +37,13 @@ object FullScaleCheck {
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
 
+    // shared harness primitives (graft.Bench — one benchmarking
+    // contract for the per-round bench and this scale checker). loud:
     // a query that crashes ONLY at the large scale is the headline
-    // finding this tool exists for — never swallow it silently: the
-    // failure is printed with its cause and lands in the sidecar as -1
-    // plus an "error" marker (see the rows loop)
-    def runNoop(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      try {
-        graft.SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[scalecheck] $name FAILED at $dir: " +
-            s"${e.getClass.getSimpleName}: ${e.getMessage}")
-          -1.0
-      }
-    }
+    // finding this tool exists for; it prints its cause and lands in
+    // the sidecar as -1 plus an "error" marker (see the rows loop)
+    def runNoop(name: String, dir: String): Double =
+      graft.Bench.runNoopOn(spark, name, dir, loud = true)
     def planSummary(name: String, dir: String): String =
       try {
         val plan = graft.SparkEntry.queries(name)(spark, dir)
@@ -67,11 +57,7 @@ object FullScaleCheck {
       * timed; returns (per-query sec, memo seconds) */
     def pass(dir: String): (Map[String, Double], Double) = {
       names.foreach(runNoop(_, dir)) // warm codegen/JIT, populate memos
-      spark.sharedState.cacheManager.clearCache()
-      val m0 = System.nanoTime()
-      try graft.queries.TextOps.rebuildMemos(spark, dir)
-      catch { case _: Throwable => () }
-      val memoS = (System.nanoTime() - m0) / 1e9
+      val memoS = graft.Bench.rebuildMemosUntimed(spark, dir, names)
       (names.map(n => n -> runNoop(n, dir)).toMap, memoS)
     }
 

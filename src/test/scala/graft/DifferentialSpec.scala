@@ -568,6 +568,29 @@ class DifferentialSpec extends AnyFunSuite {
     } finally h.stop()
   }
 
+  test("live --rpc freeze lands on a scheme'd (non-file://) output dir") {
+    // pins the round-9 staging fix: Paths.get on an s3a://-style output
+    // dir mangled it into a relative local tree; bronze now stages in a
+    // local tmpdir while the freeze output crosses the FileSystem API
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val h = FixtureRpcServer.start(spark, fixDir)
+    try {
+      val out = "graftfs:" + java.nio.file.Files
+        .createTempDirectory("graft_scheme_rpc").toString
+      val r = Cli.run(Array("blocks", "--rpc", h.url,
+        "--blocks", "1000:1030", "--chunk-size", "15",
+        "--output-dir", out, "--no-verbose", "--no-report"), spark).get
+      assert(r.errored.isEmpty && r.completed.size == 2)
+      assert(r.completed.forall(_.startsWith("graftfs:")))
+      val back = graft.chain.Lake.read(spark, out, "blocks")
+      assert(back.count() == 30L)
+      // the mangled relative `graftfs:` tree the bug used to create
+      // must not exist in the CWD
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("graftfs:")))
+    } finally h.stop()
+  }
+
   test("file-layer differential: CLI --rpc freeze equals fixture-path freeze chunk for chunk") {
     // the same comparison one layer up: the WHOLE CLI (chunking, cryo
     // file naming, parquet sink) driven once from the fixture dir and
