@@ -1183,22 +1183,26 @@ object Cli {
       // bronze is driver-local STAGING (FollowMode's reorg swap runs
       // java.nio on it by contract) — a scheme'd --output-dir
       // (s3a://…) must not have Paths.get mangle the URI into a
-      // relative local `s3a:/…` tree; the staging moves to ONE STABLE
-      // local tmpdir per output target (keyed by the dir's md5, each
-      // run overwrites the previous corpus — unbounded per-run temp
-      // dirs would fill the host under scheduled re-freezes) while the
-      // freeze output itself still lands on the scheme'd dir through
-      // the Hadoop-FS write path
+      // relative local `s3a:/…` tree; the staging gets a PER-PROCESS
+      // temp dir (createTempDirectory: unguessable suffix, 0700 on
+      // POSIX) so two concurrent freezes targeting the same scheme'd
+      // output dir cannot clobber each other's staged bronzes, and a
+      // squatter in a shared /tmp cannot pre-create the name. A
+      // shutdown hook removes it, so scheduled re-freezes don't fill
+      // the host; the freeze output itself still lands on the scheme'd
+      // dir through the Hadoop-FS write path
       val bronzeDir = {
         val hasScheme = new org.apache.hadoop.fs.Path(outputDir)
           .toUri.getScheme != null
         if (hasScheme) {
-          val key = java.security.MessageDigest.getInstance("MD5")
-            .digest(outputDir.getBytes("UTF-8"))
-            .take(8).map("%02x".format(_)).mkString
-          val p = java.nio.file.Paths.get(
-            System.getProperty("java.io.tmpdir"), s"graft_bronze_$key")
-          java.nio.file.Files.createDirectories(p)
+          val p = java.nio.file.Files.createTempDirectory("graft_bronze_")
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            try {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            } catch { case _: Throwable => () }))
           p
         } else {
           val p = java.nio.file.Paths.get(outputDir, ".graft", "bronze")

@@ -70,7 +70,14 @@ object LakeFs {
   def mkdirs(path: String): Unit = {
     val f = fs(path)
     val p = new HPath(path)
-    require(f.mkdirs(p) || f.getFileStatus(p).isDirectory,
+    // the fallback probe (runs only when mkdirs returns false, e.g. a
+    // concurrent creator won the race) must not itself throw
+    // FileNotFoundException — a transient FS refusal would then surface
+    // an unrelated stack instead of this attributable message
+    def isDir =
+      try f.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    require(f.mkdirs(p) || isDir,
       s"mkdirs $path failed (exists as a file, or filesystem refused)")
   }
 

@@ -172,6 +172,12 @@ object Mp4 {
     require(chunkOffset >= mdat.offset &&
       chunkOffset + nSamples <= mdat.offset + mdat.length,
       s"stco offset $chunkOffset points outside mdat")
+    // a zero-sample track with an empty mdat at end-of-file passes the
+    // bounds check above but has no first byte to read — keep the
+    // failure typed instead of an ArrayIndexOutOfBounds from bytes()
+    require(nSamples >= 1 && chunkOffset < bytes.length,
+      s"container has no sample data (nSamples=$nSamples, " +
+        s"stco offset $chunkOffset, ${bytes.length} bytes)")
     Probe(
       movieTimescale = u32(bytes, mvhd.offset + 12),
       movieDuration = u32(bytes, mvhd.offset + 16),

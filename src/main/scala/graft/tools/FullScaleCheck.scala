@@ -49,7 +49,10 @@ object FullScaleCheck {
         val plan = graft.SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString
         def n(pat: String) = pat.r.findAllIn(plan).length
-        s"ex=${n("Exchange")} bhj=${n("BroadcastHashJoin")} " +
+        // ex counts SHUFFLE exchanges only — a bare "Exchange" regex
+        // also matches BroadcastExchange, double-signalling any
+        // broadcast-side change in both ex= and bhj=
+        s"ex=${n("(?<!Broadcast)Exchange")} bhj=${n("BroadcastHashJoin")} " +
           s"smj=${n("SortMergeJoin")} bnlj=${n("BroadcastNestedLoopJoin")}"
       } catch { case _: Throwable => "error" }
 

@@ -60,4 +60,14 @@ class Mp4Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Mp4.probe(Array.fill[Byte](64)(0x41)))
   }
+
+  test("a zero-sample track with an empty trailing mdat fails typed") {
+    // a foreign container can carry nSamples=0 and an empty mdat at
+    // end-of-file: the stco bounds check passes (offset + 0 <= mdat
+    // end) but there is no first byte to read — the failure must be
+    // the typed IllegalArgumentException, not ArrayIndexOutOfBounds
+    val empty = Mp4.render(Array.empty[Byte])
+    val e = intercept[IllegalArgumentException](Mp4.probe(empty))
+    assert(e.getMessage.contains("no sample data"))
+  }
 }
