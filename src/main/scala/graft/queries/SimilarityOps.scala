@@ -676,26 +676,41 @@ object SimilarityOps {
     // (the spec pins that). The codegen Dot/SumSq fold order over the
     // sliced prefix matches the oracle's range(1, d+1) fold exactly.
     "q_embed_dim_recall" -> { (s, dir) =>
+      // ONE corpus scan and ONE top-k shuffle for the whole sweep: each
+      // candidate×query pair computes all four prefix cosines in the
+      // same projection (slice+dot keep the oracle's range(1, d+1) fold
+      // order per d), explodes to (d, cosine) rows, and ranks per
+      // composite (d, q_id) key. The exact baseline needs no fifth scan
+      // — full-dimension top-3 IS the d=64 branch — and recall falls
+      // out of a collect_set over the ~120 ranked rows: a pair is a hit
+      // for d when its set holds both d and 64. The r8-era shape ran 5
+      // corpus scans + 6 shuffles for the identical result; at 100 TB
+      // the sweep should cost one pass over the vectors, not five.
       val e = Tables(s, dir, "embeddings")
-      val exact = cosineTopkOf(e, nQueries = 10, k = 3)
-        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-      Seq(8, 16, 32, 64).map { d =>
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"),
-            slice(col("embedding"), 1, d).as("q_emb"))
-        val c = e.select(col("vec_id").as("c_id"),
-          slice(col("embedding"), 1, d).as("c_emb"))
-        val scored = c.crossJoin(broadcast(q))
-          .filter(col("q_id") =!= col("c_id"))
-          .withColumn("cosine",
-            dot(col("q_emb"), col("c_emb")) /
-              (sqrt(sumSq(col("q_emb"))) * sqrt(sumSq(col("c_emb")))))
-        graft.operators.TopKPerKey.topK(s, scored, "q_id", "cosine", "c_id", 3)
-          .select(col("q_id"), col("c_id")).withColumn("d", lit(d.toLong))
-      }.reduce(_ union _)
-        .join(exact, Seq("q_id", "c_id"), "left")
+      val dims = Seq(8, 16, 32, 64)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val perDim = array(dims.map { d =>
+        val qd = slice(col("q_emb"), 1, d)
+        val cd = slice(col("c_emb"), 1, d)
+        struct(lit(d.toLong).as("d"),
+          (dot(qd, cd) / (sqrt(sumSq(qd)) * sqrt(sumSq(cd)))).as("cosine"))
+      }: _*)
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), explode(perDim).as("dc"))
+        .select(col("q_id"), col("c_id"),
+          (col("dc.d") * 1000L + col("q_id")).as("dq"), col("dc.cosine"))
+      graft.operators.TopKPerKey.topK(s, scored, "dq", "cosine", "c_id", 3)
+        .groupBy(col("dq") % 1000L, col("c_id"))
+        .agg(collect_set(expr("dq div 1000")).as("ds"))
+        .select(explode(array(dims.map(d => lit(d.toLong)): _*)).as("d"),
+          col("ds"))
         .groupBy("d")
-        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .agg(sum(when(array_contains(col("ds"), col("d")) &&
+          array_contains(col("ds"), lit(64L)), 1L).otherwise(0L))
+          .as("n_hits"))
         .withColumn("recall_at_3", col("n_hits").cast("double") / 30.0)
     },
 
