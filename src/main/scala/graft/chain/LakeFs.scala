@@ -99,9 +99,20 @@ object LakeFs {
     *  - HDFS: FileContext Rename.OVERWRITE — DFS implements the
     *    overwrite rename natively and atomically server-side.
     *  - everything else (object stores, custom schemes with no
-    *    AbstractFileSystem binding): delete+rename, which IS a no-file
-    *    window — the same window their non-atomic rename gives any
-    *    protocol (see scaladoc and the PLANS.md audit). */
+    *    AbstractFileSystem binding): SINGLE-OBJECT PUT REPLACE — the
+    *    staged bytes stream into `create(target, overwrite = true)`,
+    *    then the staged file is deleted. On an object store that is
+    *    one PUT: the old object stays visible until the new one
+    *    commits, so a polling reader NEVER sees the path missing
+    *    (r9's delete+rename fallback had exactly that window). A
+    *    crash mid-copy leaves the old object live and the staged file
+    *    inside the `._tmp` dir listings already skip. The cost is one
+    *    extra byte copy, paid only on the explicit-overwrite path.
+    *    (Caveat, stated not papered: a custom Hadoop FS whose create
+    *    is NOT atomic-on-close — a raw local FS exposed under a
+    *    foreign scheme — turns the no-file window into a
+    *    content-in-flux window. Every real store connector commits
+    *    the object on close; GraftStoreFs models that in the spec.) */
   def promote(src: HPath, target: HPath): Unit = {
     val f = fs(target)
     if (!f.exists(target)) {
@@ -123,8 +134,11 @@ object LakeFs {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        f.delete(target, false)
-        require(f.rename(src, target), s"rename $src -> $target failed")
+        val in = f.open(src)
+        val out = f.create(target, true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+        finally { in.close(); out.close() }
+        f.delete(src, false)
     }
   }
 

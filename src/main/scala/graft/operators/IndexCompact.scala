@@ -19,6 +19,33 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * hash-identical before/after (spec-pinned): compaction moves bytes,
   * never rows.
   *
+  * ## Pointer-manifest layout (r10)
+  *
+  * An artifact's live tree is named by a POINTER, never moved into
+  * place: data lives under versioned dirs `<artifact>.v<N>` and the
+  * current version is the highest `<artifact>.ptr.v<N>` marker file.
+  * Publishing a rewrite = writing the new tree under the next version
+  * dir, then CREATING one zero-byte pointer marker — a single-object
+  * PUT, atomic on every filesystem class including object stores. The
+  * marker's version rides in its NAME (not its content), so a reader
+  * can never observe a half-written pointer; it sees the old maximum
+  * or the new one. This replaces the r9 directory-rename swap, whose
+  * atomic-dir-rename requirement put object-store index dirs out of
+  * contract (PLANS.md swap-site audit — now closed).
+  *
+  * Readers resolve the pointer per read (`resolvePath`). The PREVIOUS
+  * version tree is retained as a grace window for readers that
+  * resolved it just before a flip; anything older is garbage-collected
+  * by the next compact/build. A reader slower than one full
+  * compaction cycle is out of contract (the standard manifest-system
+  * grace rule). Pre-pointer artifacts — a bare `<dir>/<artifact>`
+  * written by r9 code — keep working: no pointer marker means the
+  * legacy path IS the artifact; the first compact migrates it into
+  * the versioned layout and retires the legacy tree. Because fresh
+  * builds also publish through `writeFresh` (version + flip), the
+  * pointer, when present, is ALWAYS newest — a stale legacy tree left
+  * by a crash between flip and retire can never shadow it.
+  *
   * Directory-partitioned parquet re-infers partition-column types on
   * read (a 0-15 long key comes back int) and appends partition columns
   * last, so each compaction writes a schema sidecar
@@ -26,7 +53,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * order and types — loaders see ONE schema whether the artifact is
   * flat (fresh build), fragmented (post-ingest) or compacted. Repeated
   * compaction is idempotent for the same reason: the rewrite reads
-  * through the same pinned schema.
+  * through the same pinned schema. The sidecar is layout-independent
+  * (same columns every version), so it lives beside the pointer, not
+  * inside the version dirs.
   *
   * Compact-during-ongoing-ingest: a directory-partitioned artifact
   * must never receive flat per-micro-batch appends at its root —
@@ -43,25 +72,29 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * enforced as a documented contract, spec-pinned for the stopped
   * case).
   *
-  * The swap is the freeze-sink discipline (tmp dir + rename): readers
-  * never observe a half-written artifact. Crash windows: the schema
-  * sidecar is written BEFORE the swap (its content is
-  * layout-independent — same columns either way — so an aborted
-  * compact leaving a fresh sidecar next to the old layout is
-  * harmless), and the old layout is parked at `.compact_old` until the
-  * new one is live; `recover` (run at the top of both `read` and
-  * `compact`) moves `.compact_old` back if a crash between the two
-  * directory renames left no live artifact, and drops it if the swap
-  * completed. Every crash point therefore leaves a readable artifact
-  * with a pinned schema.
+  * Crash matrix (every point leaves a readable, not-double-counted
+  * artifact — see `recover`):
+  *  - after the new tree, before the flip: the pointer still names the
+  *    old version; the new tree is an orphan the next compact GCs.
+  *  - after the flip: the new tree is live; stale legacy/old versions
+  *    are garbage the next compact GCs.
+  *  - fold: the `fold_pending` marker (content = the version the fold
+  *    targets) is written BEFORE the flip. Marker naming the CURRENT
+  *    version means the flip happened and the side rows are already in
+  *    the main artifact → finish the crash-interrupted side delete (or
+  *    read() would union them twice). Marker naming a NON-current
+  *    version means the flip never happened — the side rows live only
+  *    in the side-artifact, keep it; the marker is a pre-flip leftover
+  *    only the compact path may drop.
   *
   * Filesystem contract: all file operations go through the Hadoop
-  * FileSystem of the index dir (LakeFs), so artifacts live on local
-  * disk or HDFS interchangeably. The swap protocol REQUIRES atomic
-  * directory rename — true on local/HDFS, NOT on object stores (s3a
-  * renames a tree per-object); the recovery matrix's existence probes
-  * would mis-read a half-copied tree there, so object-store index
-  * dirs are out of contract (PLANS.md swap-site audit). */
+  * FileSystem of the index dir (LakeFs) and the publish step is a
+  * single-object create — local disk, HDFS and strongly-consistent
+  * object stores are all in contract. In-process readers/compactors
+  * are serialized where it matters by a per-artifact lock;
+  * cross-process CONCURRENT COMPACTION of one artifact remains out of
+  * contract (two compactors can allocate the same version), while
+  * cross-process read-during-compact is safe by the grace window. */
 object IndexCompact {
 
   private def sidecarPath(dir: String, artifact: String) =
@@ -77,66 +110,135 @@ object IndexCompact {
     s"$dir/${streamArtifact(artifact)}"
 
   /** fold-in-progress marker: present iff a foldStream rewrite has
-    * folded the side-artifact's rows into the pending layout but the
-    * side-artifact may still be on disk (see recover) */
+    * written the folded tree; its CONTENT names the version the fold
+    * targets (see the crash matrix in the class doc) */
   private def foldMarkerPath(dir: String, artifact: String) =
     s"$dir/$artifact.fold_pending"
 
+  private def versionDir(dir: String, artifact: String, v: Int) =
+    s"$dir/$artifact.v$v"
+  private def ptrPath(dir: String, artifact: String, v: Int) =
+    s"$dir/$artifact.ptr.v$v"
+
   /** per-(dir, artifact) in-process lock: read()'s recovery and
-    * rewrite()'s swap are mutually exclusive, so a concurrent search
-    * can never mistake an IN-FLIGHT compact's tmp dir or fold marker
-    * for crash leftovers and destroy them (previously a read during a
-    * fold could delete the marker a post-swap crash needed, silently
-    * double-counting folded stream rows forever, or delete the tmp a
-    * running compact was about to move). Cross-PROCESS concurrent
-    * compaction remains out of contract (class doc). */
+    * rewrite()'s publish are mutually exclusive, so a concurrent search
+    * can never mistake an IN-FLIGHT compact's fold marker or orphan
+    * tree for crash leftovers and destroy them. Cross-PROCESS
+    * concurrent compaction remains out of contract (class doc). */
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
   private def lockFor(dir: String, artifact: String): Object =
     locks.computeIfAbsent(s"$dir/$artifact", _ => new Object)
 
-  /** Restore a crash-interrupted swap: a crash between the two
-    * ATOMIC_MOVEs leaves only `.compact_old` → move it back; a crash
-    * just after the second move leaves both → the new layout is live,
-    * drop the stale `.compact_old`. The fold marker disambiguates the
-    * side-artifact: it is written after the tmp layout (which contains
-    * the folded side rows) is complete, so marker + tmp still present
-    * means the swap never happened (side rows live ONLY in the
-    * side-artifact → keep it), while marker + no tmp means the folded
-    * layout went live (the side rows are now IN the main artifact →
-    * finish the crash-interrupted side delete, or read() would union
-    * them in twice). Idempotent, cheap (few stats).
-    *
-    * `destructive = false` (the read path) performs only the RESTORE
-    * actions — moving `.compact_old` back and finishing a completed
-    * fold's side delete. Dropping a stale tmp dir, a pre-swap fold
-    * marker, or a stale `.compact_old` is left to the compact path:
-    * those states are also exactly what an in-flight rewrite looks
-    * like, and only compact (serialized by the lock) can know the
-    * difference. */
+  /** current published version: the highest `<artifact>.ptr.v<N>`
+    * marker under `dir`, 0 when the artifact has never been published
+    * through the pointer layout (legacy flat artifact, or absent) */
+  def currentVersion(dir: String, artifact: String): Int = {
+    val fs = LakeFs.fs(dir)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(base)) return 0
+    val pre = s"$artifact.ptr.v"
+    fs.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(pre))
+      .flatMap(n => n.stripPrefix(pre).toIntOption)
+      .foldLeft(0)(math.max)
+  }
+
+  /** the artifact's live data path: the pointed-to version dir, or the
+    * legacy flat path for artifacts never published through the
+    * pointer layout. Public — specs and external tools that need the
+    * physical tree (file counts, fragment simulation) resolve here
+    * instead of assuming `<dir>/<artifact>`. */
+  def resolvePath(dir: String, artifact: String): String = {
+    val v = currentVersion(dir, artifact)
+    if (v > 0) versionDir(dir, artifact, v) else s"$dir/$artifact"
+  }
+
+  /** present = published through the pointer layout OR a legacy tree */
+  private def artifactExists(dir: String, artifact: String): Boolean =
+    currentVersion(dir, artifact) > 0 || LakeFs.exists(s"$dir/$artifact")
+
+  /** drop version trees and pointer markers outside the {current,
+    * previous} grace window — covers orphan trees ABOVE current (crash
+    * between tree write and flip) and ancients below the grace. Only
+    * ever called on the compact/build path under the artifact lock. */
+  private def gcStale(dir: String, artifact: String, current: Int): Unit = {
+    val fs = LakeFs.fs(dir)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(base)) return
+    val keep = Set(current, current - 1)
+    val treePre = s"$artifact.v"
+    val ptrPre = s"$artifact.ptr.v"
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(ptrPre))
+        n.stripPrefix(ptrPre).toIntOption
+          .filterNot(keep).foreach(_ => LakeFs.deleteFile(s"$dir/$n"))
+      else if (n.startsWith(treePre))
+        n.stripPrefix(treePre).toIntOption
+          .filterNot(keep).foreach(_ => LakeFs.deleteTree(s"$dir/$n"))
+    }
+  }
+
+  /** Publish a FRESH build of an artifact: write the frame under the
+    * next version dir, flip the pointer (one atomic create), retire
+    * any legacy flat tree, GC beyond the grace window. Builders
+    * (saveIvfPqIndex, saveTextIndex) publish through here so the
+    * pointer is always the newest truth — a rebuild after a compact
+    * bumps the version rather than writing a shadowed legacy tree. */
+  def writeFresh(spark: SparkSession, dir: String, artifact: String,
+      df: DataFrame): Unit = {
+    val next = currentVersion(dir, artifact) + 1
+    val vdir = versionDir(dir, artifact, next)
+    df.write.mode("overwrite").parquet(vdir)
+    lockFor(dir, artifact).synchronized {
+      LakeFs.writeString(ptrPath(dir, artifact, next), "")
+      val legacy = s"$dir/$artifact"
+      if (LakeFs.exists(legacy)) LakeFs.deleteTree(legacy)
+      gcStale(dir, artifact, next)
+      spark.catalog.refreshByPath(vdir)
+    }
+  }
+
+  /** Restore after a crash, per the class-doc matrix. `destructive =
+    * false` (the read path) performs only the RESTORE actions —
+    * finishing a completed fold's side delete and un-parking a
+    * pre-pointer `.compact_old`. Dropping pre-flip fold markers,
+    * orphan version trees and stale legacy/old dirs is left to the
+    * compact path: those states are also exactly what an in-flight
+    * rewrite looks like, and only compact (serialized by the lock) can
+    * know the difference. */
   private def recover(spark: SparkSession, dir: String, artifact: String,
       destructive: Boolean = false): Unit = lockFor(dir, artifact).synchronized {
-    val target = s"$dir/$artifact"
-    val tmp = s"$dir/$artifact.compact_tmp"
     val marker = foldMarkerPath(dir, artifact)
+    val curV = currentVersion(dir, artifact)
     if (LakeFs.exists(marker)) {
-      if (!LakeFs.exists(tmp)) {
-        // fold swap completed, crash before the side delete — finish it
+      if (curV > 0 && LakeFs.readString(marker).trim == s"v$curV") {
+        // fold flip completed, crash before the side delete — finish it
         LakeFs.deleteTree(streamPath(dir, artifact))
         LakeFs.deleteFile(marker)
-      } else if (destructive) LakeFs.deleteFile(marker) // pre-swap crash leftover
+      } else if (destructive) LakeFs.deleteFile(marker) // pre-flip leftover
     }
+    // pre-pointer (r9) crash state: the live artifact parked at
+    // `.compact_old` with nothing else resolvable — restore it
     val old = s"$dir/$artifact.compact_old"
     if (LakeFs.exists(old)) {
-      if (!LakeFs.exists(target)) {
-        LakeFs.rename(old, target)
-        spark.catalog.refreshByPath(target)
+      if (curV == 0 && !LakeFs.exists(s"$dir/$artifact")) {
+        LakeFs.rename(old, s"$dir/$artifact")
+        spark.catalog.refreshByPath(s"$dir/$artifact")
       } else if (destructive) LakeFs.deleteTree(old)
     }
-    // a tmp dir with a live target is an aborted (or in-flight) rewrite
-    // — only the compact path may drop it
-    if (destructive && LakeFs.exists(tmp) && LakeFs.exists(target))
-      LakeFs.deleteTree(tmp)
+    if (destructive) {
+      gcStale(dir, artifact, curV)
+      // pre-pointer rewrite scratch
+      val tmp = s"$dir/$artifact.compact_tmp"
+      if (LakeFs.exists(tmp)) LakeFs.deleteTree(tmp)
+      // a legacy tree shadowed by a published pointer is a crash
+      // leftover of the flip→retire window — the pointer is always
+      // newest (class doc), so the legacy bytes are stale
+      if (curV > 0 && LakeFs.exists(s"$dir/$artifact"))
+        LakeFs.deleteTree(s"$dir/$artifact")
+    }
   }
 
   /** the main artifact read through its pinned sidecar schema (column
@@ -144,13 +246,35 @@ object IndexCompact {
     * and the non-fold rewrite so compact and queries can never disagree
     * on the pinned schema */
   private def readMain(spark: SparkSession, dir: String, artifact: String): DataFrame = {
-    val main = spark.read.parquet(s"$dir/$artifact")
+    val p = resolvePath(dir, artifact)
+    if (p != s"$dir/$artifact")
+      require(LakeFs.exists(p),
+        s"index artifact $artifact: pointer names a missing tree $p " +
+          "(externally deleted?)")
+    val main = spark.read.parquet(p)
     val sc = sidecarPath(dir, artifact)
     if (LakeFs.exists(sc)) {
       val schema = DataType.fromJson(LakeFs.readString(sc)).asInstanceOf[StructType]
       main.select(schema.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     } else main
+  }
+
+  /** true when `path` holds at least one committed data file — a
+    * just-created sink dir (only `_temporary`/`_spark_metadata`
+    * scaffolding, no committed part files yet) must read as "no side
+    * rows", not explode schema inference. Committed files never
+    * disappear outside the fold maintenance window, so a positive
+    * probe cannot go stale under a concurrent append. */
+  private def hasDataFile(path: String): Boolean = {
+    val fs = LakeFs.fs(path)
+    def walk(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (if (st.isDirectory) walk(st.getPath) else true)
+      }
+    walk(new org.apache.hadoop.fs.Path(path))
   }
 
   /** read an index artifact with its recorded schema restored (column
@@ -160,7 +284,7 @@ object IndexCompact {
     recover(spark, dir, artifact)
     val pinned = readMain(spark, dir, artifact)
     val side = streamPath(dir, artifact)
-    if (LakeFs.exists(side)) {
+    if (LakeFs.exists(side) && hasDataFile(side)) {
       val stream = spark.read.parquet(side)
       pinned.unionByName(stream.select(pinned.schema.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
@@ -169,7 +293,7 @@ object IndexCompact {
 
   /** rewrite one artifact: read through the pinned schema (optionally
     * folding the streaming side-artifact), repartition on the cell
-    * key, write directory-partitioned, swap atomically */
+    * key, write the next version dir, flip the pointer */
   private def rewrite(spark: SparkSession, dir: String, artifact: String,
       partitionCols: Seq[String], sortCols: Seq[String],
       foldStream: Boolean): Unit = {
@@ -181,8 +305,8 @@ object IndexCompact {
       if (foldStream) read(spark, dir, artifact)
       else readMain(spark, dir, artifact)
     val schemaJson = cur.schema.json
-    val target = s"$dir/$artifact"
-    val tmp = s"$dir/$artifact.compact_tmp"
+    val next = currentVersion(dir, artifact) + 1
+    val vdir = versionDir(dir, artifact, next)
     val shaped =
       if (partitionCols.nonEmpty)
         cur.repartition(partitionCols.map(col): _*)
@@ -190,40 +314,42 @@ object IndexCompact {
       else cur.repartition(cur.sparkSession.sessionState.conf.numShufflePartitions)
     val w = shaped.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp)
+      .parquet(vdir)
     // sidecar first (layout-independent content: same columns before
-    // and after the swap), then — when folding — the fold marker (the
-    // tmp layout now holds the side rows; recover() uses marker+tmp
-    // state to finish or undo the side delete after any crash), then
-    // swap old -> .old, tmp -> live, drop .old — every crash point
+    // and after the flip), then — when folding — the fold marker
+    // naming the target version (recover() compares it to the current
+    // pointer to finish or undo the side delete after any crash), then
+    // THE FLIP: one zero-byte pointer-marker create. Every crash point
     // leaves a recoverable, schema-pinned, not-double-counted artifact
-    // (see recover)
-    // the swap runs under the artifact lock so a concurrent read()'s
-    // recovery can neither restore the parked .compact_old mid-swap
-    // nor observe the marker/tmp in a half-written state
+    // (see the class-doc matrix). The publish runs under the artifact
+    // lock so a concurrent read()'s recovery can neither misread the
+    // marker mid-write nor GC the tree being published.
     lockFor(dir, artifact).synchronized {
       LakeFs.writeString(sidecarPath(dir, artifact), schemaJson)
       val folding = foldStream && LakeFs.exists(sidePath)
-      if (folding) LakeFs.writeString(foldMarkerPath(dir, artifact), "")
-      val old = s"$dir/$artifact.compact_old"
-      LakeFs.deleteTree(old)
-      LakeFs.rename(target, old)
-      LakeFs.rename(tmp, target)
-      LakeFs.deleteTree(old)
+      if (folding) LakeFs.writeString(foldMarkerPath(dir, artifact), s"v$next")
+      LakeFs.writeString(ptrPath(dir, artifact, next), "")
       if (folding) {
         LakeFs.deleteTree(sidePath)
         LakeFs.deleteFile(foldMarkerPath(dir, artifact))
       }
-      // the swap happened outside Spark's writers: drop any cached file
-      // listings for the artifact path or later scans chase renamed
-      // files
-      spark.catalog.refreshByPath(target)
+      // retire the pre-pointer legacy tree (first compact of an r9
+      // artifact) and anything beyond the grace window
+      val legacy = s"$dir/$artifact"
+      if (LakeFs.exists(legacy)) LakeFs.deleteTree(legacy)
+      gcStale(dir, artifact, next)
+      // the publish happened outside Spark's writers: drop any cached
+      // file listings for the artifact paths or later scans chase
+      // stale trees
+      spark.catalog.refreshByPath(vdir)
+      spark.catalog.refreshByPath(legacy)
     }
   }
 
-  /** number of parquet data files under an artifact (spec observability) */
+  /** number of parquet data files under an artifact's live tree (spec
+    * observability) */
   def dataFileCount(dir: String, artifact: String): Long = {
-    val root = s"$dir/$artifact"
+    val root = resolvePath(dir, artifact)
     if (!LakeFs.exists(root)) 0L
     else {
       val fs = LakeFs.fs(root)
@@ -246,12 +372,12 @@ object IndexCompact {
   def compact(spark: SparkSession, dir: String,
       foldStream: Boolean = false): Seq[String] = {
     // restore any crash-parked artifact BEFORE the existence probes —
-    // a crash between the swap moves leaves only `.compact_old`, which
-    // must count as the artifact being present
+    // a pre-pointer crash can leave only `.compact_old`, which must
+    // count as the artifact being present
     for (a <- Seq("codes.parquet", "bands.parquet", "fps.parquet", "sigs.parquet"))
       recover(spark, dir, a, destructive = true)
     val done = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (LakeFs.exists(s"$dir/codes.parquet")) {
+    if (artifactExists(dir, "codes.parquet")) {
       // one directory per IVF cell; rows within a file sorted by
       // (vec_id, sub) so ADC scans run sequentially. At larger nlist
       // the repartition key keeps one shuffle partition per cell —
@@ -260,12 +386,12 @@ object IndexCompact {
         Seq("centroid_id"), Seq("vec_id", "sub"), foldStream)
       done += "codes.parquet"
     }
-    if (LakeFs.exists(s"$dir/bands.parquet")) {
+    if (artifactExists(dir, "bands.parquet")) {
       rewrite(spark, dir, "bands.parquet",
         Seq("band_idx"), Seq("band_hash", "doc_id"), foldStream)
       done += "bands.parquet"
       for (flat <- Seq("fps.parquet", "sigs.parquet")
-          if LakeFs.exists(s"$dir/$flat")) {
+          if artifactExists(dir, flat)) {
         rewrite(spark, dir, flat, Seq.empty, Seq.empty, foldStream)
         done += flat
       }

@@ -863,9 +863,13 @@ object SimilarityOps {
     cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     cb.select("sub", "code", "c_v")
       .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
-    codesFlatOf(res, "residual", collectCodebook(cb),
-      Seq("vec_id", "centroid_id"))
-      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    // codes publish through the pointer layout (IndexCompact manages
+    // them): a rebuild after a compact bumps the version instead of
+    // writing a tree the pointer would shadow. The tiny centroid /
+    // codebook frames above are never compacted — plain overwrites.
+    graft.operators.IndexCompact.writeFresh(e.sparkSession, dir,
+      "codes.parquet", codesFlatOf(res, "residual", collectCodebook(cb),
+        Seq("vec_id", "centroid_id")))
   }
 
   /** Streaming index maintenance — the incremental half of

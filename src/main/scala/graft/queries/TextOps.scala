@@ -111,11 +111,15 @@ object TextOps {
     * partition naturally by band_hash prefix and the whole index is
     * tiny relative to the corpus (hashes and 8-long sketches, no text). */
   def saveTextIndex(docs: DataFrame, dir: String): Unit = {
-    docs.select(col("doc_id"), md5(lower(col("text"))).as("fp"))
-      .write.mode("overwrite").parquet(s"$dir/fps.parquet")
-    cappedBands(bandRowsOf(docs).select("doc_id", "band_idx", "band_hash"))
-      .write.mode("overwrite").parquet(s"$dir/bands.parquet")
-    rowSigsOf(docs).write.mode("overwrite").parquet(s"$dir/sigs.parquet")
+    // all three artifacts publish through the pointer layout
+    // (IndexCompact manages them): a rebuild after a compact bumps the
+    // version instead of writing a tree the pointer would shadow
+    val ic = graft.operators.IndexCompact
+    ic.writeFresh(docs.sparkSession, dir, "fps.parquet",
+      docs.select(col("doc_id"), md5(lower(col("text"))).as("fp")))
+    ic.writeFresh(docs.sparkSession, dir, "bands.parquet",
+      cappedBands(bandRowsOf(docs).select("doc_id", "band_idx", "band_hash")))
+    ic.writeFresh(docs.sparkSession, dir, "sigs.parquet", rowSigsOf(docs))
   }
 
   /** Dedup a NEW shard against a persisted index (the incremental

@@ -22,11 +22,13 @@ class LakeSpec extends AnyFunSuite {
       chunkSize: Long = 20, format: String = "parquet",
       label: Option[String] = None,
       subdirs: Seq[String] = Seq.empty,
-      partitionBy: Option[String] = None): Freeze.FreezeResult =
+      partitionBy: Option[String] = None,
+      overwrite: Boolean = false): Freeze.FreezeResult =
     Freeze.freeze(spark, FixDir, Freeze.FreezeSpec(
       datasets = datasets, blocks = blocks, chunkSize = chunkSize,
       outputDir = out, format = format, label = label, subdirs = subdirs,
-      partitionBy = partitionBy, noReport = true, maxConcurrentChunks = 1))
+      partitionBy = partitionBy, noReport = true, maxConcurrentChunks = 1,
+      overwrite = overwrite))
 
   test("parseFileName handles plain, labeled, dim-stubbed and foreign names") {
     val p = Lake.parseFileName(
@@ -522,6 +524,45 @@ class LakeSpec extends AnyFunSuite {
     val post = Lake.listChunks(out)
     assert(post.size == 2 &&
       post.forall(f => f.start == 1000L && f.endInclusive == 1059L))
+    assert(Lake.read(spark, out, "blocks").count() == 60L)
+  }
+
+  test("object-store overwrite-freeze: a polling reader never loses the chunk") {
+    // r9's fallback for schemes without a FileContext binding was
+    // delete+rename — an explicit --overwrite freeze had a window
+    // where the chunk file did not exist. The promote path now streams
+    // the staged bytes into create(target, overwrite=true): one PUT on
+    // a store, old object visible until the new one commits.
+    // GraftStoreFs models exactly that visibility (whole-object
+    // publish on close), so a reader polling existence AND readability
+    // through the overwrite must never miss.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftstore.impl", classOf[GraftStoreFs].getName)
+    val out = "graftstore:" + freshDir("lake_ow_")
+    val r1 = freeze(out, Seq("blocks"), chunkSize = 60) // one chunk file
+    assert(r1.completed.size == 1)
+    val target = r1.completed.head
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String]
+    val polls = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      val fs = graft.chain.LakeFs.fs(target)
+      val p = new org.apache.hadoop.fs.Path(target)
+      try while (!stop.get && bad.get == null) {
+        if (!fs.exists(p)) bad.set("chunk missing during overwrite")
+        else if (fs.getFileStatus(p).getLen == 0)
+          bad.set("chunk truncated during overwrite")
+        polls.incrementAndGet()
+      } catch { case t: Throwable => bad.set(t.toString) }
+    })
+    reader.start()
+    try for (_ <- 1 to 3) {
+      val r = freeze(out, Seq("blocks"), chunkSize = 60, overwrite = true)
+      assert(r.completed.size == 1 && r.errored.isEmpty)
+    } finally { stop.set(true); reader.join(60000) }
+    assert(bad.get == null, s"poller observed: ${bad.get} after ${polls.get} polls")
+    assert(polls.get > 0)
+    // the final chunk reads whole through the scheme
     assert(Lake.read(spark, out, "blocks").count() == 60L)
   }
 }

@@ -560,8 +560,11 @@ class CliSpec extends AnyFunSuite {
   test("index subcommand: build once, CLI search equals in-query search") {
     val idx = Files.createTempDirectory("graft_cliidx").toString
     Cli.runIndex(Seq("build", sf, idx), spark)
-    for (part <- Seq("centroids", "codebook", "codes"))
+    for (part <- Seq("centroids", "codebook"))
       assert(spark.read.parquet(s"$idx/$part.parquet").count() > 0)
+    // codes publish through the pointer layout — resolve, don't assume
+    assert(spark.read.parquet(graft.operators.IndexCompact
+      .resolvePath(idx, "codes.parquet")).count() > 0)
     val out = Files.createTempDirectory("graft_cliidx_out").toString + "/res"
     Cli.runIndex(Seq("search", sf, idx, "--out", out), spark)
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -584,11 +587,14 @@ class CliSpec extends AnyFunSuite {
     // (many small files, same rows), compact, search must not move ---
     val idx = Files.createTempDirectory("graft_cpidx").toString
     Cli.runIndex(Seq("build", sf, idx), spark)
-    val flat = spark.read.parquet(s"$idx/codes.parquet")
-    flat.write.mode("overwrite").parquet(s"$idx/codes_frag")
+    // fragment the LIVE tree in place (resolve the pointer — the tree
+    // is a versioned dir now), emulating a long ingest history
+    val codesPath = IndexCompact.resolvePath(idx, "codes.parquet")
+    spark.read.parquet(codesPath).write
+      .mode("overwrite").parquet(s"$idx/codes_frag")
     spark.read.parquet(s"$idx/codes_frag").repartition(8)
       .write.mode("overwrite").option("maxRecordsPerFile", 100)
-      .parquet(s"$idx/codes.parquet")
+      .parquet(codesPath)
     val queries = Tables(spark, sf, "embeddings")
       .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
     val before = rows(graft.queries.SimilarityOps
@@ -608,11 +614,12 @@ class CliSpec extends AnyFunSuite {
     val tidx = Files.createTempDirectory("graft_cptidx").toString
     graft.queries.TextOps.saveTextIndex(
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0), tidx)
-    spark.read.parquet(s"$tidx/bands.parquet")
+    val bandsPath = IndexCompact.resolvePath(tidx, "bands.parquet")
+    spark.read.parquet(bandsPath)
       .write.mode("overwrite").parquet(s"$tidx/bands_frag")
     spark.read.parquet(s"$tidx/bands_frag").repartition(8)
       .write.mode("overwrite").option("maxRecordsPerFile", 40)
-      .parquet(s"$tidx/bands.parquet")
+      .parquet(bandsPath)
     val shard = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0)
     val dBefore = rows(graft.queries.TextOps.dedupAgainstIndex(spark, shard, tidx))
     val bBefore = IndexCompact.dataFileCount(tidx, "bands.parquet")
@@ -652,7 +659,8 @@ class CliSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     // read() unions partitioned main + flat side rows through one schema
     val nUnioned = IndexCompact.read(spark, idx, "codes.parquet").count()
-    val nMain = spark.read.parquet(s"$idx/codes.parquet").count()
+    val nMain = spark.read.parquet(
+      IndexCompact.resolvePath(idx, "codes.parquet")).count()
     assert(nUnioned > nMain, "stream rows must be visible to read()")
     val queries = e.filter(col("vec_id") < 10)
     val preFold = rows(graft.queries.SimilarityOps
@@ -675,10 +683,65 @@ class CliSpec extends AnyFunSuite {
     assert(IndexCompact.dataFileCount(idx, "codes.parquet") <= nCompacted + 16)
   }
 
+  test("pointer publish: ingest + compact + read run CONCURRENTLY on a scheme'd index") {
+    // the 100 TB claim behind the pointer-manifest swap: a search can
+    // run WHILE the index is being re-published, on a filesystem that
+    // offers nothing beyond atomic single-object create. A reader
+    // thread hammers IndexCompact.read while the main thread appends
+    // ingest files to the side artifact (physically what a parquet-sink
+    // micro-batch does) and re-publishes the main tree through pointer
+    // flips — the reader must never observe a missing artifact or a
+    // shrunken row count (old tree via the grace window, or new tree;
+    // never neither). Folding stays in the maintenance window (it
+    // retires the side artifact, which an in-flight read may have
+    // planned a scan over — same ingest-stopped contract as before).
+    import graft.operators.IndexCompact
+    import graft.chain.LakeFs
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val e = Tables(spark, sf, "embeddings")
+    val idx = "graftfs:" + Files.createTempDirectory("graft_ccr_fs").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(
+      e.filter(col("vec_id") % 2 === 0 || col("vec_id") < 16), idx)
+    Cli.runIndex(Seq("compact", idx), spark)
+    val nBase = IndexCompact.read(spark, idx, "codes.parquet").count()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val nReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      try while (!stop.get) {
+        val n = IndexCompact.read(spark, idx, "codes.parquet").count()
+        assert(n >= nBase, s"concurrent read shrank: $n < $nBase")
+        nReads.incrementAndGet()
+      } catch { case t: Throwable => bad.set(t) }
+    })
+    reader.start()
+    val side = IndexCompact.streamPath(idx, "codes.parquet")
+    try {
+      for (_ <- 1 to 3) {
+        spark.read.parquet(IndexCompact.resolvePath(idx, "codes.parquet"))
+          .limit(10).write.mode("append").parquet(side)
+        Cli.runIndex(Seq("compact", idx), spark) // non-fold: side untouched
+      }
+    } finally {
+      stop.set(true)
+      reader.join(120000)
+    }
+    assert(bad.get == null, s"concurrent read failed: ${bad.get}")
+    assert(nReads.get > 0, "the reader never completed a read")
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nBase + 30)
+    // maintenance window (ingest stopped, readers drained): fold the
+    // side rows in and verify convergence on the scheme
+    Cli.runIndex(Seq("compact", idx, "--fold-stream"), spark)
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nBase + 30)
+    assert(!LakeFs.exists(side))
+  }
+
   test("index build/search/compact on a non-file:// Hadoop scheme") {
-    // the swap protocol now runs on the Hadoop FileSystem API (HDFS or
-    // local; atomic-dir-rename FS required) — prove it by driving the
-    // whole lifecycle on a scheme java.nio cannot resolve
+    // the publish protocol runs on the Hadoop FileSystem API and needs
+    // only atomic single-object create (pointer markers) — object
+    // stores included — prove it by driving the whole lifecycle on a
+    // scheme java.nio cannot resolve
     import graft.operators.IndexCompact
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
@@ -688,11 +751,12 @@ class CliSpec extends AnyFunSuite {
     Cli.runIndex(Seq("build", sf, idx), spark)
     // fragment the codes like a long ingest, then compact on the scheme
     val frag = s"$idx/codes_frag"
-    spark.read.parquet(s"$idx/codes.parquet").write
+    val codesPath = IndexCompact.resolvePath(idx, "codes.parquet")
+    spark.read.parquet(codesPath).write
       .mode("overwrite").parquet(frag)
     spark.read.parquet(frag).repartition(8)
       .write.mode("overwrite").option("maxRecordsPerFile", 100)
-      .parquet(s"$idx/codes.parquet")
+      .parquet(codesPath)
     val queries = Tables(spark, sf, "embeddings")
       .filter(col("vec_id") < 10)
     val before = rows(graft.queries.SimilarityOps
@@ -704,41 +768,46 @@ class CliSpec extends AnyFunSuite {
       .searchIvfPqIndex(spark, queries, idx)) == before)
   }
 
-  test("compact crash windows: .compact_old recovers, sidecar precedes swap") {
+  test("compact crash windows: pointer survives, orphans GC'd, sidecar precedes flip") {
     import graft.operators.IndexCompact
-    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import java.nio.file.{Files => JFiles, Paths}
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     val idx = Files.createTempDirectory("graft_cpcrash").toString
     Cli.runIndex(Seq("build", sf, idx), spark)
     Cli.runIndex(Seq("compact", idx), spark)
     val want = rows(IndexCompact.read(spark, idx, "codes.parquet"))
-    // crash between the two ATOMIC_MOVEs: live artifact gone, only
-    // .compact_old remains → read() must restore it, not fail
-    JFiles.move(Paths.get(s"$idx/codes.parquet"),
-      Paths.get(s"$idx/codes.parquet.compact_old"),
-      StandardCopyOption.ATOMIC_MOVE)
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") >= 2,
+      "fresh build publishes v1, compact publishes v2")
+    // crash between the tree write and the pointer flip: an orphan
+    // version dir with no pointer marker — reads keep resolving the
+    // live version; read() LEAVES the orphan (that state is also what
+    // an in-flight rewrite looks like, so only the compact path —
+    // lock-serialized — may GC it)
+    spark.read.parquet(IndexCompact.resolvePath(idx, "codes.parquet"))
+      .limit(5).write.parquet(s"$idx/codes.parquet.v99")
     assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
-    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet")) &&
-      !JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_old")))
-    // crash just after the swap: stale .compact_old next to a live
-    // artifact. The live layout wins; read() LEAVES the stale dir
-    // (that state is also what an in-flight swap looks like, so only
-    // the compact path — lock-serialized — may drop it)
-    spark.read.parquet(s"$idx/codes.parquet").limit(5).write
-      .parquet(s"$idx/codes.parquet.compact_old")
+    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet.v99")))
+    Cli.runIndex(Seq("compact", idx), spark) // compact GCs the orphan
+    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.v99")))
     assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
-    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_old")))
-    Cli.runIndex(Seq("compact", idx), spark) // compact cleans it
-    assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
-    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_old")))
-    // compact after a simulated crash works too (recover runs first)
-    JFiles.move(Paths.get(s"$idx/codes.parquet"),
-      Paths.get(s"$idx/codes.parquet.compact_old"),
-      StandardCopyOption.ATOMIC_MOVE)
-    Cli.runIndex(Seq("compact", idx), spark)
-    assert(rows(IndexCompact.read(spark, idx, "codes.parquet")) == want)
-    // the sidecar is already on disk when the swap begins: pin by
+    // grace window: the previous version tree survives exactly one
+    // compaction cycle (readers that resolved it just before the flip
+    // finish), anything older is gone
+    val vNow = IndexCompact.currentVersion(idx, "codes.parquet")
+    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet.v${vNow - 1}")))
+    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.v${vNow - 2}")))
+    // pre-pointer migration: an r9-era crash parked the live artifact
+    // at .compact_old with no pointer markers anywhere — read() must
+    // restore it through the legacy path, not fail
+    val lidx = Files.createTempDirectory("graft_cpcrash_legacy").toString
+    spark.read.parquet(IndexCompact.resolvePath(idx, "codes.parquet"))
+      .write.parquet(s"$lidx/codes.parquet.compact_old")
+    val nLive = IndexCompact.read(spark, idx, "codes.parquet").count()
+    assert(IndexCompact.read(spark, lidx, "codes.parquet").count() == nLive)
+    assert(JFiles.exists(Paths.get(s"$lidx/codes.parquet")) &&
+      !JFiles.exists(Paths.get(s"$lidx/codes.parquet.compact_old")))
+    // the sidecar is already on disk when the flip happens: pin by
     // checking it exists and pins the partitioned artifact's schema
     val sc = s"$idx/codes_schema.json"
     assert(JFiles.exists(Paths.get(sc)))
@@ -757,28 +826,32 @@ class CliSpec extends AnyFunSuite {
     val nMain = IndexCompact.read(spark, idx, "codes.parquet").count()
     val marker = Paths.get(s"$idx/codes.parquet.fold_pending")
     val side = IndexCompact.streamPath(idx, "codes.parquet")
-    // crash AFTER the swap, BEFORE the side delete: the folded layout
-    // is live (its rows subsume the side artifact) and the fold marker
-    // survives with NO tmp dir → recover must finish the side delete,
-    // or read() would union the folded rows in twice
-    spark.read.parquet(s"$idx/codes.parquet")
+    val live = IndexCompact.resolvePath(idx, "codes.parquet")
+    val cur = IndexCompact.currentVersion(idx, "codes.parquet")
+    // crash AFTER the pointer flip, BEFORE the side delete: the marker
+    // names the CURRENT version (the folded tree is live, its rows
+    // subsume the side artifact) → recover must finish the side
+    // delete, or read() would union the folded rows in twice
+    spark.read.parquet(live)
       .limit(7).write.parquet(side) // rows "already folded into" main
-    JFiles.writeString(marker, "")
+    JFiles.writeString(marker, s"v$cur")
     assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nMain)
     assert(!JFiles.exists(Paths.get(side)) && !JFiles.exists(marker))
-    // crash BEFORE the swap (marker written, tmp still present): the
-    // side rows exist ONLY in the side artifact → recover must KEEP it.
-    // read() also leaves the marker and tmp alone — marker+tmp is
-    // exactly what an IN-FLIGHT fold looks like, so only the compact
-    // path (lock-serialized) may drop them; the read still counts the
-    // side rows exactly once either way
-    spark.read.parquet(s"$idx/codes.parquet").limit(7).write.parquet(side)
+    // crash BEFORE the flip (marker naming a never-published version,
+    // orphan folded tree on disk): the side rows exist ONLY in the
+    // side artifact → recover must KEEP it. read() also leaves the
+    // marker and orphan tree alone — that state is exactly what an
+    // IN-FLIGHT fold looks like, so only the compact path
+    // (lock-serialized) may drop them; the read still counts the side
+    // rows exactly once either way
+    spark.read.parquet(live).limit(7).write.parquet(side)
     val nWithSide = nMain + 7
-    JFiles.writeString(marker, "")
-    JFiles.createDirectories(Paths.get(s"$idx/codes.parquet.compact_tmp"))
+    JFiles.writeString(marker, s"v${cur + 1}")
+    spark.read.parquet(live).limit(5)
+      .write.parquet(s"$idx/codes.parquet.v${cur + 1}") // unflipped fold tree
     assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nWithSide)
     assert(JFiles.exists(Paths.get(side)) && JFiles.exists(marker))
-    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet.compact_tmp")))
+    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet.v${cur + 1}")))
     // and a fold compact from this recovered state converges: side rows
     // folded exactly once
     Cli.runIndex(Seq("compact", idx, "--fold-stream"), spark)
@@ -1417,7 +1490,8 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("centroid_id"),
         r.getAs[Int]("sub"), r.getAs[Int]("code"))).sorted
     val got = rows(s"$idx/codes_stream.parquet")
-    val want = rows(s"$idx/codes.parquet")
+    val want = rows(graft.operators.IndexCompact
+      .resolvePath(idx, "codes.parquet"))
     assert(got.nonEmpty && got.sameElements(want))
   }
 

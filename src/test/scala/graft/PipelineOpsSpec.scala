@@ -569,8 +569,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
     graft.queries.SimilarityOps.saveIvfPqIndex(e, dir)
     // the persisted layout is complete: centroids + codebook + codes
-    for (part <- Seq("centroids", "codebook", "codes"))
+    // (codes publish through the pointer layout — resolve, don't assume)
+    for (part <- Seq("centroids", "codebook"))
       assert(spark.read.parquet(s"$dir/$part.parquet").count() > 0)
+    assert(spark.read.parquet(graft.operators.IndexCompact
+      .resolvePath(dir, "codes.parquet")).count() > 0)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "c_id", "rk", "adc_q").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
@@ -932,7 +935,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     graft.queries.TextOps.saveTextIndex(idx, dir)
     // index artifacts must carry no text (hashes and sketches only)
     Seq("fps", "bands", "sigs").foreach { a =>
-      assert(!spark.read.parquet(s"$dir/$a.parquet")
+      assert(!spark.read.parquet(graft.operators.IndexCompact
+        .resolvePath(dir, s"$a.parquet"))
         .schema.fieldNames.contains("text"))
     }
     val shard2 = Seq((10L, base), (11L, idx.collect()(1).getString(1) + " tau"),
