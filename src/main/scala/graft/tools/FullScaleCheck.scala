@@ -35,7 +35,13 @@ object FullScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep (same dev aid as
+    // Bench) — the true-sf1 sidecar runs the top-10 heavy hitters on a
+    // generator corpus that carries only the tables those queries read
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     // shared harness primitives (graft.Bench — one benchmarking
     // contract for the per-round bench and this scale checker). loud:

@@ -141,32 +141,98 @@ object ScaleGen extends Serializable {
     spark.createDataFrame(vecRdd, vecSchema)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // lineitem/part: only the columns the q16 shape reads — uniform
-    // part/supplier references over key spaces that scale with m (the
-    // distinct-pair reduction then genuinely grows with scale)
+    // relational star: FULL TESTDATA.md schemas at the sf0.1-measured
+    // distribution laws (r10 — the r8 version emitted only the q16
+    // column subset; the true-sf1 sidecar needs q1/q11/q21 too). All
+    // laws re-measured against /root/testdata/sf0.1: 0-based contiguous
+    // keys, ~uniform orderkey references (147.2k/150k distinct over
+    // 600k lines = the uniform-draw expectation), ~uniform
+    // returnflag×linestatus and priority mixes, value/date ranges as
+    // observed. Seeded per-row RNGs ⇒ byte-identical on every run.
+    val nOrders = 150000L * m
+    val nCusts = 15000L * m
+    val epoch95 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
+    def ts(r: JRandom, fromMs: Long, spanDays: Long) =
+      new java.sql.Timestamp(fromMs + r.nextLong(spanDays) * 86400000L)
+    def money(r: JRandom, lo: Double, hi: Double): Double =
+      math.rint((lo + (hi - lo) * r.nextDouble()) * 100.0) / 100.0
+
     val liSchema = StructType(Seq(
+      StructField("l_orderkey", LongType, false),
       StructField("l_partkey", LongType, false),
       StructField("l_suppkey", LongType, false),
-      StructField("l_quantity", DoubleType, false)))
+      StructField("l_linenumber", IntegerType, false),
+      StructField("l_quantity", DoubleType, false),
+      StructField("l_extendedprice", DoubleType, false),
+      StructField("l_discount", DoubleType, false),
+      StructField("l_tax", DoubleType, false),
+      StructField("l_returnflag", StringType, false),
+      StructField("l_linestatus", StringType, false),
+      StructField("l_shipdate", TimestampType, false)))
     val liRdd = spark.sparkContext.range(0L, nLines, numSlices = 32).map { id =>
       val r = rng(6, id)
-      Row(1L + r.nextLong(nParts), 1L + r.nextLong(nSupps),
-        1.0 + r.nextInt(50))
+      val qty = 1.0 + r.nextInt(50)
+      Row(r.nextLong(nOrders), r.nextLong(nParts), r.nextLong(nSupps),
+        1 + r.nextInt(7), qty,
+        math.rint(qty * (900.0 + 1200.0 * r.nextDouble()) * 100.0) / 100.0,
+        r.nextInt(11) / 100.0, r.nextInt(9) / 100.0,
+        "ANR".charAt(r.nextInt(3)).toString,
+        "FO".charAt(r.nextInt(2)).toString,
+        ts(r, epoch95, 2500))
     }
     spark.createDataFrame(liRdd, liSchema)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    val adjs = IndexedSeq("large", "hot", "blue", "cold", "dark", "pale",
+      "small", "round")
+    val nouns = IndexedSeq("ring", "bolt", "gear", "gizmo", "plate", "rod",
+      "widget", "anvil")
     val partSchema = StructType(Seq(
       StructField("p_partkey", LongType, false),
+      StructField("p_name", StringType, false),
       StructField("p_brand", StringType, false),
       StructField("p_type", StringType, false),
-      StructField("p_size", IntegerType, false)))
-    val partRdd = spark.sparkContext.range(1L, nParts + 1, numSlices = 32).map { id =>
+      StructField("p_size", IntegerType, false),
+      StructField("p_retailprice", DoubleType, false)))
+    val pTypes = IndexedSeq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+      "STANDARD")
+    val partRdd = spark.sparkContext.range(0L, nParts, numSlices = 32).map { id =>
       val r = rng(7, id)
-      Row(id, s"Brand#${1 + r.nextInt(25)}", s"type${r.nextInt(6)}",
-        1 + r.nextInt(50))
+      Row(id, s"${adjs(r.nextInt(8))} ${nouns(r.nextInt(8))}",
+        s"Brand#${1 + r.nextInt(25)}", pTypes(r.nextInt(6)),
+        1 + r.nextInt(50), money(r, 900.0, 999.9))
     }
     spark.createDataFrame(partRdd, partSchema)
       .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    val ordSchema = StructType(Seq(
+      StructField("o_orderkey", LongType, false),
+      StructField("o_custkey", LongType, false),
+      StructField("o_orderstatus", StringType, false),
+      StructField("o_totalprice", DoubleType, false),
+      StructField("o_orderdate", TimestampType, false),
+      StructField("o_orderpriority", StringType, false)))
+    val prios = IndexedSeq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val ordRdd = spark.sparkContext.range(0L, nOrders, numSlices = 32).map { id =>
+      val r = rng(8, id)
+      Row(id, r.nextLong(nCusts), "OPF".charAt(r.nextInt(3)).toString,
+        money(r, 1000.0, 500000.0), ts(r, epoch95, 2400),
+        prios(r.nextInt(5)))
+    }
+    spark.createDataFrame(ordRdd, ordSchema)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val supSchema = StructType(Seq(
+      StructField("s_suppkey", LongType, false),
+      StructField("s_name", StringType, false),
+      StructField("s_nationkey", IntegerType, false),
+      StructField("s_acctbal", DoubleType, false)))
+    val supRdd = spark.sparkContext.range(0L, nSupps, numSlices = 32).map { id =>
+      val r = rng(9, id)
+      Row(id, f"Supplier#$id%09d", r.nextInt(25), money(r, -1000.0, 10000.0))
+    }
+    spark.createDataFrame(supRdd, supSchema)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
   }
 }
