@@ -74,7 +74,12 @@ object GenFixtures {
     spark.stop()
   }
 
-  def generate(spark: SparkSession, out: String, nBlocks: Int = NBlocks): Unit = {
+  def generate(spark: SparkSession, out: String, nBlocks: Int = NBlocks,
+      chainId: Long = GenFixtures.ChainId): Unit = {
+    // shadow the object default for the whole body: every bronze row
+    // below stamps this corpus's chain id, so a non-mainnet fixture
+    // variant (the difftest chainId≠1 gate) is one argument away
+    val ChainId = chainId
     val rnd = new JRandom(42)
     val B = BinaryType; val I = IntegerType; val L = LongType; val S = StringType
 

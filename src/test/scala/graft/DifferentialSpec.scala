@@ -380,7 +380,11 @@ object FixtureRpcServer {
       val JString(method) = (req \ "method"): @unchecked
       method match {
         case "eth_blockNumber" => js(qty(headBlock))
-        case "eth_chainId" => js("0x1")
+        // answer with the CORPUS's chain id, not a hardcoded mainnet 1 —
+        // a non-mainnet fixture variant must present as a non-mainnet
+        // node so the difftest's autodetection is actually exercised
+        case "eth_chainId" => js(qty(
+          blocks.values.head.getAs[Long]("chain_id")))
         case "eth_getBlockByNumber" =>
           encBlock(blockOf(p(0)), p(1) == JBool(true))
         case "eth_getBlockReceipts" => encReceipts(blockOf(p(0)))
@@ -516,6 +520,32 @@ class DifferentialSpec extends AnyFunSuite {
       assert(outcomes.count(_.datatype.contains("by-transaction")) >= 10)
       assert(outcomes.forall(_.ok),
         outcomes.filterNot(_.ok).map(_.describe).mkString("\n"))
+    } finally h.stop()
+  }
+
+  test("difftest against a NON-mainnet endpoint: chain id autodetects, all green") {
+    // the r9 chain-id fix made difftest detect the node's id instead of
+    // stamping mainnet onto live rows — this pins that the path works
+    // END-TO-END against a chainId≠1 endpoint class: a corpus generated
+    // at chain id 5, served by a stub answering eth_chainId=0x5; every
+    // datatype must still come out row-identical (live rows stamped 5
+    // via detection, reference bronzes stamped 5 at generation)
+    val dir5 = java.nio.file.Files
+      .createTempDirectory("graft_fix_cid5").toString
+    graft.chain.GenFixtures.generate(spark, dir5, nBlocks = 20, chainId = 5L)
+    val h = FixtureRpcServer.start(spark, dir5)
+    try {
+      val outcomes = Cli.runDiffTest(Seq("--rpc", h.url,
+        "--source-dir", dir5, "--blocks", "1000:1020",
+        "--partitions", "4"), spark)
+      assert(outcomes.count(!_.datatype.contains("by-transaction")) == 37)
+      assert(outcomes.count(_.datatype.contains("by-transaction")) >= 10)
+      assert(outcomes.forall(_.ok),
+        outcomes.filterNot(_.ok).map(_.describe).mkString("\n"))
+      // and the corpus really is non-mainnet (the test would be vacuous
+      // against a chain_id=1 fixture)
+      assert(spark.read.parquet(s"$dir5/rpc_blocks.parquet")
+        .select("chain_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(5L))
     } finally h.stop()
   }
 
