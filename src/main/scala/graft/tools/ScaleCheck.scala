@@ -36,7 +36,9 @@ object ScaleCheck {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       def n(pat: String) = pat.r.findAllIn(plan).length
-      s"exchanges=${n("Exchange")} bhj=${n("BroadcastHashJoin")} " +
+      // shuffle exchanges only — a bare "Exchange" also matches
+      // BroadcastExchange and double-signals broadcast-side changes
+      s"exchanges=${n("(?<!Broadcast)Exchange")} bhj=${n("BroadcastHashJoin")} " +
         s"smj=${n("SortMergeJoin")} bnlj=${n("BroadcastNestedLoopJoin")}"
     }
     def time(name: String, dir: String): Double = {
