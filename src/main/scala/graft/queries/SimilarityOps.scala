@@ -715,13 +715,47 @@ object SimilarityOps {
     },
 
     "q_embed_ivf_recall_sweep" -> { (s, dir) =>
+      // ONE corpus assignment, ONE candidate-scoring pass and ONE top-k
+      // shuffle for the whole nprobe frontier: candidates score against
+      // the np=4 probe SUPERSET with the probed cell's rank attached,
+      // each row fans out to every nprobe level that would have probed
+      // that cell (rank <= np), and the per-(np, q) top-3 falls out of
+      // one composite-key TopKPerKey — identical rows to re-running the
+      // probe path per np (same cell ranking, same cosine fold, same
+      // aggregator), at a third of the corpus scans. The exact baseline
+      // stays its own pass: it ranks the FULL corpus, which no probe
+      // subset contains.
       val e = Tables(s, dir, "embeddings")
       val exact = cosineTopkOf(e, nQueries = 10, k = 3)
         .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
-      Seq(1, 2, 4).map { np =>
-        ivfSearchOf(e, nprobe = np).select(col("q_id"), col("c_id"))
-          .withColumn("nprobe", lit(np.toLong))
-      }.reduce(_ union _)
+      val nps = Seq(1, 2, 4)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("centroid_id").asc)
+      val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+        .withColumn("cosine",
+          dot(col("embedding"), col("c_emb")) /
+            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= nps.max)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+          col("centroid_id"), col("cell_rank"))
+      val assign = assignTo(e, cents)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+          col("centroid_id"))
+      val cand = probes.join(assign, "centroid_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine",
+          dot(col("q_e"), col("c_e")) /
+            (sqrt(sumSq(col("q_e"))) * sqrt(sumSq(col("c_e")))))
+        .select(col("q_id"), col("c_id"), col("cosine"),
+          explode(filter(array(nps.map(n => lit(n.toLong)): _*),
+            np => np >= col("cell_rank"))).as("nprobe"))
+        .withColumn("dq", col("nprobe") * 1000L + col("q_id"))
+      graft.operators.TopKPerKey.topK(s, cand, "dq", "cosine", "c_id", 3)
+        .select(expr("dq div 1000").as("nprobe"),
+          (col("dq") % 1000L).as("q_id"), col("c_id"))
         .join(exact, Seq("q_id", "c_id"), "left")
         .groupBy("nprobe")
         .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
