@@ -35,4 +35,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // code heap — the default 240 MB cache never fills (full_count=0), so
   // no override is needed; GRAFT_EXTRA_JVM_OPTS exists for ad-hoc JVM
   // diagnosis runs (-XX:+PrintCodeCache, GC logs) without editing this
-) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split(" ").toSeq)
+) ++ sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq
+  .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

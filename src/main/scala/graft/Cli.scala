@@ -322,6 +322,61 @@ object Cli {
     * `graft.Cli lake compact --lake-dir DIR --target-chunk-size N
     * [--network NAME]` — coalesce contiguous small chunk files
     * (LakeCompact.scala). */
+  /** Driver-local bronze staging for a scheme'd output dir, balancing
+    * three hazards a fixed /tmp name or a fresh dir-per-run each get
+    * wrong: (1) SQUATTING — the base dir is per-user and forced to
+    * 0700; if it exists but is not ours, setPosixFilePermissions fails
+    * loudly instead of staging into someone else's tree. (2) CLOBBER —
+    * the leaf is per-(outputDir, pid), so two concurrent freezes to
+    * one target never share staging. (3) UNBOUNDED GROWTH — one dir
+    * per (JVM, outputDir) memoized here (repeat freezes in a process
+    * reuse it), a shutdown hook removes it on clean exit, and first
+    * use per key sweeps sibling `p<pid>` dirs whose processes are DEAD
+    * — so even SIGKILL'd scheduled runs cannot accumulate corpses. */
+  private val bronzeStaging =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
+  private[graft] def bronzeStagingFor(outputDir: String): java.nio.file.Path =
+    bronzeStaging.computeIfAbsent(outputDir, _ => {
+      import java.nio.file.{Files, Paths}
+      def deleteTree(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      val user = System.getProperty("user.name", "unknown")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_bronze_$user")
+      Files.createDirectories(base)
+      try Files.setPosixFilePermissions(base,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+      catch {
+        case _: UnsupportedOperationException => () // non-POSIX tmp FS
+        case e: Exception => throw new IllegalStateException(
+          s"bronze staging base $base exists but is not ours " +
+            "(squatted shared tmpdir?)", e)
+      }
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(outputDir.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+      val keyDir = base.resolve(key)
+      Files.createDirectories(keyDir)
+      Option(keyDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName
+        if (f.isDirectory && n.startsWith("p") && n.length > 1 &&
+            n.drop(1).forall(_.isDigit) &&
+            !ProcessHandle.of(n.drop(1).toLong).isPresent)
+          try deleteTree(f.toPath) catch { case _: Exception => () }
+      }
+      val mine = keyDir.resolve(s"p${ProcessHandle.current().pid()}")
+      Files.createDirectories(mine)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteTree(mine) catch { case _: Throwable => () }))
+      mine
+    })
+
   /** bounds-checked flag value: args(i+1) or a usage-bearing error */
   private def flagValue(args: Seq[String], i: Int, flag: String,
       usage: String): String = {
@@ -1183,28 +1238,17 @@ object Cli {
       // bronze is driver-local STAGING (FollowMode's reorg swap runs
       // java.nio on it by contract) — a scheme'd --output-dir
       // (s3a://…) must not have Paths.get mangle the URI into a
-      // relative local `s3a:/…` tree; the staging gets a PER-PROCESS
-      // temp dir (createTempDirectory: unguessable suffix, 0700 on
-      // POSIX) so two concurrent freezes targeting the same scheme'd
-      // output dir cannot clobber each other's staged bronzes, and a
-      // squatter in a shared /tmp cannot pre-create the name. A
-      // shutdown hook removes it, so scheduled re-freezes don't fill
-      // the host; the freeze output itself still lands on the scheme'd
-      // dir through the Hadoop-FS write path
+      // relative local `s3a:/…` tree; the staging resolves through
+      // bronzeStagingFor (per-user 0700 base against tmp squatting,
+      // per-pid leaf against concurrent-freeze clobbering, in-JVM
+      // memoized + dead-pid sweep + shutdown hook against unbounded
+      // growth), while the freeze output itself still lands on the
+      // scheme'd dir through the Hadoop-FS write path
       val bronzeDir = {
         val hasScheme = new org.apache.hadoop.fs.Path(outputDir)
           .toUri.getScheme != null
-        if (hasScheme) {
-          val p = java.nio.file.Files.createTempDirectory("graft_bronze_")
-          Runtime.getRuntime.addShutdownHook(new Thread(() =>
-            try {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq
-                .sortBy(-_.getNameCount)
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-            } catch { case _: Throwable => () }))
-          p
-        } else {
+        if (hasScheme) bronzeStagingFor(outputDir)
+        else {
           val p = java.nio.file.Paths.get(outputDir, ".graft", "bronze")
           java.nio.file.Files.createDirectories(p)
           p

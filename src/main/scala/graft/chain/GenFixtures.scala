@@ -76,10 +76,6 @@ object GenFixtures {
 
   def generate(spark: SparkSession, out: String, nBlocks: Int = NBlocks,
       chainId: Long = GenFixtures.ChainId): Unit = {
-    // shadow the object default for the whole body: every bronze row
-    // below stamps this corpus's chain id, so a non-mainnet fixture
-    // variant (the difftest chainId≠1 gate) is one argument away
-    val ChainId = chainId
     val rnd = new JRandom(42)
     val B = BinaryType; val I = IntegerType; val L = LongType; val S = StringType
 
@@ -104,7 +100,7 @@ object GenFixtures {
         if (i < 10) null else java.lang.Long.valueOf(10000000000L + rnd.nextInt(1000000000)),
         if (i < 10) null else Keccak.hash(s"withdrawals$n"),
         u256(new BigInteger("58750003716598352816469").add(BigInteger.valueOf(n))),
-        ChainId)
+        chainId)
     }
     write("rpc_blocks", StructType(Seq(
       f("block_number", I, false), f("block_hash", B, false), f("parent_hash", B, false),
@@ -161,7 +157,7 @@ object GenFixtures {
           rnd.nextInt(100).toLong, t.from, t.to, u256(t.value), t.input,
           t.gasLimit, t.gasPrice, t.maxFee, t.maxPriority, t.txType,
           Keccak.hash(s"r${t.bn}-${t.idx}"), Keccak.hash(s"s${t.bn}-${t.idx}"),
-          rnd.nextBoolean(), 1700000000 + 12 * t.bn, ChainId)
+          rnd.nextBoolean(), 1700000000 + 12 * t.bn, chainId)
       })
     write("rpc_receipts", StructType(Seq(
       f("transaction_hash", B, false), f("gas_used", L), f("status", I))),
@@ -189,7 +185,7 @@ object GenFixtures {
           else (contract, Seq.empty, value)                                         // anonymous
         logRows += Row(t.bn, t.idx, logIdxBase + j, t.hash,
           Keccak.hash(s"block${t.bn}"), address, topics, data,
-          data.length, ChainId)
+          data.length, chainId)
       }
     }
     write("rpc_logs", StructType(Seq(
@@ -212,7 +208,7 @@ object GenFixtures {
         if (error == null) java.lang.Integer.valueOf(20000 + rnd.nextInt(100000)) else null,
         if (typ == "call" && error == null) Keccak.hash(s"out${t.bn}-${t.idx}-${path.mkString("_")}").take(8) else null,
         code, createdAddr, path.mkString("_"), subtraces, error,
-        t.bn, Keccak.hash(s"block${t.bn}"), t.idx, t.hash, ChainId)
+        t.bn, Keccak.hash(s"block${t.bn}"), t.idx, t.hash, chainId)
 
     txs.zipWithIndex.foreach { case (t, ti) =>
       val root = t.to == null
@@ -255,7 +251,7 @@ object GenFixtures {
       val n = FirstBlock + i
       traceRows += Row(addr(n % 5), null, "2000000000000000000",
         null, null, null, null, "block", "reward", null, null, null, null,
-        "", 0, null, n, Keccak.hash(s"block$n"), null, null, ChainId)
+        "", 0, null, n, Keccak.hash(s"block$n"), null, null, chainId)
     }
     write("rpc_traces", StructType(Seq(
       f("action_from", B), f("action_to", B), f("action_value", S),
@@ -274,14 +270,14 @@ object GenFixtures {
     val storRows = scala.collection.mutable.ArrayBuffer.empty[Row]
     txs.foreach { t =>
       val pre = new BigInteger("5000000000000000000")
-      balRows += Row(t.bn, t.idx, t.hash, t.from, u256(pre), u256(pre.subtract(t.value.min(pre))), ChainId)
+      balRows += Row(t.bn, t.idx, t.hash, t.from, u256(pre), u256(pre.subtract(t.value.min(pre))), chainId)
       if (t.to != null)
-        balRows += Row(t.bn, t.idx, t.hash, t.to, u256(BigInteger.ZERO), u256(t.value), ChainId) // Added
-      nonceRows += Row(t.bn, t.idx, t.hash, t.from, 5L + t.idx, 6L + t.idx, ChainId)
+        balRows += Row(t.bn, t.idx, t.hash, t.to, u256(BigInteger.ZERO), u256(t.value), chainId) // Added
+      nonceRows += Row(t.bn, t.idx, t.hash, t.from, 5L + t.idx, 6L + t.idx, chainId)
       if (t.to == null) {
         val created = Keccak.hash(s"created${t.bn}-${t.idx}").take(20)
         codeRows += Row(t.bn, t.idx, t.hash, created, Array.emptyByteArray,
-          Keccak.hash(s"code${t.bn}-${t.idx}") ++ Keccak.hash(s"code2${t.bn}-${t.idx}"), ChainId)
+          Keccak.hash(s"code${t.bn}-${t.idx}") ++ Keccak.hash(s"code2${t.bn}-${t.idx}"), chainId)
       }
       (0 until rnd.nextInt(3)).foreach { k =>
         val slot = Keccak.hash(s"slot${t.bn}-${t.idx}-$k")
@@ -290,7 +286,7 @@ object GenFixtures {
           case 1 => (BigInteger.valueOf(2000 + k), BigInteger.ZERO)          // Removed
           case _ => (BigInteger.valueOf(10 + k), BigInteger.valueOf(20 + k)) // Changed
         }
-        storRows += Row(t.bn, t.idx, t.hash, token(k % 3), slot, u256(fromV), u256(toV), ChainId)
+        storRows += Row(t.bn, t.idx, t.hash, token(k % 3), slot, u256(fromV), u256(toV), chainId)
       }
     }
     val diffSchema = StructType(Seq(
@@ -317,7 +313,7 @@ object GenFixtures {
     } yield {
       val n = FirstBlock + i
       Row(n, addr(a), u256(new BigInteger("1000000000000000000").multiply(BigInteger.valueOf(a * 7L + i))),
-        (a * 3 + i).toLong, if (a % 4 == 0) Keccak.hash(s"acctcode$a") else Array.emptyByteArray, ChainId)
+        (a * 3 + i).toLong, if (a % 4 == 0) Keccak.hash(s"acctcode$a") else Array.emptyByteArray, chainId)
     }
     write("rpc_accounts", StructType(Seq(
       f("block_number", I, false), f("address", B, false), f("balance", B),
@@ -328,7 +324,7 @@ object GenFixtures {
       tk <- 0 until 3
       sl <- 0 until 3
     } yield Row(FirstBlock + i, token(tk), Keccak.hash(s"gslot$sl"),
-      u256(BigInteger.valueOf(1000L * tk + 10L * sl + i)), ChainId)
+      u256(BigInteger.valueOf(1000L * tk + 10L * sl + i)), chainId)
     write("rpc_storage", StructType(Seq(
       f("block_number", I, false), f("address", B, false), f("slot", B, false),
       f("value", B), f("chain_id", L, false))),
@@ -340,18 +336,18 @@ object GenFixtures {
     val callRows = scala.collection.mutable.ArrayBuffer.empty[Row]
     val lastBlock = FirstBlock + nBlocks - 1
     (0 until 3).foreach { i =>
-      callRows += Row(lastBlock, token(i), selName.clone(), abiString(names(i)), ChainId)
-      callRows += Row(lastBlock, token(i), selSymbol.clone(), abiString(symbols(i)), ChainId)
-      callRows += Row(lastBlock, token(i), selDecimals.clone(), u256(18L), ChainId)
+      callRows += Row(lastBlock, token(i), selName.clone(), abiString(names(i)), chainId)
+      callRows += Row(lastBlock, token(i), selSymbol.clone(), abiString(symbols(i)), chainId)
+      callRows += Row(lastBlock, token(i), selDecimals.clone(), u256(18L), chainId)
       callRows += Row(lastBlock, token(i), selTotalSupply.clone(),
-        u256(new BigInteger("1000000000000000000000000").multiply(BigInteger.valueOf(i + 1))), ChainId)
+        u256(new BigInteger("1000000000000000000000000").multiply(BigInteger.valueOf(i + 1))), chainId)
       (0 until 4).foreach { a =>
         callRows += Row(lastBlock, token(i), selBalanceOf ++ pad32(addr(a)),
-          u256(BigInteger.valueOf(1000L * (a + 1) * (i + 1))), ChainId)
+          u256(BigInteger.valueOf(1000L * (a + 1) * (i + 1))), chainId)
       }
     }
     // a reverted call
-    callRows += Row(lastBlock, token(0), Array[Byte](0x12, 0x34, 0x56, 0x78), null, ChainId)
+    callRows += Row(lastBlock, token(0), Array[Byte](0x12, 0x34, 0x56, 0x78), null, chainId)
     write("rpc_calls", StructType(Seq(
       f("block_number", I, false), f("contract_address", B, false),
       f("call_data", B, false), f("output_data", B), f("chain_id", L, false))),
@@ -364,9 +360,9 @@ object GenFixtures {
     def acct(t: Tx, phase: String, a: Array[Byte], bal: BigInteger,
         nonce: java.lang.Long, code: Array[Byte]): Row =
       Row(t.bn, t.idx, t.hash, phase, a,
-        if (bal == null) null else u256(bal), nonce, code, null, null, ChainId)
+        if (bal == null) null else u256(bal), nonce, code, null, null, chainId)
     def stor(t: Tx, phase: String, a: Array[Byte], slot: Array[Byte], v: BigInteger): Row =
-      Row(t.bn, t.idx, t.hash, phase, a, null, null, null, slot, u256(v), ChainId)
+      Row(t.bn, t.idx, t.hash, phase, a, null, null, null, slot, u256(v), chainId)
     txs.foreach { t =>
       val pre = new BigInteger("7000000000000000000")
       gethRows += acct(t, "pre", t.from, pre, 5L + t.idx, null)
@@ -439,10 +435,10 @@ object GenFixtures {
           if (op == "MSTORE") Keccak.hash(s"mem${t.bn}-$step").take(8) else null,
           if (isStore) Keccak.hash(s"vsk${t.bn}-$step") else null,
           if (isStore) u256(step.toLong + 7) else null,
-          op, ChainId)
+          op, chainId)
         opRows += Row(t.bn, t.idx, step.toLong * 2, op, gas, cost, 1,
           s"mem$step", s"stack$step", if (isStore) s"storage$step" else null,
-          ChainId)
+          chainId)
       }
     }
     write("rpc_vm_traces", StructType(Seq(
@@ -464,11 +460,11 @@ object GenFixtures {
       gcRows += Row(t.bn, t.idx, t.from, t.to, u256(t.value),
         t.gasLimit, t.gasUsed, t.input,
         Keccak.hash(s"gout${t.bn}-${t.idx}").take(8), "CALL",
-        if (t.status == 0) "execution reverted" else null, 0, ChainId)
+        if (t.status == 0) "execution reverted" else null, 0, chainId)
       if (vrnd.nextBoolean())
         gcRows += Row(t.bn, t.idx, t.to, addr(7), u256(0L),
           50000L, 21000L, selTotalSupply.clone(), u256(42L), "STATICCALL",
-          null, 1, ChainId)
+          null, 1, chainId)
     }
     write("rpc_geth_calls", StructType(Seq(
       f("block_number", I, false), f("transaction_index", I, false),
@@ -482,7 +478,7 @@ object GenFixtures {
     val jsRows = txs.filter(_.idx == 0).map { t =>
       Row(t.bn, t.idx, t.hash,
         s"""{"gasUsed": ${t.gasUsed}, "reverted": ${t.status == 0}, "steps": ${4 + t.bn % 7}}""",
-        ChainId)
+        chainId)
     }
     write("rpc_js_traces", StructType(Seq(
       f("block_number", I, false), f("transaction_index", I, false),
@@ -495,9 +491,9 @@ object GenFixtures {
     (0 until 3).foreach { i =>
       val cd = selBalanceOf ++ pad32(addr(i))
       tcRows += Row(lastBlock, token(i), cd, addr(0), token(i), "0", 90000,
-        cd, "call", "", 1, null, ChainId)
+        cd, "call", "", 1, null, chainId)
       tcRows += Row(lastBlock, token(i), cd, token(i), addr(8), "0", 40000,
-        Array.emptyByteArray, "staticcall", "0", 0, null, ChainId)
+        Array.emptyByteArray, "staticcall", "0", 0, null, chainId)
     }
     write("rpc_trace_calls", StructType(Seq(
       f("block_number", I, false), f("contract_address", B, false),
@@ -510,8 +506,8 @@ object GenFixtures {
     // ---- erc721 metadata calls (separate from rpc_calls so erc20_metadata
     //      results stay unchanged) ----
     val nftCalls = Seq(
-      Row(lastBlock, nft, selName.clone(), abiString("Punk Apes"), ChainId),
-      Row(lastBlock, nft, selSymbol.clone(), abiString("PUNKAPE"), ChainId))
+      Row(lastBlock, nft, selName.clone(), abiString("Punk Apes"), chainId),
+      Row(lastBlock, nft, selSymbol.clone(), abiString("PUNKAPE"), chainId))
     write("rpc_calls_erc721", StructType(Seq(
       f("block_number", I, false), f("contract_address", B, false),
       f("call_data", B, false), f("output_data", B), f("chain_id", L, false))),

@@ -136,8 +136,23 @@ object LakeFs {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         val in = f.open(src)
         val out = f.create(target, true)
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
-        finally { in.close(); out.close() }
+        try {
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+          // close IS the commit on PUT-on-close connectors — reached
+          // only when every staged byte copied
+          out.close()
+        } catch {
+          case e: Throwable =>
+            // a failed copy must NOT commit: closing here would publish
+            // the partial bytes as the new object (worse than the old
+            // no-file window). Abort when the stream supports it
+            // (s3a-style multipart cancel), otherwise drop the handle
+            // unclosed — the old object stays live either way.
+            try out.abort() catch { case _: Throwable => () }
+            throw e
+        } finally {
+          try in.close() catch { case _: Throwable => () }
+        }
         f.delete(src, false)
     }
   }

@@ -40,11 +40,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * compaction cycle is out of contract (the standard manifest-system
   * grace rule). Pre-pointer artifacts — a bare `<dir>/<artifact>`
   * written by r9 code — keep working: no pointer marker means the
-  * legacy path IS the artifact; the first compact migrates it into
-  * the versioned layout and retires the legacy tree. Because fresh
-  * builds also publish through `writeFresh` (version + flip), the
-  * pointer, when present, is ALWAYS newest — a stale legacy tree left
-  * by a crash between flip and retire can never shadow it.
+  * legacy path IS the artifact; the first publish migrates it into
+  * the versioned layout and the legacy tree then gets the SAME
+  * one-cycle grace as a previous version dir (retired by the next
+  * publish/compact), so a reader mid-scan over it survives the
+  * migration flip. Because fresh builds also publish through
+  * `writeFresh` (version + flip), the pointer, when present, is
+  * ALWAYS newest — a graced or crash-stale legacy tree can never
+  * shadow it.
   *
   * Directory-partitioned parquet re-infers partition-column types on
   * read (a 0-15 long key comes back int) and appends partition columns
@@ -193,8 +196,13 @@ object IndexCompact {
     df.write.mode("overwrite").parquet(vdir)
     lockFor(dir, artifact).synchronized {
       LakeFs.writeString(ptrPath(dir, artifact, next), "")
+      // the legacy flat tree gets the SAME one-cycle grace as a
+      // previous version dir: on the migration flip (next == 1) a
+      // concurrent reader may be mid-scan over it, so it is retired by
+      // the NEXT publish/compact (recover destructive also drops
+      // pointer-shadowed legacy trees), not inside this lock
       val legacy = s"$dir/$artifact"
-      if (LakeFs.exists(legacy)) LakeFs.deleteTree(legacy)
+      if (next > 1 && LakeFs.exists(legacy)) LakeFs.deleteTree(legacy)
       gcStale(dir, artifact, next)
       spark.catalog.refreshByPath(vdir)
     }
@@ -213,7 +221,16 @@ object IndexCompact {
     val marker = foldMarkerPath(dir, artifact)
     val curV = currentVersion(dir, artifact)
     if (LakeFs.exists(marker)) {
-      if (curV > 0 && LakeFs.readString(marker).trim == s"v$curV") {
+      val content = LakeFs.readString(marker).trim
+      // an r9 binary wrote EMPTY markers and disambiguated by tmp-dir
+      // presence: empty marker + no .compact_tmp + no pointer is the
+      // r9 completed-fold crash state (side rows already folded into
+      // the legacy flat main) — it must finish the side delete like
+      // the pointer-era completed fold, or read() double-counts and a
+      // later fold folds the rows twice, permanently
+      val r9CompletedFold = content.isEmpty && curV == 0 &&
+        !LakeFs.exists(s"$dir/$artifact.compact_tmp")
+      if ((curV > 0 && content == s"v$curV") || r9CompletedFold) {
         // fold flip completed, crash before the side delete — finish it
         LakeFs.deleteTree(streamPath(dir, artifact))
         LakeFs.deleteFile(marker)
@@ -333,10 +350,12 @@ object IndexCompact {
         LakeFs.deleteTree(sidePath)
         LakeFs.deleteFile(foldMarkerPath(dir, artifact))
       }
-      // retire the pre-pointer legacy tree (first compact of an r9
-      // artifact) and anything beyond the grace window
+      // the legacy tree (pre-pointer artifact) gets one cycle of grace
+      // like any previous version: the migration flip (next == 1)
+      // leaves it for the next publish/compact to retire — a
+      // concurrent reader may still be scanning it
       val legacy = s"$dir/$artifact"
-      if (LakeFs.exists(legacy)) LakeFs.deleteTree(legacy)
+      if (next > 1 && LakeFs.exists(legacy)) LakeFs.deleteTree(legacy)
       gcStale(dir, artifact, next)
       // the publish happened outside Spark's writers: drop any cached
       // file listings for the artifact paths or later scans chase
