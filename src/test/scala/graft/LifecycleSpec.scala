@@ -557,6 +557,34 @@ class CliSpec extends AnyFunSuite {
     assert(graft.queries.TextOps.clustersInvocations.get() == before + 1)
   }
 
+  test("bronze staging: per-pid leaf, memoized per target, dead-pid corpses swept") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val out1 = "scheme://bucket/a" + System.nanoTime()
+    val a = Cli.bronzeStagingFor(out1)
+    // memoized per (JVM, target): repeated freezes reuse ONE dir
+    // instead of accumulating a corpus per call
+    assert(Cli.bronzeStagingFor(out1) == a)
+    // the leaf is per-pid, so concurrent freezes from another process
+    // can never share (and clobber) this staging
+    assert(a.getFileName.toString == s"p${ProcessHandle.current().pid()}")
+    val c = Cli.bronzeStagingFor(out1 + "x")
+    assert(c != a && c.getParent != a.getParent)
+    // a sibling leaf left by a SIGKILL'd process (its shutdown hook
+    // never ran) is swept on the first resolve for that target
+    val out2 = "scheme://bucket/b" + System.nanoTime()
+    val user = System.getProperty("user.name", "unknown")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(out2.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val corpse = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_bronze_$user", key, "p999999999")
+    JFiles.createDirectories(corpse)
+    JFiles.writeString(corpse.resolve("stale.parquet"), "x")
+    val mine2 = Cli.bronzeStagingFor(out2)
+    assert(!JFiles.exists(corpse), "dead-pid corpse must be swept")
+    assert(JFiles.exists(mine2))
+  }
+
   test("index subcommand: build once, CLI search equals in-query search") {
     val idx = Files.createTempDirectory("graft_cliidx").toString
     Cli.runIndex(Seq("build", sf, idx), spark)
@@ -815,6 +843,53 @@ class CliSpec extends AnyFunSuite {
       .fromJson(JFiles.readString(Paths.get(sc)))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(IndexCompact.read(spark, idx, "codes.parquet").schema == pinned)
+  }
+
+  test("pre-pointer migration: legacy tree gets one cycle of grace, then retires") {
+    import graft.operators.IndexCompact
+    import java.nio.file.{Files => JFiles, Paths}
+    // fabricate an r9-style artifact: flat parquet at the legacy path,
+    // no pointer markers anywhere
+    val idx = Files.createTempDirectory("graft_migrate").toString
+    val e = Tables(spark, sf, "embeddings")
+    e.select(col("vec_id"), (col("vec_id") % 16).as("centroid_id"),
+      lit(0).as("sub"), lit(1).as("code"))
+      .write.parquet(s"$idx/codes.parquet")
+    val n = IndexCompact.read(spark, idx, "codes.parquet").count()
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") == 0)
+    // first compact = the migration flip: pointer published, but the
+    // legacy tree survives ONE cycle (a concurrent reader may be
+    // mid-scan over it — the same grace a previous version dir gets)
+    Cli.runIndex(Seq("compact", idx), spark)
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") == 1)
+    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet")))
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == n)
+    // second publish retires it; reads unchanged throughout
+    Cli.runIndex(Seq("compact", idx), spark)
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") == 2)
+    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet")))
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == n)
+  }
+
+  test("pre-pointer migration: an r9 completed-fold crash state converges") {
+    import graft.operators.IndexCompact
+    import java.nio.file.{Files => JFiles, Paths}
+    // r9 wrote EMPTY fold markers and disambiguated by tmp-dir
+    // presence; its completed-fold crash state (marker, no tmp, side
+    // still on disk, rows already folded into the flat main) must
+    // finish the side delete under this code, or read() double-counts
+    val idx = Files.createTempDirectory("graft_migrate_fold").toString
+    val e = Tables(spark, sf, "embeddings")
+    e.select(col("vec_id"), (col("vec_id") % 16).as("centroid_id"),
+      lit(0).as("sub"), lit(1).as("code"))
+      .write.parquet(s"$idx/codes.parquet")
+    val n = spark.read.parquet(s"$idx/codes.parquet").count()
+    val side = IndexCompact.streamPath(idx, "codes.parquet")
+    spark.read.parquet(s"$idx/codes.parquet").limit(7).write.parquet(side)
+    JFiles.writeString(Paths.get(s"$idx/codes.parquet.fold_pending"), "")
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == n)
+    assert(!JFiles.exists(Paths.get(side)))
+    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.fold_pending")))
   }
 
   test("fold crash windows: the side-artifact is never double-counted") {
