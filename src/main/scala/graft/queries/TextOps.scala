@@ -1084,12 +1084,15 @@ object TextOps {
     // duplicated 5-gram window, emitting the cleaned text —
     // q_doc_dup_spans' detector turned into the transform a pipeline
     // applies (boilerplate/contamination removal at sub-document
-    // granularity, where whole-doc dedup is too blunt). Scale shape:
-    // positional spans ride the same one-pass Generator; ONE corpus-wide
-    // shuffle on the span hash finds multi-doc hashes; coverage expands
-    // ≤5 rows per dup window and collapses with a doc-keyed distinct;
-    // reassembly is one groupBy(doc_id) — tokens never leave their doc's
-    // partition after the hash join.
+    // granularity, where whole-doc dedup is too blunt). Scale shape
+    // (r10 — same as the detector's): positional spans ride the
+    // one-pass Generator ONCE, pre-aggregate per (h, doc) with their
+    // positions packed in a tiny list, and the cross-doc count is a
+    // window sharing the groupBy's hash partitioning on h — the r9
+    // shape recomputed the whole shingle+hash pass for the probe side
+    // of a dup-hash join, a second full corpus scan at 100 TB. Coverage
+    // expands ≤5 rows per dup window and collapses with a doc-keyed
+    // distinct; reassembly is one groupBy(doc_id).
     "q_doc_dup_span_strip" -> { (s, dir) =>
       import org.apache.spark.sql.GraftSql
       val docs = Tables(s, dir, "documents")
@@ -1098,10 +1101,12 @@ object TextOps {
           GraftSql.expression(toks), 5, withPos = true)).as(Seq("pos", "span")))
         .select(col("doc_id"), col("pos"),
           (graft.functions.Md5Prefix60(col("span")) % MinhashMod).as("h"))
-      val dupH = hashed.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-        .filter(col("n_docs") >= 2).select("h")
-      val covered = hashed.join(dupH, "h")
+      val perDocH = hashed.groupBy("h", "doc_id")
+        .agg(collect_list(col("pos")).as("poss"))
+      val covered = perDocH
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("n_docs") >= 2)
+        .select(col("doc_id"), explode(col("poss")).as("pos"))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + 4)).as("idx"))
         .distinct()
