@@ -1579,16 +1579,24 @@ object TextOps {
     // eval-sized (small) so AQE broadcasts it at any realistic scale,
     // and the per-doc totals/hits are two skinny partial-agg shuffles.
     "q_doc_contam_frac" -> { (s, dir) =>
-      val rows = shingleRows(s, dir)
-      val bench = rows.filter(col("doc_id") % 10 === 0)
-        .select("shingle").distinct()
-      val train = rows.filter(col("doc_id") % 10 =!= 0)
+      // r10 shape: both splits branch from one (doc, shingle) distinct;
+      // Catalyst pushes the DISJOINT bench/train predicates below the
+      // aggregate, so the two branches shingle+shuffle complementary
+      // halves — one corpus's worth of work total, where the r9 shape
+      // derived the train side TWICE (totals vs hits) on top of the
+      // bench pass (~2.8 corpus passes). Totals and hits then fall out
+      // of ONE aggregation over a broadcast LEFT join against the
+      // eval-sized bench set — the train side never shuffles on the
+      // shingle key, the 100 TB-correct shape.
+      val d = shingleRows(s, dir)
         .select(col("doc_id"), col("shingle")).distinct()
-      val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val hits = train.join(bench, "shingle")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      tot.join(hits, Seq("doc_id"), "left")
-        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      val bench = d.filter(col("doc_id") % 10 === 0)
+        .select("shingle").distinct().withColumn("bench_hit", lit(1L))
+      d.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), Seq("shingle"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("bench_hit"), lit(0L))).as("n_hit"))
         .withColumn("contam_permille",
           expr("(n_hit * 1000) div n_shingles"))
         .withColumn("flagged", col("contam_permille") >= 200)
@@ -1628,17 +1636,21 @@ object TextOps {
     // (no window). Cosine threshold 0.35 sits in the attainable tail of
     // the synthetic random embeddings (real corpora would run ~0.9).
     "q_doc_sem_decontam" -> { (s, dir) =>
-      val rows = shingleRows(s, dir)
-      val bench = rows.filter(col("doc_id") % 10 === 0)
-        .select("shingle").distinct()
-      val train = rows.filter(col("doc_id") % 10 =!= 0)
+      // lexical side: the r10 contam_frac shape — disjoint-predicate
+      // branches off one (doc, shingle) distinct, broadcast left join
+      // against the eval-sized bench set, one aggregation for totals
+      // AND hits (see q_doc_contam_frac for the plan reasoning)
+      val d = shingleRows(s, dir)
         .select(col("doc_id"), col("shingle")).distinct()
-      val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val hits = train.join(bench, "shingle")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      val lex = tot.join(hits, Seq("doc_id"), "left")
+      val bench = d.filter(col("doc_id") % 10 === 0)
+        .select("shingle").distinct().withColumn("bench_hit", lit(1L))
+      val lex = d.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), Seq("shingle"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("bench_hit"), lit(0L))).as("n_hit"))
         .withColumn("contam_permille",
-          expr("(coalesce(n_hit, 0L) * 1000) div n_shingles"))
+          expr("(n_hit * 1000) div n_shingles"))
         .select("doc_id", "contam_permille")
       val e = Tables(s, dir, "embeddings")
       val ev = e.filter(col("vec_id") % 10 === 0)
