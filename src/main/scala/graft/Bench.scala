@@ -89,10 +89,26 @@ object Bench {
     // warm-up accounting from real computation wins when comparing runs
     val coldResults = names.map(n => n -> runNoop(n))
     val coldTotal = coldResults.map(_._2).filter(_ >= 0).sum
-    // memo rebuild is reported as its own memo_build_s line item so
-    // warm per-query numbers stay attributable (see rebuildMemosUntimed)
-    val memoBuildS = rebuildMemosUntimed(spark, sfDir, names)
-    val results = names.map(n => n -> runNoop(n))
+    // THREE timed passes, per-query MEDIAN (r10): single-pass timings
+    // on this box carry time-LOCALIZED host noise — a 20 s slow patch
+    // inflates whichever alphabetical stretch of queries it lands on,
+    // which is indistinguishable from real per-query drift in one run
+    // (measured: same-code runs flag 3-30 adjacent queries at 1.5-1.7×
+    // that re-time clean). The median absorbs one bad patch per query;
+    // a transient -1 failure is likewise outvoted by its two good
+    // runs. Each pass replays the full protocol: cache cleared, memos
+    // rebuilt untimed (memo_build_s reports the mean), then every
+    // query through the noop sink.
+    val passes = (1 to 3).map { _ =>
+      val m = rebuildMemosUntimed(spark, sfDir, names)
+      (m, names.map(n => n -> runNoop(n)).toMap)
+    }
+    val memoBuildS = passes.map(_._1).sum / passes.size
+    val results = names.map { n =>
+      val ts = passes.map(_._2(n)).sorted
+      n -> ts(ts.size / 2)
+    }
+    val passTotals = passes.map(_._2.values.filter(_ >= 0).sum)
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query detail on its own line (and file) — deliberately WITHOUT
     // the word "metric": the driver greps for the metric line and
@@ -166,7 +182,9 @@ object Bench {
         ",", "}}")
     val record =
       s"""{"sf":"$sfDir","total":${f"$total%.3f"},"cold_total":${f"$coldTotal%.3f"},""" +
-      s""""memo_build_s":${f"$memoBuildS%.3f"},"drift":$driftJson,""" +
+      s""""memo_build_s":${f"$memoBuildS%.3f"},""" +
+      passTotals.map(t => f"$t%.3f").mkString("\"pass_totals\":[", ",", "],") +
+      s""""drift":$driftJson,""" +
       s""""per_query":$qs,"cold_per_query":$cqs}"""
     for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
         "bench_history/latest.json"), "/tmp/graft_bench_per_query.json")) {
