@@ -48,3 +48,27 @@ class GraftStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     }, null)
   }
 }
+
+/** [[GraftStoreFs]] with an injected read fault: opening any path whose
+  * name contains "boom" yields a stream that fails on the first read —
+  * the mid-copy failure LakeFs.promote's single-PUT fallback must
+  * survive WITHOUT committing a truncated object. */
+class GraftBoomFs extends GraftStoreFs {
+  override def getScheme: String = "graftboom"
+  override def getUri: java.net.URI = java.net.URI.create("graftboom:///")
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    val real = super.open(f, bufferSize)
+    if (!f.getName.contains("boom")) real
+    else new org.apache.hadoop.fs.FSDataInputStream(
+      new org.apache.hadoop.fs.FSInputStream {
+        override def read(): Int =
+          throw new java.io.IOException("boom: injected read failure")
+        override def read(b: Array[Byte], off: Int, len: Int): Int = read()
+        override def seek(pos: Long): Unit = real.seek(pos)
+        override def getPos: Long = real.getPos
+        override def seekToNewSource(targetPos: Long): Boolean = false
+        override def close(): Unit = real.close()
+      })
+  }
+}

@@ -565,4 +565,22 @@ class LakeSpec extends AnyFunSuite {
     // the final chunk reads whole through the scheme
     assert(Lake.read(spark, out, "blocks").count() == 60L)
   }
+
+  test("single-PUT overwrite: a failed copy never commits a truncated object") {
+    // the abort path of promote's store fallback: the staged read
+    // explodes mid-copy (GraftBoomFs injects the fault); the promote
+    // must rethrow WITHOUT closing the output — close IS the commit on
+    // PUT-on-close connectors — so the old object survives intact
+    import graft.chain.LakeFs
+    import org.apache.hadoop.fs.{Path => HPath}
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftboom.impl", classOf[GraftBoomFs].getName)
+    val dir = "graftboom:" + freshDir("lake_boom_")
+    LakeFs.writeString(s"$dir/chunk.parquet", "OLD CONTENT INTACT")
+    LakeFs.writeString(s"$dir/boom_staged", "NEW CONTENT THAT FAILS")
+    val e = intercept[java.io.IOException](LakeFs.promote(
+      new HPath(s"$dir/boom_staged"), new HPath(s"$dir/chunk.parquet")))
+    assert(e.getMessage.contains("boom"))
+    assert(LakeFs.readString(s"$dir/chunk.parquet") == "OLD CONTENT INTACT")
+  }
 }
