@@ -365,9 +365,11 @@ object Cli {
       Files.createDirectories(keyDir)
       Option(keyDir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
         val n = f.getName
-        if (f.isDirectory && n.startsWith("p") && n.length > 1 &&
-            n.drop(1).forall(_.isDigit) &&
-            !ProcessHandle.of(n.drop(1).toLong).isPresent)
+        // toLongOption, not toLong: a digit string that overflows Long
+        // is not a pid we can check — leave it rather than throw
+        if (f.isDirectory && n.startsWith("p") &&
+            n.drop(1).toLongOption.exists(p =>
+              p >= 0 && !ProcessHandle.of(p).isPresent))
           try deleteTree(f.toPath) catch { case _: Exception => () }
       }
       val mine = keyDir.resolve(s"p${ProcessHandle.current().pid()}")
