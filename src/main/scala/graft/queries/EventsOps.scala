@@ -126,17 +126,17 @@ object EventsOps {
 
     // Cohort retention: users grouped by first-seen day, with D1/D7
     // return counts — the engagement rollup next to sessionization in
-    // any events pipeline. Two shuffles total (first-seen per user, then
-    // the cohort rollup), both partial-aggregated; distinct day rows
-    // shrink the input before either. Integer counts only — no float
-    // boundary anywhere. Dates emit as midnight timestamps (comparator
-    // convention).
+    // any events pipeline. The cohort day rides a min-over-user window
+    // on the distinct user-day rows (r10 — the r9 shape joined the
+    // per-user aggregate back against its own input: one extra shuffle
+    // and a join the window makes redundant), then one rollup shuffle.
+    // Integer counts only — no float boundary anywhere. Dates emit as
+    // midnight timestamps (comparator convention).
     "q_events_retention" -> { (s, dir) =>
       val e = Tables(s, dir, "events")
         .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
-      val first = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
-      first.join(e, "user_id")
-        .groupBy("cohort")
+        .withColumn("cohort", min(col("d")).over(Window.partitionBy("user_id")))
+      e.groupBy("cohort")
         .agg(
           countDistinct(col("user_id")).as("cohort_users"),
           countDistinct(when(col("d") === date_add(col("cohort"), 1),
@@ -149,16 +149,16 @@ object EventsOps {
 
     // Full retention MATRIX — the (cohort day × day offset) triangle
     // behind every retention curve, generalizing q_events_retention's
-    // two fixed offsets to 0..7. Two skinny aggregates off one scan
-    // (per-user first day; distinct user-days), one join keyed on
-    // user_id, one groupBy to ≤|days|·8 rows. count_distinct expands
-    // to the two-level aggregate Catalyst plans itself; day arithmetic
-    // is exact integer datediff (no timezone float anywhere).
+    // two fixed offsets to 0..7. Same r10 window shape as retention:
+    // cohort from one min-over-user window on the distinct user-day
+    // rows (no self-join), then one groupBy to ≤|days|·8 rows.
+    // count_distinct expands to the two-level aggregate Catalyst plans
+    // itself; day arithmetic is exact integer datediff (no timezone
+    // float anywhere).
     "q_events_retention_matrix" -> { (s, dir) =>
-      val e = Tables(s, dir, "events")
+      Tables(s, dir, "events")
         .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
-      val first = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
-      first.join(e, "user_id")
+        .withColumn("cohort", min(col("d")).over(Window.partitionBy("user_id")))
         .withColumn("day_offset", datediff(col("d"), col("cohort")))
         .filter(col("day_offset") <= 7)
         .groupBy("cohort", "day_offset")
