@@ -1055,10 +1055,13 @@ object TextOps {
     // in ≥2 distinct documents). Cost shape for 100 TB: windows are
     // emitted by the one-pass Generator and immediately reduced to a
     // 64-bit fingerprint, so the shuffle carries (h, doc_id) longs —
-    // never window text; the per-(h,doc) pre-aggregation partial-aggs
-    // map-side; the cross-doc count is a window function sharing the
-    // groupBy's hash partitioning on h (no extra exchange); the final
-    // per-doc rollup is one more skinny shuffle. Within-doc repeats do
+    // never window text; the per-(h,doc) pre-aggregation and the
+    // cross-doc count window share ONE exchange via the explicit
+    // repartition(h) — HashPartitioning(h) satisfies the aggregate's
+    // ClusteredDistribution(h, doc_id) by the subset rule and the
+    // window's on h, where the agg's own exchange would hash on
+    // (h, doc_id) and the window would re-shuffle the pair table a
+    // second time; the final per-doc rollup is one more skinny shuffle. Within-doc repeats do
     // NOT count as duplication (that signal is q_doc_repetition);
     // fingerprint collisions are deterministic and mirrored in the
     // oracle, the standard hashed-dedup trade.
@@ -1070,7 +1073,8 @@ object TextOps {
             GraftSql.expression(toks), 5)).as("span"))
         .select(col("doc_id"),
           (graft.functions.Md5Prefix60(col("span")) % MinhashMod).as("h"))
-      val perDoc = spans.groupBy("h", "doc_id").agg(count(lit(1)).as("n_occ"))
+      val perDoc = spans.repartition(col("h"))
+        .groupBy("h", "doc_id").agg(count(lit(1)).as("n_occ"))
       val withDocs = perDoc.withColumn("n_docs",
         count(lit(1)).over(Window.partitionBy("h")))
       withDocs.groupBy("doc_id").agg(
@@ -1088,7 +1092,12 @@ object TextOps {
     // (r10 — same as the detector's): positional spans ride the
     // one-pass Generator ONCE, pre-aggregate per (h, doc) with their
     // positions packed in a tiny list, and the cross-doc count is a
-    // window sharing the groupBy's hash partitioning on h — the r9
+    // window over the same rows. The explicit repartition(h) is what
+    // makes them share ONE exchange: HashPartitioning(h) satisfies the
+    // aggregate's ClusteredDistribution(h, doc_id) by the subset rule
+    // AND the window's on h, where the agg's own ENSURE_REQUIREMENTS
+    // exchange would hash on (h, doc_id) and force a second shuffle
+    // for the window — the r9
     // shape recomputed the whole shingle+hash pass for the probe side
     // of a dup-hash join, a second full corpus scan at 100 TB. Coverage
     // expands ≤5 rows per dup window and collapses with a doc-keyed
@@ -1101,7 +1110,7 @@ object TextOps {
           GraftSql.expression(toks), 5, withPos = true)).as(Seq("pos", "span")))
         .select(col("doc_id"), col("pos"),
           (graft.functions.Md5Prefix60(col("span")) % MinhashMod).as("h"))
-      val perDocH = hashed.groupBy("h", "doc_id")
+      val perDocH = hashed.repartition(col("h")).groupBy("h", "doc_id")
         .agg(collect_list(col("pos")).as("poss"))
       val covered = perDocH
         .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))

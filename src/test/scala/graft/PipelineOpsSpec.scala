@@ -1092,6 +1092,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!p4.contains("Window"), s"plan:\n$p4")
   }
 
+  test("round-10 plan shapes: dup-span agg and window share one exchange") {
+    // the explicit repartition(h) satisfies BOTH the (h, doc_id)
+    // aggregate's ClusteredDistribution (subset rule) and the
+    // partitionBy(h) window — the pair table shuffles ONCE. Detector:
+    // that exchange + the per-doc rollup = 2; the unhinted shape hashes
+    // the agg on (h, doc_id) and re-shuffles the pairs for the window.
+    val p1 = SparkEntry.queries("q_doc_dup_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p1).length == 2, s"plan:\n$p1")
+    // strip: the shared exchange + the doc-keyed span collapse + the
+    // final per-doc rebuild = 3 shuffles (its joins ride broadcasts,
+    // which the lookbehind excludes)
+    val p2 = SparkEntry.queries("q_doc_dup_span_strip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p2).length == 3, s"plan:\n$p2")
+  }
+
   test("langid confusion: cells partition the corpus; diagonal dominates") {
     val rows = SparkEntry.queries("q_doc_langid_confusion")(spark, sf).collect()
     val total = Tables(spark, sf, "documents").count()
