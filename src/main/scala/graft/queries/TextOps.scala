@@ -869,15 +869,25 @@ object TextOps {
     // Repetition detection: the max 3-gram frequency within a document
     // over its total shingle count — boilerplate/spam shows up as a high
     // ratio (a standard training-data quality signal next to the
-    // stopword/length heuristics). Flat shingle rows via the Generator;
-    // two partial-agged groupBys keyed doc-side, so only |docs|-scale
-    // rows cross the second shuffle.
+    // stopword/length heuristics). The per-doc shingle counts are
+    // row-LOCAL (a doc's windows never leave its row), so the whole
+    // query is a projection over the scan via the RepetitionStats
+    // expression — zero shuffles, where the exploded form paid a
+    // (doc, shingle) exchange plus a doc rollup for counts that never
+    // needed to cross rows. The ratio is one IEEE division of exact
+    // longs, bit-portable vs the oracle.
     "q_doc_repetition" -> { (s, dir) =>
-      val counts = shingleRows(s, dir)
-        .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
-      counts.groupBy("doc_id")
-        .agg(sum(col("c")).as("n_shingles"),
-          max(col("c")).as("max_shingle_count"))
+      // the <3-token guard runs on size(toks), not st.isNotNull: the
+      // pushed-down null filter would inline and re-evaluate the whole
+      // counting expression per row (filter + project), where re-running
+      // split() is one tokenization
+      Tables(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          graft.functions.RepetitionStats(toks, 3).as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).as("n_shingles"),
+          element_at(col("st"), 2).as("max_shingle_count"))
         .withColumn("repetition_ratio",
           col("max_shingle_count").cast("double") / col("n_shingles"))
     },

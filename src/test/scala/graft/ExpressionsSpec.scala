@@ -316,4 +316,39 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(graft.functions.Md5Prefix60($"s")).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("repetition stats match the exploded groupBy formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val rng = new scala.util.Random(7)
+    val words = Array("spam", "ham", "eggs", "foo", "bar", "baz")
+    // planted heavy repeat + random docs + boundary lengths (0,1,2,3)
+    val docs = Seq(
+      1L -> "a b c a b c a b c a b c",
+      2L -> "x y z w v u",
+      3L -> "",
+      4L -> "one",
+      5L -> "one two",
+      6L -> "one two three") ++
+      (7L to 60L).map(i => i ->
+        (1 to rng.nextInt(40) + 3).map(_ => words(rng.nextInt(6))).mkString(" "))
+    val df = docs.toDF("doc_id", "text")
+    val fast = df.select($"doc_id",
+      graft.functions.RepetitionStats(F.split($"text", " "), 3).as("st"))
+      .filter($"st".isNotNull)
+      .select($"doc_id", F.element_at($"st", 1).as("n"),
+        F.element_at($"st", 2).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ref = df.select($"doc_id",
+      org.apache.spark.sql.GraftSql.column(graft.functions.ExplodeShingles(
+        org.apache.spark.sql.GraftSql.expression(F.split($"text", " ")), 3))
+        .as("shingle"))
+      .groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("doc_id").agg(F.sum($"c").as("n"), F.max($"c").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fast == ref, s"fast=$fast ref=$ref")
+    // short docs drop on both sides; the planted repeat dominates
+    assert(!fast.contains(3L) && !fast.contains(4L) && !fast.contains(5L))
+    assert(fast(6L) == ((1L, 1L)) && fast(1L)._2 == 4L)
+  }
 }

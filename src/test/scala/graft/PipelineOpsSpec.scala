@@ -1107,6 +1107,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val p2 = SparkEntry.queries("q_doc_dup_span_strip")(spark, sf)
       .queryExecution.executedPlan.toString
     assert("(?<!Broadcast)Exchange".r.findAllIn(p2).length == 3, s"plan:\n$p2")
+    // repetition scoring is row-local (RepetitionStats) — a projection
+    // over the scan, zero shuffles, zero joins
+    val p3 = SparkEntry.queries("q_doc_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("repetition_stats") && !p3.contains("Exchange") &&
+      !p3.contains("Join"), s"plan:\n$p3")
   }
 
   test("langid confusion: cells partition the corpus; diagonal dominates") {
