@@ -1728,8 +1728,9 @@ object TextOps {
       val docs = Tables(s, dir, "documents")
       val w = Window.partitionBy("source")
         .orderBy(col("lm_score").desc, col("doc_id").asc)
-      lmScoreOf(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
+      // source rides the scoring rollup (lmScoreOf carry) — no second
+      // corpus scan + doc_id join just to recover the shard key
+      lmScoreOf(docs, carry = Seq("source"))
         .withColumn("bucket", ntile(3).over(w))
         .withColumn("stratum",
           when(col("bucket") === 1, lit("head"))
@@ -1802,20 +1803,37 @@ object TextOps {
   }
 
   /** Bigram-LM scoring core over any (doc_id, text) frame — see the
-    * q_doc_lm_score entry above for the plan-shape discussion. */
-  def lmScoreOf(docs: DataFrame): DataFrame = {
+    * q_doc_lm_score entry above for the plan-shape discussion. `carry`
+    * columns (e.g. source) ride the bigram stream into the per-doc
+    * rollup so callers never rejoin the corpus for them.
+    *
+    * The model grid attaches to the DISTINCT-bigram table: c2 ⋈ uni is
+    * a vocabulary-scale join, and the corpus-sized occurrence stream
+    * then joins ONCE on bg — the earlier occurrence-side c2-then-uni
+    * chain re-shuffled the whole corpus a second time on w1, a full
+    * extra exchange at 100 TB for counts that were per-bigram facts. */
+  def lmScoreOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.GraftSql
     val uni = docs.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val bg = docs.select(col("doc_id"),
+    val bg = docs.select(col("doc_id") +: carry.map(col) :+
       GraftSql.column(graft.functions.ExplodeShingles(
-        GraftSql.expression(toks), 2)).as("bg"))
+        GraftSql.expression(toks), 2)).as("bg"): _*)
+    val model = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    bg.join(c2, "bg")
       .join(uni, col("w1") === col("w"))
       .withColumn("grid", expr("(c2 * 1048576) div (c1 + 5)"))
-      .groupBy("doc_id")
+      .select("bg", "grid")
+    // SHUFFLE_HASH on the model side: without CBO the Aggregate→Join
+    // model subtree carries a corpus-scale size estimate while the raw
+    // Generate stream looks small, so unhinted planning INVERTED the
+    // build side and broadcast the occurrence table (measured 3× slower
+    // at 10×; at 100 TB it is a driver OOM). Hash-building the
+    // vocabulary-bounded model per partition is the scale-correct
+    // physical join, and a forced broadcast of the model would be the
+    // data-dependent-OOM class the comment above rules out.
+    bg.join(model.hint("shuffle_hash"), "bg")
+      .groupBy("doc_id", carry: _*)
       .agg(count(lit(1)).as("n_bigrams"), sum("grid").as("sum_grid"))
       .withColumn("lm_score",
         col("sum_grid").cast("double") / col("n_bigrams"))
