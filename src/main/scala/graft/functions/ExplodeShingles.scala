@@ -22,12 +22,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Rows with fewer than `n` tokens yield nothing (matching the
   * `size >= n` guards of the composed forms). Output column: `shingle`.
+  *
+  * `distinctPerRow` emits each shingle string once per input row (in
+  * first-occurrence order): a document's shingle SET is row-local, so a
+  * downstream `.distinct()` on (doc_id, shingle) — which plans a
+  * corpus-scale exchange for rows that never had cross-partition
+  * duplicates — collapses into the generator pass itself.
   */
 case class ExplodeShingles(child: Expression, n: Int,
-    withPos: Boolean = false)
+    withPos: Boolean = false, distinctPerRow: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
+  require(!(withPos && distinctPerRow),
+    "positional and distinct emission are mutually exclusive")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -55,12 +63,16 @@ case class ExplodeShingles(child: Expression, n: Int,
       val toks = new Array[UTF8String](m)
       var i = 0
       while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
-      (0 to m - n).iterator.map { start =>
+      val seen = if (distinctPerRow)
+        new java.util.HashSet[UTF8String](2 * (m - n + 1)) else null
+      (0 to m - n).iterator.flatMap { start =>
         val parts = new Array[UTF8String](n)
         var j = 0
         while (j < n) { parts(j) = toks(start + j); j += 1 }
         val s = UTF8String.concatWs(space, parts: _*)
-        if (withPos) InternalRow(start, s) else InternalRow(s)
+        if (distinctPerRow && !seen.add(s)) Iterator.empty
+        else if (withPos) Iterator.single(InternalRow(start, s))
+        else Iterator.single(InternalRow(s))
       }
     }
   }

@@ -56,6 +56,20 @@ object TextOps {
           .as("shingle"))
   }
 
+  /** flat (doc_id, shingle) rows with per-doc DISTINCT shingles emitted
+    * by the Generator itself: a document's shingle set is row-local, so
+    * the `.distinct()` this replaces paid a corpus-scale exchange to
+    * dedup rows that never had cross-partition duplicates. The
+    * decontamination family's set semantics start here. */
+  private def distinctShingleRows(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        GraftSql.column(graft.functions.ExplodeShingles(
+          GraftSql.expression(toks), 3, distinctPerRow = true))
+          .as("shingle"))
+  }
+
   private val duckShingles =
     "list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 
@@ -1011,11 +1025,14 @@ object TextOps {
     // contamination-check shape (eval set ≪ train set → broadcastable
     // when small; here both sides shuffle on shingle).
     "q_doc_decontaminate" -> { (s, dir) =>
-      val rows = shingleRows(s, dir)
+      // per-doc distinct shingles from the Generator: the eval side's
+      // (doc, shingle) dedup was row-local and needs no exchange at
+      // all; the train side's global distinct still shuffles, but on
+      // pre-shrunk per-doc sets
+      val rows = distinctShingleRows(s, dir)
       val train = rows.filter(col("doc_id") % 10 =!= 0)
         .select(col("shingle")).distinct()
       val eval_ = rows.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("shingle")).distinct()
       eval_.join(train, "shingle")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_contaminated_shingles"))
@@ -1598,17 +1615,18 @@ object TextOps {
     // eval-sized (small) so AQE broadcasts it at any realistic scale,
     // and the per-doc totals/hits are two skinny partial-agg shuffles.
     "q_doc_contam_frac" -> { (s, dir) =>
-      // r10 shape: both splits branch from one (doc, shingle) distinct;
-      // Catalyst pushes the DISJOINT bench/train predicates below the
-      // aggregate, so the two branches shingle+shuffle complementary
+      // r10 shape: per-doc distinct shingles come out of the Generator
+      // itself (distinctShingleRows — a doc's shingle set is row-local,
+      // so the former `.distinct()` exchange deduped rows that never
+      // had cross-partition duplicates); the bench/train predicates
+      // push to the two branches' scans, so they shingle complementary
       // halves — one corpus's worth of work total, where the r9 shape
       // derived the train side TWICE (totals vs hits) on top of the
       // bench pass (~2.8 corpus passes). Totals and hits then fall out
       // of ONE aggregation over a broadcast LEFT join against the
       // eval-sized bench set — the train side never shuffles on the
       // shingle key, the 100 TB-correct shape.
-      val d = shingleRows(s, dir)
-        .select(col("doc_id"), col("shingle")).distinct()
+      val d = distinctShingleRows(s, dir)
       val bench = d.filter(col("doc_id") % 10 === 0)
         .select("shingle").distinct().withColumn("bench_hit", lit(1L))
       d.filter(col("doc_id") % 10 =!= 0)
@@ -1655,12 +1673,11 @@ object TextOps {
     // (no window). Cosine threshold 0.35 sits in the attainable tail of
     // the synthetic random embeddings (real corpora would run ~0.9).
     "q_doc_sem_decontam" -> { (s, dir) =>
-      // lexical side: the r10 contam_frac shape — disjoint-predicate
-      // branches off one (doc, shingle) distinct, broadcast left join
+      // lexical side: the r10 contam_frac shape — per-doc distinct
+      // shingles straight out of the Generator, broadcast left join
       // against the eval-sized bench set, one aggregation for totals
       // AND hits (see q_doc_contam_frac for the plan reasoning)
-      val d = shingleRows(s, dir)
-        .select(col("doc_id"), col("shingle")).distinct()
+      val d = distinctShingleRows(s, dir)
       val bench = d.filter(col("doc_id") % 10 === 0)
         .select("shingle").distinct().withColumn("bench_hit", lit(1L))
       val lex = d.filter(col("doc_id") % 10 =!= 0)

@@ -351,4 +351,28 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(!fast.contains(3L) && !fast.contains(4L) && !fast.contains(5L))
     assert(fast(6L) == ((1L, 1L)) && fast(1L)._2 == 4L)
   }
+
+  test("explode_shingles distinct mode equals explode-then-distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val rng = new scala.util.Random(11)
+    val words = Array("a", "b", "c", "d")
+    val docs = Seq(1L -> "a b c a b c a b c", 2L -> "x y", 3L -> "") ++
+      (4L to 40L).map(i => i ->
+        (1 to rng.nextInt(30) + 3).map(_ => words(rng.nextInt(4))).mkString(" "))
+    val df = docs.toDF("doc_id", "text")
+    def gen(distinct: Boolean) = df.select($"doc_id",
+      org.apache.spark.sql.GraftSql.column(graft.functions.ExplodeShingles(
+        org.apache.spark.sql.GraftSql.expression(F.split($"text", " ")), 3,
+        distinctPerRow = distinct)).as("shingle"))
+    val viaFlag = gen(distinct = true).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val viaDistinct = gen(distinct = false).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // same SET of (doc, shingle) pairs, and the flag emits no duplicates
+    assert(viaFlag.toSet == viaDistinct.toSet)
+    assert(viaFlag.length == viaFlag.toSet.size)
+    // doc 1: 7 windows but only 3 distinct shingle strings
+    assert(viaFlag.count(_._1 == 1L) == 3)
+  }
 }
