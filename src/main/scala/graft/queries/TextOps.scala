@@ -1804,10 +1804,13 @@ object TextOps {
     * q_doc_source_overlap entry above for the plan-shape discussion. */
   def sourceOverlapOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSql
+    // distinctPerRow: the downstream collect_set dedups anyway, but
+    // emitting a doc's repeated shingles once shrinks the rows feeding
+    // the partial aggregation by the corpus repeat rate for free
     val sh = docs
       .select(col("source"),
         GraftSql.column(graft.functions.ExplodeShingles(
-          GraftSql.expression(toks), 3)).as("shingle"))
+          GraftSql.expression(toks), 3, distinctPerRow = true)).as("shingle"))
       .select(col("source"),
         (graft.functions.Md5Prefix60(col("shingle")) % MinhashMod).as("h"))
     sh.groupBy("h").agg(collect_set(col("source")).as("ss"))
@@ -1866,9 +1869,16 @@ object TextOps {
     val raw = bg.groupBy("bg").agg(count(lit(1)).as("rc"))
     val tgt = bg.filter(col("source") === targetSource)
       .groupBy("bg").agg(count(lit(1)).as("tc"))
-    bg.join(raw, "bg")
-      .join(tgt, Seq("bg"), "left")
+    // the grid is a per-distinct-bigram fact: raw ⋈ tgt builds the
+    // model at vocabulary scale and the occurrence stream probes ONCE —
+    // the lmScoreOf discipline, including the shuffle_hash hint on the
+    // model side (non-CBO stats for an Aggregate→Join subtree are
+    // corpus-scale and invert the build side toward broadcasting the
+    // occurrence table, the driver-OOM class)
+    val model = raw.join(tgt, Seq("bg"), "left")
       .withColumn("grid", expr("(coalesce(tc, 0) * 1048576) div (rc + 5)"))
+      .select("bg", "grid")
+    bg.join(model.hint("shuffle_hash"), "bg")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_bigrams"), sum("grid").as("sum_grid"))
       .withColumn("dsir_weight",
