@@ -399,28 +399,34 @@ object Relational {
     },
 
     // TPC-H Q21 shape: suppliers who kept orders waiting — the double
-    // correlated EXISTS / NOT EXISTS, expressed as one left-semi plus
-    // one left-anti self-join on the deduplicated (order, supplier)
-    // pair tables. A supplier counts when its line was flagged 'R' in a
-    // finished multi-supplier order and NO other supplier of that order
-    // was flagged — the sole-fault semantics of the original (return
-    // flag stands in for the receipt/commit lateness columns).
+    // correlated EXISTS / NOT EXISTS. A supplier counts when its line
+    // was flagged 'R' in a finished multi-supplier order and NO other
+    // supplier of that order was flagged — the sole-fault semantics of
+    // the original (return flag stands in for the receipt/commit
+    // lateness columns). Both EXISTS collapse to per-order COUNTS over
+    // the deduplicated (order, supplier, any-fault) pair table: a fault
+    // pair qualifies iff its order has ≥2 suppliers and exactly 1 fault
+    // supplier — the retention-cohort discipline (derive the predicate
+    // from a window over the relation itself, not semi/anti self-joins
+    // that re-shuffle the pair table twice more). After the
+    // lineitem⋈orders SMJ at scale, HashPartitioning(orderkey)
+    // satisfies BOTH the (ok, sk) pre-aggregation (subset rule) and the
+    // per-order window — zero additional pair-table exchanges.
     "q21_waiting_suppliers" -> { (s, dir) =>
       val base = Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      val pairs = base.select(col("l_orderkey").as("ok"),
-        col("l_suppkey").as("sk")).distinct()
-      val faults = base.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-      val withOther = faults.join(
-        pairs.select(col("ok").as("ok2"), col("sk").as("sk2")),
-        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
-      val sole = withOther.join(
-        faults.select(col("ok").as("ok3"), col("sk").as("sk3")),
-        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
-      sole.groupBy("sk").agg(count(lit(1)).as("numwait"))
+      val perPair = base
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max((col("l_returnflag") === "R").cast("int")).as("is_fault"))
+      val w = Window.partitionBy("ok")
+      perPair
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_fault_supp", sum(col("is_fault")).over(w))
+        .filter(col("is_fault") === 1 && col("n_supp") >= 2 &&
+          col("n_fault_supp") === 1)
+        .groupBy("sk").agg(count(lit(1)).as("numwait"))
         .join(Tables(s, dir, "supplier"), col("sk") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
     },
