@@ -237,31 +237,41 @@ object Relational {
       c.union(su).distinct().select(col("nationkey").cast("int").as("nationkey"))
     },
 
-    // Correlated-scalar shape: customers whose account balance exceeds their
-    // nation's average (window instead of a correlated subquery — single
-    // shuffle, no rescan). The avg comparison is expressed as
+    // Correlated-scalar shape: customers whose account balance exceeds
+    // their nation's average. The per-nation totals are a 25-row
+    // groupBy broadcast back to the scan — NOT a window: partitionBy
+    // over a 25-value key caps parallelism at 25 tasks and shuffles the
+    // whole customer table into them (the skew class salting exists
+    // for), where the aggregate partial-aggs to 25 rows map-side and
+    // the filter stays scan-shaped. The avg comparison is expressed as
     // bal*n > sum(bal) in exact decimal arithmetic so both engines agree
     // bit-for-bit (DuckDB's AVG returns double, which could flip boundaries).
     "q_above_nation_avg" -> { (s, dir) =>
-      val w = Window.partitionBy("c_nationkey")
-      Tables(s, dir, "customer")
-        .withColumn("nation_sum", sum(m(col("c_acctbal"))).over(w))
-        .withColumn("nation_n", count(lit(1)).over(w))
+      val c = Tables(s, dir, "customer")
+      val stats = c.groupBy("c_nationkey")
+        .agg(sum(m(col("c_acctbal"))).as("nation_sum"),
+          count(lit(1)).as("nation_n"))
+      c.join(broadcast(stats), "c_nationkey")
         .filter(m(col("c_acctbal")) * col("nation_n") > col("nation_sum"))
         .select("c_custkey", "c_nationkey")
     },
 
-    // TPC-H Q2 shape: min-per-group via window min, then equality filter
-    // (decorrelated form of the MIN subquery — one shuffle, no rescan).
+    // TPC-H Q2 shape: min-per-group with arg-min tie-break (decorrelated
+    // form of the MIN subquery). One lexicographic min(struct(price,
+    // suppkey)) IS "the min price, and the smallest suppkey among its
+    // rows" — a single partial-aggregable groupBy where the window-min +
+    // equality-filter + re-aggregate form shuffled and sorted EVERY
+    // lineitem row to run the same reduction (the TopKPerKey argument
+    // at k=1, expressible as a plain aggregate).
     "q2_min_cost_supplier" -> { (s, dir) =>
-      val l = Tables(s, dir, "lineitem")
-      val w = Window.partitionBy("l_partkey")
-      l.select(col("l_partkey"), col("l_suppkey"), m(col("l_extendedprice")).as("price"))
-        .withColumn("min_price", min(col("price")).over(w))
-        .filter(col("price") === col("min_price"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          m(col("l_extendedprice")).as("price"))
         .groupBy("l_partkey")
-        .agg(min(col("l_suppkey")).as("cheapest_suppkey"),
-             fin(min(col("price")), 2).as("min_price"))
+        .agg(min(struct(col("price"), col("l_suppkey"))).as("w"))
+        .select(col("l_partkey"),
+          col("w.l_suppkey").as("cheapest_suppkey"),
+          fin(col("w.price"), 2).as("min_price"))
     },
 
     // TPC-H Q7 shape: bidirectional two-nation trade volume by ship
@@ -450,13 +460,20 @@ object Relational {
     // threshold (correlated aggregate decorrelated into a join). The
     // threshold is one double division of an exact decimal sum by the
     // count, then one double multiply — identical in both engines.
+    // The threshold aggregate runs AFTER a broadcast semi-join on the
+    // brand's partkeys: the average is per-part, so restricting to the
+    // surviving parts changes nothing, and the aggregate scans the
+    // brand's slice of lineitem instead of all of it — at 100 TB the
+    // difference between ~1/brand-count of the table and the table.
     "q17_small_quantity" -> { (s, dir) =>
       val l = Tables(s, dir, "lineitem")
-      val avgq = l.groupBy(col("l_partkey").as("ap_key"))
+      val p5 = Tables(s, dir, "part").filter(col("p_brand") === "Brand#5")
+      val avgq = l
+        .join(broadcast(p5), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("ap_key"))
         .agg((sum(m(col("l_quantity"))).cast("decimal(38,2)").cast("double") /
           count(lit(1))).as("avg_qty"))
-      l.join(broadcast(Tables(s, dir, "part").filter(col("p_brand") === "Brand#5")),
-          col("l_partkey") === col("p_partkey"))
+      l.join(broadcast(p5), col("l_partkey") === col("p_partkey"))
         .join(avgq, col("l_partkey") === col("ap_key"))
         .filter(col("l_quantity") < lit(0.4) * col("avg_qty"))
         .agg((sum(m(col("l_extendedprice"))).cast("decimal(38,2)").cast("double") /
