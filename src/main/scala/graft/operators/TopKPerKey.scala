@@ -76,4 +76,64 @@ object TopKPerKey {
       }
       .toDF(keyCol, "rk", idCol, scoreCol)
   }
+
+  /** (score, string-payload, two long payloads) entry — the term-ranked
+    * sibling of Entry for top-k where the ranked item is a string and
+    * carries its own aggregates (tf, df) through the buffer, so no
+    * join-back is needed to recover them. */
+  case class StrEntry(score: Double, id: String, p1: Long, p2: Long)
+
+  /** score DESC, string-id ASC tie-break — the id comparison runs in
+    * UTF8 BINARY order (UTF8String.compareTo), matching Spark's column
+    * ordering and the DuckDB oracle's default collation; Java
+    * String.compareTo would diverge on non-ASCII (UTF-16 code units). */
+  class TopKStrAgg(k: Int)
+      extends Aggregator[(Long, Double, String, Long, Long),
+        List[StrEntry], List[StrEntry]] {
+    override def zero: List[StrEntry] = Nil
+
+    private def idLt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+    private def insert(b: List[StrEntry], e: StrEntry): List[StrEntry] = {
+      def cmp(a: Double, c: Double) = java.lang.Double.compare(a, c)
+      val (better, worse) = b.span(x =>
+        cmp(x.score, e.score) > 0 ||
+          (cmp(x.score, e.score) == 0 && idLt(x.id, e.id)))
+      val merged = better ::: e :: worse
+      if (merged.length > k) merged.take(k) else merged
+    }
+
+    override def reduce(b: List[StrEntry],
+        row: (Long, Double, String, Long, Long)): List[StrEntry] =
+      insert(b, StrEntry(row._2, row._3, row._4, row._5))
+    override def merge(x: List[StrEntry], y: List[StrEntry]): List[StrEntry] =
+      y.foldLeft(x)(insert)
+    override def finish(r: List[StrEntry]): List[StrEntry] = r
+    override def bufferEncoder: Encoder[List[StrEntry]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[List[StrEntry]] = ExpressionEncoder()
+  }
+
+  /** top-k (string-id) rows per key with two long payload columns
+    * carried through the k-bounded buffer; output (key, rk, id, p1, p2,
+    * score). Same contract as topK: map-side partial aggregation means
+    * only k rows per key per input partition cross the shuffle, where
+    * the window form re-shuffles and sorts the whole scored relation. */
+  def topKStr(spark: SparkSession, df: DataFrame, keyCol: String,
+      scoreCol: String, idCol: String, p1Col: String, p2Col: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(keyCol).cast("long"), col(scoreCol).cast("double"),
+      col(idCol).cast("string"), col(p1Col).cast("long"), col(p2Col).cast("long"))
+      .where(col(keyCol).isNotNull && col(scoreCol).isNotNull &&
+        col(idCol).isNotNull && col(p1Col).isNotNull && col(p2Col).isNotNull)
+      .as[(Long, Double, String, Long, Long)]
+    ds.groupByKey(_._1)
+      .agg(new TopKStrAgg(k).toColumn.name("top"))
+      .flatMap { case (key, top) =>
+        top.zipWithIndex.map { case (e, i) => (key, i + 1, e.id, e.p1, e.p2) }
+      }
+      .toDF(keyCol, "rk", idCol, p1Col, p2Col)
+  }
 }

@@ -1047,16 +1047,24 @@ object TextOps {
     // — so a forced broadcast is the same driver-OOM class as an
     // unguarded LSH rerank. AQE broadcasts when runtime stats are small;
     // at scale both sides shuffle on term with partial aggregation.
+    // The per-doc rank runs through the k-bounded TopKStr aggregator,
+    // never a window over the tf⋈df-scored relation: after the join the
+    // pairs sit partitioned by term, and the window form re-shuffled and
+    // sorted EVERY (doc, term) row on doc_id where the aggregator
+    // partial-aggs to ≤3 rows per doc per partition (tf and df ride the
+    // buffer, so nothing joins back). Tie-break is UTF8-binary term asc,
+    // identical to the window's orderBy and the oracle's collation.
     "q_doc_top_terms" -> { (s, dir) =>
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(toks).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
-      tf.join(df_, "term")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+      val scored = tf.join(df_, "term")
+        .select(col("doc_id"),
+          (col("tf").cast("double") / col("df")).as("ratio"),
+          col("term"), col("tf"), col("df"))
+      graft.operators.TopKPerKey.topKStr(s, scored,
+        "doc_id", "ratio", "term", "tf", "df", 3)
         .select("doc_id", "rk", "term", "tf", "df")
     },
 
