@@ -34,6 +34,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(2) == 6L)
   }
 
+  test("string top-k: UTF8-binary tie-break matches the window form") {
+    import spark.implicits._
+    // equal scores force the id tie-break; 'é' sorts AFTER 'z' in UTF8
+    // binary order (0xC3... > 0x7A) exactly as Spark's column ordering
+    // and DuckDB's default collation do — a Java String.compareTo
+    // tie-break would agree here but diverge on supplementary planes,
+    // so the aggregator's order source is pinned to UTF8String
+    val rows = Seq(
+      (1L, 2.0, "zebra", 10L, 5L), (1L, 2.0, "apple", 11L, 6L),
+      (1L, 2.0, "été", 12L, 7L), (1L, 9.0, "mid", 13L, 8L),
+      (2L, 1.0, "only", 1L, 1L))
+    def run(rs: Seq[(Long, Double, String, Long, Long)]) =
+      graft.operators.TopKPerKey.topKStr(spark,
+        rs.toDF("k", "score", "term", "tf", "df"),
+        "k", "score", "term", "tf", "df", 3)
+        .orderBy("k", "rk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val expect = Seq((1L, 1, "mid", 13L, 8L), (1L, 2, "apple", 11L, 6L),
+      (1L, 3, "zebra", 10L, 5L), (2L, 1, "only", 1L, 1L))
+    assert(run(rows) == expect)
+    assert(run(rows.reverse) == expect) // arrival-order invariant
+    // the window formulation agrees row-for-row, including the payloads
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(col("score").desc, col("term").asc)
+    val win = rows.toDF("k", "score", "term", "tf", "df")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .orderBy("k", "rk").collect()
+      .map(r => (r.getLong(0), r.getInt(5), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(win == expect)
+  }
+
   test("salted join equals plain join exactly") {
     val l = Tables(spark, sf, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_partkey"), col("l_quantity"))
