@@ -101,13 +101,21 @@ object EventsOps {
              countDistinct(col("user_id")).as("n_users"))
     },
 
-    // Latest-event-per-key dedup (the compaction/upsert shape).
+    // Latest-event-per-key dedup (the compaction/upsert shape). One
+    // lexicographic max(struct(ts, event_id, …)) IS "latest ts, highest
+    // event_id on a tie" — a partial-aggregable groupBy that reduces to
+    // one row per user per partition map-side, where the row_number
+    // window re-shuffled and sorted EVERY event to keep one (the Q2
+    // arg-min discipline; at 100 TB latest-per-key over the full event
+    // stream is exactly the shape that must combine before the wire).
+    // event_type rides as the struct's last field — consulted only on a
+    // full (ts, event_id) tie, which event_id uniqueness rules out.
     "q_events_latest_per_user" -> { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       Tables(s, dir, "events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("w"))
+        .select(col("user_id"), col("w.event_id").as("event_id"),
+          col("w.ts").as("ts"), col("w.event_type").as("event_type"))
     },
 
     // Per-user behavior matrix (conditional aggregation fan-out).
