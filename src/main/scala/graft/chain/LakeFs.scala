@@ -183,4 +183,21 @@ object LakeFs {
     finally out.close()
   }
 
+  /** whole-file write published ATOMICALLY for files that are rewritten
+    * in place and read concurrently (e.g. the index schema sidecar):
+    * stage the bytes under a `._tmp` sibling, then promote() — readers
+    * see the previous or the new content, never the truncated
+    * in-flux state writeString's create(overwrite) exposes. Atomic on
+    * file: (nio replace), HDFS (FileContext OVERWRITE) and PUT-on-close
+    * stores; the residual flux window of a custom FS whose create is
+    * not atomic-on-close is the promote() caveat, unchanged. */
+  def writeStringAtomic(path: String, content: String): Unit = {
+    // fixed sibling name: a crash-leftover stage is overwritten by the
+    // next write (self-healing); concurrent writers of one path are out
+    // of contract at every call site (single compactor per artifact)
+    val tmp = s"$path._tmp"
+    writeString(tmp, content)
+    promote(new HPath(tmp), new HPath(path))
+  }
+
 }

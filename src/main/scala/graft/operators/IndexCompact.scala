@@ -270,11 +270,22 @@ object IndexCompact {
           "(externally deleted?)")
     val main = spark.read.parquet(p)
     val sc = sidecarPath(dir, artifact)
-    if (LakeFs.exists(sc)) {
-      val schema = DataType.fromJson(LakeFs.readString(sc)).asInstanceOf[StructType]
-      main.select(schema.fields.toSeq
-        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    } else main
+    // the sidecar probe+read runs under the artifact lock: rewrite()
+    // republishes the sidecar inside the same lock, so an in-process
+    // reader can never observe the replace mid-flight (the cross-process
+    // twin is writeStringAtomic's promote — old or new bytes, never a
+    // truncated file; a concurrent reader once caught DataType.fromJson
+    // on an empty sidecar exactly here)
+    val schemaJson = lockFor(dir, artifact).synchronized {
+      if (LakeFs.exists(sc)) Some(LakeFs.readString(sc)) else None
+    }
+    schemaJson match {
+      case Some(json) =>
+        val schema = DataType.fromJson(json).asInstanceOf[StructType]
+        main.select(schema.fields.toSeq
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      case None => main
+    }
   }
 
   /** true when `path` holds at least one committed data file — a
@@ -342,9 +353,17 @@ object IndexCompact {
     // lock so a concurrent read()'s recovery can neither misread the
     // marker mid-write nor GC the tree being published.
     lockFor(dir, artifact).synchronized {
-      LakeFs.writeString(sidecarPath(dir, artifact), schemaJson)
+      // atomic replace, not create(overwrite): the sidecar is the one
+      // pointer-layout file rewritten IN PLACE, and a cross-process
+      // reader must see old-or-new bytes, never a truncated file
+      LakeFs.writeStringAtomic(sidecarPath(dir, artifact), schemaJson)
       val folding = foldStream && LakeFs.exists(sidePath)
-      if (folding) LakeFs.writeString(foldMarkerPath(dir, artifact), s"v$next")
+      // atomic too: an EMPTY marker is a meaningful r9-legacy state to
+      // recover() (completed-fold disambiguation), so a cross-process
+      // reader must never catch this write mid-truncate and misread a
+      // pointer-era fold as that legacy state
+      if (folding)
+        LakeFs.writeStringAtomic(foldMarkerPath(dir, artifact), s"v$next")
       LakeFs.writeString(ptrPath(dir, artifact, next), "")
       if (folding) {
         LakeFs.deleteTree(sidePath)
