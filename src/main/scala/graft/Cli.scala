@@ -72,7 +72,10 @@ object Cli {
   private def saveRemembered(outputDir: String, command: Seq[String]): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    graft.chain.LakeFs.writeString(rememberPath(outputDir),
+    // atomic replace: the remember file is rewritten per run and a
+    // concurrent freeze on the same lake may be loading it — old or new
+    // command, never a truncated JSON (the sidecar-race discipline)
+    graft.chain.LakeFs.writeStringAtomic(rememberPath(outputDir),
       JsonMethods.compact(JsonMethods.render(
         ("graft_version" -> Version) ~ ("command" -> command))))
   }
