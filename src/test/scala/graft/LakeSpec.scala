@@ -566,6 +566,23 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.read(spark, out, "blocks").count() == 60L)
   }
 
+  test("writeStringAtomic: replace publishes whole, stage self-heals") {
+    import graft.chain.LakeFs
+    val dir = freshDir("lake_wsa_")
+    val p = s"$dir/schema.json"
+    LakeFs.writeStringAtomic(p, "first")
+    assert(LakeFs.readString(p) == "first")
+    LakeFs.writeStringAtomic(p, "second — replaced, not truncated")
+    assert(LakeFs.readString(p) == "second — replaced, not truncated")
+    // no stage leftover after a clean publish
+    assert(!LakeFs.exists(s"$p._tmp"))
+    // a crash-leftover stage (orphan ._tmp) does not block the next
+    // write and is consumed by it — the fixed sibling name self-heals
+    LakeFs.writeString(s"$p._tmp", "torn leftover from a crash")
+    LakeFs.writeStringAtomic(p, "third")
+    assert(LakeFs.readString(p) == "third" && !LakeFs.exists(s"$p._tmp"))
+  }
+
   test("single-PUT overwrite: a failed copy never commits a truncated object") {
     // the abort path of promote's store fallback: the staged read
     // explodes mid-copy (GraftBoomFs injects the fault); the promote
