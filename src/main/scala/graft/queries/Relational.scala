@@ -354,12 +354,23 @@ object Relational {
     // every scale): both sides convert the same exact decimals to
     // double, so the strict > agrees bit-for-bit cross-engine. Value
     // proxy: p_retailprice·quantity (no partsupp on these tables).
+    // The value aggregate runs join-FREE: p_retailprice is constant per
+    // part, so sum(price·qty) = price·sum(qty) — the quantity rollup
+    // partial-aggs straight off the lineitem scan and the part dim
+    // joins the |parts|-sized result, not every line (at 100 TB the
+    // per-row broadcast probe on the fact scan disappears). The inner
+    // sum is cast to DECIMAL(18,2) before the multiply so the product
+    // stays inside decimal(38) exactly (per-part line counts are
+    // SF-invariant in this schema; 10^16 of headroom), keeping the
+    // factored value bit-equal to the oracle's sum-of-products.
     "q11_important_parts" -> { (s, dir) =>
       val pv = Tables(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(m(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
         .join(broadcast(Tables(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
-        .groupBy("l_partkey")
-        .agg(sum(m(col("p_retailprice")) * m(col("l_quantity"))).as("value"))
+        .select(col("l_partkey"),
+          (m(col("p_retailprice")) * col("sum_qty")).as("value"))
       val total = pv.agg(sum(col("value")).as("total_value"),
         count(lit(1)).as("n_parts"))
       pv.crossJoin(broadcast(total))
