@@ -52,14 +52,18 @@ object Relational {
           count(lit(1)).as("count_order"))
     },
 
-    // TPC-H Q3 shape: 3-way join; customer is small → broadcast so only the
-    // orders⋈lineitem shuffle touches big data.
+    // TPC-H Q3 shape: 3-way join. The customer side is deliberately
+    // UNhinted: customer SCALES with the dataset (unlike nation/region),
+    // so a pinned broadcast is the driver-OOM class at 100 TB — the
+    // planner broadcasts it from accurate scan stats at gate scale and
+    // flips to SMJ past the threshold, the transition a real cluster
+    // must make.
     "q3_shipping_priority" -> { (s, dir) =>
       val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables(s, dir, "orders").filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
       val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         // date → midnight timestamp: pyarrow date32 arrives in pandas as
         // datetime.date objects while DuckDB DATE arrives as datetime64 —
         // same value, different hash. Timestamps convert identically.
@@ -77,8 +81,10 @@ object Relational {
         .agg(count(lit(1)).as("order_count"))
     },
 
-    // TPC-H Q5 shape: 6-way join. region/nation/supplier/customer are dims →
-    // broadcast; only the orders⋈lineitem join shuffles big data.
+    // TPC-H Q5 shape: 6-way join. nation/region are FIXED-size dims
+    // (25/5 rows) → pinned broadcasts; customer and supplier SCALE with
+    // the dataset and stay unhinted — broadcast at gate scale by scan
+    // stats, SMJ past the threshold (a pinned non-flip is the defect).
     "q5_local_supplier" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
       val o = Tables(s, dir, "orders")
@@ -87,8 +93,8 @@ object Relational {
       val n = Tables(s, dir, "nation")
       val r = Tables(s, dir, "region")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -112,7 +118,7 @@ object Relational {
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(fin(sum(m(col("l_extendedprice")) * onem(col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -214,7 +220,7 @@ object Relational {
     "q_segment_stats" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
       val o = Tables(s, dir, "orders")
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(countDistinct(col("o_custkey")).as("n_customers"),
              count(lit(1)).as("n_orders"),
@@ -310,7 +316,7 @@ object Relational {
       val r = Tables(s, dir, "region").filter(col("r_name") === "EUROPE")
       val p = Tables(s, dir, "part").filter(col("p_type") === "PROMO")
       Tables(s, dir, "lineitem")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
@@ -336,7 +342,7 @@ object Relational {
     "q9_product_profit" -> { (s, dir) =>
       val p = Tables(s, dir, "part").filter(col("p_name").contains("red"))
       Tables(s, dir, "lineitem")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -367,7 +373,7 @@ object Relational {
       val pv = Tables(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(sum(m(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"))
-        .join(broadcast(Tables(s, dir, "part")),
+        .join(Tables(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"),
           (m(col("p_retailprice")) * col("sum_qty")).as("value"))
@@ -405,7 +411,7 @@ object Relational {
       val l97 = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
       val perPs = l97.groupBy("l_partkey", "l_suppkey")
         .agg(sum(m(col("l_quantity"))).as("ps_qty"))
@@ -456,7 +462,7 @@ object Relational {
     // over one join, ratio emitted via double division of exact decimals.
     "q14_promo_revenue" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
-        .join(broadcast(Tables(s, dir, "part")),
+        .join(Tables(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO",
@@ -480,11 +486,11 @@ object Relational {
       val l = Tables(s, dir, "lineitem")
       val p5 = Tables(s, dir, "part").filter(col("p_brand") === "Brand#5")
       val avgq = l
-        .join(broadcast(p5), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(p5, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey").as("ap_key"))
         .agg((sum(m(col("l_quantity"))).cast("decimal(38,2)").cast("double") /
           count(lit(1))).as("avg_qty"))
-      l.join(broadcast(p5), col("l_partkey") === col("p_partkey"))
+      l.join(p5, col("l_partkey") === col("p_partkey"))
         .join(avgq, col("l_partkey") === col("ap_key"))
         .filter(col("l_quantity") < lit(0.4) * col("avg_qty"))
         .agg((sum(m(col("l_extendedprice"))).cast("decimal(38,2)").cast("double") /
@@ -554,7 +560,7 @@ object Relational {
     "q19_disjunctive_revenue" -> { (s, dir) =>
       val l = Tables(s, dir, "lineitem")
       val p = Tables(s, dir, "part")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 20) && col("p_size").between(1, 10)) ||
           (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 30) && col("p_size").between(1, 20)) ||
