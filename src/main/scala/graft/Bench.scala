@@ -135,9 +135,12 @@ object Bench {
     // traced to a touching commit) before the round closes.
     val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
       val d = new java.io.File("bench_history")
+      // numeric max, not lexicographic: r100.json must not sort before
+      // r99.json (and an unpadded rN must not select a stale baseline)
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("r\\d+\\.json"))
-        .sortBy(_.getName).lastOption.map(_.getPath)
+        .maxByOption(_.getName.stripPrefix("r").stripSuffix(".json").toInt)
+        .map(_.getPath)
     }
     val baseline: Map[String, Double] = baselinePath.map { p =>
       try {
@@ -194,7 +197,16 @@ object Bench {
         java.nio.file.Files.writeString(path, record)
       } catch { case _: Throwable => () }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"memo_build_s":$memoBuildS%.3f,"drift_flagged":${flagged.size},"n_queries":${results.size},"sf":"$sfDir"}""")
+    // the metric line is self-attributing (r11): run_factor is the
+    // run-median now/prev host ratio the flags were normalized by, and
+    // flagged carries the names — the driver record is interpretable
+    // standalone, without reconstructing from bench_history
+    // capped at 12 names: the contract line must stay short (the driver
+    // tail-captures; r1's fat line truncated mid-JSON) — a pathological
+    // whole-suite flag event keeps the full map in bench_history
+    val flaggedNames = flagged.take(12)
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_total":$coldTotal%.3f,"memo_build_s":$memoBuildS%.3f,"run_factor":$globalFactor%.3f,"drift_flagged":${flagged.size},"flagged":$flaggedNames,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -116,8 +116,10 @@ object TopKPerKey {
   }
 
   /** top-k (string-id) rows per key with two long payload columns
-    * carried through the k-bounded buffer; output (key, rk, id, p1, p2,
-    * score). Same contract as topK: map-side partial aggregation means
+    * carried through the k-bounded buffer; output (key, rk, id, p1, p2)
+    * — the ranking score is NOT emitted (rk already encodes the order;
+    * a caller that needs the raw score must extend the output tuple).
+    * Same contract as topK: map-side partial aggregation means
     * only k rows per key per input partition cross the shuffle, where
     * the window form re-shuffles and sorts the whole scored relation. */
   def topKStr(spark: SparkSession, df: DataFrame, keyCol: String,

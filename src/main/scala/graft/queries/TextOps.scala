@@ -1631,14 +1631,18 @@ object TextOps {
       // halves — one corpus's worth of work total, where the r9 shape
       // derived the train side TWICE (totals vs hits) on top of the
       // bench pass (~2.8 corpus passes). Totals and hits then fall out
-      // of ONE aggregation over a broadcast LEFT join against the
-      // eval-sized bench set — the train side never shuffles on the
-      // shingle key, the 100 TB-correct shape.
+      // of ONE aggregation over a LEFT join against the bench set. The
+      // broadcast is AQE's call, not pinned (r11): the bench side here
+      // is the distinct shingles of 10% of the CORPUS — an SF-scaling
+      // relation, exactly the pinned-broadcast class removed from the
+      // relational queries in r10. AQE broadcasts it while runtime
+      // stats are small and falls back to a shuffled join at the scale
+      // where a forced broadcast would be a driver OOM.
       val d = distinctShingleRows(s, dir)
       val bench = d.filter(col("doc_id") % 10 === 0)
         .select("shingle").distinct().withColumn("bench_hit", lit(1L))
       d.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(bench), Seq("shingle"), "left")
+        .join(bench, Seq("shingle"), "left")
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_shingles"),
           sum(coalesce(col("bench_hit"), lit(0L))).as("n_hit"))
@@ -1682,14 +1686,15 @@ object TextOps {
     // the synthetic random embeddings (real corpora would run ~0.9).
     "q_doc_sem_decontam" -> { (s, dir) =>
       // lexical side: the r10 contam_frac shape — per-doc distinct
-      // shingles straight out of the Generator, broadcast left join
-      // against the eval-sized bench set, one aggregation for totals
-      // AND hits (see q_doc_contam_frac for the plan reasoning)
+      // shingles straight out of the Generator, left join against the
+      // bench shingle set (AQE-broadcast while small, NOT pinned — the
+      // bench side scales with the corpus; see q_doc_contam_frac), one
+      // aggregation for totals AND hits
       val d = distinctShingleRows(s, dir)
       val bench = d.filter(col("doc_id") % 10 === 0)
         .select("shingle").distinct().withColumn("bench_hit", lit(1L))
       val lex = d.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(bench), Seq("shingle"), "left")
+        .join(bench, Seq("shingle"), "left")
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_shingles"),
           sum(coalesce(col("bench_hit"), lit(0L))).as("n_hit"))
