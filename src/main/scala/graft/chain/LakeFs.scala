@@ -135,7 +135,15 @@ object LakeFs {
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         val in = f.open(src)
-        val out = f.create(target, true)
+        // a create failure (permissions, transient store error) must not
+        // leak the already-opened source handle
+        val out =
+          try f.create(target, true)
+          catch {
+            case e: Throwable =>
+              try in.close() catch { case _: Throwable => () }
+              throw e
+          }
         try {
           org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
           // close IS the commit on PUT-on-close connectors — reached
@@ -173,6 +181,20 @@ object LakeFs {
     val in = fs(path).open(new HPath(path))
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  /** whole-file create that FAILS if the path already exists
+    * (Hadoop `create(overwrite = false)` →
+    * FileAlreadyExistsException). This is the mutual-exclusion
+    * primitive behind publish leases (IndexCompact): HDFS implements
+    * it atomically server-side; local/store connectors check-then-act,
+    * so callers that need one-winner semantics under simultaneous
+    * acquisition must pair this with a read-back verify of their own
+    * unique content (see IndexCompact.acquirePublishLease). */
+  def createExclusive(path: String, content: String): Unit = {
+    val out = fs(path).create(new HPath(path), false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** whole-file write via create(overwrite=true) — single-object PUT on

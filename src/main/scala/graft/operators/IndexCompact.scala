@@ -93,11 +93,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Filesystem contract: all file operations go through the Hadoop
   * FileSystem of the index dir (LakeFs) and the publish step is a
   * single-object create — local disk, HDFS and strongly-consistent
-  * object stores are all in contract. In-process readers/compactors
-  * are serialized where it matters by a per-artifact lock;
-  * cross-process CONCURRENT COMPACTION of one artifact remains out of
-  * contract (two compactors can allocate the same version), while
-  * cross-process read-during-compact is safe by the grace window. */
+  * object stores are all in contract.
+  *
+  * Concurrency contract (r11): every PUBLISH cycle — a compact rewrite
+  * or a fresh build — runs under two publisher locks: an in-process
+  * per-artifact lock (same-JVM publishers queue) and a cross-process
+  * PUBLISH LEASE (`<artifact>.publish_lock`, create-exclusive with
+  * read-back verify; see the lease section). Two compactors in
+  * different processes therefore get ONE winner; the loser fails
+  * loudly with the holder's identity instead of double-allocating a
+  * version or GC-ing the winner's in-flight tree. Crashed holders are
+  * detected (same host: pid liveness; remote: TTL age-out) and their
+  * leases broken. Readers never take the lease — read-during-publish,
+  * in or across processes, stays safe by the pointer grace window.
+  * Residuals, stated not papered: pid-reuse on the holder's host can
+  * delay a stale-break until the TTL; a REMOTE publisher legitimately
+  * exceeding GRAFT_PUBLISH_LEASE_TTL_MS is out of contract (standard
+  * lease caveat). */
 object IndexCompact {
 
   private def sidecarPath(dir: String, artifact: String) =
@@ -123,15 +135,159 @@ object IndexCompact {
   private def ptrPath(dir: String, artifact: String, v: Int) =
     s"$dir/$artifact.ptr.v$v"
 
+  /** test seam for the cross-process specs: a non-empty tag makes this
+    * thread behave like a SEPARATE process — it keys its own in-process
+    * lock instances (two tags never share a JVM lock, exactly like two
+    * JVMs) and suffixes its publish-lease identity so the lease
+    * protocol, not shared memory, is what serializes them. Production
+    * code never sets it. */
+  private[graft] val processTag: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+
   /** per-(dir, artifact) in-process lock: read()'s recovery and
-    * rewrite()'s publish are mutually exclusive, so a concurrent search
-    * can never mistake an IN-FLIGHT compact's fold marker or orphan
-    * tree for crash leftovers and destroy them. Cross-PROCESS
-    * concurrent compaction remains out of contract (class doc). */
+    * rewrite()'s publish flip are mutually exclusive, so a concurrent
+    * search can never mistake an IN-FLIGHT compact's fold marker or
+    * orphan tree for crash leftovers and destroy them. Cross-process
+    * publishers are serialized by the publish LEASE below, not by
+    * this. */
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
   private def lockFor(dir: String, artifact: String): Object =
-    locks.computeIfAbsent(s"$dir/$artifact", _ => new Object)
+    locks.computeIfAbsent(s"${processTag.get}|$dir/$artifact", _ => new Object)
+
+  /** per-(dir, artifact) in-process PUBLISH lock, held across a whole
+    * publish cycle (version allocation + tree write + flip + GC) by
+    * writeFresh and rewrite. Same-JVM publishers therefore QUEUE
+    * instead of burning lease-acquisition failures — this closes the
+    * in-process builder-vs-compact window where both could allocate
+    * one version and compact's GC could reap the builder's in-flight
+    * tree (ADVICE r10). Distinct from `locks`: readers never take
+    * this, so a publish holding it for a long parquet write does not
+    * stall read(). */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def publishLockFor(dir: String, artifact: String): Object =
+    publishLocks.computeIfAbsent(
+      s"${processTag.get}|$dir/$artifact", _ => new Object)
+
+  // ---- cross-process publish lease (r11) ----------------------------
+  //
+  // One publisher per artifact ACROSS processes: every publish cycle
+  // (compact rewrite or fresh build) first claims
+  // `<artifact>.publish_lock` via create-exclusive, holds it for the
+  // whole allocate+write+flip+GC cycle, and deletes it on the way out.
+  // The loser of a claim fails LOUDLY with the holder's identity — it
+  // never silently double-allocates a version or GCs the winner's
+  // in-flight tree. Readers never touch the lease (read-during-publish
+  // stays lock-free via the grace window).
+  //
+  // Staleness (a holder that crashed without releasing): the lease
+  // records `pid@host ts uid`. A same-host lease is stale when its pid
+  // is no longer alive (pid liveness beats any timeout — a 3-hour
+  // compaction never gets stolen on its own host; pid-reuse is the
+  // documented residual). A remote-host lease can only age out: stale
+  // after GRAFT_PUBLISH_LEASE_TTL_MS (default 2 h) — a REMOTE publisher
+  // legitimately running longer than the TTL is out of contract, the
+  // standard lease caveat. Stale leases are broken (logged) and
+  // re-claimed.
+  //
+  // Atomicity grade, stated honestly: HDFS create-exclusive is atomic
+  // server-side; local and PUT-on-close store connectors check-then-
+  // act, so the claim pairs the create with a READ-BACK VERIFY of the
+  // claimant's unique content — near-simultaneous claimants on such an
+  // FS both "create", but the survivor content picks exactly one
+  // winner on replace-on-close semantics (GraftStoreFs models this).
+
+  private def leasePath(dir: String, artifact: String) =
+    s"$dir/$artifact.publish_lock"
+
+  private def leaseTtlMs: Long =
+    sys.env.get("GRAFT_PUBLISH_LEASE_TTL_MS").flatMap(_.toLongOption)
+      .getOrElse(2L * 60 * 60 * 1000)
+
+  private val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "localhost" }
+
+  /** unique per (JVM, simulated process, acquisition) owner record */
+  private def leaseContent(): String = {
+    val tag = processTag.get
+    val uid = java.util.UUID.randomUUID().toString
+    s"${ProcessHandle.current().pid()}@$localHost " +
+      s"${System.currentTimeMillis()} $uid${if (tag.isEmpty) "" else s" $tag"}"
+  }
+
+  /** a holder is stale when its process is provably gone: same host →
+    * pid no longer alive (an unparseable pid counts as gone); remote
+    * host → older than the TTL */
+  private def leaseStale(content: String): Boolean = {
+    val parts = content.trim.split("\\s+")
+    val pidHost = parts.headOption.getOrElse("").split("@", 2)
+    val ts = parts.lift(1).flatMap(_.toLongOption).getOrElse(0L)
+    if (pidHost.lift(1).contains(localHost))
+      pidHost.headOption.flatMap(_.toLongOption).forall { p =>
+        val h = ProcessHandle.of(p)
+        !(h.isPresent && h.get().isAlive)
+      }
+    else System.currentTimeMillis() - ts > leaseTtlMs
+  }
+
+  /** claim the artifact's publish lease or throw with the holder's
+    * identity; breaks provably-stale leases (once, loudly) */
+  private[graft] def acquirePublishLease(dir: String, artifact: String): String = {
+    val path = leasePath(dir, artifact)
+    val mine = leaseContent()
+    var attempt = 0
+    while (attempt < 2) {
+      attempt += 1
+      val created =
+        try { LakeFs.createExclusive(path, mine); true }
+        catch { case _: java.io.IOException => false }
+      // read-back verify: on a check-then-act FS two near-simultaneous
+      // creators can both "succeed" — the surviving content names the
+      // one winner
+      val survivor =
+        try Some(LakeFs.readString(path))
+        catch { case _: java.io.IOException => None }
+      if (created && survivor.contains(mine)) return mine
+      survivor match {
+        case Some(held) if leaseStale(held) =>
+          System.err.println(s"[index] breaking stale publish lease on " +
+            s"$dir/$artifact (holder: ${held.trim})")
+          LakeFs.deleteFile(path)
+        case Some(held) =>
+          throw new IllegalStateException(
+            s"concurrent publish on $dir/$artifact: the publish lease " +
+              s"is held by ${held.trim} (this publisher lost the " +
+              "claim; retry after the holder finishes)")
+        case None => () // holder released between probe and read — retry
+      }
+    }
+    throw new IllegalStateException(
+      s"could not claim the publish lease on $dir/$artifact after a " +
+        "stale-break retry")
+  }
+
+  /** release only a lease this publisher owns — never delete a lease
+    * that was (out-of-contract) stolen and re-claimed by someone else */
+  private[graft] def releasePublishLease(dir: String, artifact: String,
+      mine: String): Unit = {
+    val path = leasePath(dir, artifact)
+    val held = try Some(LakeFs.readString(path))
+      catch { case _: java.io.IOException => None }
+    if (held.contains(mine)) LakeFs.deleteFile(path)
+  }
+
+  /** run one whole publish cycle under BOTH publisher locks: same-JVM
+    * publishers queue on the in-process lock, cross-process ones are
+    * serialized (or failed loudly) by the lease */
+  private def withPublishLease[A](dir: String, artifact: String)(
+      body: => A): A =
+    publishLockFor(dir, artifact).synchronized {
+      val mine = acquirePublishLease(dir, artifact)
+      try body
+      finally releasePublishLease(dir, artifact, mine)
+    }
 
   /** current published version: the highest `<artifact>.ptr.v<N>`
     * marker under `dir`, 0 when the artifact has never been published
@@ -190,11 +346,16 @@ object IndexCompact {
     * pointer is always the newest truth — a rebuild after a compact
     * bumps the version rather than writing a shadowed legacy tree. */
   def writeFresh(spark: SparkSession, dir: String, artifact: String,
-      df: DataFrame): Unit = {
+      df: DataFrame): Unit = withPublishLease(dir, artifact) {
     val next = currentVersion(dir, artifact) + 1
     val vdir = versionDir(dir, artifact, next)
     df.write.mode("overwrite").parquet(vdir)
     lockFor(dir, artifact).synchronized {
+      // belt: under the lease nobody else can have flipped — a raw
+      // out-of-contract writer is detected here, not silently shadowed
+      require(currentVersion(dir, artifact) < next,
+        s"publish collision on $dir/$artifact: version $next no longer " +
+          "newest at flip time (out-of-contract concurrent writer?)")
       LakeFs.writeString(ptrPath(dir, artifact, next), "")
       // the legacy flat tree gets the SAME one-cycle grace as a
       // previous version dir: on the migration flip (next == 1) a
@@ -324,7 +485,7 @@ object IndexCompact {
     * key, write the next version dir, flip the pointer */
   private def rewrite(spark: SparkSession, dir: String, artifact: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      foldStream: Boolean): Unit = {
+      foldStream: Boolean): Unit = withPublishLease(dir, artifact) {
     recover(spark, dir, artifact, destructive = true)
     val sidePath = streamPath(dir, artifact)
     // non-fold: main artifact only — an active ingest keeps appending
@@ -364,6 +525,11 @@ object IndexCompact {
       // pointer-era fold as that legacy state
       if (folding)
         LakeFs.writeStringAtomic(foldMarkerPath(dir, artifact), s"v$next")
+      // belt: under the lease nobody else can have flipped — detect an
+      // out-of-contract concurrent writer instead of shadowing it
+      require(currentVersion(dir, artifact) < next,
+        s"publish collision on $dir/$artifact: version $next no longer " +
+          "newest at flip time (out-of-contract concurrent writer?)")
       LakeFs.writeString(ptrPath(dir, artifact, next), "")
       if (folding) {
         LakeFs.deleteTree(sidePath)
@@ -411,9 +577,12 @@ object IndexCompact {
       foldStream: Boolean = false): Seq[String] = {
     // restore any crash-parked artifact BEFORE the existence probes —
     // a pre-pointer crash can leave only `.compact_old`, which must
-    // count as the artifact being present
+    // count as the artifact being present. NON-destructive (r11): the
+    // destructive sweep (gcStale, marker/scratch drops) deletes trees,
+    // so it may only run under the publish lease — rewrite() does it
+    // as its own first step, lease held.
     for (a <- Seq("codes.parquet", "bands.parquet", "fps.parquet", "sigs.parquet"))
-      recover(spark, dir, a, destructive = true)
+      recover(spark, dir, a)
     val done = scala.collection.mutable.ArrayBuffer.empty[String]
     if (artifactExists(dir, "codes.parquet")) {
       // one directory per IVF cell; rows within a file sorted by

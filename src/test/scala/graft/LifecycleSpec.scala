@@ -765,6 +765,110 @@ class CliSpec extends AnyFunSuite {
     assert(!LakeFs.exists(side))
   }
 
+  test("publish lease: two CROSS-PROCESS compactors — one wins, loser " +
+      "attributable, reads single-counted throughout") {
+    // The r10 contract left cross-process concurrent compaction out of
+    // contract (two compactors could allocate one version). The r11
+    // publish lease closes it: the spec runs two compactors that share
+    // NO in-process locks (distinct processTag ⇒ distinct lock-map
+    // instances, exactly like two JVMs — only the filesystem-level
+    // lease can serialize them) against one artifact on the graftfs:
+    // scheme, with a third "process" polling read() the whole time.
+    import graft.operators.IndexCompact
+    import graft.chain.LakeFs
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val e = Tables(spark, sf, "embeddings")
+    val idx = "graftfs:" + Files.createTempDirectory("graft_lease_fs").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(
+      e.filter(col("vec_id") % 2 === 0 || col("vec_id") < 16), idx)
+    val nBase = IndexCompact.read(spark, idx, "codes.parquet").count()
+    val vBase = IndexCompact.currentVersion(idx, "codes.parquet")
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reader = new Thread(() => {
+      IndexCompact.processTag.set("procR")
+      try while (!stop.get) {
+        val n = IndexCompact.read(spark, idx, "codes.parquet").count()
+        assert(n == nBase, s"concurrent read miscounted: $n != $nBase")
+      } catch { case t: Throwable => bad.set(t) }
+    })
+    reader.start()
+    try {
+      // deterministic collision: "process A" is mid-publish (holds the
+      // lease); "process B"'s compact must fail LOUDLY and name A
+      var leaseA: String = null
+      val tA = new Thread(() => {
+        IndexCompact.processTag.set("procA")
+        leaseA = IndexCompact.acquirePublishLease(idx, "codes.parquet")
+      })
+      tA.start(); tA.join(30000)
+      assert(leaseA != null, "process A failed to claim the lease")
+      val tB = new Thread(() => {
+        IndexCompact.processTag.set("procB")
+        try IndexCompact.compact(spark, idx)
+        catch { case t: Throwable => bad.compareAndSet(null, t) }
+      })
+      tB.start(); tB.join(60000)
+      val loser = bad.getAndSet(null)
+      assert(loser != null, "process B's compact succeeded while A held the lease")
+      assert(loser.getMessage.contains("publish lease is held by"),
+        s"loser's failure not attributable: ${loser.getMessage}")
+      assert(loser.getMessage.contains("@"),
+        s"loser's failure does not name the holder: ${loser.getMessage}")
+      // the losing compactor must not have flipped, GC'd the live tree,
+      // or left garbage that breaks reads
+      assert(IndexCompact.currentVersion(idx, "codes.parquet") == vBase)
+      assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nBase)
+      // A releases → B's retry wins and publishes a new version
+      val tRel = new Thread(() => {
+        IndexCompact.processTag.set("procA")
+        IndexCompact.releasePublishLease(idx, "codes.parquet", leaseA)
+      })
+      tRel.start(); tRel.join(30000)
+      val tB2 = new Thread(() => {
+        IndexCompact.processTag.set("procB")
+        try IndexCompact.compact(spark, idx)
+        catch { case t: Throwable => bad.compareAndSet(null, t) }
+      })
+      tB2.start(); tB2.join(120000)
+      assert(bad.get == null, s"retry after release failed: ${bad.get}")
+      assert(IndexCompact.currentVersion(idx, "codes.parquet") > vBase)
+      // the lease is released on the way out — a third publish from
+      // yet another process proceeds without a stale-break
+      assert(!LakeFs.exists(s"$idx/codes.parquet.publish_lock"))
+    } finally {
+      stop.set(true)
+      reader.join(120000)
+    }
+    assert(bad.get == null, s"concurrent read failed: ${bad.get}")
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nBase)
+  }
+
+  test("publish lease: a crashed holder's lease is broken by pid liveness") {
+    // a lease whose same-host pid is dead is a crash leftover — the
+    // next publisher breaks it (loudly) instead of deadlocking forever
+    import graft.operators.IndexCompact
+    import graft.chain.LakeFs
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val e = Tables(spark, sf, "embeddings")
+    val idx = "graftfs:" + Files.createTempDirectory("graft_lease_dead").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(
+      e.filter(col("vec_id") < 64), idx)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // a pid with no live process (scan down from pid_max's neighborhood)
+    val deadPid = (4000000L to 4000100L)
+      .find(p => !ProcessHandle.of(p).isPresent).get
+    LakeFs.writeString(s"$idx/codes.parquet.publish_lock",
+      s"$deadPid@$host ${System.currentTimeMillis()} dead-uid")
+    val before = IndexCompact.currentVersion(idx, "codes.parquet")
+    IndexCompact.compact(spark, idx) // breaks the stale lease, publishes
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") > before)
+    assert(!LakeFs.exists(s"$idx/codes.parquet.publish_lock"))
+  }
+
   test("index build/search/compact on a non-file:// Hadoop scheme") {
     // the publish protocol runs on the Hadoop FileSystem API and needs
     // only atomic single-object create (pointer markers) — object
