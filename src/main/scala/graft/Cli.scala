@@ -401,12 +401,19 @@ object Cli {
   def runDiffTest(args: Seq[String], spark: SparkSession,
       failOnMismatch: Boolean = true): Seq[graft.chain.DiffTest.Outcome] = {
     val usage = "usage: difftest --rpc URL --source-dir DIR " +
-      "[--blocks a:b] [--partitions N] [--js-tracer CODE]"
+      "[--blocks a:b] [--partitions N] [--js-tracer CODE] " +
+      "[--max-retries N] [--initial-backoff MS] " +
+      "[--compute-units-per-second N]"
     var rpc: Option[String] = None
     var sourceDir: Option[String] = None
     var blocks = "1000:1060"
     var partitions = 4
     var jsTracer = "{fake: true}"
+    // same retry surface as freeze (difftest against a flaky real node
+    // needs the production backoff path, not fail-fast)
+    var maxRetries = 0
+    var initialBackoffMs = 500L
+    var computeUnitsPerSecond = 50L
     var i = 0
     while (i < args.length) {
       def value(flag: String): String = flagValue(args, i, flag, usage)
@@ -416,6 +423,12 @@ object Cli {
         case "--blocks" => blocks = value("--blocks"); i += 1
         case "--partitions" => partitions = value("--partitions").toInt; i += 1
         case "--js-tracer" => jsTracer = value("--js-tracer"); i += 1
+        case "--max-retries" =>
+          maxRetries = value("--max-retries").toInt; i += 1
+        case "--initial-backoff" =>
+          initialBackoffMs = value("--initial-backoff").toLong; i += 1
+        case "--compute-units-per-second" =>
+          computeUnitsPerSecond = value("--compute-units-per-second").toLong; i += 1
         case other =>
           throw new IllegalArgumentException(s"unknown difftest flag $other; $usage")
       }
@@ -437,7 +450,9 @@ object Cli {
         s"difftest needs a contiguous a:b block range; $usage")
     }
     val outcomes = graft.chain.DiffTest.run(spark, ref, url, range,
-      partitions, jsTracer)
+      partitions, jsTracer, maxRetries = maxRetries,
+      initialBackoffMs = initialBackoffMs,
+      computeUnitsPerSecond = computeUnitsPerSecond)
     outcomes.foreach(o => println(o.describe))
     val failed = outcomes.filterNot(_.ok)
     println(s"difftest: ${outcomes.size - failed.size} pass, ${failed.size} fail")

@@ -178,10 +178,15 @@ object DiffTest {
   def run(spark: SparkSession, refDir: String, rpcUrl: String,
       range: BlockSyntax.Range, nParts: Int = 4,
       jsTracer: String = "{fake: true}",
-      byTxSampleBlock: Option[Long] = None): Seq[Outcome] = {
+      byTxSampleBlock: Option[Long] = None,
+      // retry knobs (r11): default 0 keeps difftest fail-fast against a
+      // healthy stub; the fault-injection harness turns them on to
+      // drive the production retry/backoff path end-to-end
+      maxRetries: Int = 0, initialBackoffMs: Long = 500,
+      computeUnitsPerSecond: Long = 50): Seq[Outcome] = {
     val live = java.nio.file.Files.createTempDirectory("graft_difftest_").toString
     try runOver(spark, refDir, rpcUrl, live, range, nParts, jsTracer,
-      byTxSampleBlock)
+      byTxSampleBlock, maxRetries, initialBackoffMs, computeUnitsPerSecond)
     finally {
       // the staged live bronze is a full corpus per invocation —
       // repeated CI sweeps would otherwise fill the host's tmp
@@ -191,19 +196,25 @@ object DiffTest {
 
   private def runOver(spark: SparkSession, refDir: String, rpcUrl: String,
       live: String, range: BlockSyntax.Range, nParts: Int,
-      jsTracer: String, byTxSampleBlock: Option[Long]): Seq[Outcome] = {
+      jsTracer: String, byTxSampleBlock: Option[Long],
+      maxRetries: Int, initialBackoffMs: Long,
+      computeUnitsPerSecond: Long): Seq[Outcome] = {
     // detect the chain id from the node like the freeze CLI does
     // (runImpl's loud-failure discipline): a hardcoded 1 would stamp
     // mainnet onto every live row and false-fail all 37+ datatypes the
     // moment the harness points at a non-mainnet node
     val cid = try
-      new RpcSource(RpcConfig(rpcUrl, chainId = 1, maxRetries = 0))
+      new RpcSource(RpcConfig(rpcUrl, chainId = 1, maxRetries = maxRetries,
+        initialBackoffMs = initialBackoffMs,
+        computeUnitsPerSecond = computeUnitsPerSecond))
         .fetchChainId()
     catch {
       case e: Exception => throw new IllegalStateException(
         s"could not detect the chain id from $rpcUrl: ${e.getMessage}", e)
     }
-    val src = new RpcSource(RpcConfig(rpcUrl, chainId = cid, maxRetries = 0))
+    val src = new RpcSource(RpcConfig(rpcUrl, chainId = cid,
+      maxRetries = maxRetries, initialBackoffMs = initialBackoffMs,
+      computeUnitsPerSecond = computeUnitsPerSecond))
     materializeBronzes(spark, src, refDir, live, range, nParts, jsTracer)
 
     def compare(name: String, c: DataFrame => Seq[String],

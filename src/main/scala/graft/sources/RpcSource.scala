@@ -285,6 +285,24 @@ class RpcSource(config: RpcConfig) extends Serializable {
     throw last
   }
 
+  /** transport-level sanity INSIDE the retry boundary: a truncated or
+    * garbled body (proxy hiccup, connection cut mid-stream, misbehaving
+    * gateway) must be refetched like a 429, not surface minutes later
+    * as a baffling parse error in a downstream extractor. The check is
+    * structural (first/last byte bracket balance), deliberately NOT a
+    * full JSON parse — responses are parsed exactly once downstream,
+    * and doubling that work in the fetch hot loop is the kind of
+    * per-byte cost that matters at 100 TB. A well-formed but
+    * semantically wrong body still surfaces at parse time as the real
+    * error it is. */
+  private def checkBody(s: String): String = {
+    val t = s.trim
+    require(t.nonEmpty && (t.head == '{' || t.head == '[') &&
+      (t.last == '}' || t.last == ']'),
+      s"malformed RPC response body: '${t.take(80)}'")
+    s
+  }
+
   private def post(client: HttpClient, body: String): String = {
     val req = HttpRequest.newBuilder(URI.create(config.url))
       .header("Content-Type", "application/json")
@@ -292,7 +310,7 @@ class RpcSource(config: RpcConfig) extends Serializable {
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200, s"RPC HTTP ${resp.statusCode()}")
-    resp.body()
+    checkBody(resp.body())
   }
 
   private def postAsync(client: HttpClient,
@@ -304,7 +322,10 @@ class RpcSource(config: RpcConfig) extends Serializable {
     client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
       .thenApply[String] { resp =>
         require(resp.statusCode() == 200, s"RPC HTTP ${resp.statusCode()}")
-        resp.body()
+        // same transport-sanity gate as the sync path: a truncated body
+        // fails the future, and the caller's fallback re-runs the batch
+        // through the synchronous retrying path
+        checkBody(resp.body())
       }
   }
 

@@ -5,9 +5,12 @@ import java.util.{Random => JRandom}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Deterministic scale-test corpus generator for the heavy-hitter
-  * scale-proof (round-8 brief item 3): emits `documents`, `embeddings`,
-  * `lineitem` and `part` tables shaped like the driver's testdata
+/** Deterministic scale-test corpus generator for the true-law
+  * scale-proof (round-8 brief item 3; extended to the FULL table set
+  * in r11): emits every TESTDATA.md table shaped like the driver's
+  * testdata — `documents`, `embeddings`, the relational star
+  * (`lineitem part orders supplier customer nation region`) and
+  * `events` (laws for each family in the section comments below)
   * (TESTDATA.md measured distributions at sf0.1: ~31-word per-language
   * vocab, 5 languages at the observed mix, 20 sources, 44-577 char
   * docs, ~0.2% planted exact dups + ~1% near dups; embeddings 64-dim
@@ -15,6 +18,8 @@ import org.apache.spark.sql.types._
   * 20k·m parts, 1k·m suppliers, 600k·m lines) at any multiplier `m`.
   *
   * Usage: runMain graft.tools.ScaleGen <outDir> <multiplier>
+  *        [table,table,...]   (optional subset, e.g. the 100× runs
+  *                             generate only documents,embeddings)
   *
   * The point is RATIO benchmarking: generate m=1 and m=10 with the
   * same generator, run the same queries on both, and the runtime ratio
@@ -51,20 +56,28 @@ object ScaleGen extends Serializable {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <outDir> <multiplier>")
+    require(args.length >= 2,
+      "usage: ScaleGen <outDir> <multiplier> [table,table,...]")
     val out = args(0)
     val m = args(1).toInt
+    // optional table subset (e.g. "documents,embeddings"): the 100×
+    // heavy-hitter runs need only the two content tables — generating
+    // 60M lineitem rows for a dedup-cluster timing would be waste
+    val only = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, m)
+    generate(spark, out, m, only)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, out: String, m: Int): Unit = {
+  def generate(spark: SparkSession, out: String, m: Int,
+      only: Option[Set[String]] = None): Unit = {
+    def want(t: String): Boolean = only.forall(_.contains(t))
     val nDocs = 5000L * m
     val nVecs = 2000L * m
     val nLines = 600000L * m
@@ -113,7 +126,7 @@ object ScaleGen extends Serializable {
         } else base
       Row(id, text, docLang(baseId), s"src${(id % 20).toInt}", text.length.toLong)
     }
-    spark.createDataFrame(docRdd, docSchema)
+    if (want("documents")) spark.createDataFrame(docRdd, docSchema)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // embeddings: 64-dim 10-center Gaussian mixture, 5% near-dups
@@ -138,7 +151,7 @@ object ScaleGen extends Serializable {
         } else vecOf(id)
       Row(id, e.toSeq, label)
     }
-    spark.createDataFrame(vecRdd, vecSchema)
+    if (want("embeddings")) spark.createDataFrame(vecRdd, vecSchema)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // relational star: FULL TESTDATA.md schemas at the sf0.1-measured
@@ -180,7 +193,7 @@ object ScaleGen extends Serializable {
         "FO".charAt(r.nextInt(2)).toString,
         ts(r, epoch95, 2500))
     }
-    spark.createDataFrame(liRdd, liSchema)
+    if (want("lineitem")) spark.createDataFrame(liRdd, liSchema)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     val adjs = IndexedSeq("large", "hot", "blue", "cold", "dark", "pale",
@@ -202,7 +215,7 @@ object ScaleGen extends Serializable {
         s"Brand#${1 + r.nextInt(25)}", pTypes(r.nextInt(6)),
         1 + r.nextInt(50), money(r, 900.0, 999.9))
     }
-    spark.createDataFrame(partRdd, partSchema)
+    if (want("part")) spark.createDataFrame(partRdd, partSchema)
       .write.mode("overwrite").parquet(s"$out/part.parquet")
 
     val ordSchema = StructType(Seq(
@@ -220,7 +233,7 @@ object ScaleGen extends Serializable {
         money(r, 1000.0, 500000.0), ts(r, epoch95, 2400),
         prios(r.nextInt(5)))
     }
-    spark.createDataFrame(ordRdd, ordSchema)
+    if (want("orders")) spark.createDataFrame(ordRdd, ordSchema)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     val supSchema = StructType(Seq(
@@ -232,7 +245,76 @@ object ScaleGen extends Serializable {
       val r = rng(9, id)
       Row(id, f"Supplier#$id%09d", r.nextInt(25), money(r, -1000.0, 10000.0))
     }
-    spark.createDataFrame(supRdd, supSchema)
+    if (want("supplier")) spark.createDataFrame(supRdd, supSchema)
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    // ---- r11: the remaining TESTDATA.md families, so the FULL suite
+    // runs under the true generator law (round-11 brief item 2). Laws
+    // measured against /root/testdata/sf0.1 (same discipline as the
+    // relational star above): customer 15k·m rows, uniform nationkey
+    // 0-24, acctbal ~U[-999.99, 9999.99], uniform 5-segment mix;
+    // events 100k·m rows over 1.5k·m users, ts uniform across 30 days
+    // of 2024-01, uniform 5-type mix, value ~Exp(mean 50) (measured
+    // median 34.9 ≈ 50·ln2, max 560 ≈ 50·ln(1e5)), props = the literal
+    // {"k": <0-99>} JSON; nation/region are FIXED dimensions (25/5
+    // rows, NATION_i → region i%5, canonical region names) — they do
+    // not scale with m, exactly like the testdata.
+
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType, false),
+      StructField("c_name", StringType, false),
+      StructField("c_nationkey", IntegerType, false),
+      StructField("c_acctbal", DoubleType, false),
+      StructField("c_mktsegment", StringType, false)))
+    val segs = IndexedSeq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")
+    val custRdd = spark.sparkContext.range(0L, nCusts, numSlices = 32).map { id =>
+      val r = rng(10, id)
+      Row(id, f"Customer#$id%09d", r.nextInt(25),
+        money(r, -999.99, 9999.99), segs(r.nextInt(5)))
+    }
+    if (want("customer")) spark.createDataFrame(custRdd, custSchema)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val nEvents = 100000L * m
+    val nUsers = 1500L * m
+    val evTypes = IndexedSeq("click", "error", "purchase", "signup", "view")
+    val epoch24 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("user_id", LongType, false),
+      StructField("event_type", StringType, false),
+      StructField("value", DoubleType, false),
+      StructField("props", StringType, false)))
+    val evRdd = spark.sparkContext.range(0L, nEvents, numSlices = 32).map { id =>
+      val r = rng(11, id)
+      val t = new java.sql.Timestamp(
+        epoch24 + (r.nextDouble() * 30.0 * 86400000.0).toLong)
+      val value = math.rint(-50.0 * math.log(
+        1.0 - r.nextDouble()) * 100.0) / 100.0
+      Row(id, t, r.nextLong(nUsers), evTypes(r.nextInt(5)), value,
+        s"""{"k": ${r.nextInt(100)}}""")
+    }
+    if (want("events")) spark.createDataFrame(evRdd, evSchema)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val natSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType, false),
+      StructField("n_name", StringType, false),
+      StructField("n_regionkey", IntegerType, false)))
+    if (want("nation")) spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 25).map(i =>
+        Row(i, s"NATION_$i", i % 5)), 1), natSchema)
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    val regSchema = StructType(Seq(
+      StructField("r_regionkey", IntegerType, false),
+      StructField("r_name", StringType, false)))
+    if (want("region")) spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq("AFRICA", "AMERICA", "ASIA",
+        "EUROPE", "MIDDLE EAST").zipWithIndex.map { case (n, i) =>
+        Row(i, n) }, 1), regSchema)
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
   }
 }

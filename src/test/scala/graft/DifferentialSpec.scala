@@ -479,6 +479,67 @@ object FixtureRpcServer {
   }
 }
 
+/** Fault-injecting reverse proxy in front of [[FixtureRpcServer]]: a
+  * deterministic share of requests is answered with the three transient
+  * failure classes a real provider shows — HTTP 429 (rate limit), a
+  * truncated/malformed JSON body (gateway hiccup), and a dropped
+  * connection — while the rest forward to the inner stub verbatim. The
+  * fault schedule keys off a global request counter (kinds at fixed
+  * residues mod `period`), so the injection is reproducible and the
+  * fault rate is `3/period`. */
+object FaultInjectingProxy {
+
+  case class Handle(url: String, faults: java.util.concurrent.atomic.AtomicLong,
+      forwarded: java.util.concurrent.atomic.AtomicLong, stop: () => Unit)
+
+  def start(targetUrl: String, period: Int): Handle = {
+    require(period >= 4, "period must leave room for the 3 fault residues")
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    val faults = new java.util.concurrent.atomic.AtomicLong(0)
+    val forwarded = new java.util.concurrent.atomic.AtomicLong(0)
+    val client = java.net.http.HttpClient.newHttpClient()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      def respond(status: Int, payload: String): Unit = {
+        val bytes = payload.getBytes(StandardCharsets.UTF_8)
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        exchange.sendResponseHeaders(status, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      }
+      (counter.incrementAndGet() % period) match {
+        case 1 =>
+          faults.incrementAndGet()
+          respond(429, """{"error":"too many requests"}""")
+        case 2 =>
+          faults.incrementAndGet()
+          // truncated mid-object: malformed JSON with a 200 status
+          respond(200, """{"jsonrpc":"2.0","id":0,"result":{"nu""")
+        case 3 =>
+          faults.incrementAndGet()
+          exchange.close() // dropped connection, no response at all
+        case _ =>
+          forwarded.incrementAndGet()
+          val req = java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(targetUrl))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers
+              .ofString(body, StandardCharsets.UTF_8))
+            .build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          respond(resp.statusCode(), resp.body())
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    Handle(s"http://127.0.0.1:${server.getAddress.getPort}/", faults,
+      forwarded, () => server.stop(0))
+  }
+}
+
 /** The cryo_test-style default-corpus differential sweep: the
   * reference's real correctness harness collects a pinned corpus of
   * datatypes through two collectors and diffs outputs per datatype
@@ -521,6 +582,33 @@ class DifferentialSpec extends AnyFunSuite {
       assert(outcomes.forall(_.ok),
         outcomes.filterNot(_.ok).map(_.describe).mkString("\n"))
     } finally h.stop()
+  }
+
+  test("difftest converges through injected faults: 429, malformed body, dropped connection") {
+    // round-11 brief item 7: the reference's retry semantics
+    // (args.rs:101-107 exponential backoff) under test END-TO-END, not
+    // unit-only — a fault proxy answers ~19% of calls with the three
+    // transient failure classes and the sweep must still come out
+    // row-identical on every datatype, through the SAME retrying()
+    // path production freeze uses. Backoff floor is shrunk via the
+    // compute-units knob (the 1 CU/req refill floor would otherwise
+    // put a 2 s sleep under every injected fault).
+    val h = FixtureRpcServer.start(spark, fixDir)
+    val p = FaultInjectingProxy.start(h.url, period = 16)
+    try {
+      val outcomes = Cli.runDiffTest(Seq("--rpc", p.url,
+        "--source-dir", fixDir, "--blocks", "1000:1060",
+        "--partitions", "4", "--max-retries", "8",
+        "--initial-backoff", "5",
+        "--compute-units-per-second", "1000000"), spark)
+      assert(outcomes.count(!_.datatype.contains("by-transaction")) == 37)
+      assert(outcomes.forall(_.ok),
+        outcomes.filterNot(_.ok).map(_.describe).mkString("\n"))
+      // the harness must not be vacuous: faults really were injected
+      // and real traffic really flowed through
+      assert(p.faults.get() > 10, s"only ${p.faults.get()} faults injected")
+      assert(p.forwarded.get() > 30, s"only ${p.forwarded.get()} forwarded")
+    } finally { p.stop(); h.stop() }
   }
 
   test("difftest against a NON-mainnet endpoint: chain id autodetects, all green") {
