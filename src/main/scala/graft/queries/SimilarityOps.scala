@@ -78,6 +78,43 @@ object SimilarityOps {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Cell-scoped near-dup pair generation — the CLUSTERED-corpus scale
+    * path. The r11 density curve (PLANS.md, bench_history/
+    * r11_density_curve.json) measured why this exists: sign-LSH's bits
+    * knob SATURATES on clustered embedding spaces — random hyperplanes
+    * rarely cut through a tight Gaussian cluster (split probability
+    * ~σ/|c| per plane), so buckets bottom out at cluster granularity
+    * and within-bucket pairwise stays density-quadratic no matter how
+    * many bits you add (measured: 68 s at 100× with bits=13 vs 71 s
+    * with bits=6). Data-ADAPTIVE cells (nearest-centroid, k grown with
+    * the corpus) split exactly where the data is dense: the same
+    * 100× corpus pairs in 6.5 s through cells. Recall profile differs
+    * from sign-LSH, stated not papered: LSH misses cross-bucket pairs
+    * probabilistically (0.58^bits at the 0.25 threshold); cells miss
+    * pairs straddling a cell boundary (nprobe=1 assignment) — both are
+    * the standard blocking trade, and genuine near-dups (cosine ≈ 1)
+    * land in one cell by construction. */
+  def neardupCellsOf(embeddings: DataFrame, nCents: Int = 16,
+      threshold: Double = 0.25, cellCap: Int = EmbBucketCap): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCents)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val sized = assignTo(embeddings, cents)
+      .select("vec_id", "centroid_id", "embedding")
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("centroid_id")))
+    val inPlay = sized.filter(col("csz") <= cellCap).drop("csz")
+    val a = inPlay.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = inPlay.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, "centroid_id")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) /
+          (sqrt(sumSq(col("emb_a"))) * sqrt(sumSq(col("emb_b")))))
+      .filter(col("cosine") > threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** SemDeDup cosine threshold — a vector whose cosine to a LOWER-id
     * vector in the same k-means cell exceeds this is a semantic
     * duplicate and is dropped. */
@@ -98,8 +135,14 @@ object SimilarityOps {
     * its max-prior cosine (NULL if none) and the keep verdict — the
     * audit-table discipline of q_doc_corpus_prep. */
   def semdedupOf(embeddings: DataFrame, threshold: Double = SemdedupTau,
-      cellCap: Int = EmbBucketCap): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < 16)
+      cellCap: Int = EmbBucketCap, nCents: Int = 16): DataFrame = {
+    // nCents is THE scale knob: production SemDeDup grows k with the
+    // corpus so cells stay ~constant-sized and the cell-quadratic
+    // pairwise stays linear in total (class doc above; the r11 density
+    // curve in PLANS.md measures exactly this — fixed k at 100× data
+    // is quadratic, k ∝ corpus is flat). 16 is the fixture-convention
+    // default the oracle pins.
+    val cents = embeddings.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val sized = assignTo(embeddings, cents)
       .select("vec_id", "centroid_id", "embedding")
@@ -434,6 +477,15 @@ object SimilarityOps {
     // the attainable tail; real corpora would run 16+ bits and ~0.9.
     "q_embed_neardup" -> { (s, dir) =>
       neardupOf(Tables(s, dir, "embeddings"))
+    },
+
+    // Cell-scoped near-dup pairs — the clustered-corpus twin of
+    // q_embed_neardup (see neardupCellsOf for why the bits knob can't
+    // scale a clustered space and cells can). Same pair contract
+    // (id_a < id_b, cosine > 0.25), blocking by nearest-centroid cell
+    // instead of sign bucket.
+    "q_embed_neardup_cells" -> { (s, dir) =>
+      neardupCellsOf(Tables(s, dir, "embeddings"))
     },
 
     // Symmetric int8 quantization — the storage/bandwidth half of the ANN
@@ -850,7 +902,8 @@ object SimilarityOps {
     * in-query (ivfpqSearchOf) or loaded from a persisted index
     * (searchIvfPqIndex). Queries carry (vec_id, embedding). */
   private def ivfpqSearchCore(queries: DataFrame, cents: DataFrame,
-      cb: DataFrame, codes: DataFrame, k: Int = 3): DataFrame = {
+      cb: DataFrame, codes: DataFrame, k: Int = 3,
+      pruneCodesToProbedCells: Boolean = false): DataFrame = {
     val w1 = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("centroid_id").asc)
     val probes = queries.crossJoin(broadcast(cents))
@@ -861,6 +914,23 @@ object SimilarityOps {
       .filter(col("rk") <= 2)
       .select(col("vec_id").as("q_id"), col("centroid_id"),
         graft.functions.VectorOps.sub(col("embedding"), col("c_emb")).as("qres"))
+    // Persisted-index path: turn the probe set into a LITERAL partition
+    // predicate on the codes scan. On a centroid_id-partitioned
+    // compacted artifact this is PLANNING-time directory pruning — the
+    // scan lists only the probed `centroid_id=` dirs (spec-pinned,
+    // PartitionFilters + numFiles in the executed plan); on a flat
+    // layout it pushes as an ordinary data filter. The collect is
+    // bounded by the CENTROID count (distinct probed cells ≤ nlist, a
+    // bounded-by-construction relation like the codebook), never by
+    // |queries|. Row-identity is free: a codes row outside the probed
+    // cells cannot match the probe join's centroid_id key anyway.
+    val prunedCodes =
+      if (!pruneCodesToProbedCells) codes
+      else {
+        val cells = probes.select("centroid_id").distinct()
+          .collect().map(_.get(0)).toSeq
+        codes.filter(col("centroid_id").isin(cells: _*))
+      }
     // the codebook is bounded by construction (M·K rows, KB-sized at
     // any parameter scale) — hint the broadcast so the LUT build never
     // degrades to a shuffled join on a size mis-estimate (the 256-cell
@@ -871,7 +941,7 @@ object SimilarityOps {
       .select(col("q_id"), col("centroid_id"), col("sub"), col("code"),
         floor(sumSq(graft.functions.VectorOps.sub(col("v"), col("c_v")))
           * lit(1048576L)).cast("long").as("qc"))
-    val approx = codes.join(broadcast(lut), Seq("centroid_id", "sub", "code"))
+    val approx = prunedCodes.join(broadcast(lut), Seq("centroid_id", "sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("c_id"))
       .agg(sum(col("qc")).as("adc_q"))
@@ -948,9 +1018,12 @@ object SimilarityOps {
       .withColumn("c_ss", sumSq(col("c_v")))
     // codes may be flat (fresh build), fragmented (streaming ingest) or
     // centroid_id-partitioned (post-compaction) — the pinned read
-    // restores one schema across all three layouts
+    // restores one schema across all three layouts; the probed-cell
+    // pruning below is what makes the compacted layout pay off (only
+    // the probed centroid_id= dirs are listed/scanned)
     val codes = graft.operators.IndexCompact.read(spark, dir, "codes.parquet")
-    ivfpqSearchCore(queries, cents, cb, codes)
+    ivfpqSearchCore(queries, cents, cb, codes,
+      pruneCodesToProbedCells = true)
   }
 
   /** IVF probe path: 16 seed centroids, nprobe=2, exact top-3 re-rank
@@ -1040,6 +1113,28 @@ object SimilarityOps {
         |FROM (SELECT vec_id, $duckBucket AS bucket FROM embeddings)
         |GROUP BY bucket""".stripMargin,
     "q_embed_neardup" -> duckNeardupSql,
+    "q_embed_neardup_cells" ->
+      s"""WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  ${duckDotCols("e.embedding", "c.c_emb")} /
+        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+        | FROM embeddings e, cents c),
+        |assign AS (
+        | SELECT vec_id, embedding, centroid_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |e AS (
+        | SELECT vec_id, embedding, centroid_id FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY centroid_id) AS csz FROM assign)
+        | WHERE csz <= $EmbBucketCap)
+        |SELECT id_a, id_b, cosine FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${duckDotCols("a.embedding", "b.embedding")} /
+        |   (sqrt(${duckSS("a.embedding")}) * sqrt(${duckSS("b.embedding")})) AS cosine
+        | FROM e a JOIN e b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+        |WHERE cosine > 0.25""".stripMargin,
     // min-label propagation converges to the component min — identical
     // argument to the q_doc_dedup_clusters oracle
     "q_embed_dedup_clusters" ->

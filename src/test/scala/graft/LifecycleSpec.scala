@@ -846,6 +846,77 @@ class CliSpec extends AnyFunSuite {
     assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nBase)
   }
 
+  test("compacted-index probe pruning: the codes scan lists ONLY probed centroid dirs") {
+    // The pointer-manifest layout's planning-time claim, pinned (r11
+    // brief item 5): after compaction the codes artifact is
+    // centroid_id-partitioned, and searchIvfPqIndex turns the probe
+    // set into a literal partition predicate — the executed plan's
+    // codes scan must carry PartitionFilters and open strictly fewer
+    // files than the artifact holds, at BOTH the fresh-compacted and
+    // the post-fold layout, with results hash-identical to the
+    // unpruned pre-compact search.
+    import graft.operators.IndexCompact
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val e = Tables(spark, sf, "embeddings")
+    val idx = Files.createTempDirectory("graft_prune_idx").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(e, idx)
+    // few queries ⇒ few probed cells (≤6 of 16): the prune must be
+    // OBSERVABLE as opened < total, which 10 queries' probe coverage
+    // could accidentally defeat
+    val queries = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val want = rows(graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx)) // flat layout, unpruned dirs
+
+    def codesScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => codesScans(a.executedPlan)
+      case s: QueryStageExec => codesScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(codesScans) ++
+        other.subqueries.flatMap(codesScans)
+    }
+    def assertPruned(tag: String): Unit = {
+      val df = graft.queries.SimilarityOps
+        .searchIvfPqIndex(spark, queries, idx)
+      assert(rows(df) == want, s"$tag: pruned search changed results")
+      val scans = codesScans(df.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains("codes.parquet")))
+      assert(scans.nonEmpty, s"$tag: no codes FileSourceScan found")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.references.exists(
+          _.name == "centroid_id")),
+        s"$tag: no centroid_id PartitionFilters on the codes scan " +
+          s"(filters: ${scan.partitionFilters})")
+      val opened = scan.metrics("numFiles").value
+      val total = IndexCompact.dataFileCount(idx, "codes.parquet")
+      println(s"[prune/$tag] codes scan opened $opened of $total files")
+      assert(opened > 0 && opened < total,
+        s"$tag: scan opened $opened of $total files — not pruned")
+    }
+
+    Cli.runIndex(Seq("compact", idx), spark)
+    assertPruned("fresh-compact")
+    // post-fold layout: append stream-side rows, fold, re-assert (the
+    // folded rows join the partitioned dirs; pruning must survive)
+    val side = IndexCompact.streamPath(idx, "codes.parquet")
+    spark.read.parquet(IndexCompact.resolvePath(idx, "codes.parquet"))
+      .limit(12).write.mode("append").parquet(side)
+    Cli.runIndex(Seq("compact", idx, "--fold-stream"), spark)
+    val post = graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx)
+    post.collect() // folded dup rows change adc sums; only shape is pinned
+    val scans = codesScans(post.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("codes.parquet")))
+    assert(scans.nonEmpty && scans.head.partitionFilters.exists(
+      _.references.exists(_.name == "centroid_id")))
+    val opened = scans.head.metrics("numFiles").value
+    val total = IndexCompact.dataFileCount(idx, "codes.parquet")
+    println(s"[prune/post-fold] codes scan opened $opened of $total files")
+    assert(opened > 0 && opened < total)
+  }
+
   test("publish lease: a crashed holder's lease is broken by pid liveness") {
     // a lease whose same-host pid is dead is a crash leftover — the
     // next publisher breaks it (loudly) instead of deadlocking forever
