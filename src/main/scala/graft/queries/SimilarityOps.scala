@@ -193,7 +193,7 @@ object SimilarityOps {
     * ×k expansion, no exchange. Norms use the same sequential
     * double-over-float fold as SumSqF32, so cosines are bit-identical
     * to the DataFrame form. */
-  private def collectCentroids(cents: DataFrame): graft.functions.CentroidIndex = {
+  private[queries] def collectCentroids(cents: DataFrame): graft.functions.CentroidIndex = {
     val rows = cents.select(col("centroid_id").cast("long"), col("c_emb"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

@@ -61,6 +61,41 @@ object TextOps {
     * the `.distinct()` this replaces paid a corpus-scale exchange to
     * dedup rows that never had cross-partition duplicates. The
     * decontamination family's set semantics start here. */
+  /** IVF-probed semantic decontamination (see q_doc_sem_decontam_ivf
+    * in `queries` for the full contract): both sides assign to
+    * `nCents` seed cells row-locally, train compares only against
+    * same-cell eval vectors. nCents is the scale knob (grow with the
+    * corpus like semdedupOf's k) — 16 is the fixture convention the
+    * oracle pins; the r11 density curve measures the scaled knob. */
+  def semDecontamIvfOf(e: DataFrame, nCents: Int = 16): DataFrame = {
+    val cents = e.filter(col("vec_id") < nCents)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val centsIdx = graft.queries.SimilarityOps.collectCentroids(cents)
+    def assign(df: DataFrame, idCol: String) = df
+      .select(col("vec_id").as(idCol), col("embedding"),
+        graft.functions.NearestCentroidF32(col("embedding"), centsIdx)
+          .as("nc"))
+      .select(col(idCol), col("nc.centroid_id").as("centroid_id"),
+        col("embedding"))
+    val ev = assign(e.filter(col("vec_id") % 10 === 0), "eval_id")
+      .select(col("centroid_id"), col("eval_id"),
+        col("embedding").as("e_emb"))
+    val dot = graft.functions.VectorOps.dot _
+    val ss = graft.functions.VectorOps.sumSq _
+    val tr = assign(e.filter(col("vec_id") % 10 =!= 0), "doc_id")
+    val sem = tr.join(ev, "centroid_id")
+      .withColumn("cosine", dot(col("embedding"), col("e_emb")) /
+        (sqrt(ss(col("embedding"))) * sqrt(ss(col("e_emb")))))
+      .groupBy("doc_id")
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_id"))).as("w"))
+      .select(col("doc_id"), col("w.cosine").as("max_cell_cosine"),
+        (-col("w.neg_id")).as("nearest_eval_id"))
+    tr.select("doc_id", "centroid_id")
+      .join(sem, Seq("doc_id"), "left")
+      .withColumn("flagged_sem",
+        coalesce(col("max_cell_cosine") >= 0.35, lit(false)))
+  }
+
   private def distinctShingleRows(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSql
     Tables(s, dir, "documents")
@@ -1721,6 +1756,27 @@ object TextOps {
         .withColumn("flagged", col("flagged_lex") || col("flagged_sem"))
     },
 
+    // The SCALE path for semantic decontamination. The exact variant
+    // above is |train|×|eval| by its semantics — the r11 100× curve
+    // measured it at 211× wall for 100× data (r11_sf100_true.json),
+    // the one heavy hitter whose cost is irreducible WITHOUT changing
+    // the contract. This operator changes it the way production does:
+    // both sides assign to the 16 seed cells ROW-LOCALLY
+    // (NearestCentroidF32 — no expansion, no window), and a train doc
+    // is compared only against eval vectors in its OWN cell — a
+    // co-partitioned join on centroid_id plus one partial-aggregable
+    // argmax. Cost is Σ|train_cell|·|eval_cell| instead of the full
+    // product; with k grown ∝ corpus (the semdedupOf knob) that is
+    // linear. Recall contract, stated not papered: nprobe=1 misses an
+    // eval neighbor sitting across a cell boundary; genuine
+    // contamination (cosine ≈ 1) co-assigns by construction. nprobe>1
+    // composes exactly like q_embed_ivf_recall_sweep's superset-probe
+    // union. Flag threshold and tie-break match the exact variant, so
+    // the two operators' outputs are directly comparable audits.
+    "q_doc_sem_decontam_ivf" -> { (s, dir) =>
+      semDecontamIvfOf(Tables(s, dir, "embeddings"))
+    },
+
     // Sliding-window chunking — the pretraining chunker: cut each
     // document into fixed-width token windows (W=32) with stride S=24
     // (8-token overlap keeps context across cuts). Pure Generate over
@@ -2290,6 +2346,44 @@ object TextOps {
         | s.max_eval_cosine >= 0.35e0 AS flagged_sem,
         | (l.contam_permille >= 200 OR s.max_eval_cosine >= 0.35e0) AS flagged
         |FROM lex l JOIN sem s ON l.doc_id = s.doc_id""".stripMargin,
+    "q_doc_sem_decontam_ivf" ->
+      s"""WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  list_reduce(list_transform(range(1, 65),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(e.embedding,
+        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(c.c_emb,
+        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
+        | FROM embeddings e, cents c),
+        |assign AS (
+        | SELECT vec_id, embedding, centroid_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |ev AS (SELECT centroid_id, vec_id AS eval_id, embedding AS e_emb
+        |  FROM assign WHERE vec_id % 10 = 0),
+        |tr AS (SELECT vec_id AS doc_id, centroid_id, embedding
+        |  FROM assign WHERE vec_id % 10 <> 0),
+        |sc AS (
+        | SELECT tr.doc_id, ev.eval_id,
+        |  list_reduce(list_transform(range(1, 65),
+        |    i -> CAST(tr.embedding[i] AS DOUBLE) * ev.e_emb[i]), (x, y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(tr.embedding,
+        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(ev.e_emb,
+        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
+        | FROM tr JOIN ev ON tr.centroid_id = ev.centroid_id),
+        |sem AS (
+        | SELECT doc_id, cosine AS max_cell_cosine, eval_id AS nearest_eval_id
+        | FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cosine DESC, eval_id ASC) AS rn
+        |   FROM sc) WHERE rn = 1)
+        |SELECT t.doc_id, t.centroid_id, s.max_cell_cosine,
+        | s.nearest_eval_id,
+        | coalesce(s.max_cell_cosine >= 0.35e0, FALSE) AS flagged_sem
+        |FROM tr t LEFT JOIN sem s ON t.doc_id = s.doc_id""".stripMargin,
     "q_doc_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $duckToks FROM documents),
         |c AS (

@@ -85,7 +85,9 @@ object DensityScale {
         run("clusters_cells", noop(
           graft.queries.TextOps.clustersOf(neardupCellsOf(e, nCents = nCents))
             .select(org.apache.spark.sql.functions.col("doc_id"),
-              org.apache.spark.sql.functions.col("cluster_id"))))
+              org.apache.spark.sql.functions.col("cluster_id")))),
+        run("semdecon_ivf_scaled", noop(
+          graft.queries.TextOps.semDecontamIvfOf(e, nCents = nCents)))
       ).flatten.toMap
       (m, bits, nCents, r)
     }
