@@ -116,6 +116,120 @@ object NearestCentroidF32 {
     GraftSql.column(NearestCentroidF32(GraftSql.expression(c), index))
 }
 
+/** Two-level centroid index: `supers` summarize the flat centroid set
+  * (their `ids` are POSITIONS into `children`), and `children(j)` holds
+  * the full centroids routed to super j. Closes the n·k assignment term
+  * of the k-grows-with-corpus recipe (semdedupOf / neardupCellsOf
+  * scaladocs): flat assignment scans all k centroids per row; two-level
+  * scans ~√k supers + that super's ~√k children — 2√k, the standard
+  * coarse-quantizer shape (IVF's own trick applied to assignment).
+  * APPROXIMATE by contract: the nearest child within the nearest super
+  * is not always the global argmax — the boundary-miss trade every
+  * hierarchical quantizer makes, stated where it is used. */
+final class Centroid2LevelIndex(val supers: CentroidIndex,
+    val children: Array[CentroidIndex]) extends Serializable
+
+object Centroid2LevelIndex {
+
+  /** route a flat centroid set under its first `nSupers` members (the
+    * lowest-id seed convention every fixture query uses): each centroid
+    * goes to its nearest super by the SAME cosine/tie fold as row
+    * assignment. Driver-side over the bounded centroid set. */
+  def build(flat: CentroidIndex, nSupers: Int): Centroid2LevelIndex = {
+    require(nSupers > 0 && nSupers <= flat.ids.length,
+      s"nSupers $nSupers out of range for ${flat.ids.length} centroids")
+    val superVecs = flat.vecs.take(nSupers)
+    val superNorms = flat.norms.take(nSupers)
+    val routed = Array.fill(nSupers)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < flat.ids.length) {
+      val v = flat.vecs(i)
+      var best = 0
+      var bestCos = 0.0
+      var first = true
+      var j = 0
+      while (j < nSupers) {
+        val s = superVecs(j)
+        if (s.length == v.length) {
+          var dot = 0.0
+          var k = 0
+          while (k < v.length) { dot += v(k).toDouble * s(k).toDouble; k += 1 }
+          var ss = 0.0
+          var k2 = 0
+          while (k2 < v.length) { ss += v(k2).toDouble * v(k2).toDouble; k2 += 1 }
+          val cos = dot / (math.sqrt(ss) * superNorms(j))
+          val better =
+            if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(bestCos)
+            else cos > bestCos
+          if (first || better) { bestCos = cos; best = j; first = false }
+        }
+        j += 1
+      }
+      routed(best) += i
+      i += 1
+    }
+    // a super can end up empty when its anchor vector has an identical
+    // lower-position twin (ties route to the lowest super) — give it
+    // back its own anchor so a row assigned there never resolves null;
+    // the anchor's dual membership is harmless (same id, same vector)
+    var g = 0
+    while (g < nSupers) { if (routed(g).isEmpty) routed(g) += g; g += 1 }
+    val children = routed.map { members =>
+      new CentroidIndex(members.map(flat.ids(_)).toArray,
+        members.map(flat.vecs(_)).toArray,
+        members.map(flat.norms(_)).toArray)
+    }
+    new Centroid2LevelIndex(
+      new CentroidIndex(Array.tabulate(nSupers)(_.toLong),
+        superVecs, superNorms),
+      children)
+  }
+}
+
+/** embedding → struct(centroid_id, cosine) via the two-level route:
+  * nearest super first, then nearest child within it. Same output
+  * shape, fold arithmetic and tie order as NearestCentroidF32 (both
+  * legs reuse its compute). */
+case class NearestCentroid2LevelF32(child: Expression,
+    index: Centroid2LevelIndex) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroid2LevelF32.compute(input.asInstanceOf[ArrayData], index)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cent2Index", index,
+      "graft.functions.Centroid2LevelIndex")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (InternalRow)
+         |  graft.functions.NearestCentroid2LevelF32.compute($c, $ref);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid2LevelF32 =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid_2level_f32"
+}
+
+object NearestCentroid2LevelF32 {
+  def compute(arr: ArrayData, idx: Centroid2LevelIndex): InternalRow = {
+    val s = NearestCentroidF32.compute(arr, idx.supers)
+    if (s == null) return null
+    val group = idx.children(s.getLong(0).toInt)
+    NearestCentroidF32.compute(arr, group)
+  }
+
+  def apply(c: Column, index: Centroid2LevelIndex): Column =
+    GraftSql.column(NearestCentroid2LevelF32(GraftSql.expression(c), index))
+}
+
 /** vector → array<int> of M nearest-codeword codes (one per subspace) */
 case class PqEncodeF32(child: Expression, index: CodebookIndex)
     extends UnaryExpression {

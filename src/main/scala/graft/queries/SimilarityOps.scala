@@ -95,10 +95,12 @@ object SimilarityOps {
     * the standard blocking trade, and genuine near-dups (cosine ≈ 1)
     * land in one cell by construction. */
   def neardupCellsOf(embeddings: DataFrame, nCents: Int = 16,
-      threshold: Double = 0.25, cellCap: Int = EmbBucketCap): DataFrame = {
+      threshold: Double = 0.25, cellCap: Int = EmbBucketCap,
+      assignSupers: Int = 0): DataFrame = {
     val cents = embeddings.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val sized = assignTo(embeddings, cents)
+    val sized = (if (assignSupers > 0) assignTo2(embeddings, cents, assignSupers)
+      else assignTo(embeddings, cents))
       .select("vec_id", "centroid_id", "embedding")
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("centroid_id")))
     val inPlay = sized.filter(col("csz") <= cellCap).drop("csz")
@@ -135,7 +137,8 @@ object SimilarityOps {
     * its max-prior cosine (NULL if none) and the keep verdict — the
     * audit-table discipline of q_doc_corpus_prep. */
   def semdedupOf(embeddings: DataFrame, threshold: Double = SemdedupTau,
-      cellCap: Int = EmbBucketCap, nCents: Int = 16): DataFrame = {
+      cellCap: Int = EmbBucketCap, nCents: Int = 16,
+      assignSupers: Int = 0): DataFrame = {
     // nCents is THE scale knob: production SemDeDup grows k with the
     // corpus so cells stay ~constant-sized and the cell-quadratic
     // pairwise stays linear in total (class doc above; the r11 density
@@ -144,7 +147,12 @@ object SimilarityOps {
     // default the oracle pins.
     val cents = embeddings.filter(col("vec_id") < nCents)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val sized = assignTo(embeddings, cents)
+    // assignSupers > 0 swaps in the two-level coarse-quantized
+    // assignment (~2√k dots/row) — the n·k term's fix at large k
+    val assigned =
+      if (assignSupers > 0) assignTo2(embeddings, cents, assignSupers)
+      else assignTo(embeddings, cents)
+    val sized = assigned
       .select("vec_id", "centroid_id", "embedding")
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("centroid_id")))
     val inPlay = sized.filter(col("csz") <= cellCap)
@@ -328,6 +336,19 @@ object SimilarityOps {
     * row-local NearestCentroidF32 index, so assignment is a pure
     * projection over the corpus — no ×k expansion, no exchange, no
     * sort. Returns (vec_id, centroid_id, embedding, cosine). */
+  /** assignTo through the two-level coarse quantizer (see
+    * Centroid2LevelIndex): ~2√k dots per row instead of k. Approximate
+    * by the coarse-quantizer contract; same output shape. */
+  private[queries] def assignTo2(e: DataFrame, cents: DataFrame,
+      nSupers: Int): DataFrame = {
+    val idx2 = graft.functions.Centroid2LevelIndex.build(
+      collectCentroids(cents), nSupers)
+    e.select(col("vec_id"), col("embedding"),
+      graft.functions.NearestCentroid2LevelF32(col("embedding"), idx2).as("nc"))
+      .select(col("vec_id"), col("nc.centroid_id").as("centroid_id"),
+        col("embedding"), col("nc.cosine").as("cosine"))
+  }
+
   private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),
       graft.functions.NearestCentroidF32(col("embedding"),
@@ -517,6 +538,28 @@ object SimilarityOps {
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       assignTo(e, cents).select("vec_id", "centroid_id", "cosine")
+    },
+
+    // Two-level (coarse-quantized) cell assignment — the closing move
+    // on the k-grows-with-corpus recipe's n·k assignment term (see
+    // Centroid2LevelIndex): route to the nearest of √k supers, then
+    // argmax only that super's children — ~2√k dot products per row
+    // instead of k, still one row-local codegen expression, no
+    // expansion, no exchange. APPROXIMATE vs the flat argmax by the
+    // standard coarse-quantizer boundary trade; the oracle mirrors the
+    // two-level semantics exactly (route centroids and vectors to
+    // supers, argmax within the group), so approximation is the
+    // DEFINED contract, not drift. Fixture scale: 16 cells, 4 supers.
+    "q_embed_ivf_assign_2level" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      val idx2 = graft.functions.Centroid2LevelIndex.build(
+        collectCentroids(cents), nSupers = 4)
+      e.select(col("vec_id"),
+        graft.functions.NearestCentroid2LevelF32(col("embedding"), idx2).as("nc"))
+        .select(col("vec_id"), col("nc.centroid_id").as("centroid_id"),
+          col("nc.cosine").as("cosine"))
     },
 
     // k-means training, one oracle-checked Lloyd step: assignment to the
@@ -1197,6 +1240,36 @@ object SimilarityOps {
         |SELECT s.vec_id, s.centroid_id, m.max_prior_cosine,
         | coalesce(m.max_prior_cosine <= $SemdedupTau, TRUE) AS keep
         |FROM sized s LEFT JOIN sims m ON s.vec_id = m.vec_id""".stripMargin,
+    "q_embed_ivf_assign_2level" ->
+      s"""WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |supers AS (
+        | SELECT centroid_id AS super_id, c_emb AS s_emb FROM cents WHERE centroid_id < 4),
+        |croute AS (
+        | SELECT centroid_id, c_emb, super_id FROM (
+        |  SELECT c.centroid_id, c.c_emb, s.super_id,
+        |   row_number() OVER (PARTITION BY c.centroid_id ORDER BY
+        |    ${duckDotCols("c.c_emb", "s.s_emb")} /
+        |     (sqrt(${duckSS("c.c_emb")}) * sqrt(${duckSS("s.s_emb")})) DESC,
+        |    s.super_id ASC) AS rk
+        |  FROM cents c, supers s) WHERE rk = 1),
+        |vroute AS (
+        | SELECT vec_id, embedding, super_id FROM (
+        |  SELECT e.vec_id, e.embedding, s.super_id,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    ${duckDotCols("e.embedding", "s.s_emb")} /
+        |     (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("s.s_emb")})) DESC,
+        |    s.super_id ASC) AS rk
+        |  FROM embeddings e, supers s) WHERE rk = 1)
+        |SELECT vec_id, centroid_id, cosine FROM (
+        | SELECT v.vec_id, c.centroid_id,
+        |  ${duckDotCols("v.embedding", "c.c_emb")} /
+        |   (sqrt(${duckSS("v.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine,
+        |  row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |   ${duckDotCols("v.embedding", "c.c_emb")} /
+        |    (sqrt(${duckSS("v.embedding")}) * sqrt(${duckSS("c.c_emb")})) DESC,
+        |   c.centroid_id ASC) AS rk
+        | FROM vroute v JOIN croute c ON v.super_id = c.super_id) WHERE rk = 1""".stripMargin,
     "q_embed_kmeans_step" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),

