@@ -201,6 +201,11 @@ object SimilarityOps {
     * ×k expansion, no exchange. Norms use the same sequential
     * double-over-float fold as SumSqF32, so cosines are bit-identical
     * to the DataFrame form. */
+  /** public face of collectCentroids for the streaming twins (the
+    * bounded-by-construction contract is the caller's, as everywhere) */
+  def collectCentroidsOf(cents: DataFrame): graft.functions.CentroidIndex =
+    collectCentroids(cents)
+
   private[queries] def collectCentroids(cents: DataFrame): graft.functions.CentroidIndex = {
     val rows = cents.select(col("centroid_id").cast("long"), col("c_emb"))
       .collect()

@@ -252,6 +252,112 @@ object FollowMode {
       }
   }
 
+  case class SemVerdict(vec_id: Long, centroid_id: Long,
+      max_prior_cosine: Option[Double], keep: Boolean)
+  case class SemMember(id: Long, emb: Seq[Float], best: Option[Double])
+  case class SemCell(members: Seq[SemMember])
+
+  /** Streaming SemDeDup — the incremental form of
+    * SimilarityOps.semdedupOf over the cell blocking the r11 density
+    * curve proved out: arriving vectors assign to their nearest
+    * centroid ROW-LOCALLY (NearestCentroidF32 over the bounded static
+    * centroid set — the only argmin form legal upstream of stateful
+    * ops, same as encodeStream), and the cell keys the state. Each
+    * admitted arrival scores exact cosine against every LOWER-id
+    * member of its cell; because a lower-id vector can arrive LATE,
+    * verdicts are emitted in Update mode and a late arrival RE-EMITS
+    * the raised verdict of every higher-id member it beats. State
+    * carries each member's RUNNING max-prior, so every emitted verdict
+    * is the member's true verdict as of that trigger — monotone
+    * refinement: the latest (equivalently the max-prior-max) row per
+    * vec_id equals the batch semdedupOf verdict regardless of arrival
+    * order (spec-pinned across interleaved waves). In-state folds
+    * reuse the DotF32/SumSqF32 sequential order, so cosines are
+    * bit-identical to batch. NaN mirrors Spark comparison semantics
+    * (NaN > tau ⇒ keep = false). Cap semantics mirror
+    * indexDedupStream's documented caveat: admission is
+    * first-arrival-capped per cell, so verdicts equal batch whenever
+    * no cell exceeds the cap (batch skips pairwise for a whole
+    * mega-cell, which a stream cannot know in advance); non-admitted
+    * overflow emits the NULL-prior keep=true the batch mega-cell path
+    * produces. */
+  def semdedupStream(spark: SparkSession, vecs: DataFrame,
+      cents: DataFrame, threshold: Double = graft.queries.SimilarityOps.SemdedupTau,
+      cellCap: Int = graft.queries.SimilarityOps.EmbBucketCap): org.apache.spark.sql.Dataset[SemVerdict] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val centsIdx = graft.queries.SimilarityOps.collectCentroidsOf(cents)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def norm(a: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val v = a(i).toDouble; acc += v * v; i += 1 }
+      math.sqrt(acc)
+    }
+    // Spark total-order flavor: NaN beats every real value (the batch
+    // window/aggregate ranking the fold mirrors)
+    def beats(cos: Double, cur: Option[Double]): Boolean = cur match {
+      case None => true
+      case Some(p) => cos > p ||
+        (java.lang.Double.isNaN(cos) && !java.lang.Double.isNaN(p))
+    }
+    def keepOf(best: Option[Double]): Boolean = best match {
+      case None => true
+      case Some(b) => !(b > threshold) && !java.lang.Double.isNaN(b)
+    }
+    vecs.select(
+      graft.functions.NearestCentroidF32(col("embedding"), centsIdx)
+        .getField("centroid_id").as("bucket"),
+      col("vec_id"), col("embedding").as("emb"))
+      .as[VecRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[VecRow], state: GroupState[SemCell]) =>
+          val prev = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val seen = prev.map(_.id).toSet
+          val arrivals = rows.map(r => r.vec_id -> r.emb).toArray
+            .distinctBy(_._1).sortBy(_._1)
+            .filterNot(r => seen(r._1))
+          val admitted = arrivals.take(math.max(0, cellCap - prev.size))
+          val overflow = arrivals.drop(admitted.length)
+          val out = scala.collection.mutable.LinkedHashMap.empty[Long, SemVerdict]
+          val cur = scala.collection.mutable.ArrayBuffer.empty[SemMember]
+          cur ++= prev
+          val curNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+          prev.foreach(m => curNorms += norm(m.emb))
+          admitted.foreach { case (id, e) =>
+            val ne = norm(e)
+            var best: Option[Double] = None
+            var j = 0
+            while (j < cur.length) {
+              val m = cur(j)
+              val cos = dot(e, m.emb) / (ne * curNorms(j))
+              if (m.id < id) {
+                if (beats(cos, best)) best = Some(cos)
+              } else if (beats(cos, m.best)) {
+                // late lower-id arrival raises an existing member's
+                // verdict: update state AND re-emit its true verdict
+                cur(j) = m.copy(best = Some(cos))
+                out(m.id) = SemVerdict(m.id, cell, Some(cos),
+                  keepOf(Some(cos)))
+              }
+              j += 1
+            }
+            out(id) = SemVerdict(id, cell, best, keepOf(best))
+            cur += SemMember(id, e, best)
+            curNorms += ne
+          }
+          overflow.foreach { case (id, _) =>
+            out(id) = SemVerdict(id, cell, None, keep = true)
+          }
+          if (admitted.nonEmpty) state.update(SemCell(cur.toSeq))
+          out.valuesIterator
+      }
+  }
+
   /** Streaming shard dedup against a FROZEN persisted text index
     * (TextOps.saveTextIndex artifacts) — the incremental half of the
     * q_doc_index_dedup lifecycle, mirroring encodeStream on the ANN

@@ -1954,6 +1954,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming SemDeDup equals batch verdicts across out-of-order waves") {
+    // the cell-blocked streaming twin: wave 1 carries the EVEN ids,
+    // wave 2 the odd — so lower-id members routinely arrive AFTER
+    // higher-id ones and the late-arrival re-emission path is what is
+    // under test. Folding emitted Update rows by max prior per vec_id
+    // must reproduce the batch semdedupOf verdict exactly (cosines
+    // bit-equal — the in-state fold preserves the kernel order).
+    val src = Files.createTempDirectory("graft_sds_src").toString
+    val base = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    // plant one guaranteed semantic dup (an exact copy under a higher
+    // id): the fixture's planted near-dups can all sit below tau at
+    // the spec's small sf, and the drop path must not go untested
+    val clone = base.filter(col("vec_id") === 20)
+      .select(lit(1000000L).as("vec_id"), col("embedding"))
+    val vecs = base.unionByName(clone)
+    val cents = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    vecs.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    vecs.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src, vecs.schema,
+      maxFilesPerTrigger = 1)
+    val q = FollowMode.semdedupStream(spark, stream, cents).writeStream
+      .outputMode("update").format("memory").queryName("sds_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // monotone refinement: the max prior across a vec's emitted rows is
+    // its final verdict (NaN ranks greatest, like the batch ranking)
+    val got = spark.sql(
+      """SELECT vec_id, first(centroid_id) AS centroid_id,
+        |  max(max_prior_cosine) AS max_prior_cosine
+        |FROM sds_out GROUP BY vec_id""".stripMargin)
+      .withColumn("keep",
+        coalesce(col("max_prior_cosine") <=
+          graft.queries.SimilarityOps.SemdedupTau, lit(true)))
+      .collect().map(r => r.getAs[Long]("vec_id") -> (
+        r.getAs[Long]("centroid_id"),
+        Option(r.get(r.fieldIndex("max_prior_cosine"))),
+        r.getAs[Boolean]("keep"))).toMap
+    val want = graft.queries.SimilarityOps.semdedupOf(vecs)
+      .collect().map(r => r.getAs[Long]("vec_id") -> (
+        r.getAs[Long]("centroid_id"),
+        Option(r.get(r.fieldIndex("max_prior_cosine"))),
+        r.getAs[Boolean]("keep"))).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // not vacuous: real drops and real priors exist on this corpus
+    assert(got.values.exists(!_._3))
+    assert(got.values.exists(_._2.isDefined))
+  }
+
   test("incremental freeze follows the head and writes completed chunks once") {
     val fixDir = graft.queries.ChainQueries.FixDir
     val src = Files.createTempDirectory("graft_if_src").toString
