@@ -106,10 +106,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * detected (same host: pid liveness; remote: TTL age-out) and their
   * leases broken. Readers never take the lease — read-during-publish,
   * in or across processes, stays safe by the pointer grace window.
-  * Residuals, stated not papered: pid-reuse on the holder's host can
-  * delay a stale-break until the TTL; a REMOTE publisher legitimately
-  * exceeding GRAFT_PUBLISH_LEASE_TTL_MS is out of contract (standard
-  * lease caveat). */
+  * The lease RENEWS after each long tree write (age tracks progress,
+  * not start) and the pointer flip is GATED on a still-owner re-check
+  * — a publisher whose lease was stolen (TTL expiry on a remote host,
+  * pid reuse, out-of-contract deletion) aborts LOUDLY without
+  * flipping instead of silently double-publishing. Residuals, stated
+  * not papered: pid-reuse on the holder's host can delay a
+  * stale-break until the TTL; a single write longer than
+  * GRAFT_PUBLISH_LEASE_TTL_MS on a remote host can still be stolen
+  * mid-write — the flip gate then converts that to an abort, never a
+  * corrupt publish. */
 object IndexCompact {
 
   private def sidecarPath(dir: String, artifact: String) =
@@ -278,15 +284,50 @@ object IndexCompact {
     if (held.contains(mine)) LakeFs.deleteFile(path)
   }
 
+  /** live handle on a held publish lease. `renew()` refreshes the
+    * timestamp (call after the long tree write so a multi-hour
+    * publish's lease age tracks its PROGRESS, not its start — the
+    * remote-TTL steal window shrinks to one write's duration);
+    * `assertStillOwner()` is the FLIP GATE: called immediately before
+    * the pointer create, it turns the residual steal classes (TTL
+    * expiry on a remote host, pid reuse, out-of-contract deletion)
+    * from a silent double-publish into a loud abort — a publisher that
+    * lost its lease never flips. */
+  private[graft] final class PublishLease(dir: String, artifact: String,
+      private var mine: String) {
+    private def held: Option[String] =
+      try Some(LakeFs.readString(leasePath(dir, artifact)))
+      catch { case _: java.io.IOException => None }
+    def assertStillOwner(): Unit = {
+      val h = held
+      require(h.contains(mine),
+        s"publish lease on $dir/$artifact lost mid-cycle (stolen or " +
+          s"expired): now ${h.map(_.trim).getOrElse("<absent>")} — " +
+          "aborting without flipping")
+    }
+    def renew(): Unit = {
+      assertStillOwner()
+      val next = leaseContent()
+      // in-place rewrite read concurrently by other claimants' probes →
+      // atomic replace, never a truncate window
+      LakeFs.writeStringAtomic(leasePath(dir, artifact), next)
+      mine = next
+    }
+    def release(): Unit = releasePublishLease(dir, artifact, mine)
+  }
+
   /** run one whole publish cycle under BOTH publisher locks: same-JVM
     * publishers queue on the in-process lock, cross-process ones are
-    * serialized (or failed loudly) by the lease */
+    * serialized (or failed loudly) by the lease. The body receives the
+    * lease handle: renew() after long writes, assertStillOwner() as
+    * the flip gate. */
   private def withPublishLease[A](dir: String, artifact: String)(
-      body: => A): A =
+      body: PublishLease => A): A =
     publishLockFor(dir, artifact).synchronized {
-      val mine = acquirePublishLease(dir, artifact)
-      try body
-      finally releasePublishLease(dir, artifact, mine)
+      val lease = new PublishLease(dir, artifact,
+        acquirePublishLease(dir, artifact))
+      try body(lease)
+      finally lease.release()
     }
 
   /** current published version: the highest `<artifact>.ptr.v<N>`
@@ -346,11 +387,13 @@ object IndexCompact {
     * pointer is always the newest truth — a rebuild after a compact
     * bumps the version rather than writing a shadowed legacy tree. */
   def writeFresh(spark: SparkSession, dir: String, artifact: String,
-      df: DataFrame): Unit = withPublishLease(dir, artifact) {
+      df: DataFrame): Unit = withPublishLease(dir, artifact) { lease =>
     val next = currentVersion(dir, artifact) + 1
     val vdir = versionDir(dir, artifact, next)
     df.write.mode("overwrite").parquet(vdir)
+    lease.renew() // the tree write was the long step
     lockFor(dir, artifact).synchronized {
+      lease.assertStillOwner() // the flip gate: never flip a lost lease
       // belt: under the lease nobody else can have flipped — a raw
       // out-of-contract writer is detected here, not silently shadowed
       require(currentVersion(dir, artifact) < next,
@@ -485,7 +528,7 @@ object IndexCompact {
     * key, write the next version dir, flip the pointer */
   private def rewrite(spark: SparkSession, dir: String, artifact: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      foldStream: Boolean): Unit = withPublishLease(dir, artifact) {
+      foldStream: Boolean): Unit = withPublishLease(dir, artifact) { lease =>
     recover(spark, dir, artifact, destructive = true)
     val sidePath = streamPath(dir, artifact)
     // non-fold: main artifact only — an active ingest keeps appending
@@ -504,6 +547,7 @@ object IndexCompact {
     val w = shaped.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(vdir)
+    lease.renew() // the rewrite was the long step
     // sidecar first (layout-independent content: same columns before
     // and after the flip), then — when folding — the fold marker
     // naming the target version (recover() compares it to the current
@@ -514,6 +558,7 @@ object IndexCompact {
     // lock so a concurrent read()'s recovery can neither misread the
     // marker mid-write nor GC the tree being published.
     lockFor(dir, artifact).synchronized {
+      lease.assertStillOwner() // the flip gate: never flip a lost lease
       // atomic replace, not create(overwrite): the sidecar is the one
       // pointer-layout file rewritten IN PLACE, and a cross-process
       // reader must see old-or-new bytes, never a truncated file

@@ -917,6 +917,60 @@ class CliSpec extends AnyFunSuite {
     assert(opened > 0 && opened < total)
   }
 
+  test("publish lease: a mid-cycle steal aborts the flip, never double-publishes") {
+    // the flip gate: a publisher whose lease is (out-of-contract)
+    // stolen between its tree write and its flip must abort loudly
+    // WITHOUT creating the pointer — the stolen-from side never
+    // shadows the thief's publish. Simulated by overwriting the lease
+    // with a foreign owner while the publisher sleeps inside its
+    // parquet write (a listener on the scheme'd FS would be overkill:
+    // the steal just races the write window, which the barrier makes
+    // deterministic by stealing BEFORE release).
+    import graft.operators.IndexCompact
+    import graft.chain.LakeFs
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val e = Tables(spark, sf, "embeddings")
+    val idx = "graftfs:" + Files.createTempDirectory("graft_steal_fs").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(e.filter(col("vec_id") < 64), idx)
+    val v0 = IndexCompact.currentVersion(idx, "codes.parquet")
+    val lease = s"$idx/codes.parquet.publish_lock"
+    val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    // the thief thread waits until the publisher holds the lease, then
+    // replaces it with a foreign identity
+    val stolen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thief = new Thread(() => {
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (!LakeFs.exists(lease) && System.currentTimeMillis() < deadline)
+          Thread.sleep(5)
+        LakeFs.writeStringAtomic(lease,
+          s"99@other-host ${System.currentTimeMillis()} thief-uid")
+        stolen.set(true)
+      } catch { case t: Throwable => bad.set(t) }
+    })
+    thief.start()
+    val err = intercept[Throwable] {
+      // loop until the steal actually lands inside a cycle: compact is
+      // fast enough that the first attempt may finish pre-steal, in
+      // which case the NEXT publish must hit the foreign lease
+      var n = 0
+      while (n < 5) { IndexCompact.compact(spark, idx); n += 1 }
+    }
+    thief.join(60000)
+    assert(bad.get == null, s"thief failed: ${bad.get}")
+    assert(stolen.get, "the steal never happened")
+    val msg = String.valueOf(err.getMessage)
+    assert(msg.contains("lost mid-cycle") || msg.contains("held by"),
+      s"failure not attributable to the lease: $msg")
+    // whatever the interleaving: the artifact is readable and any
+    // version that WAS published is a complete tree (a flip after a
+    // steal is the one thing that must not exist — compact would have
+    // aborted before it)
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() > 0)
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") >= v0)
+  }
+
   test("publish lock: in-process builder and compactor QUEUE, both publish") {
     // the ADVICE r10 window: writeFresh allocated its version and wrote
     // its tree outside any lock, so a concurrent compact could allocate
