@@ -1257,4 +1257,85 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     }
   }
+  test("two-level assignment: agreement tracks super density; divergences never beat the argmax") {
+    // The coarse quantizer's approximation, pinned with numbers at the
+    // regime it exists for: k in the hundreds-plus (the k∝corpus
+    // recipe), where ~√k supers sample the space densely. At the
+    // fixture's oracle scale (k=16, 4 supers) routing is legitimately
+    // coarse — the oracle pins those exact semantics — so the quality
+    // bound is asserted at k=128/12 supers over the same corpus.
+    // Invariant at ANY scale: a two-level pick can never exceed the
+    // flat argmax's cosine (flat IS the argmax).
+    import graft.functions.{Centroid2LevelIndex, NearestCentroidF32, NearestCentroid2LevelF32}
+    // the corpus plus 20 planted CLONES (near-identical pairs — the
+    // duplicate mass dedup exists for; this testdata slice has none of
+    // its own, measured max pair cosine 0.51)
+    val base = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val e = base.unionByName(
+      base.filter(col("vec_id").between(200, 219))
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          col("embedding")))
+    val cents = e.filter(col("vec_id") < 128)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val flatIdx = graft.queries.SimilarityOps.collectCentroidsOf(cents)
+    val twoIdx = Centroid2LevelIndex.build(flatIdx, nSupers = 12)
+    val both = e.select(col("vec_id"),
+      NearestCentroidF32(col("embedding"), flatIdx).as("f"),
+      NearestCentroid2LevelF32(col("embedding"), twoIdx).as("t"))
+      .select(col("vec_id"),
+        col("f.centroid_id").as("cf"), col("f.cosine").as("sf"),
+        col("t.centroid_id").as("ct"), col("t.cosine").as("st"))
+      .collect()
+    val n = both.length
+    val agree = both.count(r => r.getAs[Long]("cf") == r.getAs[Long]("ct"))
+    val regrets = both.map(r =>
+      r.getAs[Double]("sf") - r.getAs[Double]("st")).sorted
+    println(f"[2level] k=128/12-super agreement $agree/$n, regret " +
+      f"median=${regrets(n / 2)}%.4f p99=${regrets(n * 99 / 100)}%.4f " +
+      f"max=${regrets.last}%.4f")
+    both.foreach(r => // never beats the argmax (flat IS the argmax)
+      assert(r.getAs[Double]("st") <= r.getAs[Double]("sf") + 1e-12))
+    // Label agreement is the WRONG quality metric here: the corpus has
+    // ~10 natural clusters under 12 supers, so a cluster holding two
+    // supers splits its members between near-tied routes — the labels
+    // differ, the geometry doesn't. What cell-blocking actually needs
+    // is tiny cosine REGRET: the routed cell's centroid is as close to
+    // the vector as the argmax's, so co-located near-dups still
+    // co-assign. Pinned: median regret ~0, p99 small.
+    // measured on this corpus: median 0.014, p99 0.22 — the tail is
+    // pessimistic by construction (seed vectors stand in for TRAINED
+    // centroids everywhere in the fixture convention; k-means supers
+    // summarize their region far better than a random member does).
+    // Bounds sit just above the measured values to catch a router
+    // regression, not to flatter the stand-in codebook.
+    assert(regrets(n / 2) <= 0.05,
+      f"median regret ${regrets(n / 2)}%.4f — router broken")
+    assert(regrets(n * 99 / 100) <= 0.30,
+      f"p99 regret ${regrets(n * 99 / 100)}%.4f — boundary misses too costly")
+    // the statement the DEDUP use rests on: NEAR-IDENTICAL vectors
+    // (the duplicate mass — cosine ≥ 0.9, the planted clones) take the
+    // same route deterministically, so the router swap keeps every
+    // such pair. LOOSE pairs (0.25 ≤ cos < 0.9) are route-sensitive at
+    // tiny cells — that tail is the cell-boundary blocking trade the
+    // operator scaladocs already state, and at 500 vectors over 128
+    // cells it is maximally magnified; report it, pin the dup mass.
+    def pairs(supers: Int) = graft.queries.SimilarityOps
+      .neardupCellsOf(e, nCents = 128, assignSupers = supers)
+      .select("id_a", "id_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val flatPairs = pairs(0)
+    val twoPairs = pairs(12)
+    val tight = flatPairs.filter(_._2 >= 0.9).keySet
+    val tightKept = tight.count(twoPairs.contains)
+    val loose = flatPairs.size - tight.size
+    val looseKept = (flatPairs.keySet & twoPairs.keySet).size - tightKept
+    println(s"[2level] dup-mass retention $tightKept/${tight.size}; " +
+      s"loose-tail retention $looseKept/$loose " +
+      s"(2-level found ${twoPairs.size} total)")
+    assert(tight.size >= 20) // at least the planted clones
+    assert(tightKept == tight.size,
+      s"2-level routing lost ${tight.size - tightKept} NEAR-IDENTICAL " +
+        "pairs — co-routing of duplicates is broken")
+  }
 }
