@@ -1012,14 +1012,20 @@ object SimilarityOps {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val res = residualsOf(e)
     val cb = resCodebookOf(res)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    cb.select("sub", "code", "c_v")
-      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
-    // codes publish through the pointer layout (IndexCompact manages
-    // them): a rebuild after a compact bumps the version instead of
-    // writing a tree the pointer would shadow. The tiny centroid /
-    // codebook frames above are never compacted — plain overwrites.
-    graft.operators.IndexCompact.writeFresh(e.sparkSession, dir,
+    // ALL artifacts publish through the pointer layout (r11): the tiny
+    // centroid/codebook frames were plain dir overwrites before, which
+    // left a delete+rewrite window a concurrent search could hit
+    // (codes were pointer-protected, their companions were not). A
+    // rebuild now bumps every artifact's version under the publish
+    // lease and a mid-rebuild reader resolves old-or-new complete
+    // trees — rebuild-during-search is spec-pinned. Compaction still
+    // never touches centroids/codebook (compact() probes codes/bands
+    // only); they simply ride the same pointer protocol.
+    val ic = graft.operators.IndexCompact
+    ic.writeFresh(e.sparkSession, dir, "centroids.parquet", cents)
+    ic.writeFresh(e.sparkSession, dir, "codebook.parquet",
+      cb.select("sub", "code", "c_v"))
+    ic.writeFresh(e.sparkSession, dir,
       "codes.parquet", codesFlatOf(res, "residual", collectCodebook(cb),
         Seq("vec_id", "centroid_id")))
   }
@@ -1038,10 +1044,11 @@ object SimilarityOps {
     * `indexDir/…`. */
   def encodeStream(spark: SparkSession, stream: DataFrame,
       indexDir: String): DataFrame = {
-    val centsDf = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val centsDf = graft.operators.IndexCompact.read(spark, indexDir,
+      "centroids.parquet")
     val centsIdx = collectCentroids(centsDf)
-    val cbIdx = collectCodebook(
-      spark.read.parquet(s"$indexDir/codebook.parquet"))
+    val cbIdx = collectCodebook(graft.operators.IndexCompact.read(spark,
+      indexDir, "codebook.parquet"))
     stream
       .select(col("vec_id"), col("embedding"),
         graft.functions.NearestCentroidF32(col("embedding"), centsIdx).as("nc"))
@@ -1061,8 +1068,10 @@ object SimilarityOps {
     * q_embed_ivfpq_search (spec-pinned). */
   def searchIvfPqIndex(spark: SparkSession, queries: DataFrame,
       dir: String): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids.parquet")
-    val cb = spark.read.parquet(s"$dir/codebook.parquet")
+    val cents = graft.operators.IndexCompact.read(spark, dir,
+      "centroids.parquet")
+    val cb = graft.operators.IndexCompact.read(spark, dir,
+      "codebook.parquet")
       .withColumn("c_ss", sumSq(col("c_v")))
     // codes may be flat (fresh build), fragmented (streaming ingest) or
     // centroid_id-partitioned (post-compaction) — the pinned read

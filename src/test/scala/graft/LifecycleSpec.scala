@@ -588,11 +588,11 @@ class CliSpec extends AnyFunSuite {
   test("index subcommand: build once, CLI search equals in-query search") {
     val idx = Files.createTempDirectory("graft_cliidx").toString
     Cli.runIndex(Seq("build", sf, idx), spark)
-    for (part <- Seq("centroids", "codebook"))
-      assert(spark.read.parquet(s"$idx/$part.parquet").count() > 0)
-    // codes publish through the pointer layout — resolve, don't assume
-    assert(spark.read.parquet(graft.operators.IndexCompact
-      .resolvePath(idx, "codes.parquet")).count() > 0)
+    // ALL artifacts publish through the pointer layout (r11, incl. the
+    // tiny centroid/codebook frames) — resolve, don't assume
+    for (part <- Seq("centroids", "codebook", "codes"))
+      assert(spark.read.parquet(graft.operators.IndexCompact
+        .resolvePath(idx, s"$part.parquet")).count() > 0)
     val out = Files.createTempDirectory("graft_cliidx_out").toString + "/res"
     Cli.runIndex(Seq("search", sf, idx, "--out", out), spark)
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -915,6 +915,55 @@ class CliSpec extends AnyFunSuite {
     val total = IndexCompact.dataFileCount(idx, "codes.parquet")
     println(s"[prune/post-fold] codes scan opened $opened of $total files")
     assert(opened > 0 && opened < total)
+  }
+
+  test("index REBUILD during search: a polling reader never errors, sees a coherent index") {
+    // r11: centroids/codebook now publish through the pointer layout
+    // like codes (they were plain dir overwrites — a search reading
+    // them mid-rebuild could hit the delete+rewrite window). A reader
+    // thread hammers searchIvfPqIndex while the main thread REBUILDS
+    // the whole index twice on a scheme'd FS: every read must complete
+    // (old or new index, never a torn mix that errors), and the final
+    // search equals a fresh-build reference.
+    import graft.chain.LakeFs
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val e = Tables(spark, sf, "embeddings")
+    val idx = "graftfs:" + Files.createTempDirectory("graft_rebuild_fs").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(e, idx)
+    val queries = e.filter(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val want = rows(graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val nReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      try while (!stop.get) {
+        val got = rows(graft.queries.SimilarityOps
+          .searchIvfPqIndex(spark, queries, idx))
+        // rebuilds write the SAME corpus → any coherent index yields
+        // the reference result; a torn centroid/codes mix would not
+        assert(got == want, "mid-rebuild search diverged")
+        nReads.incrementAndGet()
+      } catch { case t: Throwable => bad.set(t) }
+    })
+    reader.start()
+    try {
+      for (_ <- 1 to 2)
+        graft.queries.SimilarityOps.saveIvfPqIndex(e, idx)
+    } finally {
+      stop.set(true)
+      reader.join(120000)
+    }
+    assert(bad.get == null, s"concurrent search failed: ${bad.get}")
+    assert(nReads.get > 0, "the reader never completed a search")
+    assert(rows(graft.queries.SimilarityOps
+      .searchIvfPqIndex(spark, queries, idx)) == want)
+    // the tiny artifacts really are on the pointer layout now
+    assert(graft.operators.IndexCompact
+      .currentVersion(idx, "centroids.parquet") >= 3)
   }
 
   test("publish lease: a mid-cycle steal aborts the flip, never double-publishes") {
