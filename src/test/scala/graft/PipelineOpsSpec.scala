@@ -568,12 +568,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val e = Tables(spark, sf, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
     graft.queries.SimilarityOps.saveIvfPqIndex(e, dir)
-    // the persisted layout is complete: centroids + codebook + codes
-    // (codes publish through the pointer layout — resolve, don't assume)
-    for (part <- Seq("centroids", "codebook"))
-      assert(spark.read.parquet(s"$dir/$part.parquet").count() > 0)
-    assert(spark.read.parquet(graft.operators.IndexCompact
-      .resolvePath(dir, "codes.parquet")).count() > 0)
+    // the persisted layout is complete: centroids + codebook + codes —
+    // ALL on the pointer layout since r11 (resolve, don't assume)
+    for (part <- Seq("centroids", "codebook", "codes"))
+      assert(spark.read.parquet(graft.operators.IndexCompact
+        .resolvePath(dir, s"$part.parquet")).count() > 0)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "c_id", "rk", "adc_q").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
