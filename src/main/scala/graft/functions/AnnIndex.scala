@@ -145,6 +145,11 @@ object Centroid2LevelIndex {
     var i = 0
     while (i < flat.ids.length) {
       val v = flat.vecs(i)
+      // the candidate's norm is loop-invariant over supers, and
+      // flat.norms(i) already holds the exact same sequential fold
+      // (collectCentroids) — reuse it so cosines stay bit-identical
+      // while the route costs O(k·d), not O(k·nSupers·d)
+      val vNorm = flat.norms(i)
       var best = 0
       var bestCos = 0.0
       var first = true
@@ -155,10 +160,7 @@ object Centroid2LevelIndex {
           var dot = 0.0
           var k = 0
           while (k < v.length) { dot += v(k).toDouble * s(k).toDouble; k += 1 }
-          var ss = 0.0
-          var k2 = 0
-          while (k2 < v.length) { ss += v(k2).toDouble * v(k2).toDouble; k2 += 1 }
-          val cos = dot / (math.sqrt(ss) * superNorms(j))
+          val cos = dot / (vNorm * superNorms(j))
           val better =
             if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(bestCos)
             else cos > bestCos

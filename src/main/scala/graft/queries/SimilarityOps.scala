@@ -954,7 +954,7 @@ object SimilarityOps {
       pruneCodesToProbedCells: Boolean = false): DataFrame = {
     val w1 = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("centroid_id").asc)
-    val probes = queries.crossJoin(broadcast(cents))
+    val probesPlan = queries.crossJoin(broadcast(cents))
       .withColumn("cosine",
         dot(col("embedding"), col("c_emb")) /
           (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("c_emb")))))
@@ -962,6 +962,15 @@ object SimilarityOps {
       .filter(col("rk") <= 2)
       .select(col("vec_id").as("q_id"), col("centroid_id"),
         graft.functions.VectorOps.sub(col("embedding"), col("c_emb")).as("qres"))
+    // the pruning path runs TWO consumers over the probe set (the
+    // distinct-cells collect below and the LUT build in the returned
+    // plan) — materialize it once (|Q|·nprobe residual rows, the small
+    // side by construction) so the queries×cents probe pass isn't
+    // recomputed per consumer (ADVICE r11). The non-pruned path has one
+    // consumer; leave it lazy.
+    val probes =
+      if (pruneCodesToProbedCells) probesPlan.localCheckpoint()
+      else probesPlan
     // Persisted-index path: turn the probe set into a LITERAL partition
     // predicate on the codes scan. On a centroid_id-partitioned
     // compacted artifact this is PLANNING-time directory pruning — the
@@ -1006,7 +1015,19 @@ object SimilarityOps {
     * every later query round reads the compressed codes instead of
     * re-deriving the index from raw vectors. At scale codes.parquet is
     * naturally partitionable by centroid_id — the probe join prunes to
-    * probed cells. */
+    * probed cells.
+    *
+    * Coherence contract, stated honestly (ADVICE r11): the three
+    * artifacts publish under three INDEPENDENT leases and pointer
+    * flips, so a search concurrent with a rebuild can resolve a mixed
+    * triple — e.g. new centroids with old codes. For a SAME-CORPUS
+    * rebuild (the spec-pinned case: recompaction, re-publish after
+    * ingest folds) the mix is benign — every version of each artifact
+    * describes the same vectors, and each artifact is individually
+    * complete-or-previous. Rebuilding over CHANGED data while serving
+    * searches is out of contract: quiesce searches around the rebuild,
+    * or build into a fresh index dir and switch readers at the dir
+    * level (one pointer for the whole triple). */
   def saveIvfPqIndex(e: DataFrame, dir: String): Unit = {
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
