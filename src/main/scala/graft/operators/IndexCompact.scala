@@ -22,16 +22,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ## Pointer-manifest layout (r10)
   *
   * An artifact's live tree is named by a POINTER, never moved into
-  * place: data lives under versioned dirs `<artifact>.v<N>` and the
-  * current version is the highest `<artifact>.ptr.v<N>` marker file.
-  * Publishing a rewrite = writing the new tree under the next version
-  * dir, then CREATING one zero-byte pointer marker — a single-object
-  * PUT, atomic on every filesystem class including object stores. The
-  * marker's version rides in its NAME (not its content), so a reader
-  * can never observe a half-written pointer; it sees the old maximum
-  * or the new one. This replaces the r9 directory-rename swap, whose
-  * atomic-dir-rename requirement put object-store index dirs out of
-  * contract (PLANS.md swap-site audit — now closed).
+  * place: data lives under versioned dirs `<artifact>.v<N>-<uid>`
+  * (uid = the publish cycle's identity token; pre-r12 trees are the
+  * bare `<artifact>.v<N>`) and the current version is the highest
+  * `<artifact>.ptr.v<N>` marker file. Publishing a rewrite = writing
+  * the new tree under the next version dir, then CREATING one pointer
+  * marker — a single-object PUT, atomic on every filesystem class
+  * including object stores. The marker's version rides in its NAME,
+  * so a reader can never observe a half-written version number; its
+  * CONTENT carries the publish uid that names the tree (a reader that
+  * catches the content mid-flight on a non-atomic FS simply resolves
+  * the PREVIOUS version, which the grace window keeps alive). This
+  * replaces the r9 directory-rename swap, whose atomic-dir-rename
+  * requirement put object-store index dirs out of contract (PLANS.md
+  * swap-site audit — now closed).
   *
   * Readers resolve the pointer per read (`resolvePath`). The PREVIOUS
   * version tree is retained as a grace window for readers that
@@ -110,12 +114,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * not start) and the pointer flip is GATED on a still-owner re-check
   * — a publisher whose lease was stolen (TTL expiry on a remote host,
   * pid reuse, out-of-contract deletion) aborts LOUDLY without
-  * flipping instead of silently double-publishing. Residuals, stated
-  * not papered: pid-reuse on the holder's host can delay a
-  * stale-break until the TTL; a single write longer than
-  * GRAFT_PUBLISH_LEASE_TTL_MS on a remote host can still be stolen
-  * mid-write — the flip gate then converts that to an abort, never a
-  * corrupt publish. */
+  * flipping instead of silently double-publishing.
+  *
+  * Fencing (r12): the residual double-claim classes — the stale-break
+  * re-read→delete TOCTOU (now conditional, breakStaleLease), a
+  * remote-TTL steal landing between the still-owner check and the
+  * create — are fenced by IDENTITY, not timing. Every publish cycle
+  * carries a uid token (PublishLease.uid8); its version TREE is
+  * uid-suffixed, so two publishers racing one version number write
+  * DISJOINT directories (a torn tree behind a live pointer is
+  * structurally impossible), and the pointer flip is an EXCLUSIVE
+  * create carrying the uid plus a read-back verify (flipPointer), so
+  * exactly one of them publishes and the other aborts loudly with its
+  * tree left as GC-able garbage. Steal-under-TTL is spec-pinned: a
+  * simulated remote holder whose lease ages out mid-cycle aborts at
+  * the flip gate while the thief's publish stands, single-counted.
+  * Remaining residual, stated not papered: a holder that loses its
+  * lease but whose flip wins the race publishes a CORRECT tree the
+  * thief then supersedes — last-writer-wins on whole versions, never
+  * torn bytes. */
 object IndexCompact {
 
   private def sidecarPath(dir: String, artifact: String) =
@@ -136,8 +153,16 @@ object IndexCompact {
   private def foldMarkerPath(dir: String, artifact: String) =
     s"$dir/$artifact.fold_pending"
 
-  private def versionDir(dir: String, artifact: String, v: Int) =
-    s"$dir/$artifact.v$v"
+  /** publisher-unique version tree (r12): the publish uid rides in the
+    * tree NAME, so two publishers that both believe they own version N
+    * (the residual double-claim classes: stale-break TOCTOU, remote-TTL
+    * steal mid-cycle) write DISJOINT directories — a torn tree behind a
+    * live pointer is structurally impossible; the loser's tree is an
+    * orphan the next publish GCs. Pre-r12 trees are the bare
+    * `<artifact>.v<N>` (uid = "") and keep resolving. */
+  private[graft] def versionDir(dir: String, artifact: String, v: Int,
+      uid: String): String =
+    if (uid.isEmpty) s"$dir/$artifact.v$v" else s"$dir/$artifact.v$v-$uid"
   private def ptrPath(dir: String, artifact: String, v: Int) =
     s"$dir/$artifact.ptr.v$v"
 
@@ -207,19 +232,37 @@ object IndexCompact {
   private def leasePath(dir: String, artifact: String) =
     s"$dir/$artifact.publish_lock"
 
+  /** test seam: the remote-holder TTL, overridable so the
+    * steal-under-TTL spec can age a lease out in milliseconds instead
+    * of hours. Production reads the env knob. */
+  @volatile private[graft] var ttlOverrideMs: Option[Long] = None
+
   private def leaseTtlMs: Long =
-    sys.env.get("GRAFT_PUBLISH_LEASE_TTL_MS").flatMap(_.toLongOption)
+    ttlOverrideMs.orElse(
+      sys.env.get("GRAFT_PUBLISH_LEASE_TTL_MS").flatMap(_.toLongOption))
       .getOrElse(2L * 60 * 60 * 1000)
 
   private val localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Throwable => "localhost" }
 
+  /** test seam: the host name this thread's lease claims record — a
+    * non-empty tag makes this thread's leases look REMOTE to every
+    * other claimant (pid liveness can't vouch for a foreign host, so
+    * only the TTL can age them out), which is how the steal-under-TTL
+    * spec simulates a remote publisher. Production never sets it. */
+  private[graft] val hostTag: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+  private def claimHost: String = {
+    val t = hostTag.get
+    if (t.isEmpty) localHost else t
+  }
+
   /** unique per (JVM, simulated process, acquisition) owner record */
   private def leaseContent(): String = {
     val tag = processTag.get
     val uid = java.util.UUID.randomUUID().toString
-    s"${ProcessHandle.current().pid()}@$localHost " +
+    s"${ProcessHandle.current().pid()}@$claimHost " +
       s"${System.currentTimeMillis()} $uid${if (tag.isEmpty) "" else s" $tag"}"
   }
 
@@ -260,7 +303,7 @@ object IndexCompact {
         case Some(held) if leaseStale(held) =>
           System.err.println(s"[index] breaking stale publish lease on " +
             s"$dir/$artifact (holder: ${held.trim})")
-          LakeFs.deleteFile(path)
+          breakStaleLease(path, held)
         case Some(held) =>
           throw new IllegalStateException(
             s"concurrent publish on $dir/$artifact: the publish lease " +
@@ -272,6 +315,27 @@ object IndexCompact {
     throw new IllegalStateException(
       s"could not claim the publish lease on $dir/$artifact after a " +
         "stale-break retry")
+  }
+
+  /** CONDITIONAL stale-break: delete the lease only if an immediate
+    * re-read still shows the exact content previously judged stale. An
+    * unconditional delete here was a one-winner defeat (ADVICE r11
+    * medium): two claimants that both read the same stale lease would
+    * each delete+create, and the slower one's blind delete removed the
+    * faster winner's FRESH lease — both then held, both allocated one
+    * version. With the re-read, the slower claimant sees the winner's
+    * fresh content, declines the delete, and its own create fails →
+    * it loses loudly on the next loop pass. (The re-read→delete gap is
+    * the residual TOCTOU, microseconds against the seconds-scale
+    * claim cycle; the publisher-unique version trees + exclusive
+    * pointer create below turn even that residue into an abort, never
+    * a torn tree.) Returns whether the delete happened. */
+  private[graft] def breakStaleLease(path: String, judged: String): Boolean = {
+    val now =
+      try Some(LakeFs.readString(path))
+      catch { case _: java.io.IOException => None }
+    if (now.contains(judged)) { LakeFs.deleteFile(path); true }
+    else false
   }
 
   /** release only a lease this publisher owns — never delete a lease
@@ -295,6 +359,12 @@ object IndexCompact {
     * lost its lease never flips. */
   private[graft] final class PublishLease(dir: String, artifact: String,
       private var mine: String) {
+    /** this publish CYCLE's identity token (first 8 hex of the
+      * acquisition uuid) — fixed across renew()s, it names the cycle's
+      * version tree and rides in the pointer marker's content, fencing
+      * the flip (see flipPointer). */
+    val uid8: String =
+      mine.trim.split("\\s+").lift(2).map(_.take(8)).getOrElse("anon0000")
     private def held: Option[String] =
       try Some(LakeFs.readString(leasePath(dir, artifact)))
       catch { case _: java.io.IOException => None }
@@ -330,29 +400,55 @@ object IndexCompact {
       finally lease.release()
     }
 
-  /** current published version: the highest `<artifact>.ptr.v<N>`
-    * marker under `dir`, 0 when the artifact has never been published
-    * through the pointer layout (legacy flat artifact, or absent) */
-  def currentVersion(dir: String, artifact: String): Int = {
+  /** all published versions of the artifact, descending */
+  private def ptrVersions(dir: String, artifact: String): Seq[Int] = {
     val fs = LakeFs.fs(dir)
     val base = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(base)) return 0
+    if (!fs.exists(base)) return Seq.empty
     val pre = s"$artifact.ptr.v"
     fs.listStatus(base).iterator.map(_.getPath.getName)
       .filter(_.startsWith(pre))
       .flatMap(n => n.stripPrefix(pre).toIntOption)
-      .foldLeft(0)(math.max)
+      .toSeq.sorted.reverse
   }
 
-  /** the artifact's live data path: the pointed-to version dir, or the
+  /** current published version: the highest `<artifact>.ptr.v<N>`
+    * marker under `dir`, 0 when the artifact has never been published
+    * through the pointer layout (legacy flat artifact, or absent) */
+  def currentVersion(dir: String, artifact: String): Int =
+    ptrVersions(dir, artifact).headOption.getOrElse(0)
+
+  /** the publish uid a version marker carries — "" for the r10/r11
+    * zero-byte markers (bare version tree) and for a marker whose
+    * content isn't readable yet (flip in flight on a non-atomic FS) */
+  private def ptrUid(dir: String, artifact: String, v: Int): String =
+    try LakeFs.readString(ptrPath(dir, artifact, v)).trim
+    catch { case _: java.io.IOException => "" }
+
+  /** the tree a version marker names, if it exists: the uid-suffixed
+    * dir its content records (r12), falling back to the bare version
+    * dir (pre-r12 markers, or content not yet visible) */
+  private def treeOfPtr(dir: String, artifact: String, v: Int): Option[String] = {
+    val uid = ptrUid(dir, artifact, v)
+    val cands =
+      (if (uid.nonEmpty) Seq(versionDir(dir, artifact, v, uid)) else Seq.empty) :+
+        versionDir(dir, artifact, v, "")
+    cands.find(LakeFs.exists)
+  }
+
+  /** the artifact's live data path: the newest version marker whose
+    * tree is RESOLVABLE (content visible and directory present — a
+    * marker caught mid-flip on a non-atomic FS simply defers to the
+    * previous version, which the grace window keeps alive), or the
     * legacy flat path for artifacts never published through the
     * pointer layout. Public — specs and external tools that need the
     * physical tree (file counts, fragment simulation) resolve here
     * instead of assuming `<dir>/<artifact>`. */
-  def resolvePath(dir: String, artifact: String): String = {
-    val v = currentVersion(dir, artifact)
-    if (v > 0) versionDir(dir, artifact, v) else s"$dir/$artifact"
-  }
+  def resolvePath(dir: String, artifact: String): String =
+    ptrVersions(dir, artifact).iterator
+      .flatMap(v => treeOfPtr(dir, artifact, v))
+      .nextOption()
+      .getOrElse(s"$dir/$artifact")
 
   /** present = published through the pointer layout OR a legacy tree */
   private def artifactExists(dir: String, artifact: String): Boolean =
@@ -369,15 +465,57 @@ object IndexCompact {
     val keep = Set(current, current - 1)
     val treePre = s"$artifact.v"
     val ptrPre = s"$artifact.ptr.v"
+    // tree names are `<artifact>.v<N>` (pre-r12) or `<artifact>.v<N>-<uid>`
+    // (publisher-unique, r12). A fence-loser's orphan tree at a KEPT
+    // version is retained until its version number leaves the grace
+    // window — its publisher's Spark job may still be writing task
+    // files, and deleting garbage late costs nothing.
+    def treeVersion(rest: String): Option[Int] = {
+      val digits = rest.takeWhile(_.isDigit)
+      if (digits.isEmpty) None
+      else if (rest.length == digits.length || rest.charAt(digits.length) == '-')
+        digits.toIntOption
+      else None
+    }
     fs.listStatus(base).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(ptrPre))
         n.stripPrefix(ptrPre).toIntOption
           .filterNot(keep).foreach(_ => LakeFs.deleteFile(s"$dir/$n"))
       else if (n.startsWith(treePre))
-        n.stripPrefix(treePre).toIntOption
+        treeVersion(n.stripPrefix(treePre))
           .filterNot(keep).foreach(_ => LakeFs.deleteTree(s"$dir/$n"))
     }
+  }
+
+  /** THE FLIP, fenced by the publish-cycle uid (r12): one EXCLUSIVE
+    * create of the version marker carrying this cycle's uid, then a
+    * read-back verify. Two publishers that survived every earlier gate
+    * and race the same version number therefore get exactly one
+    * pointer: on an atomic-create FS the loser's create throws; on a
+    * check-then-act store both "create" but the surviving content
+    * names one winner and the loser's verify aborts. Either way the
+    * loser aborts LOUDLY and its (publisher-unique) tree is an orphan
+    * the next publish GCs — never a flipped pointer over a torn or
+    * foreign tree. */
+  private[graft] def flipPointer(dir: String, artifact: String, v: Int,
+      uid: String): Unit = {
+    val path = ptrPath(dir, artifact, v)
+    try LakeFs.createExclusive(path, uid)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"publish fenced on $dir/$artifact: version marker v$v already " +
+            "exists — a concurrent publisher won this version; aborting " +
+            "(this publisher's tree is an orphan the next publish GCs)", e)
+    }
+    val survivor =
+      try LakeFs.readString(path).trim
+      catch { case _: java.io.IOException => "" }
+    require(survivor == uid,
+      s"publish fenced on $dir/$artifact: version marker v$v carries " +
+        s"'$survivor', not this publisher's uid '$uid' — lost the flip " +
+        "race, aborting (tree orphaned for GC)")
   }
 
   /** Publish a FRESH build of an artifact: write the frame under the
@@ -389,7 +527,7 @@ object IndexCompact {
   def writeFresh(spark: SparkSession, dir: String, artifact: String,
       df: DataFrame): Unit = withPublishLease(dir, artifact) { lease =>
     val next = currentVersion(dir, artifact) + 1
-    val vdir = versionDir(dir, artifact, next)
+    val vdir = versionDir(dir, artifact, next, lease.uid8)
     df.write.mode("overwrite").parquet(vdir)
     lease.renew() // the tree write was the long step
     lockFor(dir, artifact).synchronized {
@@ -399,7 +537,7 @@ object IndexCompact {
       require(currentVersion(dir, artifact) < next,
         s"publish collision on $dir/$artifact: version $next no longer " +
           "newest at flip time (out-of-contract concurrent writer?)")
-      LakeFs.writeString(ptrPath(dir, artifact, next), "")
+      flipPointer(dir, artifact, next, lease.uid8)
       // the legacy flat tree gets the SAME one-cycle grace as a
       // previous version dir: on the migration flip (next == 1) a
       // concurrent reader may be mid-scan over it, so it is retired by
@@ -538,7 +676,7 @@ object IndexCompact {
       else readMain(spark, dir, artifact)
     val schemaJson = cur.schema.json
     val next = currentVersion(dir, artifact) + 1
-    val vdir = versionDir(dir, artifact, next)
+    val vdir = versionDir(dir, artifact, next, lease.uid8)
     val shaped =
       if (partitionCols.nonEmpty)
         cur.repartition(partitionCols.map(col): _*)
@@ -575,7 +713,7 @@ object IndexCompact {
       require(currentVersion(dir, artifact) < next,
         s"publish collision on $dir/$artifact: version $next no longer " +
           "newest at flip time (out-of-contract concurrent writer?)")
-      LakeFs.writeString(ptrPath(dir, artifact, next), "")
+      flipPointer(dir, artifact, next, lease.uid8)
       if (folding) {
         LakeFs.deleteTree(sidePath)
         LakeFs.deleteFile(foldMarkerPath(dir, artifact))

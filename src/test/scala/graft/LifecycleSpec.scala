@@ -1084,6 +1084,129 @@ class CliSpec extends AnyFunSuite {
     assert(!LakeFs.exists(s"$idx/codes.parquet.publish_lock"))
   }
 
+  test("publish lease: steal-under-TTL — a remote holder aged out mid-cycle " +
+      "aborts at the flip gate, the thief's publish stands single-counted") {
+    // The r11 residual, now pinned (r12 brief item 3): a REMOTE
+    // publisher (pid liveness can't vouch for a foreign host) whose
+    // single write outlasts the TTL is legitimately stolen from by a
+    // local claimant. The stolen-from side must abort LOUDLY at its
+    // flip gate — never flip over or beside the thief's publish — and
+    // the artifact must stay single-counted throughout.
+    import graft.operators.IndexCompact
+    import graft.chain.LakeFs
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val e = Tables(spark, sf, "embeddings")
+    val idx = "graftfs:" + Files.createTempDirectory("graft_ttl_steal").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(
+      e.filter(col("vec_id") < 64), idx)
+    val vBase = IndexCompact.currentVersion(idx, "codes.parquet")
+    try {
+      // "process R" on a remote host claims the lease and stalls inside
+      // its (simulated) tree write — long enough that the TTL ages it out
+      var leaseR: String = null
+      val tR = new Thread(() => {
+        IndexCompact.processTag.set("procRemote")
+        IndexCompact.hostTag.set("far.example.com")
+        leaseR = IndexCompact.acquirePublishLease(idx, "codes.parquet")
+      })
+      tR.start(); tR.join(30000)
+      assert(leaseR != null, "remote publisher failed to claim the lease")
+      assert(LakeFs.readString(s"$idx/codes.parquet.publish_lock")
+        .contains("far.example.com"))
+      IndexCompact.ttlOverrideMs = Some(50L)
+      Thread.sleep(80)
+      // the local compactor finds a remote lease older than the TTL:
+      // in-contract stale-break, full publish
+      IndexCompact.compact(spark, idx)
+      val vThief = IndexCompact.currentVersion(idx, "codes.parquet")
+      assert(vThief > vBase, "the thief's publish never happened")
+      val nThief = IndexCompact.read(spark, idx, "codes.parquet").count()
+      // R wakes at its flip gate: the lease now belongs to nobody (the
+      // thief released on the way out) or someone else — either way R
+      // no longer owns it and must abort loudly without flipping
+      val handleR = new IndexCompact.PublishLease(idx, "codes.parquet", leaseR)
+      val err = intercept[IllegalArgumentException] { handleR.assertStillOwner() }
+      assert(err.getMessage.contains("lost mid-cycle"),
+        s"abort not attributable to the steal: ${err.getMessage}")
+      // no double-publish: the version and row count are exactly the
+      // thief's, and R's release is a no-op (it never deletes a lease
+      // it doesn't own)
+      handleR.release()
+      assert(IndexCompact.currentVersion(idx, "codes.parquet") == vThief)
+      assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nThief)
+    } finally IndexCompact.ttlOverrideMs = None
+  }
+
+  test("publish lease: the stale-break is CONDITIONAL — a lease re-claimed " +
+      "between judge and delete survives") {
+    // ADVICE r11 medium: two claimants that both judged one stale lease
+    // used to both blind-delete — the slower delete removed the faster
+    // winner's FRESH lease and both claimed. The break now re-reads and
+    // deletes only if the content still equals what was judged stale.
+    import graft.operators.IndexCompact
+    import graft.chain.LakeFs
+    val dir = Files.createTempDirectory("graft_cond_break").toString
+    val p = s"$dir/codes.parquet.publish_lock"
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val deadPid = (4000000L to 4000100L)
+      .find(pd => !ProcessHandle.of(pd).isPresent).get
+    val stale = s"$deadPid@$host 12345 old-uid"
+    // the race, made deterministic: between this claimant's staleness
+    // judgement and its delete, a faster claimant broke the lease and
+    // claimed it — the slower delete must decline
+    LakeFs.writeString(p, s"${ProcessHandle.current().pid()}@$host " +
+      s"${System.currentTimeMillis()} winner-uid")
+    assert(!IndexCompact.breakStaleLease(p, stale),
+      "the conditional break deleted a lease that no longer matched")
+    assert(LakeFs.readString(p).contains("winner-uid"),
+      "the winner's fresh lease was destroyed")
+    // and when the judged content IS still in place, the break proceeds
+    LakeFs.writeString(p, stale)
+    assert(IndexCompact.breakStaleLease(p, stale))
+    assert(!LakeFs.exists(p))
+  }
+
+  test("pointer flip is fenced by the publish uid: one winner per version, " +
+      "loser loud, readers resolve whole trees only") {
+    // r12: version trees are publisher-unique (uid-suffixed) and the
+    // flip is an exclusive create carrying the uid — two publishers
+    // racing one version number can never interleave into a torn tree
+    // behind a live pointer. Pinned at the naming layer: winner flips,
+    // loser aborts loudly, a marker whose tree never landed defers to
+    // the previous resolvable version, and pre-r12 layouts (zero-byte
+    // marker + bare tree) keep resolving.
+    import graft.operators.IndexCompact
+    val dir = Files.createTempDirectory("graft_fence").toString
+    val art = "codes.parquet"
+    spark.range(3).write.parquet(IndexCompact.versionDir(dir, art, 1, "aaaa1111"))
+    IndexCompact.flipPointer(dir, art, 1, "aaaa1111")
+    assert(IndexCompact.currentVersion(dir, art) == 1)
+    assert(IndexCompact.resolvePath(dir, art).endsWith("-aaaa1111"))
+    // the fence: a second publisher racing version 1 aborts loudly and
+    // the pointer still names the winner's tree
+    spark.range(5).write.parquet(IndexCompact.versionDir(dir, art, 1, "bbbb2222"))
+    val err = intercept[IllegalStateException] {
+      IndexCompact.flipPointer(dir, art, 1, "bbbb2222")
+    }
+    assert(err.getMessage.contains("fenced"), err.getMessage)
+    assert(IndexCompact.resolvePath(dir, art).endsWith("-aaaa1111"))
+    assert(spark.read.parquet(IndexCompact.resolvePath(dir, art)).count() == 3)
+    // a marker whose tree is not (yet) resolvable — crash after flip +
+    // external tree loss, or content mid-flight on a non-atomic FS —
+    // defers to the newest RESOLVABLE version instead of erroring
+    IndexCompact.flipPointer(dir, art, 2, "deadbeef") // tree never written
+    assert(IndexCompact.currentVersion(dir, art) == 2)
+    assert(IndexCompact.resolvePath(dir, art).endsWith("-aaaa1111"),
+      "resolve did not fall back to the newest resolvable version")
+    // pre-r12 layout compatibility: zero-byte marker + bare version dir
+    spark.range(7).write.parquet(IndexCompact.versionDir(dir, art, 3, ""))
+    IndexCompact.flipPointer(dir, art, 3, "")
+    assert(IndexCompact.resolvePath(dir, art) ==
+      IndexCompact.versionDir(dir, art, 3, ""))
+    assert(spark.read.parquet(IndexCompact.resolvePath(dir, art)).count() == 7)
+  }
+
   test("index build/search/compact on a non-file:// Hadoop scheme") {
     // the publish protocol runs on the Hadoop FileSystem API and needs
     // only atomic single-object create (pointer markers) — object
@@ -1142,8 +1265,14 @@ class CliSpec extends AnyFunSuite {
     // compaction cycle (readers that resolved it just before the flip
     // finish), anything older is gone
     val vNow = IndexCompact.currentVersion(idx, "codes.parquet")
-    assert(JFiles.exists(Paths.get(s"$idx/codes.parquet.v${vNow - 1}")))
-    assert(!JFiles.exists(Paths.get(s"$idx/codes.parquet.v${vNow - 2}")))
+    // version trees are publisher-uid-suffixed since r12 — match by
+    // parsed version number, not literal name
+    def treesAt(v: Int): Seq[String] =
+      new java.io.File(idx).list().toSeq.filter(n =>
+        n == s"codes.parquet.v$v" || n.startsWith(s"codes.parquet.v$v-"))
+    assert(treesAt(vNow - 1).nonEmpty,
+      "previous version tree should survive one cycle of grace")
+    assert(treesAt(vNow - 2).isEmpty, "older version trees should be GC'd")
     // pre-pointer migration: an r9-era crash parked the live artifact
     // at .compact_old with no pointer markers anywhere — read() must
     // restore it through the legacy path, not fail
