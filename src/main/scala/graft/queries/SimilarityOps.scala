@@ -121,10 +121,20 @@ object SimilarityOps {
     * land in one cell by construction. */
   def neardupCellsOf(embeddings: DataFrame, nCents: Int = 16,
       threshold: Double = 0.25, cellCap: Int = EmbBucketCap,
-      assignSupers: Int = 0): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCents)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val sized = (if (assignSupers > 0) assignTo2(embeddings, cents, assignSupers)
+      assignSupers: Int = 0,
+      centsOverride: Option[DataFrame] = None,
+      trainSupers: Boolean = false): DataFrame = {
+    // centsOverride feeds TRAINED centroids (kmeansOf) under the same
+    // blocking — the router-quality spec measures seed-vs-trained
+    // regret and pair co-routing; the oracle-checked entries keep the
+    // seed convention the DuckDB twin can express. trainSupers trains
+    // the SUPER level too (the right pairing for trained centroids —
+    // see Centroid2LevelIndex.buildTrained).
+    val cents = centsOverride.getOrElse(
+      embeddings.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+    val sized = (if (assignSupers > 0)
+      assignTo2(embeddings, cents, assignSupers, trainSupers)
       else assignTo(embeddings, cents))
       .select("vec_id", "centroid_id", "embedding")
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("centroid_id")))
@@ -163,19 +173,24 @@ object SimilarityOps {
     * audit-table discipline of q_doc_corpus_prep. */
   def semdedupOf(embeddings: DataFrame, threshold: Double = SemdedupTau,
       cellCap: Int = EmbBucketCap, nCents: Int = 16,
-      assignSupers: Int = 0): DataFrame = {
+      assignSupers: Int = 0,
+      centsOverride: Option[DataFrame] = None,
+      trainSupers: Boolean = false): DataFrame = {
     // nCents is THE scale knob: production SemDeDup grows k with the
     // corpus so cells stay ~constant-sized and the cell-quadratic
     // pairwise stays linear in total (class doc above; the r11 density
     // curve in PLANS.md measures exactly this — fixed k at 100× data
     // is quadratic, k ∝ corpus is flat). 16 is the fixture-convention
-    // default the oracle pins.
-    val cents = embeddings.filter(col("vec_id") < nCents)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // default the oracle pins. centsOverride swaps in TRAINED
+    // centroids (kmeansOf) under the same blocking; trainSupers trains
+    // the super level too (both spec-measured).
+    val cents = centsOverride.getOrElse(
+      embeddings.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
     // assignSupers > 0 swaps in the two-level coarse-quantized
     // assignment (~2√k dots/row) — the n·k term's fix at large k
     val assigned =
-      if (assignSupers > 0) assignTo2(embeddings, cents, assignSupers)
+      if (assignSupers > 0) assignTo2(embeddings, cents, assignSupers, trainSupers)
       else assignTo(embeddings, cents)
     val sized = assigned
       .select("vec_id", "centroid_id", "embedding")
@@ -370,9 +385,17 @@ object SimilarityOps {
     * Centroid2LevelIndex): ~2√k dots per row instead of k. Approximate
     * by the coarse-quantizer contract; same output shape. */
   private[queries] def assignTo2(e: DataFrame, cents: DataFrame,
-      nSupers: Int): DataFrame = {
-    val idx2 = graft.functions.Centroid2LevelIndex.build(
-      collectCentroids(cents), nSupers)
+      nSupers: Int, trainSupers: Boolean = false): DataFrame = {
+    // trainSupers = the hierarchical-quantizer shape for TRAINED
+    // centroid sets (supers are driver-side Lloyd means over the
+    // bounded centroid set, see Centroid2LevelIndex.buildTrained);
+    // false = the first-nSupers anchor convention the
+    // q_embed_ivf_assign_2level oracle pins
+    val flat = collectCentroids(cents)
+    val idx2 =
+      if (trainSupers)
+        graft.functions.Centroid2LevelIndex.buildTrained(flat, nSupers)
+      else graft.functions.Centroid2LevelIndex.build(flat, nSupers)
     e.select(col("vec_id"), col("embedding"),
       graft.functions.NearestCentroid2LevelF32(col("embedding"), idx2).as("nc"))
       .select(col("vec_id"), col("nc.centroid_id").as("centroid_id"),
