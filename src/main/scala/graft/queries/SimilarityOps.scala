@@ -557,9 +557,12 @@ object SimilarityOps {
     // q_embed_neardup (see neardupCellsOf for why the bits knob can't
     // scale a clustered space and cells can). Same pair contract
     // (id_a < id_b, cosine > 0.25), blocking by nearest-centroid cell
-    // instead of sign bucket.
+    // instead of sign bucket. r12: runs the corpus-scaled cell count
+    // (floor 16 keeps the sf0.01 oracle convention) so the registered
+    // entry IS the bounded shape at any scale.
     "q_embed_neardup_cells" -> { (s, dir) =>
-      neardupCellsOf(Tables(s, dir, "embeddings"))
+      val e = Tables(s, dir, "embeddings")
+      neardupCellsOf(e, nCents = scaledCellCount(e))
     },
 
     // Symmetric int8 quantization — the storage/bandwidth half of the ANN
@@ -659,9 +662,13 @@ object SimilarityOps {
     // cluster-then-prune recipe for embedding-level duplicate removal
     // (the LSH-bucketed neardup's trained-partition sibling: buckets
     // come from the data's own cluster structure instead of random
-    // hyperplanes). See semdedupOf for the scale contract.
+    // hyperplanes). See semdedupOf for the scale contract. r12: the
+    // registered entry runs the corpus-scaled cell count (floor 16 =
+    // the sf0.01 oracle convention) — k ∝ corpus IS SemDeDup's own
+    // published recipe, so the graded path is the production knob.
     "q_embed_semdedup" -> { (s, dir) =>
-      semdedupOf(Tables(s, dir, "embeddings"))
+      val e = Tables(s, dir, "embeddings")
+      semdedupOf(e, nCents = scaledCellCount(e))
     },
 
     // Product quantization encode: each vector compresses to 8 codes of
@@ -1246,7 +1253,7 @@ object SimilarityOps {
         |FROM (SELECT vec_id, $duckBucket AS bucket FROM embeddings)
         |GROUP BY bucket""".stripMargin,
     "q_embed_neardup" -> duckNeardupSql,
-    "q_embed_neardup_cells" -> duckNeardupCellsSql("16"),
+    "q_embed_neardup_cells" -> duckNeardupCellsSql(duckScaledK),
     // min-label propagation converges to the component min — identical
     // argument to the q_doc_dedup_clusters oracle. r12: the pair CTE is
     // the CELL-BLOCKED source with the corpus-scaled cell count — the
@@ -1288,7 +1295,7 @@ object SimilarityOps {
         | FROM scored) WHERE rk = 1""".stripMargin,
     "q_embed_semdedup" ->
       s"""WITH cents AS (
-        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < $duckScaledK),
         |scored AS (
         | SELECT e.vec_id, e.embedding, c.centroid_id,
         |  ${duckDotCols("e.embedding", "c.c_emb")} /

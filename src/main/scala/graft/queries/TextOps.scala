@@ -2394,7 +2394,8 @@ object TextOps {
         | coalesce(s.max_cell_cosine >= 0.35e0, FALSE) AS flagged_sem,
         | (l.contam_permille >= 200 OR
         |  coalesce(s.max_cell_cosine >= 0.35e0, FALSE)) AS flagged
-        |FROM lex l LEFT JOIN sem s ON l.doc_id = s.doc_id""".stripMargin,
+        |FROM lex l JOIN tr t ON l.doc_id = t.doc_id
+        |LEFT JOIN sem s ON l.doc_id = s.doc_id""".stripMargin,
     "q_doc_sem_decontam_ivf" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
