@@ -21,11 +21,20 @@ object ChainDatasets {
     * columns follow the effective-schema rules (types/schemas.rs). */
   def blocks(spark: SparkSession, dir: String,
       include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
-      columns: Option[Seq[String]] = None): DataFrame = {
-    val ds = Datatypes.blocks
-    fx(spark, dir, "rpc_blocks")
-      .select(TableSchema.resolve(ds, include, exclude, columns).map(col): _*)
-      .sortWithinPartitions("block_number")
+      columns: Option[Seq[String]] = None): DataFrame =
+    blocksOf(fx(spark, dir, "rpc_blocks"), include, exclude, columns)
+
+  /** streaming-composable twin of `blocks`: the same projection over an
+    * ALREADY-READ bronze frame (FollowMode.readAppendOnly hands a
+    * streaming one). `ordered = false` skips the local sort streaming
+    * plans disallow — follow-mode sinks order per file by arrival. */
+  def blocksOf(bronze: DataFrame,
+      include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
+      columns: Option[Seq[String]] = None,
+      ordered: Boolean = true): DataFrame = {
+    val out = bronze.select(
+      TableSchema.resolve(Datatypes.blocks, include, exclude, columns).map(col): _*)
+    if (ordered) out.sortWithinPartitions("block_number") else out
   }
 
   /** datasets/transactions.rs:14-318 — tx ⋈ receipt, EIP-1559 effective
@@ -110,9 +119,7 @@ object ChainDatasets {
       .withColumn("n_data_bytes", length(col("data")))
     eventSignature match {
       case None =>
-        split.select(TableSchema.resolve(Datatypes.logs, include, exclude, columns)
-            .map(col): _*)
-          .sortWithinPartitions("block_number", "log_index")
+        logsOf(raw, address, include, exclude, columns)
       case Some(sig) =>
         val event = Abi.parseEvent(sig)
         // the user's column selection applies to the BASE columns in
@@ -141,14 +148,34 @@ object ChainDatasets {
   // element_at/[] would throw on anonymous logs with no topics)
   private def logTopic(i: Int): Column = get(col("topics"), lit(i - 1))
 
+  /** streaming-composable twin of `logs` (non-decoded branch): topic
+    * split + byte stats over an already-read bronze frame */
+  def logsOf(bronze: DataFrame, address: Option[Array[Byte]] = None,
+      include: Seq[String] = Seq.empty, exclude: Seq[String] = Seq.empty,
+      columns: Option[Seq[String]] = None,
+      ordered: Boolean = true): DataFrame = {
+    val filtered = address.map(a => bronze.filter(col("address") === lit(a)))
+      .getOrElse(bronze)
+    val out = filtered
+      .withColumn("topic0", get(col("topics"), lit(0)))
+      .withColumn("topic1", get(col("topics"), lit(1)))
+      .withColumn("topic2", get(col("topics"), lit(2)))
+      .withColumn("topic3", get(col("topics"), lit(3)))
+      .withColumn("n_data_bytes", length(col("data")))
+      .select(TableSchema.resolve(Datatypes.logs, include, exclude, columns)
+        .map(col): _*)
+    if (ordered) out.sortWithinPartitions("block_number", "log_index") else out
+  }
+
   /** shared shape for erc20_transfers / erc20_approvals
     * (datasets/erc20_transfers.rs:12-131: 3 topics + 32-byte data). */
-  private def erc20Shaped(spark: SparkSession, dir: String,
+  private def erc20Shaped(logsBronze: DataFrame,
       topic0: Array[Byte], contractCol: String,
       u256Reprs: Seq[U256.Repr],
       from: Option[Array[Byte]] = None,
-      to: Option[Array[Byte]] = None): DataFrame = {
-    val base = fx(spark, dir, "rpc_logs")
+      to: Option[Array[Byte]] = None,
+      ordered: Boolean = true): DataFrame = {
+    val base = logsBronze
       .filter(logTopic(1) === lit(topic0) &&
               size(col("topics")) === 3 && length(col("data")) === 32)
     // from/to entity filters push into the topic positions — on a live
@@ -156,26 +183,36 @@ object ChainDatasets {
     // (datasets/erc20_transfers.rs:61-71 pushdown)
     val f1 = from.map(a => base.filter(logTopic(2) === lit(GenFixtures.pad32(a)))).getOrElse(base)
     val f2 = to.map(a => f1.filter(logTopic(3) === lit(GenFixtures.pad32(a)))).getOrElse(f1)
-    f2
+    val out = f2
       .select(Seq(
         col("block_number"), col("transaction_index"), col("log_index"),
         col("transaction_hash"), col("address").as(contractCol),
         expr("substring(topics[1], 13, 20)").as("from_address"),
         expr("substring(topics[2], 13, 20)").as("to_address")) ++
         U256.expand(col("data"), "value", u256Reprs) :+ col("chain_id"): _*)
-      .sortWithinPartitions("block_number", "log_index")
+    if (ordered) out.sortWithinPartitions("block_number", "log_index") else out
   }
 
   def erc20Transfers(spark: SparkSession, dir: String,
       u256Reprs: Seq[U256.Repr] = U256.defaultReprs,
       from: Option[Array[Byte]] = None,
       to: Option[Array[Byte]] = None): DataFrame =
-    erc20Shaped(spark, dir, Keccak.hash("Transfer(address,address,uint256)"),
+    erc20Shaped(fx(spark, dir, "rpc_logs"),
+      Keccak.hash("Transfer(address,address,uint256)"),
       "erc20", u256Reprs, from, to)
+
+  /** streaming-composable twin of `erc20Transfers` — the same row-local
+    * topic filter + decode over an already-read logs bronze frame */
+  def erc20TransfersOf(logsBronze: DataFrame,
+      u256Reprs: Seq[U256.Repr] = U256.defaultReprs,
+      ordered: Boolean = true): DataFrame =
+    erc20Shaped(logsBronze, Keccak.hash("Transfer(address,address,uint256)"),
+      "erc20", u256Reprs, ordered = ordered)
 
   def erc20Approvals(spark: SparkSession, dir: String,
       u256Reprs: Seq[U256.Repr] = U256.defaultReprs): DataFrame =
-    erc20Shaped(spark, dir, Keccak.hash("Approval(address,address,uint256)"),
+    erc20Shaped(fx(spark, dir, "rpc_logs"),
+      Keccak.hash("Approval(address,address,uint256)"),
       "erc20", u256Reprs)
 
   /** datasets/erc721_transfers.rs — 4 topics disambiguate from erc20. */

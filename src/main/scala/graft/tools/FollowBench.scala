@@ -1,0 +1,173 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+/** Follow-mode measured record (r12 brief item 5): streaming had specs
+  * but no number anywhere. This drives the production follow-mode
+  * pipeline shapes over the 60k-block chain corpus and the sf0.1
+  * document corpus and records throughput (blocks/sec, rows/sec),
+  * micro-batch latency (p50/p99 of triggerExecution) and the
+  * reorg-recovery wall time, as one JSON record in bench_history.
+  *
+  * Method: the bronze tables are staged as ~`nFiles` contiguous
+  * block-range files (repartitionByRange on block_number — exactly the
+  * per-chunk append pattern followLive produces), then each pipeline
+  * runs as a real Structured Streaming query — FollowMode.readAppendOnly
+  * with maxFilesPerTrigger=4 → the SAME ChainDatasets transform the
+  * batch path uses (blocksOf/logsOf/erc20TransfersOf, ordered=false) →
+  * a checkpointed parquet sink — under Trigger.AvailableNow, which
+  * drains the backlog in maxFilesPerTrigger-bounded micro-batches and
+  * stops: every trigger is a measured micro-batch. Streams run
+  * SEQUENTIALLY so latencies don't contend.
+  *
+  * Reorg recovery measures the followLive healing path end-to-end:
+  * stop the stream, rewrite bronze canonical-only via the production
+  * replaceDir swap, restart from the SAME checkpoint — the file source
+  * re-lists, sees the consolidated files as new, and reprocesses
+  * idempotently. Recovery wall time is therefore ~one full drain of
+  * the post-reorg bronze (the documented cost of a rewrite, not a
+  * partial patch).
+  *
+  * Usage: runMain graft.tools.FollowBench [chainFixtureDir] [docsParquet] [outJson]
+  */
+object FollowBench {
+
+  private case class M(label: String, rows: Long, batches: Int,
+      wallSec: Double, p50Ms: Long, p99Ms: Long) {
+    def json: String =
+      s""""$label":{"rows":$rows,"batches":$batches,""" +
+        s""""wall_sec":${f"$wallSec%.3f"},"batch_p50_ms":$p50Ms,""" +
+        s""""batch_p99_ms":$p99Ms,"rows_per_sec":${f"${rows / math.max(wallSec, 1e-9)}%.0f"}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val chainDir = args.lift(0).getOrElse("fixtures/chain_sf1")
+    val docsPath = args.lift(1).getOrElse("/root/testdata/sf0.1/documents.parquet")
+    val outJson = args.lift(2).getOrElse("bench_history/r12_follow.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false") // AQE is batch-only anyway
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.FollowMode
+
+    val work = java.nio.file.Files.createTempDirectory("graft_followbench").toString
+
+    // stage bronze as contiguous block-range files — the shape a
+    // follow-mode appender leaves behind (one file per settled chunk)
+    def stage(src: DataFrame, name: String, nFiles: Int, rangeCol: String): String = {
+      val p = s"$work/$name"
+      src.repartitionByRange(nFiles, col(rangeCol)).write.parquet(p)
+      p
+    }
+    val blocksPath = stage(
+      spark.read.parquet(s"$chainDir/rpc_blocks.parquet"), "rpc_blocks", 120, "block_number")
+    val logsPath = stage(
+      spark.read.parquet(s"$chainDir/rpc_logs.parquet"), "rpc_logs", 120, "block_number")
+    val docsStaged = stage(
+      spark.read.parquet(docsPath), "documents", 40, "doc_id")
+    val nBlocks = spark.read.parquet(blocksPath).count()
+
+    // per-query micro-batch metrics via the engine's own listener
+    val durations = new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
+      scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.getOrDefault("triggerExecution", 0L)
+        if (e.progress.numInputRows > 0 || d > 0)
+          durations.computeIfAbsent(e.progress.id,
+            _ => scala.collection.mutable.ArrayBuffer.empty)
+            .append((d, e.progress.numInputRows))
+      }
+    })
+
+    def pct(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) 0L else xs.sorted.apply(math.min(xs.size - 1,
+        (p * xs.size).toInt))
+
+    /** run one streaming pipeline to exhaustion under AvailableNow;
+      * returns measured metrics. `ckpt` reuse = restart-from-checkpoint. */
+    def run(label: String, src: String, build: DataFrame => DataFrame,
+        ckpt: String): M = {
+      val schema = spark.read.parquet(src).schema
+      val out = build(FollowMode.readAppendOnly(spark, src, schema,
+        maxFilesPerTrigger = 4))
+      val q = out.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$work/out_$label")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val t0 = System.nanoTime()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val per = Option(durations.get(q.id)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_._2 > 0) // data-less bookkeeping triggers aren't batches
+      val ds = per.map(_._1)
+      val m = M(label, per.map(_._2).sum, per.size, wall, pct(ds, 0.5), pct(ds, 0.99))
+      println(f"[follow] $label%-18s rows=${m.rows}%8d batches=${m.batches}%3d " +
+        f"wall=${m.wallSec}%7.2f s p50=${m.p50Ms}%5d ms p99=${m.p99Ms}%5d ms " +
+        f"(${m.rows / math.max(m.wallSec, 1e-9)}%.0f rows/s)")
+      m
+    }
+
+    // the three chain follow pipelines + the streaming exact-dedup twin,
+    // each the SAME transform the batch dataset runs (ordered=false: the
+    // one divergence streaming plans force, stated in the twins' docs)
+    val mBlocks = run("blocks", blocksPath,
+      df => graft.chain.ChainDatasets.blocksOf(df, ordered = false),
+      s"$work/ck_blocks")
+    val mLogs = run("logs", logsPath,
+      df => graft.chain.ChainDatasets.logsOf(df, ordered = false),
+      s"$work/ck_logs")
+    val mXfer = run("erc20_transfers", logsPath,
+      df => graft.chain.ChainDatasets.erc20TransfersOf(df, ordered = false),
+      s"$work/ck_xfer")
+    val mDedup = run("doc_dedup", docsStaged,
+      df => FollowMode.dedupStream(df).select("doc_id", "fp"),
+      s"$work/ck_dedup")
+
+    // reorg recovery, the production healing path: rewrite bronze
+    // canonical-only (tail window re-fetched) via replaceDir, restart
+    // the SAME checkpointed query, drain. The file source re-lists and
+    // reprocesses the consolidated files idempotently — recovery cost
+    // is one full drain of the post-reorg bronze by design.
+    val cutoff = spark.read.parquet(blocksPath)
+      .agg(max(col("block_number"))).collect()(0).getLong(0) - 500
+    val tmp = blocksPath + "__reorg_tmp"
+    val t0 = System.nanoTime()
+    val all = spark.read.parquet(blocksPath)
+    all.filter(col("block_number") < cutoff)
+      .unionByName(all.filter(col("block_number") >= cutoff)) // canonical refetch stand-in
+      .repartitionByRange(120, col("block_number"))
+      .write.mode("overwrite").parquet(tmp)
+    FollowMode.replaceDir(blocksPath, tmp)
+    spark.catalog.refreshByPath(blocksPath)
+    val mRecover = run("blocks_reorg_heal", blocksPath,
+      df => graft.chain.ChainDatasets.blocksOf(df, ordered = false),
+      s"$work/ck_blocks") // SAME checkpoint: restart semantics
+    val recoverSec = (System.nanoTime() - t0) / 1e9
+
+    val blocksPerSec = nBlocks / math.max(mBlocks.wallSec, 1e-9)
+    val record =
+      s"""{"corpus":"$chainDir","n_blocks":$nBlocks,""" +
+        s""""blocks_per_sec":${f"$blocksPerSec%.0f"},""" +
+        s""""reorg_recovery_sec":${f"$recoverSec%.3f"},""" +
+        s""""streams":{${Seq(mBlocks, mLogs, mXfer, mDedup, mRecover)
+          .map(_.json).mkString(",")}}}"""
+    val p = java.nio.file.Paths.get(outJson)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, record)
+    println(s"""{"metric":"follow_blocks_per_sec","value":${f"$blocksPerSec%.0f"},"unit":"blocks/sec","reorg_recovery_sec":${f"$recoverSec%.3f"}}""")
+    spark.stop()
+  }
+}
