@@ -94,16 +94,22 @@ object FollowBench {
         (p * xs.size).toInt))
 
     /** run one streaming pipeline to exhaustion under AvailableNow;
-      * returns measured metrics. `ckpt` reuse = restart-from-checkpoint. */
+      * returns measured metrics. Reusing `ckpt` (and its paired `sink`
+      * dir — the file sink's _spark_metadata log lives there) =
+      * restart-from-checkpoint. */
     def run(label: String, src: String, build: DataFrame => DataFrame,
-        ckpt: String): M = {
+        ckpt: String, sinkDir: Option[String] = None): M = {
+      // a restart-from-checkpoint REUSES the persisted query id, so the
+      // collector must start empty or the heal run pools the original
+      // run's batches into its own metrics
+      durations.clear()
       val schema = spark.read.parquet(src).schema
       val out = build(FollowMode.readAppendOnly(spark, src, schema,
         maxFilesPerTrigger = 4))
       val q = out.writeStream
         .outputMode("append")
         .format("parquet")
-        .option("path", s"$work/out_$label")
+        .option("path", sinkDir.getOrElse(s"$work/out_$label"))
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -142,7 +148,7 @@ object FollowBench {
     // reprocesses the consolidated files idempotently — recovery cost
     // is one full drain of the post-reorg bronze by design.
     val cutoff = spark.read.parquet(blocksPath)
-      .agg(max(col("block_number"))).collect()(0).getLong(0) - 500
+      .agg(max(col("block_number")).cast("long")).collect()(0).getLong(0) - 500
     val tmp = blocksPath + "__reorg_tmp"
     val t0 = System.nanoTime()
     val all = spark.read.parquet(blocksPath)
@@ -154,7 +160,8 @@ object FollowBench {
     spark.catalog.refreshByPath(blocksPath)
     val mRecover = run("blocks_reorg_heal", blocksPath,
       df => graft.chain.ChainDatasets.blocksOf(df, ordered = false),
-      s"$work/ck_blocks") // SAME checkpoint: restart semantics
+      // SAME checkpoint AND sink: genuine restart-from-checkpoint
+      s"$work/ck_blocks", sinkDir = Some(s"$work/out_blocks"))
     val recoverSec = (System.nanoTime() - t0) / 1e9
 
     val blocksPerSec = nBlocks / math.max(mBlocks.wallSec, 1e-9)
