@@ -74,14 +74,23 @@ object DensityScale {
         println(f"[density] m=$m%-4d $label%-22s ${s}%7.2f s (bits=$bits nCents=$nCents)")
         Some(label -> s)
       }
+      // measurement order: the cell family FIRST — the saturated-LSH
+      // points run for minutes at high m and contaminate readings taken
+      // after them in the same JVM (r12 measured clusters_cells at
+      // 45.8 s in-curve vs 16.0 s isolated; heap/codecache pressure)
+      val nSupers = math.ceil(math.sqrt(nCents.toDouble)).toInt
+      // the full TRAINED production configuration: kmeansOf cells +
+      // trained supers + two-level assignment (the router-quality
+      // spec's trained/trained pairing, at scale). Training cost is
+      // its own label (kmeansOf's Lloyd rounds run eagerly at
+      // construction — by-name body captures them); the operator label
+      // amortizes the build (lazy + localCheckpoint: charged to the
+      // untimed warm pass), the build-once/use-many operating point.
+      lazy val trainedDf = graft.queries.SimilarityOps
+        .kmeansOf(e, k = nCents, iters = 3).localCheckpoint()
       val r = Seq(
-        run("neardup_scaled", noop(neardupOf(e, bits = bits))),
         run("neardup_cells", noop(neardupCellsOf(e, nCents = nCents))),
         run("semdedup_scaled", noop(semdedupOf(e, nCents = nCents))),
-        run("clusters_scaled", noop(
-          graft.queries.TextOps.clustersOf(neardupOf(e, bits = bits))
-            .select(org.apache.spark.sql.functions.col("doc_id"),
-              org.apache.spark.sql.functions.col("cluster_id")))),
         run("clusters_cells", noop(
           graft.queries.TextOps.clustersOf(neardupCellsOf(e, nCents = nCents))
             .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -91,9 +100,20 @@ object DensityScale {
         // h2: the same scaled-k operators through the two-level coarse
         // quantizer (√k supers) — measures the n·k assignment fix
         run("semdedup_h2", noop(semdedupOf(e, nCents = nCents,
-          assignSupers = math.ceil(math.sqrt(nCents.toDouble)).toInt))),
+          assignSupers = nSupers))),
         run("neardup_cells_h2", noop(neardupCellsOf(e, nCents = nCents,
-          assignSupers = math.ceil(math.sqrt(nCents.toDouble)).toInt)))
+          assignSupers = nSupers))),
+        run("kmeans_train", noop(graft.queries.SimilarityOps
+          .kmeansOf(e, k = nCents, iters = 3))),
+        run("neardup_cells_trained", noop(neardupCellsOf(e,
+          nCents = nCents, assignSupers = nSupers,
+          centsOverride = Some(trainedDf), trainSupers = true))),
+        // the LSH family last (see order note above)
+        run("neardup_scaled", noop(neardupOf(e, bits = bits))),
+        run("clusters_scaled", noop(
+          graft.queries.TextOps.clustersOf(neardupOf(e, bits = bits))
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("cluster_id"))))
       ).flatten.toMap
       (m, bits, nCents, r)
     }
