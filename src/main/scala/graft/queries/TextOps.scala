@@ -1783,10 +1783,10 @@ object TextOps {
         .withColumn("flagged", col("flagged_lex") || col("flagged_sem"))
     },
 
-    // The semantic-only IVF decontamination audit at the fixture-pinned
-    // cell count (16). Since r12 the combined q_doc_sem_decontam above
-    // routes its semantic side through this same cell blocking with the
-    // CORPUS-SCALED cell count; the former exact |train|×|eval| form —
+    // The semantic-only IVF decontamination audit, corpus-scaled cell
+    // count. Since r12 the combined q_doc_sem_decontam above routes its
+    // semantic side through this same cell blocking; the former exact
+    // |train|×|eval| form —
     // measured at 211× wall for 100× data (r11_sf100_true.json) —
     // survives as semDecontamExactOf, spec-pinned as the recall
     // ceiling. The cell blocking works the way production does:
@@ -1803,7 +1803,13 @@ object TextOps {
     // union. Flag threshold and tie-break match the exact variant, so
     // the two operators' outputs are directly comparable audits.
     "q_doc_sem_decontam_ivf" -> { (s, dir) =>
-      semDecontamIvfOf(Tables(s, dir, "embeddings"))
+      // corpus-scaled cell count like every other registered density
+      // entry (r12 full-m=100 sweep measured the fixed-16 form at 50×
+      // for 100× data — 12.5k-vector cells are the fixed-k trap this
+      // operator exists to avoid); floor 16 = the sf0.01 convention
+      val e = Tables(s, dir, "embeddings")
+      semDecontamIvfOf(e,
+        nCents = graft.queries.SimilarityOps.scaledCellCount(e))
     },
 
     // Sliding-window chunking — the pretraining chunker: cut each
@@ -2398,7 +2404,7 @@ object TextOps {
         |LEFT JOIN sem s ON l.doc_id = s.doc_id""".stripMargin,
     "q_doc_sem_decontam_ivf" ->
       s"""WITH cents AS (
-        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < $duckScaledK),
         |scored AS (
         | SELECT e.vec_id, e.embedding, c.centroid_id,
         |  list_reduce(list_transform(range(1, 65),

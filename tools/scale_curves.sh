@@ -49,11 +49,23 @@ corpora() {
   gen "$BASE/m100" 100 documents,embeddings
   chainfix chain_sf0.1 6000   # committed; regenerated only if absent
   chainfix chain_sf1 60000    # gitignored (126MB)
-  chainfix chain_sf100 600000 # gitignored (the 100x chain tier)
+  # the 600k-block tier: GenFixtures builds rows driver-side — needs
+  # SPARK_DRIVER_MEM=48g (wedges silently at the 8g default) and ~10min
+  if [ ! -d fixtures/chain_sf100 ]; then
+    SPARK_DRIVER_MEM=48g sbt -batch "runMain graft.chain.GenFixtures fixtures/chain_sf100 600000"
+  else echo "[scale_curves] reusing fixtures/chain_sf100"; fi
   link sf0.1t chain_sf0.1
   link sf1t chain_sf1
   link m30 chain_sf1
   link m100 chain_sf100
+}
+
+# the FULL-suite second decade: every table at m=100 (~10GB under
+# SCALE_DIR), all 179 queries vs the m=1 corpus
+sf100full() {
+  gen "$BASE/m100full" 100
+  link m100full chain_sf100
+  sbt -batch "runMain graft.tools.FullScaleCheck $BASE/sf0.1t $BASE/m100full bench_history/${ROUND}_sf100_full.json"
 }
 
 density() {
@@ -78,6 +90,7 @@ case "${1:-all}" in
   density) density ;;
   full10) full10 ;;
   sf100) sf100 ;;
+  sf100full) sf100full ;;
   all) corpora; density; full10; sf100 ;;
-  *) echo "usage: $0 {corpora|density|full10|sf100|all}" >&2; exit 2 ;;
+  *) echo "usage: $0 {corpora|density|full10|sf100|sf100full|all}" >&2; exit 2 ;;
 esac
