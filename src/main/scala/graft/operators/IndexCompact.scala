@@ -525,10 +525,25 @@ object IndexCompact {
     * pointer is always the newest truth — a rebuild after a compact
     * bumps the version rather than writing a shadowed legacy tree. */
   def writeFresh(spark: SparkSession, dir: String, artifact: String,
-      df: DataFrame): Unit = withPublishLease(dir, artifact) { lease =>
+      df: DataFrame): Unit =
+    publishTree(spark, dir, artifact)(vdir =>
+      df.write.mode("overwrite").parquet(vdir))
+
+  /** Publish an arbitrary TREE as the artifact's next version — the
+    * whole-index generalization of writeFresh: `write` receives the
+    * version dir and may lay out ANYTHING under it (e.g. a full index
+    * triple as subdirectories); the same lease + fenced flip then
+    * publishes it as one unit. Because readers resolve ONE pointer
+    * (resolvePath) and version trees are immutable once flipped, a
+    * consumer of a multi-part tree gets a MUTUALLY CONSISTENT snapshot
+    * — the coherence unit is whatever `write` wrote, which is how a
+    * changed-data index rebuild stays safe under concurrent searches
+    * (SimilarityOps.saveIvfPqIndexAtomic). */
+  def publishTree(spark: SparkSession, dir: String, artifact: String)(
+      write: String => Unit): Unit = withPublishLease(dir, artifact) { lease =>
     val next = currentVersion(dir, artifact) + 1
     val vdir = versionDir(dir, artifact, next, lease.uid8)
-    df.write.mode("overwrite").parquet(vdir)
+    write(vdir)
     lease.renew() // the tree write was the long step
     lockFor(dir, artifact).synchronized {
       lease.assertStillOwner() // the flip gate: never flip a lost lease

@@ -1087,9 +1087,9 @@ object SimilarityOps {
     * ingest folds) the mix is benign — every version of each artifact
     * describes the same vectors, and each artifact is individually
     * complete-or-previous. Rebuilding over CHANGED data while serving
-    * searches is out of contract: quiesce searches around the rebuild,
-    * or build into a fresh index dir and switch readers at the dir
-    * level (one pointer for the whole triple). */
+    * searches is out of contract HERE — use saveIvfPqIndexAtomic /
+    * searchIvfPqIndexAtomic (one pointer for the whole triple,
+    * spec-pinned under changed-data rebuilds) for that lifecycle. */
   def saveIvfPqIndex(e: DataFrame, dir: String): Unit = {
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
@@ -1111,6 +1111,47 @@ object SimilarityOps {
     ic.writeFresh(e.sparkSession, dir,
       "codes.parquet", codesFlatOf(res, "residual", collectCodebook(cb),
         Seq("vec_id", "centroid_id")))
+  }
+
+  /** Atomic WHOLE-INDEX publish — the changed-data coherence upgrade
+    * over saveIvfPqIndex's three independent pointers (ADVICE r11):
+    * ONE pointer names a version tree holding the full (centroids,
+    * codebook, codes) triple, so a search concurrent with a rebuild
+    * over CHANGED data resolves a mutually consistent triple — old or
+    * new, never new centroids with old codes. Division of labor,
+    * stated plainly: the per-artifact layout (saveIvfPqIndex) is the
+    * streaming-ingest/compaction lifecycle — artifacts evolve
+    * independently, coherence contract is same-corpus; THIS layout is
+    * immutable-per-version — every publish is a full rebuild, which is
+    * exactly the changed-data case (spec-pinned: a polling search
+    * during two changed-corpus rebuilds only ever sees one corpus's
+    * complete answer). */
+  def saveIvfPqIndexAtomic(e: DataFrame, dir: String): Unit =
+    graft.operators.IndexCompact.publishTree(e.sparkSession, dir,
+      "ivfpq") { vdir =>
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      val res = residualsOf(e)
+      val cb = resCodebookOf(res)
+      cents.write.parquet(s"$vdir/centroids.parquet")
+      cb.select("sub", "code", "c_v").write.parquet(s"$vdir/codebook.parquet")
+      codesFlatOf(res, "residual", collectCodebook(cb),
+        Seq("vec_id", "centroid_id")).write.parquet(s"$vdir/codes.parquet")
+    }
+
+  /** Search an atomically-published index: resolve the version pointer
+    * ONCE, read all three parts from that immutable tree — coherent by
+    * construction; a concurrent republish flips the pointer while this
+    * plan keeps scanning its resolved version (one-cycle grace). */
+  def searchIvfPqIndexAtomic(spark: SparkSession, queries: DataFrame,
+      dir: String): DataFrame = {
+    val root = graft.operators.IndexCompact.resolvePath(dir, "ivfpq")
+    val cents = spark.read.parquet(s"$root/centroids.parquet")
+    val cb = spark.read.parquet(s"$root/codebook.parquet")
+      .withColumn("c_ss", sumSq(col("c_v")))
+    val codes = spark.read.parquet(s"$root/codes.parquet")
+    ivfpqSearchCore(queries, cents, cb, codes,
+      pruneCodesToProbedCells = true)
   }
 
   /** Streaming index maintenance — the incremental half of

@@ -73,19 +73,37 @@ object FullScaleCheck {
     val (tSmall, memoSmall) = pass(small)
     val (tLarge, memoLarge) = pass(large)
 
-    val rows = names.map { q =>
+    // Outlier self-adjudication (r12 lesson, hit twice): a reading taken
+    // right after a minutes-long job in the same JVM can inherit its
+    // heap/codecache pressure — chain_js_traces read 86× in-sweep and
+    // 9.2× isolated, clusters_cells 45.8 s in-curve and 16.0 s isolated.
+    // Any query whose ratio lands >20× gets ONE fresh re-time of both
+    // sides after the sweep; the record keeps the re-timed ratio and
+    // marks the row retimed so the first reading stays attributable.
+    val retimed = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    for (q <- names) {
       val ts = tSmall(q); val tl = tLarge(q)
+      if (ts > 0 && tl >= 0 && tl / ts > 20.0)
+        retimed(q) = (runNoop(q, small), runNoop(q, large))
+    }
+
+    val rows = names.map { q =>
+      val (ts, tl) = retimed.getOrElse(q, (tSmall(q), tLarge(q)))
       val ps = planSummary(q, small); val pl = planSummary(q, large)
       val err = ts < 0 || tl < 0
       val ratio = if (ts > 0 && tl >= 0) tl / ts else -1.0
+      val rt = retimed.contains(q)
       println(f"$q%-34s small=$ts%7.2f large=$tl%7.2f ratio=$ratio%6.2f " +
         s"flip=${ps != pl}${if (ps != pl) s"  [$ps -> $pl]" else ""}" +
+        (if (rt) f"  RETIMED (first: ${tLarge(q) / tSmall(q)}%.2f)" else "") +
         (if (err) "  ERROR" else ""))
-      (q, ts, tl, ratio, ps != pl, err)
+      (q, ts, tl, ratio, ps != pl, err, rt)
     }
-    val qs = rows.map { case (q, ts, tl, r, flip, err) =>
+    val qs = rows.map { case (q, ts, tl, r, flip, err, rt) =>
       s""""$q":{"small_sec":${f"$ts%.3f"},"large_sec":${f"$tl%.3f"},""" +
-        s""""ratio":${f"$r%.2f"},"plan_flip":$flip,"error":$err}"""
+        s""""ratio":${f"$r%.2f"},"plan_flip":$flip,"error":$err""" +
+        (if (rt) s""","retimed":true,"first_ratio":${f"${tLarge(q) / tSmall(q)}%.2f"}""" else "") +
+        "}"
     }.mkString("{", ",", "}")
     val nErrors = rows.count(_._6)
     if (nErrors > 0)

@@ -1084,6 +1084,61 @@ class CliSpec extends AnyFunSuite {
     assert(!LakeFs.exists(s"$idx/codes.parquet.publish_lock"))
   }
 
+  test("atomic whole-index publish: CHANGED-data rebuild during search " +
+      "never yields a mixed triple") {
+    // The per-artifact layout's documented limit (saveIvfPqIndex
+    // scaladoc): three independent pointers can serve new centroids
+    // with old codes when the DATA changed between rebuilds — benign
+    // for same-corpus, out of contract for changed data. The atomic
+    // layout closes it: one pointer names an immutable tree holding
+    // the whole triple, so a polling search during two changed-corpus
+    // rebuilds must see EXACTLY corpus A's complete answer or corpus
+    // B's complete answer — a mixed triple would match neither.
+    import graft.queries.SimilarityOps
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val e = Tables(spark, sf, "embeddings")
+    val corpusA = e.filter(col("vec_id") < 300)
+    val corpusB = e // superset: different codes AND different residuals
+    val queries = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    // per-corpus references from throwaway dirs
+    val refDir = Files.createTempDirectory("graft_atomic_ref").toString
+    SimilarityOps.saveIvfPqIndexAtomic(corpusA, s"$refDir/a")
+    SimilarityOps.saveIvfPqIndexAtomic(corpusB, s"$refDir/b")
+    val refA = rows(SimilarityOps.searchIvfPqIndexAtomic(spark, queries, s"$refDir/a"))
+    val refB = rows(SimilarityOps.searchIvfPqIndexAtomic(spark, queries, s"$refDir/b"))
+    assert(refA != refB, "corpora must be distinguishable for this spec")
+    // the lived lifecycle: build A, poll searches while rebuilding with
+    // CHANGED data twice (B then A again)
+    val idx = "graftfs:" + Files.createTempDirectory("graft_atomic_fs").toString
+    SimilarityOps.saveIvfPqIndexAtomic(corpusA, idx)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val nReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      try while (!stop.get) {
+        val got = rows(SimilarityOps.searchIvfPqIndexAtomic(spark, queries, idx))
+        assert(got == refA || got == refB,
+          "search saw a result matching NEITHER corpus — a mixed triple")
+        nReads.incrementAndGet()
+      } catch { case t: Throwable => bad.set(t) }
+    })
+    reader.start()
+    try {
+      SimilarityOps.saveIvfPqIndexAtomic(corpusB, idx)
+      SimilarityOps.saveIvfPqIndexAtomic(corpusA, idx)
+    } finally {
+      stop.set(true)
+      reader.join(120000)
+    }
+    assert(bad.get == null, s"concurrent changed-data search failed: ${bad.get}")
+    assert(nReads.get > 0, "the reader never completed a search")
+    assert(rows(SimilarityOps.searchIvfPqIndexAtomic(spark, queries, idx)) == refA)
+    assert(graft.operators.IndexCompact.currentVersion(idx, "ivfpq") == 3)
+  }
+
   test("publish lease: steal-under-TTL — a remote holder aged out mid-cycle " +
       "aborts at the flip gate, the thief's publish stands single-counted") {
     // The r11 residual, now pinned (r12 brief item 3): a REMOTE
