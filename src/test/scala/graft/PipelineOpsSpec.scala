@@ -876,6 +876,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scaledCellCount: floors at the oracle convention, scales at ~125/cell") {
+    // the knob every graded density entry runs (r12): floor 16 keeps
+    // the sf0.01 oracle convention; above the floor, cells hold ~125
+    // vectors so within-cell pairwise stays linear in total
+    import graft.queries.SimilarityOps.scaledCellCount
+    val e = Tables(spark, sf, "embeddings")
+    assert(scaledCellCount(e) == math.max(16L, e.count() / 125L).toInt)
+    assert(scaledCellCount(e.limit(500)) == 16)   // sf0.01 scale: the floor
+    assert(scaledCellCount(e.limit(2000)) == 16)  // 2000/125 = 16: boundary
+    val big = e.crossJoin(spark.range(100).select(col("id").as("rep")))
+      .select(col("vec_id"), col("embedding"))
+    assert(scaledCellCount(big) == big.count() / 125) // scaling regime
+  }
+
   test("sem decontam: OR of signals, cell-scoped semantic side bounded by " +
       "the exact form's recall ceiling") {
     // r12: the registered query routes its semantic side through the
