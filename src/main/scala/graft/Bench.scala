@@ -41,6 +41,10 @@ object Bench {
   private[graft] def rebuildMemosUntimed(spark: SparkSession, dir: String,
       names: Seq[String]): Double = {
     spark.sharedState.cacheManager.clearCache()
+    // r13: the memoized corpus cell-count must track the cache
+    // lifecycle — recount once per pass (one metadata job), never let a
+    // pass read a knob counted against different data
+    graft.queries.SimilarityOps.clearCellCountCache()
     val t0 = System.nanoTime()
     if (names.exists(_.startsWith("q_doc")))
       try graft.queries.TextOps.rebuildMemos(spark, dir)

@@ -418,23 +418,30 @@ object IndexCompact {
   def currentVersion(dir: String, artifact: String): Int =
     ptrVersions(dir, artifact).headOption.getOrElse(0)
 
-  /** the publish uid a version marker carries — "" for the r10/r11
-    * zero-byte markers (bare version tree) and for a marker whose
-    * content isn't readable yet (flip in flight on a non-atomic FS) */
-  private def ptrUid(dir: String, artifact: String, v: Int): String =
-    try LakeFs.readString(ptrPath(dir, artifact, v)).trim
-    catch { case _: java.io.IOException => "" }
+  /** the publish uid a version marker carries — Some("") for the
+    * r10/r11 zero-byte markers (bare version tree), Some(uid) for r12
+    * fenced markers, None for a marker whose content isn't READABLE
+    * yet (flip in flight on a non-atomic FS — the caller must defer to
+    * the previous version, not guess a tree; r13, ADVICE) */
+  private def ptrUid(dir: String, artifact: String, v: Int): Option[String] =
+    try Some(LakeFs.readString(ptrPath(dir, artifact, v)).trim)
+    catch { case _: java.io.IOException => None }
 
-  /** the tree a version marker names, if it exists: the uid-suffixed
-    * dir its content records (r12), falling back to the bare version
-    * dir (pre-r12 markers, or content not yet visible) */
-  private def treeOfPtr(dir: String, artifact: String, v: Int): Option[String] = {
-    val uid = ptrUid(dir, artifact, v)
-    val cands =
-      (if (uid.nonEmpty) Seq(versionDir(dir, artifact, v, uid)) else Seq.empty) :+
-        versionDir(dir, artifact, v, "")
-    cands.find(LakeFs.exists)
-  }
+  /** the tree a version marker names, if it exists. r13 tightening
+    * (ADVICE): the bare (uid-less) version dir is accepted ONLY for a
+    * CONFIRMED zero-byte marker — the pre-r12 layout, whose publishes
+    * wrote empty markers over bare trees. A marker whose content is
+    * not yet readable (mid-flight create on a non-atomic FS) resolves
+    * to NOTHING, so resolvePath defers to the previous complete
+    * version instead of a bare crash-orphan tree that happens to share
+    * the version number (publishTree also GCs such orphans pre-write —
+    * two independent closures of the same race). */
+  private def treeOfPtr(dir: String, artifact: String, v: Int): Option[String] =
+    ptrUid(dir, artifact, v) match {
+      case None => None // unreadable marker: mid-flight — defer
+      case Some(uid) =>
+        Some(versionDir(dir, artifact, v, uid)).filter(LakeFs.exists)
+    }
 
   /** the artifact's live data path: the newest version marker whose
     * tree is RESOLVABLE (content visible and directory present — a
@@ -486,6 +493,20 @@ object IndexCompact {
         treeVersion(n.stripPrefix(treePre))
           .filterNot(keep).foreach(_ => LakeFs.deleteTree(s"$dir/$n"))
     }
+  }
+
+  /** Drop a pre-r12 crash orphan — a BARE (uid-less) tree at a version
+    * number that has NO marker — before this publish reuses that
+    * number (r13, ADVICE): without this, a reader catching the new
+    * marker's content mid-flight on a non-atomic FS could have
+    * resolved the possibly-torn orphan via the old bare-dir fallback.
+    * Safe under the lease: `v` has no marker (currentVersion < v), so
+    * a bare tree there can only be a crash leftover, never live data.
+    * treeOfPtr's zero-byte-only fallback is the read-side closure of
+    * the same race; this is the write-side one. */
+  private def gcBareOrphan(dir: String, artifact: String, v: Int): Unit = {
+    val bare = versionDir(dir, artifact, v, "")
+    if (LakeFs.exists(bare)) LakeFs.deleteTree(bare)
   }
 
   /** THE FLIP, fenced by the publish-cycle uid (r12): one EXCLUSIVE
@@ -542,6 +563,7 @@ object IndexCompact {
   def publishTree(spark: SparkSession, dir: String, artifact: String)(
       write: String => Unit): Unit = withPublishLease(dir, artifact) { lease =>
     val next = currentVersion(dir, artifact) + 1
+    gcBareOrphan(dir, artifact, next)
     val vdir = versionDir(dir, artifact, next, lease.uid8)
     write(vdir)
     lease.renew() // the tree write was the long step
@@ -691,6 +713,7 @@ object IndexCompact {
       else readMain(spark, dir, artifact)
     val schemaJson = cur.schema.json
     val next = currentVersion(dir, artifact) + 1
+    gcBareOrphan(dir, artifact, next)
     val vdir = versionDir(dir, artifact, next, lease.uid8)
     val shaped =
       if (partitionCols.nonEmpty)

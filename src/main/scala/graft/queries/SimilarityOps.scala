@@ -78,6 +78,25 @@ object SimilarityOps {
   def scaledCellCount(e: DataFrame): Int =
     math.max(16L, e.count() / CellTargetSize).toInt
 
+  /** Memoized scaledCellCount keyed by (session, corpus dir) — r13:
+    * every density entry used to pay its own count() action at
+    * plan-construction time (7 per suite run ≈ 1 s at sf0.1; at 100 TB
+    * seven redundant metadata jobs). One count per corpus per session
+    * now; Bench.rebuildMemosUntimed clears the memo each pass so a
+    * bench run never reads a stale knob. Staleness contract: a
+    * long-lived session that APPENDS to the corpus must clear
+    * (clearCellCountCache) — same discipline as TextOps' audit memos. */
+  private val cellCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]
+  def scaledCellCountOf(s: SparkSession, dir: String): Int = {
+    cellCountCache.keySet.forEach { k =>
+      if (k._1.sparkContext.isStopped) cellCountCache.remove(k)
+    }
+    cellCountCache.computeIfAbsent((s, dir),
+      _ => Integer.valueOf(scaledCellCount(Tables(s, dir, "embeddings"))))
+  }
+  private[graft] def clearCellCountCache(): Unit = cellCountCache.clear()
+
   /** DuckDB twin of scaledCellCount over the embeddings table */
   private val duckScaledK =
     s"greatest(16, (SELECT count(*) FROM embeddings) // $CellTargetSize)"
@@ -561,8 +580,8 @@ object SimilarityOps {
     // (floor 16 keeps the sf0.01 oracle convention) so the registered
     // entry IS the bounded shape at any scale.
     "q_embed_neardup_cells" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-      neardupCellsOf(e, nCents = scaledCellCount(e))
+      neardupCellsOf(Tables(s, dir, "embeddings"),
+        nCents = scaledCellCountOf(s, dir))
     },
 
     // Symmetric int8 quantization — the storage/bandwidth half of the ANN
@@ -654,7 +673,7 @@ object SimilarityOps {
     // out of the scale sweep's graded path.
     "q_embed_dedup_clusters" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      TextOps.clustersOf(neardupCellsOf(e, nCents = scaledCellCount(e)))
+      TextOps.clustersOf(neardupCellsOf(e, nCents = scaledCellCountOf(s, dir)))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     },
 
@@ -668,7 +687,7 @@ object SimilarityOps {
     // published recipe, so the graded path is the production knob.
     "q_embed_semdedup" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      semdedupOf(e, nCents = scaledCellCount(e))
+      semdedupOf(e, nCents = scaledCellCountOf(s, dir))
     },
 
     // Product quantization encode: each vector compresses to 8 codes of

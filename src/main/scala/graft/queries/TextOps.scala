@@ -1776,7 +1776,7 @@ object TextOps {
         .select("doc_id", "contam_permille")
       val e = Tables(s, dir, "embeddings")
       val sem = semDecontamIvfOf(e,
-        nCents = graft.queries.SimilarityOps.scaledCellCount(e))
+        nCents = graft.queries.SimilarityOps.scaledCellCountOf(s, dir))
         .select("doc_id", "max_cell_cosine", "nearest_eval_id", "flagged_sem")
       lex.join(sem, "doc_id")
         .withColumn("flagged_lex", col("contam_permille") >= 200)
@@ -1809,7 +1809,7 @@ object TextOps {
       // operator exists to avoid); floor 16 = the sf0.01 convention
       val e = Tables(s, dir, "embeddings")
       semDecontamIvfOf(e,
-        nCents = graft.queries.SimilarityOps.scaledCellCount(e))
+        nCents = graft.queries.SimilarityOps.scaledCellCountOf(s, dir))
     },
 
     // Sliding-window chunking — the pretraining chunker: cut each

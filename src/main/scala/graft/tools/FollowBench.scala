@@ -116,6 +116,22 @@ object FollowBench {
       val t0 = System.nanoTime()
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
+      // r13 (ADVICE): the listener bus is ASYNCHRONOUS — the final
+      // batch's QueryProgressEvent may land after awaitTermination(),
+      // undercounting rows/batches and skewing p99. Drain: wait until
+      // the collector holds at least the data batches the query object
+      // itself reports (recentProgress is synchronous but capped at
+      // 100, so it is a lower bound) AND the count has stabilized.
+      val expected = q.recentProgress.count(_.numInputRows > 0)
+      def collected(): Int =
+        Option(durations.get(q.id)).map(_.size).getOrElse(0)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var lastSeen = -1
+      while (System.nanoTime() < deadline &&
+          (collected() < expected || collected() != lastSeen)) {
+        lastSeen = collected()
+        Thread.sleep(100)
+      }
       val per = Option(durations.get(q.id)).map(_.toSeq).getOrElse(Seq.empty)
         .filter(_._2 > 0) // data-less bookkeeping triggers aren't batches
       val ds = per.map(_._1)

@@ -80,11 +80,24 @@ object FullScaleCheck {
     // Any query whose ratio lands >20× gets ONE fresh re-time of both
     // sides after the sweep; the record keeps the re-timed ratio and
     // marks the row retimed so the first reading stays attributable.
-    val retimed = scala.collection.mutable.Map.empty[String, (Double, Double)]
-    for (q <- names) {
+    // r13 (ADVICE): retime each SIDE under its own freshly-rebuilt
+    // memos. pass(large) cleared the whole Spark cache and rebuilt
+    // memos for the large dir only, so a memo-dependent q_doc query
+    // retimed on the small dir would pay the full memo rebuild inside
+    // its timed reading while the large side reused warm memos —
+    // asymmetrically DEFLATING the retimed ratio the sidecar records
+    // as authoritative. All small retimes run after one untimed small
+    // memo rebuild, then all large retimes after one large rebuild.
+    val outliers = names.filter { q =>
       val ts = tSmall(q); val tl = tLarge(q)
-      if (ts > 0 && tl >= 0 && tl / ts > 20.0)
-        retimed(q) = (runNoop(q, small), runNoop(q, large))
+      ts > 0 && tl >= 0 && tl / ts > 20.0
+    }
+    val retimed = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    if (outliers.nonEmpty) {
+      graft.Bench.rebuildMemosUntimed(spark, small, outliers)
+      val rs = outliers.map(q => q -> runNoop(q, small)).toMap
+      graft.Bench.rebuildMemosUntimed(spark, large, outliers)
+      for (q <- outliers) retimed(q) = (rs(q), runNoop(q, large))
     }
 
     val rows = names.map { q =>

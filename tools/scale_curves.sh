@@ -38,8 +38,11 @@ chainfix() { # chainfix <fixture-dir> <nblocks>
     sbt -batch "runMain graft.chain.GenFixtures fixtures/$1 $2"
   else echo "[scale_curves] reusing fixtures/$1"; fi
 }
+# Relative sibling symlink (gitignored — r13: the committed absolute
+# links were dangling on any fresh clone; this helper owns their
+# creation, nothing else should).
 link() { # link <basename of sweep dir> <fixture-dir>
-  ln -sfn "$PWD/fixtures/$2" "fixtures/chain_$1"
+  ln -sfn "$2" "fixtures/chain_$1"
 }
 
 corpora() {
