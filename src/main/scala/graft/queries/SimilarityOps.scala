@@ -97,6 +97,38 @@ object SimilarityOps {
   }
   private[graft] def clearCellCountCache(): Unit = cellCountCache.clear()
 
+  /** Memoized TRAINED centroids per (session, corpus, k) — the r13
+    * promotion of the measured-best router configuration to a graded,
+    * oracle-checked path (r12 spec + r12_trained_cells.json: balanced
+    * Lloyd cells beat the vec_id<k seed convention on BOTH axes —
+    * median routing regret 0 vs 0.014 and 4.4× faster at m=100, where
+    * seed cells inherit the corpus' skew and one mega-cell carries the
+    * pairwise tail). kmeansOf is deterministic (fixed seed, exact
+    * integer-grid means, float rounding per round) and its 3 Lloyd
+    * rounds are mirrored term-for-term in the DuckDB oracle
+    * (duckKmeansCtes), so trained-cell queries hash-match like every
+    * other entry. Training is an index-build step (the offline half of
+    * saveIvfPqIndex), so like TextOps' pair memos it materializes ONCE
+    * per corpus per session and rebuilds untimed under the bench's
+    * memo_build_s line item; the returned frame is k rows, checkpointed
+    * by kmeansOf's last round. */
+  private val trainedCentsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]
+  def trainedCentsOf(s: SparkSession, dir: String, k: Int): DataFrame = {
+    trainedCentsCache.keySet.forEach { c =>
+      if (c._1.sparkContext.isStopped) trainedCentsCache.remove(c)
+    }
+    trainedCentsCache.computeIfAbsent((s, dir, k),
+      _ => kmeansOf(Tables(s, dir, "embeddings"), k, iters = 3))
+  }
+  private[graft] def clearTrainedCentsCache(): Unit = trainedCentsCache.clear()
+
+  /** untimed memo warm-up hook (Bench.rebuildMemosUntimed): train the
+    * corpus-scaled centroid set once so no timed trained-cells reading
+    * is charged the 3-round Lloyd build */
+  private[graft] def rebuildTrainedMemos(s: SparkSession, dir: String): Unit =
+    trainedCentsOf(s, dir, scaledCellCountOf(s, dir)).count()
+
   /** DuckDB twin of scaledCellCount over the embeddings table */
   private val duckScaledK =
     s"greatest(16, (SELECT count(*) FROM embeddings) // $CellTargetSize)"
@@ -584,6 +616,30 @@ object SimilarityOps {
         nCents = scaledCellCountOf(s, dir))
     },
 
+    // TRAINED cells under the same pair contract — the r13 promotion
+    // of the measured-best router to a graded, hash-checked entry.
+    // Blocking cells come from 3 Lloyd rounds (kmeansOf: exact
+    // integer-grid means, float rounding per round — deterministic in
+    // both engines; the oracle unrolls the identical 3 rounds in SQL,
+    // duckKmeansCtes) instead of the vec_id < k seed convention the
+    // seed twin above keeps. Why trained is the scale path, measured
+    // (r12 router spec + r12_trained_cells.json): Lloyd balances cell
+    // populations where seed anchors inherit the corpus' skew, so the
+    // cell-quadratic pairwise loses its mega-cell tail — 4.4× faster
+    // at m=100 — and routing regret vs the true nearest-of-k drops to
+    // median 0. Assignment here is the FLAT exact argmax (row-local
+    // broadcast, no expansion); the 2-level trained-supers router that
+    // accelerates assignment at large k is spec-pinned beside it
+    // (Centroid2LevelIndex.buildTrained — approximate by contract, so
+    // it stays out of the hash gate). Training is memoized per corpus
+    // as an index build (trainedCentsOf), the same lifecycle as the
+    // LSH pair memos.
+    "q_embed_neardup_cells_trained" -> { (s, dir) =>
+      val k = scaledCellCountOf(s, dir)
+      neardupCellsOf(Tables(s, dir, "embeddings"), nCents = k,
+        centsOverride = Some(trainedCentsOf(s, dir, k)))
+    },
+
     // Symmetric int8 quantization — the storage/bandwidth half of the ANN
     // scale story (IVF partitions the reads, quantization shrinks them
     // 4×): per-vector scale = max|x|/127, elements floor(x/scale).
@@ -672,8 +728,14 @@ object SimilarityOps {
     // q_embed_neardup / neardupOf and is spec-pinned at fixed knobs,
     // out of the scale sweep's graded path.
     "q_embed_dedup_clusters" -> { (s, dir) =>
+      // r13: pairs now come from TRAINED cells (the measured-best
+      // router — balanced Lloyd cells, no mega-cell pairwise tail; see
+      // q_embed_neardup_cells_trained) at the corpus-scaled count. The
+      // oracle trains the identical 3 Lloyd rounds in SQL.
       val e = Tables(s, dir, "embeddings")
-      TextOps.clustersOf(neardupCellsOf(e, nCents = scaledCellCountOf(s, dir)))
+      val k = scaledCellCountOf(s, dir)
+      TextOps.clustersOf(neardupCellsOf(e, nCents = k,
+          centsOverride = Some(trainedCentsOf(s, dir, k))))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     },
 
@@ -688,6 +750,20 @@ object SimilarityOps {
     "q_embed_semdedup" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       semdedupOf(e, nCents = scaledCellCountOf(s, dir))
+    },
+
+    // SemDeDup over TRAINED cells — the configuration the SemDeDup
+    // recipe actually prescribes (k-means clusters, not fixed anchors;
+    // k grown with the corpus). Same keep/drop contract as
+    // q_embed_semdedup, cells from the same memoized 3-round Lloyd
+    // train as q_embed_neardup_cells_trained, oracle-mirrored
+    // term-for-term (duckKmeansCtes). The seed twin stays registered:
+    // the pair measures the router swap itself — same corpus, same
+    // tau, same cap hygiene, only the blocking changes.
+    "q_embed_semdedup_trained" -> { (s, dir) =>
+      val k = scaledCellCountOf(s, dir)
+      semdedupOf(Tables(s, dir, "embeddings"), nCents = k,
+        centsOverride = Some(trainedCentsOf(s, dir, k)))
     },
 
     // Product quantization encode: each vector compresses to 8 codes of
@@ -1314,12 +1390,18 @@ object SimilarityOps {
         |GROUP BY bucket""".stripMargin,
     "q_embed_neardup" -> duckNeardupSql,
     "q_embed_neardup_cells" -> duckNeardupCellsSql(duckScaledK),
+    "q_embed_neardup_cells_trained" ->
+      s"""WITH ${duckKmeansCtes(duckScaledK, 3)},
+        |${duckNeardupCellsBody("cents3")}""".stripMargin,
     // min-label propagation converges to the component min — identical
     // argument to the q_doc_dedup_clusters oracle. r12: the pair CTE is
-    // the CELL-BLOCKED source with the corpus-scaled cell count — the
-    // oracle pins the graded scale path's semantics exactly.
+    // the CELL-BLOCKED source with the corpus-scaled cell count; r13:
+    // cells are TRAINED (3 Lloyd rounds inline) — the oracle pins the
+    // graded scale path's semantics exactly, training included.
     "q_embed_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs_out AS (${duckNeardupCellsSql(duckScaledK)}),
+      s"""WITH RECURSIVE pairs_out AS (
+        |WITH ${duckKmeansCtes(duckScaledK, 3)},
+        |${duckNeardupCellsBody("cents3")}),
         |edges AS (
         | SELECT id_a AS src, id_b AS dst FROM pairs_out
         | UNION ALL SELECT id_b, id_a FROM pairs_out),
@@ -1356,28 +1438,13 @@ object SimilarityOps {
     "q_embed_semdedup" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < $duckScaledK),
-        |scored AS (
-        | SELECT e.vec_id, e.embedding, c.centroid_id,
-        |  ${duckDotCols("e.embedding", "c.c_emb")} /
-        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
-        | FROM embeddings e, cents c),
-        |assign AS (
-        | SELECT vec_id, embedding, centroid_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
-        |  FROM scored) WHERE rk = 1),
-        |sized AS (
-        | SELECT *, count(*) OVER (PARTITION BY centroid_id) AS csz FROM assign),
-        |sims AS (
-        | SELECT a.vec_id,
-        |  max(${duckDotCols("a.embedding", "b.embedding")} /
-        |   (sqrt(${duckSS("a.embedding")}) * sqrt(${duckSS("b.embedding")}))) AS max_prior_cosine
-        | FROM sized a JOIN sized b
-        |  ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
-        | WHERE a.csz <= $EmbBucketCap AND b.csz <= $EmbBucketCap
-        | GROUP BY a.vec_id)
-        |SELECT s.vec_id, s.centroid_id, m.max_prior_cosine,
-        | coalesce(m.max_prior_cosine <= $SemdedupTau, TRUE) AS keep
-        |FROM sized s LEFT JOIN sims m ON s.vec_id = m.vec_id""".stripMargin,
+        |${duckSemdedupBody("cents")}""".stripMargin,
+    // trained twin: identical keep/drop body over the 3-round Lloyd
+    // cents — the oracle runs the SAME training arithmetic kmeansOf
+    // runs (integer-grid means, float rounding per round)
+    "q_embed_semdedup_trained" ->
+      s"""WITH ${duckKmeansCtes(duckScaledK, 3)},
+        |${duckSemdedupBody("cents3")}""".stripMargin,
     "q_embed_ivf_assign_2level" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
@@ -1599,14 +1666,78 @@ object SimilarityOps {
     * count expression: "16" pins the fixture convention
     * (q_embed_neardup_cells); duckScaledK pins the corpus-scaled
     * production knob (the q_embed_dedup_clusters pair source) */
+  /** kmeansOf unrolled in SQL: `iters` Lloyd rounds, each the exact
+    * mirror of one Spark round — cosine argmax with (cosine DESC,
+    * centroid_id ASC) ties, the floor(x·2^20) integer-grid mean (exact
+    * long sum, order-free in both engines), one IEEE double division,
+    * rounded to FLOAT per round exactly where kmeansOf casts. Seeded
+    * from vec_id < kExpr like kmeansOf; a cell that loses all members
+    * drops out via GROUP BY, as in Spark. Produces CTEs cents0..cents$iters;
+    * callers build on cents$iters. */
+  private def duckKmeansCtes(kExpr: String, iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""scored_t$r AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  ${duckDotCols("e.embedding", "c.c_emb")} /
+        |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+        | FROM embeddings e, cents${r - 1} c),
+        |assign_t$r AS (
+        | SELECT vec_id, embedding, centroid_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+        |  FROM scored_t$r) WHERE rk = 1),
+        |cents$r AS (
+        | SELECT centroid_id, list(CAST(c_val AS FLOAT) ORDER BY dim) AS c_emb FROM (
+        |  SELECT centroid_id, dim,
+        |   CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * $KmeansQuant) AS c_val
+        |  FROM (SELECT centroid_id, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $KmeansQuant) AS BIGINT) AS q
+        |   FROM assign_t$r, range(1, 65) t(i))
+        |  GROUP BY centroid_id, dim) GROUP BY centroid_id)""".stripMargin
+    }
+    (s"""cents0 AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < $kExpr)""".stripMargin
+      +: rounds).mkString(",\n")
+  }
+
   private def duckNeardupCellsSql(kExpr: String): String =
     s"""WITH cents AS (
       | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < $kExpr),
-      |scored AS (
+      |${duckNeardupCellsBody("cents")}""".stripMargin
+
+  /** the SemDeDup keep/drop body downstream of ANY cents table — seed
+    * (q_embed_semdedup) or trained (duckKmeansCtes' last round) */
+  private def duckSemdedupBody(centsCte: String): String =
+    s"""scored AS (
       | SELECT e.vec_id, e.embedding, c.centroid_id,
       |  ${duckDotCols("e.embedding", "c.c_emb")} /
       |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
-      | FROM embeddings e, cents c),
+      | FROM embeddings e, $centsCte c),
+      |assign AS (
+      | SELECT vec_id, embedding, centroid_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+      |  FROM scored) WHERE rk = 1),
+      |sized AS (
+      | SELECT *, count(*) OVER (PARTITION BY centroid_id) AS csz FROM assign),
+      |sims AS (
+      | SELECT a.vec_id,
+      |  max(${duckDotCols("a.embedding", "b.embedding")} /
+      |   (sqrt(${duckSS("a.embedding")}) * sqrt(${duckSS("b.embedding")}))) AS max_prior_cosine
+      | FROM sized a JOIN sized b
+      |  ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+      | WHERE a.csz <= $EmbBucketCap AND b.csz <= $EmbBucketCap
+      | GROUP BY a.vec_id)
+      |SELECT s.vec_id, s.centroid_id, m.max_prior_cosine,
+      | coalesce(m.max_prior_cosine <= $SemdedupTau, TRUE) AS keep
+      |FROM sized s LEFT JOIN sims m ON s.vec_id = m.vec_id""".stripMargin
+
+  /** the cell-blocked pair body downstream of ANY cents table — seed
+    * (duckNeardupCellsSql) or trained (duckKmeansCtes' last round) */
+  private def duckNeardupCellsBody(centsCte: String): String =
+    s"""scored AS (
+      | SELECT e.vec_id, e.embedding, c.centroid_id,
+      |  ${duckDotCols("e.embedding", "c.c_emb")} /
+      |   (sqrt(${duckSS("e.embedding")}) * sqrt(${duckSS("c.c_emb")})) AS cosine
+      | FROM embeddings e, $centsCte c),
       |assign AS (
       | SELECT vec_id, embedding, centroid_id FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk

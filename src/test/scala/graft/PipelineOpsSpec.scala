@@ -327,11 +327,14 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("embedding dedup clusters are consistent with the near-dup pairs") {
     // r12: the clusters' pair source is the cell-blocked neardupCellsOf
-    // at the corpus-scaled cell count (the graded scale path) — assert
-    // consistency against exactly that source
+    // at the corpus-scaled cell count; r13: over TRAINED cells (the
+    // graded scale path) — assert consistency against exactly that
+    // source
     val e = Tables(spark, sf, "embeddings")
+    val k = graft.queries.SimilarityOps.scaledCellCount(e)
     val pairs = graft.queries.SimilarityOps
-      .neardupCellsOf(e, nCents = graft.queries.SimilarityOps.scaledCellCount(e))
+      .neardupCellsOf(e, nCents = k, centsOverride =
+        Some(graft.queries.SimilarityOps.trainedCentsOf(spark, sf, k)))
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     val clusters = SparkEntry.queries("q_embed_dedup_clusters")(spark, sf)
@@ -339,6 +342,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
     clusters.foreach { case (v, c) => assert(c <= v) }
+  }
+
+  test("trained-cells entries: deterministic training, memoized build, " +
+      "same pair/keep contracts as the seed twins") {
+    // r13 promotion guardrails. (a) kmeansOf is bit-deterministic —
+    // two independent trainings produce identical float centroids
+    // (exact integer-grid means; this is what lets the DuckDB oracle
+    // mirror training instead of treating it as opaque).
+    val e = Tables(spark, sf, "embeddings")
+    def train() = graft.queries.SimilarityOps.kmeansOf(e, k = 16, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+      .sortBy(_._1)
+    val t1 = train(); val t2 = train()
+    assert(t1.map(_._1).sameElements(t2.map(_._1)))
+    t1.zip(t2).foreach { case ((_, v1), (_, v2)) => assert(v1 == v2) }
+    // (b) trainedCentsOf memoizes per (session, dir, k): the SAME frame
+    // comes back, so repeated plan construction (bench, scale sweeps)
+    // never re-pays the Lloyd build
+    val c1 = graft.queries.SimilarityOps.trainedCentsOf(spark, sf, 16)
+    assert(c1 eq graft.queries.SimilarityOps.trainedCentsOf(spark, sf, 16))
+    // (c) contracts match the seed twins: pairs ordered and thresholded,
+    // semdedup emits every vector exactly once with a sound keep verdict
+    val pairs = SparkEntry.queries("q_embed_neardup_cells_trained")(spark, sf)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cosine") > 0.25)
+    }
+    val sem = SparkEntry.queries("q_embed_semdedup_trained")(spark, sf).collect()
+    assert(sem.length == e.count())
+    sem.foreach { r =>
+      val mpc = Option(r.getAs[java.lang.Double]("max_prior_cosine"))
+      val keep = r.getAs[Boolean]("keep")
+      assert(keep == mpc.forall(_ <= graft.queries.SimilarityOps.SemdedupTau))
+    }
   }
 
   test("corpus_prep verdicts agree with each standalone stage query") {
