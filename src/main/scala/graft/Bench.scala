@@ -184,12 +184,31 @@ object Bench {
         val sorted = ratios.map(_._4).sorted
         sorted(sorted.size / 2)
       }
-    val flagged = ratios.collect {
+    val candidates = ratios.collect {
       case (k, b, v, r) if r > 1.4 && r > globalFactor * 1.4 => (k, b, v)
     }
-    val driftJson = flagged
-      .map { case (k, b, v) =>
-        "\"" + k + "\":{" + f""""prev":$b%.3f,"now":$v%.3f}""" }
+    // r13: a candidate flag must REPRODUCE on a 3-run isolated re-time
+    // before it's reported. Single-query scatter on hot host days
+    // (>1.15× run_factor) was still tripping the normalized threshold —
+    // r12 flagged q_embed_dim_recall at run_factor 1.197 and the
+    // closing run cleared it by hand; this automates that adjudication.
+    // The re-time replays the pass protocol (cache cleared, memos
+    // rebuilt untimed) so memo-dependent queries aren't charged their
+    // memo build, then takes the median of 3 isolated runs. A flag
+    // survives only if the reproduced reading still clears the same
+    // normalized threshold; cleared candidates are recorded (not
+    // dropped) so the history shows what was adjudicated away.
+    val adjudicated = candidates.map { case (k, b, v) =>
+      rebuildMemosUntimed(spark, sfDir, Seq(k))
+      val ts = (1 to 3).map(_ => runNoop(k)).sorted
+      val rt = ts(ts.size / 2)
+      (k, b, v, rt, rt >= 0 && rt / b > 1.4 && rt / b > globalFactor * 1.4)
+    }
+    val flagged = adjudicated.collect { case (k, b, _, rt, true) => (k, b, rt) }
+    val driftJson = adjudicated
+      .map { case (k, b, v, rt, repro) =>
+        "\"" + k + "\":{" +
+          f""""prev":$b%.3f,"now":$v%.3f,"retimed":$rt%.3f,"reproduced":$repro}""" }
       .mkString(
         s"""{"baseline":"${baselinePath.getOrElse("")}",""" +
           f""""run_factor":$globalFactor%.3f,"flagged":{""",

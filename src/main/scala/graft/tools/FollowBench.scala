@@ -45,7 +45,8 @@ object FollowBench {
   def main(args: Array[String]): Unit = {
     val chainDir = args.lift(0).getOrElse("fixtures/chain_sf1")
     val docsPath = args.lift(1).getOrElse("/root/testdata/sf0.1/documents.parquet")
-    val outJson = args.lift(2).getOrElse("bench_history/r12_follow.json")
+    val outJson = args.lift(2).getOrElse("bench_history/r13_follow.json")
+    val embPath = args.lift(3).getOrElse("/root/testdata/sf0.1/embeddings.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -96,9 +97,12 @@ object FollowBench {
     /** run one streaming pipeline to exhaustion under AvailableNow;
       * returns measured metrics. Reusing `ckpt` (and its paired `sink`
       * dir — the file sink's _spark_metadata log lives there) =
-      * restart-from-checkpoint. */
+      * restart-from-checkpoint. Stateful update-mode twins (semdedup)
+      * pass outputMode="update"/format="noop": the parquet sink is
+      * append-only, and what's measured is the pipeline, not the sink. */
     def run(label: String, src: String, build: DataFrame => DataFrame,
-        ckpt: String, sinkDir: Option[String] = None): M = {
+        ckpt: String, sinkDir: Option[String] = None,
+        outputMode: String = "append", format: String = "parquet"): M = {
       // a restart-from-checkpoint REUSES the persisted query id, so the
       // collector must start empty or the heal run pools the original
       // run's batches into its own metrics
@@ -106,12 +110,13 @@ object FollowBench {
       val schema = spark.read.parquet(src).schema
       val out = build(FollowMode.readAppendOnly(spark, src, schema,
         maxFilesPerTrigger = 4))
-      val q = out.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", sinkDir.getOrElse(s"$work/out_$label"))
+      val w0 = out.writeStream
+        .outputMode(outputMode)
+        .format(format)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
+      val q = (if (format == "parquet")
+        w0.option("path", sinkDir.getOrElse(s"$work/out_$label")) else w0)
         .start()
       val t0 = System.nanoTime()
       q.awaitTermination()
@@ -158,6 +163,23 @@ object FollowBench {
       df => FollowMode.dedupStream(df).select("doc_id", "fp"),
       s"$work/ck_dedup")
 
+    // r13 (brief item 4a): the streaming SemDeDup twin gets its first
+    // throughput number. Same blocking the batch graded path runs:
+    // corpus-scaled cell count, seed-convention centroids (the
+    // oracle-pinned form the registered entries use at this corpus).
+    // Update-mode stateful stream → noop sink (parquet is append-only;
+    // the pipeline is what's measured).
+    val embAll = spark.read.parquet(embPath).select("vec_id", "embedding")
+    val kCells = graft.queries.SimilarityOps.scaledCellCount(embAll)
+    val semCents = embAll.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val embStaged = stage(embAll, "embeddings", 40, "vec_id")
+    val nVecs = spark.read.parquet(embStaged).count()
+    val mSemdedup = run("embed_semdedup", embStaged,
+      df => FollowMode.semdedupStream(spark,
+        df.select("vec_id", "embedding"), semCents).toDF(),
+      s"$work/ck_semdedup", outputMode = "update", format = "noop")
+
     // reorg recovery, the production healing path: rewrite bronze
     // canonical-only (tail window re-fetched) via replaceDir, restart
     // the SAME checkpointed query, drain. The file source re-lists and
@@ -180,12 +202,91 @@ object FollowBench {
       s"$work/ck_blocks", sinkDir = Some(s"$work/out_blocks"))
     val recoverSec = (System.nanoTime() - t0) / 1e9
 
+    // r13 (brief item 4b): catch-up-from-genesis + steady-state lag —
+    // the incremental consumer's worst day. Stage everything below the
+    // live window as the genesis backlog, drain it from block 0 with
+    // the production trigger knob (maxFilesPerTrigger=4 — the honest
+    // worst-day number is the production configuration, not a tuned
+    // batch size), then keep the SAME checkpointed query running under
+    // ProcessingTime and feed the live window in chunk-file appends
+    // (atomic part-file moves — exactly what followLive's settled-chunk
+    // writer leaves behind), measuring per-chunk lag from
+    // file-visibility to rows-committed.
+    val allBlocks = spark.read.parquet(blocksPath)
+    val headBlock = allBlocks.agg(max(col("block_number")).cast("long"))
+      .collect()(0).getLong(0)
+    val liveStart = headBlock - 5000
+    val catchupDir = s"$work/catchup_blocks"
+    allBlocks.filter(col("block_number") < liveStart)
+      .repartitionByRange(110, col("block_number"))
+      .write.parquet(catchupDir)
+    val nBacklog = spark.read.parquet(catchupDir).count()
+    val mCatchup = run("catchup_from_genesis", catchupDir,
+      df => graft.chain.ChainDatasets.blocksOf(df, ordered = false),
+      s"$work/ck_catchup")
+    // live phase: 10 chunks of ~500 blocks arrive one at a time
+    val chunkBounds = (0 until 10).map(i => (liveStart + i * 500, liveStart + (i + 1) * 500))
+    val chunkFiles = chunkBounds.zipWithIndex.map { case ((lo, hi), i) =>
+      val tmpDir = s"$work/chunk_stage_$i"
+      val chunk = allBlocks.filter(col("block_number") >= lo && col("block_number") < hi)
+      chunk.coalesce(1).write.parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      (part.toPath, chunk.count())
+    }
+    durations.clear()
+    val liveSchema = spark.read.parquet(catchupDir).schema
+    val liveQ = graft.chain.ChainDatasets.blocksOf(
+        FollowMode.readAppendOnly(spark, catchupDir, liveSchema,
+          maxFilesPerTrigger = 4), ordered = false)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$work/out_catchup_from_genesis")
+      .option("checkpointLocation", s"$work/ck_catchup")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    // cumulative live-phase rows from the (cleared) listener collector —
+    // recentProgress is synchronous but capped at 100 entries, and a
+    // 250ms trigger cadence can evict data-carrying entries mid-phase;
+    // the listener map is unbounded (its ms-scale async delivery is
+    // noise against the lag being measured)
+    def liveRows(): Long = Option(durations.get(liveQ.id))
+      .map(_.map(_._2).sum).getOrElse(0L)
+    // settle: let the restarted source finish its initial (empty) listing
+    Thread.sleep(1500)
+    val lags = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var expectedRows = liveRows()
+    chunkFiles.zipWithIndex.foreach { case ((part, rows), i) =>
+      expectedRows += rows
+      val tA = System.nanoTime()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$catchupDir/live-chunk-$i.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val deadline2 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (liveRows() < expectedRows && System.nanoTime() < deadline2)
+        Thread.sleep(25)
+      lags += (System.nanoTime() - tA) / (1000 * 1000)
+      Thread.sleep(750) // inter-arrival gap: lag measurements don't overlap
+    }
+    liveQ.stop()
+    val lagP50 = pct(lags.toSeq, 0.5)
+    val lagP99 = pct(lags.toSeq, 0.99)
+    val catchupBlocksPerSec = nBacklog / math.max(mCatchup.wallSec, 1e-9)
+    println(f"[follow] catchup ${nBacklog}%d blocks in ${mCatchup.wallSec}%.2f s " +
+      f"(${catchupBlocksPerSec}%.0f blocks/s); live lag p50=${lagP50}%d ms p99=${lagP99}%d ms")
+
     val blocksPerSec = nBlocks / math.max(mBlocks.wallSec, 1e-9)
     val record =
-      s"""{"corpus":"$chainDir","n_blocks":$nBlocks,""" +
+      s"""{"corpus":"$chainDir","n_blocks":$nBlocks,"n_vecs":$nVecs,""" +
         s""""blocks_per_sec":${f"$blocksPerSec%.0f"},""" +
         s""""reorg_recovery_sec":${f"$recoverSec%.3f"},""" +
-        s""""streams":{${Seq(mBlocks, mLogs, mXfer, mDedup, mRecover)
+        s""""catchup":{"backlog_blocks":$nBacklog,""" +
+        s""""wall_sec":${f"${mCatchup.wallSec}%.3f"},""" +
+        s""""blocks_per_sec":${f"$catchupBlocksPerSec%.0f"},""" +
+        s""""live_chunks":${lags.size},"lag_p50_ms":$lagP50,"lag_p99_ms":$lagP99,""" +
+        s""""lags_ms":${lags.mkString("[", ",", "]")}},""" +
+        s""""streams":{${Seq(mBlocks, mLogs, mXfer, mDedup, mSemdedup, mRecover, mCatchup)
           .map(_.json).mkString(",")}}}"""
     val p = java.nio.file.Paths.get(outJson)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

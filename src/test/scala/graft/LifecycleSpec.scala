@@ -1139,6 +1139,114 @@ class CliSpec extends AnyFunSuite {
     assert(graft.operators.IndexCompact.currentVersion(idx, "ivfpq") == 3)
   }
 
+  test("REBUILD (publishTree) × stream-fold compact on ONE artifact: " +
+      "lease-serialized, every read coherent, a foreign holder loses loudly") {
+    // r13 brief item 5: publishTree (saveIvfPqIndexAtomic's engine) and
+    // the per-artifact stream-fold compaction share the lease + GC
+    // paths but no spec ran BOTH lifecycles against the SAME artifact
+    // concurrently. A changed-data rebuild through publishTree races a
+    // foldStream compact on codes.parquet while a reader polls: every
+    // read must land on one coherent state — {old main + side,
+    // new main + side, new main alone, the folded forms of the first
+    // two} — never a torn count, never an error; in-process the two
+    // publishers QUEUE on the publish lock (both complete, two version
+    // bumps), and a CROSS-process contender (simulated foreign lease
+    // holder) must lose LOUDLY with the holder's identity, no flip.
+    import graft.operators.IndexCompact
+    import graft.chain.LakeFs
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val e = Tables(spark, sf, "embeddings")
+    val idx = "graftfs:" + Files.createTempDirectory("graft_rebuild_fold").toString
+    graft.queries.SimilarityOps.saveIvfPqIndex(
+      e.filter(col("vec_id") < 200), idx)
+    Cli.runIndex(Seq("compact", idx), spark)
+    val nA = IndexCompact.read(spark, idx, "codes.parquet").count()
+    // ingest stopped (the fold contract): S stream-appended rows are
+    // parked in the side artifact awaiting the fold
+    val side = IndexCompact.streamPath(idx, "codes.parquet")
+    spark.read.parquet(IndexCompact.resolvePath(idx, "codes.parquet"))
+      .limit(24).write.parquet(side)
+    val sRows = 24L
+    // the CHANGED-data rebuild's payload, materialized to a stable
+    // scratch dir first: its source must not be the live tree, whose
+    // pre-race version can age past the one-cycle GC grace while two
+    // publishers are flipping
+    val main0 = spark.read
+      .parquet(IndexCompact.resolvePath(idx, "codes.parquet"))
+    val rebuiltSrc = Files.createTempDirectory("graft_rebuilt_src").toString + "/codes"
+    main0.unionByName(main0.limit(40)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      .write.parquet(rebuiltSrc)
+    val nB = spark.read.parquet(rebuiltSrc).count()
+    assert(nB != nA, "rebuild payload must be distinguishable by count")
+    val legal = Set(nA + sRows, nB + sRows, nB)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val nReads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      try while (!stop.get) {
+        val n = IndexCompact.read(spark, idx, "codes.parquet").count()
+        assert(legal.contains(n),
+          s"torn read: $n not one of the coherent states $legal")
+        nReads.incrementAndGet()
+      } catch { case t: Throwable => bad.set(t) }
+    })
+    reader.start()
+    val vPre = IndexCompact.currentVersion(idx, "codes.parquet")
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val rebuilder = new Thread(() => {
+      try {
+        gate.await()
+        IndexCompact.publishTree(spark, idx, "codes.parquet")(vdir =>
+          spark.read.parquet(rebuiltSrc).write.mode("overwrite").parquet(vdir))
+      } catch { case t: Throwable => bad.compareAndSet(null, t) }
+    })
+    val folder = new Thread(() => {
+      try {
+        gate.await()
+        IndexCompact.compact(spark, idx, foldStream = true)
+      } catch { case t: Throwable => bad.compareAndSet(null, t) }
+    })
+    try {
+      rebuilder.start(); folder.start()
+      rebuilder.join(180000); folder.join(180000)
+    } finally {
+      stop.set(true)
+      reader.join(120000)
+    }
+    assert(bad.get == null, s"rebuild × fold interleaving failed: ${bad.get}")
+    assert(nReads.get > 0, "the reader never completed a read")
+    // both published (the in-process queue contract), the side artifact
+    // was folded exactly once, and the final state is one of the two
+    // serialization orders — fold-then-rebuild = the rebuilt tree
+    // alone, rebuild-then-fold = rebuilt + folded side rows
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") >= vPre + 2,
+      "both publishers should have bumped the version")
+    assert(!LakeFs.exists(side), "the fold must have consumed the side artifact")
+    val nFinal = IndexCompact.read(spark, idx, "codes.parquet").count()
+    assert(nFinal == nB || nFinal == nB + sRows,
+      s"final state $nFinal matches neither serialization order " +
+        s"($nB / ${nB + sRows})")
+    // cross-process flavor: a live FOREIGN holder on the same lease
+    // makes a rebuild lose loudly — holder named, nothing flipped
+    val lease = s"$idx/codes.parquet.publish_lock"
+    IndexCompact.ttlOverrideMs = None // a fresh remote lease must NOT age out
+    LakeFs.writeStringAtomic(lease,
+      s"1@far.example.com ${System.currentTimeMillis()} foreignuid0")
+    val vHeld = IndexCompact.currentVersion(idx, "codes.parquet")
+    val err = intercept[IllegalStateException] {
+      IndexCompact.publishTree(spark, idx, "codes.parquet")(vdir =>
+        spark.read.parquet(rebuiltSrc).write.mode("overwrite").parquet(vdir))
+    }
+    assert(err.getMessage.contains("held by"),
+      s"loss not attributable to the foreign holder: ${err.getMessage}")
+    assert(IndexCompact.currentVersion(idx, "codes.parquet") == vHeld,
+      "the loser must not have flipped")
+    LakeFs.deleteFile(lease)
+    assert(IndexCompact.read(spark, idx, "codes.parquet").count() == nFinal)
+  }
+
   test("publish lease: steal-under-TTL — a remote holder aged out mid-cycle " +
       "aborts at the flip gate, the thief's publish stands single-counted") {
     // The r11 residual, now pinned (r12 brief item 3): a REMOTE
