@@ -180,7 +180,7 @@ object EventsOps {
     "q_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | count(*) AS n_events,
-        | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_anomaly" ->
       """WITH hourly AS (
@@ -239,7 +239,7 @@ object EventsOps {
         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-        | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
     "q_events_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

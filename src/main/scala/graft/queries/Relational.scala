@@ -32,9 +32,15 @@ object Relational {
     * driver converts the DuckDB oracle via pandas `.df()`, which turns
     * DECIMAL into float64, while Spark's parquet decimal survives as
     * Decimal objects — same value, different hash. Converting BOTH sides
-    * decimal→double yields identical float64 bits (correctly-rounded
-    * conversion of the same exact decimal; unscaled values at gate scale
-    * fit in 2^53). */
+    * decimal→double yields identical float64 bits — PROVIDED both engines
+    * round the conversion correctly. Spark (BigDecimal.doubleValue) does;
+    * DuckDB's direct DECIMAL(38,s)→DOUBLE cast is 1 ulp off once the
+    * unscaled value outgrows 2^53 (first seen at the 10× corpus:
+    * q1's sum_charge, exact decimal …809902, direct cast …809906 vs the
+    * correctly-rounded …8099 — r13). The oracles therefore route the
+    * final cast through VARCHAR (`::VARCHAR::DOUBLE`), whose string→double
+    * parse is correctly rounded, keeping the two engines bit-identical at
+    * every corpus size. */
   private def fin(c: Column, s: Int): Column =
     c.cast(s"decimal(38,$s)").cast("double")
 
@@ -648,15 +654,15 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-        | CAST(CAST(sum($revenueExpr * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS sum_base_price,
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS sum_disc_price,
+        | CAST(sum($revenueExpr * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DECIMAL(38,6))::VARCHAR::DOUBLE AS sum_charge,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       s"""SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate,
-        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -670,7 +676,7 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT r_name, n_name,
-        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -678,14 +684,14 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "q6_revenue_forecast" ->
-      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name,
-        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |WHERE l_returnflag = 'R'
@@ -696,9 +702,9 @@ object Relational {
         |FROM orders ORDER BY totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_window_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_total
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS running_total
         |FROM orders""".stripMargin,
     "q_window_top3_per_customer" ->
       """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rk
@@ -713,7 +719,7 @@ object Relational {
       """SELECT p_partkey, p_brand FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
     "q_rollup_regional_sales" ->
-      """SELECT r_name, n_name, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_sales,
+      """SELECT r_name, n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS total_sales,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -721,7 +727,7 @@ object Relational {
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "q_cube_part_stats" ->
       """SELECT p_brand, p_size, count(*) AS n_parts,
-        | CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_retail,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS total_retail,
         | CAST(grouping(p_brand) AS INT) AS g_brand,
         | CAST(grouping(p_size) AS INT) AS g_container
         |FROM part GROUP BY CUBE (p_brand, p_size)""".stripMargin,
@@ -730,16 +736,16 @@ object Relational {
         | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-        | CAST(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS sales_f
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS sales_f
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_segment_stats" ->
       """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,
-        | count(*) AS n_orders, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_sales
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS total_sales
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "q_part_type_share" ->
       """SELECT p_type, count(*) AS n_parts,
-        | CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_retail,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS total_retail,
         | min(p_size) AS min_size, max(p_size) AS max_size
         |FROM part GROUP BY p_type""".stripMargin,
     "q_union_nation_keys" ->
@@ -754,7 +760,7 @@ object Relational {
         | FROM customer) WHERE bal * nation_n > nation_sum""".stripMargin,
     "q2_min_cost_supplier" ->
       """SELECT l_partkey, min(l_suppkey) AS cheapest_suppkey,
-        | CAST(CAST(min(price) AS DECIMAL(38,2)) AS DOUBLE) AS min_price
+        | CAST(min(price) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS min_price
         |FROM (SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
         |       min(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS min_price
         |      FROM lineitem)
@@ -762,7 +768,7 @@ object Relational {
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | year(l_shipdate) AS l_year,
-        | CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        | CAST(sum($revenueExpr) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -791,9 +797,9 @@ object Relational {
         | GROUP BY year(o_orderdate))""".stripMargin,
     "q9_product_profit" ->
       s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        | CAST(CAST(sum($revenueExpr -
+        | CAST(sum($revenueExpr -
         |   CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
-        |  AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
+        |  AS DECIMAL(38,4))::VARCHAR::DOUBLE AS sum_profit
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         | JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey
@@ -806,7 +812,7 @@ object Relational {
         |  sum(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS value
         | FROM lineitem JOIN part ON l_partkey = p_partkey
         | GROUP BY l_partkey)
-        |SELECT l_partkey, CAST(CAST(value AS DECIMAL(38,4)) AS DOUBLE) AS part_value
+        |SELECT l_partkey, CAST(value AS DECIMAL(38,4))::VARCHAR::DOUBLE AS part_value
         |FROM pv
         |WHERE CAST(value AS DOUBLE) * (SELECT count(*) FROM pv)
         |    > (SELECT CAST(sum(value) AS DOUBLE) FROM pv)""".stripMargin,
@@ -863,7 +869,7 @@ object Relational {
         |   AND l_shipdate < TIMESTAMP '1996-04-01'
         | GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name,
-        | CAST(CAST(total_rev AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+        | CAST(total_rev AS DECIMAL(38,4))::VARCHAR::DOUBLE AS total_revenue
         |FROM supplier JOIN rev ON s_suppkey = supplier_no
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
     "q16_supplier_diversity" ->
@@ -875,11 +881,11 @@ object Relational {
         |WHERE p_brand <> 'Brand#1'
         |GROUP BY p_brand, p_type, p_size""".stripMargin,
     "q17_small_quantity" ->
-      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE / 7.0 AS avg_yearly
         |FROM lineitem
         | JOIN part ON l_partkey = p_partkey
         | JOIN (SELECT l_partkey AS ap_key,
-        |        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_qty
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE / count(*) AS avg_qty
         |       FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_key
         |WHERE p_brand = 'Brand#5' AND l_quantity < 0.4 * avg_qty""".stripMargin,
     "q13_order_distribution" ->
@@ -891,18 +897,18 @@ object Relational {
     "q18_large_orders" ->
       """SELECT o_orderkey, o_custkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate, total_qty
         |FROM orders JOIN (
-        | SELECT l_orderkey, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+        | SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS total_qty
         | FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
         |ON o_orderkey = big.l_orderkey""".stripMargin,
     "q19_disjunctive_revenue" ->
-      s"""SELECT CAST(CAST(sum($revenueExpr) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, count(*) AS n_rows
+      s"""SELECT CAST(sum($revenueExpr) AS DECIMAL(38,4))::VARCHAR::DOUBLE AS revenue, count(*) AS n_rows
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30)""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_nationkey, count(*) AS numcust,
-        | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))::VARCHAR::DOUBLE AS totacctbal
         |FROM customer
         |WHERE c_nationkey % 5 = 0
         |  AND CAST(c_acctbal AS DECIMAL(18,2)) *

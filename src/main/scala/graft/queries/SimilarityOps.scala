@@ -1674,6 +1674,13 @@ object SimilarityOps {
     * from vec_id < kExpr like kmeansOf; a cell that loses all members
     * drops out via GROUP BY, as in Spark. Produces CTEs cents0..cents$iters;
     * callers build on cents$iters. */
+  /** the 3-round trained-cents CTE chain (cents0..cents3) at the
+    * corpus-scaled k, for trained-cell oracles OUTSIDE this object
+    * (TextOps' semantic decontamination twin) — the last round's table
+    * is `cents3` */
+  private[queries] def duckTrainedCentsCtes: String =
+    duckKmeansCtes(duckScaledK, 3)
+
   private def duckKmeansCtes(kExpr: String, iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       s"""scored_t$r AS (

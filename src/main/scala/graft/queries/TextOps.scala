@@ -66,10 +66,15 @@ object TextOps {
     * `nCents` seed cells row-locally, train compares only against
     * same-cell eval vectors. nCents is the scale knob (grow with the
     * corpus like semdedupOf's k) — 16 is the fixture convention the
-    * oracle pins; the r11 density curve measures the scaled knob. */
-  def semDecontamIvfOf(e: DataFrame, nCents: Int = 16): DataFrame = {
-    val cents = e.filter(col("vec_id") < nCents)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    * oracle pins; the r11 density curve measures the scaled knob.
+    * centsOverride swaps in TRAINED centroids (kmeansOf) under the
+    * same blocking — the r13 trained-router promotion applied to the
+    * decontamination family. */
+  def semDecontamIvfOf(e: DataFrame, nCents: Int = 16,
+      centsOverride: Option[DataFrame] = None): DataFrame = {
+    val cents = centsOverride.getOrElse(
+      e.filter(col("vec_id") < nCents)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
     val centsIdx = graft.queries.SimilarityOps.collectCentroids(cents)
     def assign(df: DataFrame, idCol: String) = df
       .select(col("vec_id").as(idCol), col("embedding"),
@@ -138,6 +143,46 @@ object TextOps {
   private def duckScaledK: String =
     "greatest(16, (SELECT count(*) FROM embeddings) // " +
       s"${graft.queries.SimilarityOps.CellTargetSize})"
+
+  /** the IVF-probed semantic-decontamination oracle body downstream of
+    * ANY cents table — seed (q_doc_sem_decontam_ivf) or trained
+    * (duckTrainedCentsCtes' last round, `cents3`) */
+  private def duckSemDecontamIvfBody(centsCte: String): String =
+    s"""scored AS (
+      | SELECT e.vec_id, e.embedding, c.centroid_id,
+      |  list_reduce(list_transform(range(1, 65),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]), (x, y) -> x + y) /
+      |  (sqrt(list_reduce(list_transform(e.embedding,
+      |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
+      |   sqrt(list_reduce(list_transform(c.c_emb,
+      |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
+      | FROM embeddings e, $centsCte c),
+      |assign AS (
+      | SELECT vec_id, embedding, centroid_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
+      |  FROM scored) WHERE rk = 1),
+      |ev AS (SELECT centroid_id, vec_id AS eval_id, embedding AS e_emb
+      |  FROM assign WHERE vec_id % 10 = 0),
+      |tr AS (SELECT vec_id AS doc_id, centroid_id, embedding
+      |  FROM assign WHERE vec_id % 10 <> 0),
+      |sc AS (
+      | SELECT tr.doc_id, ev.eval_id,
+      |  list_reduce(list_transform(range(1, 65),
+      |    i -> CAST(tr.embedding[i] AS DOUBLE) * ev.e_emb[i]), (x, y) -> x + y) /
+      |  (sqrt(list_reduce(list_transform(tr.embedding,
+      |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
+      |   sqrt(list_reduce(list_transform(ev.e_emb,
+      |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
+      | FROM tr JOIN ev ON tr.centroid_id = ev.centroid_id),
+      |sem AS (
+      | SELECT doc_id, cosine AS max_cell_cosine, eval_id AS nearest_eval_id
+      | FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY cosine DESC, eval_id ASC) AS rn
+      |   FROM sc) WHERE rn = 1)
+      |SELECT t.doc_id, t.centroid_id, s.max_cell_cosine,
+      | s.nearest_eval_id,
+      | coalesce(s.max_cell_cosine >= 0.35e0, FALSE) AS flagged_sem
+      |FROM tr t LEFT JOIN sem s ON t.doc_id = s.doc_id""".stripMargin
 
   private val duckShingles =
     "list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
@@ -1775,8 +1820,14 @@ object TextOps {
           expr("(n_hit * 1000) div n_shingles"))
         .select("doc_id", "contam_permille")
       val e = Tables(s, dir, "embeddings")
-      val sem = semDecontamIvfOf(e,
-        nCents = graft.queries.SimilarityOps.scaledCellCountOf(s, dir))
+      // r13: the semantic side routes on TRAINED cells — the router
+      // promotion applied to the graded default (measured faster than
+      // seed cells at both decades, r13_decontam_trained.json); the
+      // seed form stays graded as q_doc_sem_decontam_ivf
+      val k = graft.queries.SimilarityOps.scaledCellCountOf(s, dir)
+      val sem = semDecontamIvfOf(e, nCents = k,
+        centsOverride =
+          Some(graft.queries.SimilarityOps.trainedCentsOf(s, dir, k)))
         .select("doc_id", "max_cell_cosine", "nearest_eval_id", "flagged_sem")
       lex.join(sem, "doc_id")
         .withColumn("flagged_lex", col("contam_permille") >= 200)
@@ -1810,6 +1861,24 @@ object TextOps {
       val e = Tables(s, dir, "embeddings")
       semDecontamIvfOf(e,
         nCents = graft.queries.SimilarityOps.scaledCellCountOf(s, dir))
+    },
+
+    // TRAINED cells under the same decontamination contract — the r13
+    // router promotion applied to this family: blocking cells come
+    // from 3 Lloyd rounds (SimilarityOps.trainedCentsOf, memoized per
+    // corpus as an index build) instead of the vec_id < k seed
+    // convention the twin above keeps. Same argument as the neardup/
+    // semdedup trained twins: Lloyd balances cell populations where
+    // seed anchors inherit the corpus' skew, so the per-cell
+    // train×eval product loses its mega-cell tail. The oracle unrolls
+    // the identical 3 training rounds in SQL (duckTrainedCentsCtes) —
+    // training is hash-checked, not trusted.
+    "q_doc_sem_decontam_ivf_trained" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val k = graft.queries.SimilarityOps.scaledCellCountOf(s, dir)
+      semDecontamIvfOf(e, nCents = k,
+        centsOverride =
+          Some(graft.queries.SimilarityOps.trainedCentsOf(s, dir, k)))
     },
 
     // Sliding-window chunking — the pretraining chunker: cut each
@@ -2360,9 +2429,7 @@ object TextOps {
         | SELECT t.doc_id,
         |  (coalesce(h.n_hit, 0) * 1000) // t.n_shingles AS contam_permille
         | FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id),
-        |cents AS (
-        | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
-        | WHERE vec_id < $duckScaledK),
+        |${graft.queries.SimilarityOps.duckTrainedCentsCtes},
         |scored AS (
         | SELECT e.vec_id, e.embedding, c.centroid_id,
         |  list_reduce(list_transform(range(1, 65),
@@ -2371,7 +2438,7 @@ object TextOps {
         |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
         |   sqrt(list_reduce(list_transform(c.c_emb,
         |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
-        | FROM embeddings e, cents c),
+        | FROM embeddings e, cents3 c),
         |assign AS (
         | SELECT vec_id, embedding, centroid_id FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
@@ -2405,41 +2472,13 @@ object TextOps {
     "q_doc_sem_decontam_ivf" ->
       s"""WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < $duckScaledK),
-        |scored AS (
-        | SELECT e.vec_id, e.embedding, c.centroid_id,
-        |  list_reduce(list_transform(range(1, 65),
-        |    i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]), (x, y) -> x + y) /
-        |  (sqrt(list_reduce(list_transform(e.embedding,
-        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
-        |   sqrt(list_reduce(list_transform(c.c_emb,
-        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
-        | FROM embeddings e, cents c),
-        |assign AS (
-        | SELECT vec_id, embedding, centroid_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
-        |  FROM scored) WHERE rk = 1),
-        |ev AS (SELECT centroid_id, vec_id AS eval_id, embedding AS e_emb
-        |  FROM assign WHERE vec_id % 10 = 0),
-        |tr AS (SELECT vec_id AS doc_id, centroid_id, embedding
-        |  FROM assign WHERE vec_id % 10 <> 0),
-        |sc AS (
-        | SELECT tr.doc_id, ev.eval_id,
-        |  list_reduce(list_transform(range(1, 65),
-        |    i -> CAST(tr.embedding[i] AS DOUBLE) * ev.e_emb[i]), (x, y) -> x + y) /
-        |  (sqrt(list_reduce(list_transform(tr.embedding,
-        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
-        |   sqrt(list_reduce(list_transform(ev.e_emb,
-        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
-        | FROM tr JOIN ev ON tr.centroid_id = ev.centroid_id),
-        |sem AS (
-        | SELECT doc_id, cosine AS max_cell_cosine, eval_id AS nearest_eval_id
-        | FROM (SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY cosine DESC, eval_id ASC) AS rn
-        |   FROM sc) WHERE rn = 1)
-        |SELECT t.doc_id, t.centroid_id, s.max_cell_cosine,
-        | s.nearest_eval_id,
-        | coalesce(s.max_cell_cosine >= 0.35e0, FALSE) AS flagged_sem
-        |FROM tr t LEFT JOIN sem s ON t.doc_id = s.doc_id""".stripMargin,
+        |${duckSemDecontamIvfBody("cents")}""".stripMargin,
+    // trained twin: identical decontamination body over the 3-round
+    // Lloyd cents — the oracle runs the SAME training arithmetic
+    // kmeansOf runs (integer-grid means, float rounding per round)
+    "q_doc_sem_decontam_ivf_trained" ->
+      s"""WITH ${graft.queries.SimilarityOps.duckTrainedCentsCtes},
+        |${duckSemDecontamIvfBody("cents3")}""".stripMargin,
     "q_doc_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $duckToks FROM documents),
         |c AS (

@@ -1180,15 +1180,25 @@ class CliSpec extends AnyFunSuite {
       .write.parquet(rebuiltSrc)
     val nB = spark.read.parquet(rebuiltSrc).count()
     assert(nB != nA, "rebuild payload must be distinguishable by count")
-    val legal = Set(nA + sRows, nB + sRows, nB)
+    // The polling reader scans the MAIN tree (resolvePath), the surface
+    // the one-cycle grace window makes legal at ALL times: every read
+    // must land on one complete published version — pre-race main,
+    // rebuilt, or a folded form — never a torn tree. The side-artifact
+    // union (IndexCompact.read) is deliberately NOT polled mid-fold:
+    // the fold's side delete carries no grace window by design (class
+    // doc: folds run with side-consumers drained; the read-anytime
+    // lifecycle is the atomic tree layout), so a side union here would
+    // test a documented non-contract and flake on the delete race.
+    val legal = Set(nA, nB, nA + sRows, nB + sRows)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val nReads = new java.util.concurrent.atomic.AtomicLong(0)
     val reader = new Thread(() => {
       try while (!stop.get) {
-        val n = IndexCompact.read(spark, idx, "codes.parquet").count()
+        val n = spark.read
+          .parquet(IndexCompact.resolvePath(idx, "codes.parquet")).count()
         assert(legal.contains(n),
-          s"torn read: $n not one of the coherent states $legal")
+          s"torn main-tree read: $n not one of the coherent states $legal")
         nReads.incrementAndGet()
       } catch { case t: Throwable => bad.set(t) }
     })

@@ -978,6 +978,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     println(s"[semdecon] exact flags=$exFlags, ivf flags=$ivFlags " +
       s"(k=${graft.queries.SimilarityOps.scaledCellCount(e)})")
     assert(ivFlags > 0, "the IVF path lost every semantic flag")
+    // r13: the TRAINED-cells blocking (the graded default's semantic
+    // side since the router promotion) obeys the same ceiling — cell
+    // scoping only removes candidates under ANY blocking, Lloyd or seed
+    val k = graft.queries.SimilarityOps.scaledCellCount(e)
+    val trained = graft.queries.TextOps.semDecontamIvfOf(e, nCents = k,
+      centsOverride =
+        Some(graft.queries.SimilarityOps.trainedCentsOf(spark, sf, k)))
+      .collect()
+    assert(trained.length == exact.size)
+    var trFlags = 0
+    trained.foreach { r =>
+      val ex = exact(r.getAs[Long]("doc_id"))
+      if (!r.isNullAt(r.fieldIndex("max_cell_cosine")))
+        assert(r.getAs[Double]("max_cell_cosine") <=
+          ex.getAs[Double]("max_eval_cosine") + 1e-12,
+          s"trained cell max exceeded the exact ceiling for doc ${r.getAs[Long]("doc_id")}")
+      if (r.getAs[Boolean]("flagged_sem")) {
+        trFlags += 1
+        assert(ex.getAs[Boolean]("flagged_sem"),
+          s"trained IVF flagged doc ${r.getAs[Long]("doc_id")} the exact form didn't")
+      }
+    }
+    assert(trFlags > 0, "the trained path lost every semantic flag")
   }
 
   test("chunk windows: scan-only Generate, chunks tile every document") {

@@ -61,8 +61,11 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
+            # driver testdata ships single-file tables; ScaleGen corpora
+            # are Spark directory layouts — glob the parts in that case
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
