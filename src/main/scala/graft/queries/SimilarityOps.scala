@@ -78,24 +78,154 @@ object SimilarityOps {
   def scaledCellCount(e: DataFrame): Int =
     math.max(16L, e.count() / CellTargetSize).toInt
 
+  /** Cheap corpus-identity fingerprint: the direct listing (name,
+    * length, mtime) of the corpus' embeddings table, hashed. Every knob
+    * memo below validates against it on ACCESS, so a corpus append is
+    * picked up by the next density query with no manual cache clear —
+    * the r13 staleness contract ("a session that appends must call
+    * clearCellCountCache") is now enforced by construction instead of
+    * by scaladoc (r13 VERDICT niggle b / r14 brief item 3). One
+    * metadata listing per plan construction — driver-side, no Spark
+    * job; appends land as new direct children (parquet part files,
+    * streaming-sink commits), which is exactly what the listing sees.
+    * Deep Hive-partitioned appends that only touch nested dirs are out
+    * of this probe's reach by design — corpus tables here are flat. */
+  private[graft] def corpusFingerprint(dir: String): String = {
+    val path = s"$dir/embeddings.parquet"
+    try {
+      val fs = graft.chain.LakeFs.fs(path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = fs.getFileStatus(p)
+      val parts =
+        if (!st.isDirectory) Seq(s"${st.getLen}:${st.getModificationTime}")
+        else fs.listStatus(p).iterator.map(c =>
+          s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+          .toSeq.sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(parts.mkString("\n").getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    } catch { case _: java.io.IOException => "unreadable" }
+  }
+
   /** Memoized scaledCellCount keyed by (session, corpus dir) — r13:
     * every density entry used to pay its own count() action at
     * plan-construction time (7 per suite run ≈ 1 s at sf0.1; at 100 TB
-    * seven redundant metadata jobs). One count per corpus per session
-    * now; Bench.rebuildMemosUntimed clears the memo each pass so a
-    * bench run never reads a stale knob. Staleness contract: a
-    * long-lived session that APPENDS to the corpus must clear
-    * (clearCellCountCache) — same discipline as TextOps' audit memos. */
-  private val cellCountCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]
+    * seven redundant metadata jobs). One count per corpus per session,
+    * SELF-VALIDATING (r14): each access re-checks the corpus
+    * fingerprint and recounts when the table grew, so no public
+    * surface can read a stale knob after an append. */
+  private val cellCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Integer)]
   def scaledCellCountOf(s: SparkSession, dir: String): Int = {
     cellCountCache.keySet.forEach { k =>
       if (k._1.sparkContext.isStopped) cellCountCache.remove(k)
     }
-    cellCountCache.computeIfAbsent((s, dir),
-      _ => Integer.valueOf(scaledCellCount(Tables(s, dir, "embeddings"))))
+    val fp = corpusFingerprint(dir)
+    val key = (s, dir)
+    Option(cellCountCache.get(key)) match {
+      case Some((`fp`, n)) => n.intValue
+      case _ =>
+        // refreshByPath first: a stale Catalyst file-listing cache would
+        // otherwise count the pre-append corpus right after an append
+        s.catalog.refreshByPath(s"$dir/embeddings.parquet")
+        val n = Integer.valueOf(scaledCellCount(Tables(s, dir, "embeddings")))
+        cellCountCache.put(key, (fp, n))
+        n
+    }
   }
   private[graft] def clearCellCountCache(): Unit = cellCountCache.clear()
+
+  /** Names of every registered query that routes on the memoized
+    * trained-cells build (with or without the `_trained` suffix:
+    * q_embed_dedup_clusters' pair source and q_doc_sem_decontam's
+    * semantic side are trained-cell consumers too). THE registry
+    * Bench.rebuildMemosUntimed warms from — kept here, next to
+    * trainedCentsOf, so the bench warm-up list can't drift from the
+    * query definitions (ADVICE r13); PipelineOpsSpec cross-checks that
+    * constructing each listed query populates the trained memo. */
+  val TrainedCellConsumers: Set[String] = Set(
+    "q_embed_neardup_cells_trained", "q_embed_semdedup_trained",
+    "q_embed_dedup_clusters",
+    "q_doc_sem_decontam_ivf_trained", "q_doc_sem_decontam")
+
+  /** Trained-cells artifact lifecycle (r14 brief item 1). Training is
+    * an index BUILD, and r13 left its output as a session-local
+    * localCheckpoint: executor loss made the cached plan
+    * unrecoverable, every new session retrained from scratch, and two
+    * concurrent sessions each paid (and could race) their own Lloyd
+    * rounds. The trained centroids now persist as a versioned,
+    * identity-fenced, pointer-resolved artifact through the SAME
+    * IndexCompact.publishTree machinery every other index artifact
+    * uses: one artifact per (corpus, k) named `trained_cents_k<k>`,
+    * whose version tree holds the k-row `cents.parquet` plus a
+    * `meta.json` carrying the corpus fingerprint and the training
+    * recipe version. Readers resolve the pointer and VALIDATE the
+    * fingerprint — a corpus append (new fingerprint) or a recipe
+    * change retrains and republishes (version bump, one-cycle grace,
+    * old tree GC'd); a concurrent trainer loses the fenced flip loudly
+    * and falls back to reading the winner's tree (kmeansOf is
+    * deterministic, so either serialization yields bit-equal
+    * centroids — spec-pinned read-back ≡ retrain). The in-session memo
+    * below is only a fast path over the artifact read; its value is
+    * the parquet-backed plan, so executor loss costs a re-read of k
+    * rows, never a retrain. Artifacts live under
+    * GRAFT_TRAINED_INDEX_BASE (default: a per-corpus dir under
+    * java.io.tmpdir — production points this at the lake). */
+  private val TrainedCentsRecipe = "lloyd3-grid20-v1"
+  @volatile private[graft] var trainedIndexBaseOverride: Option[String] = None
+  private def trainedIndexDir(dir: String): String = {
+    val base = trainedIndexBaseOverride
+      .orElse(sys.env.get("GRAFT_TRAINED_INDEX_BASE"))
+      .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_trained_cents")
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(dir.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    s"$base/$safe-$h"
+  }
+  private[graft] def trainedCentsArtifact(k: Int): String = s"trained_cents_k$k"
+
+  private def readTrainedArtifact(s: SparkSession, idxDir: String,
+      artifact: String, fp: String): Option[DataFrame] = {
+    val root = graft.operators.IndexCompact.resolvePath(idxDir, artifact)
+    val metaPath = s"$root/meta.json"
+    if (!graft.chain.LakeFs.exists(metaPath)) None
+    else {
+      val meta = graft.chain.LakeFs.readString(metaPath)
+      // exact-token probe beats a JSON dependency for a 2-field sidecar
+      if (meta.contains(s""""fp":"$fp"""") &&
+          meta.contains(s""""recipe":"$TrainedCentsRecipe""""))
+        Some(s.read.parquet(s"$root/cents.parquet")
+          .select(col("centroid_id"), col("c_emb")))
+      else None
+    }
+  }
+
+  private def loadOrTrainCents(s: SparkSession, dir: String, k: Int,
+      fp: String): DataFrame = {
+    val idxDir = trainedIndexDir(dir)
+    val artifact = trainedCentsArtifact(k)
+    readTrainedArtifact(s, idxDir, artifact, fp).getOrElse {
+      val trained = kmeansOf(Tables(s, dir, "embeddings"), k, iters = 3)
+      try
+        graft.operators.IndexCompact.publishTree(s, idxDir, artifact) { vdir =>
+          trained.write.parquet(s"$vdir/cents.parquet")
+          graft.chain.LakeFs.writeStringAtomic(s"$vdir/meta.json",
+            s"""{"fp":"$fp","recipe":"$TrainedCentsRecipe","k":$k,"corpus":"$dir"}""")
+        }
+      catch {
+        case e: IllegalStateException =>
+          // lost the publish race to a concurrent trainer — their tree
+          // carries the same deterministic centroids; read it below
+          System.err.println(s"[trained_cents] publish lost on " +
+            s"$idxDir/$artifact (${e.getMessage.takeWhile(_ != '\n')}); " +
+            "reading the winner's artifact")
+      }
+      // serve the artifact-backed plan (durable, executor-loss-safe);
+      // the in-session frame only backstops an unreadable publish
+      readTrainedArtifact(s, idxDir, artifact, fp).getOrElse(trained)
+    }
+  }
 
   /** Memoized TRAINED centroids per (session, corpus, k) — the r13
     * promotion of the measured-best router configuration to a graded,
@@ -107,25 +237,35 @@ object SimilarityOps {
     * integer-grid means, float rounding per round) and its 3 Lloyd
     * rounds are mirrored term-for-term in the DuckDB oracle
     * (duckKmeansCtes), so trained-cell queries hash-match like every
-    * other entry. Training is an index-build step (the offline half of
-    * saveIvfPqIndex), so like TextOps' pair memos it materializes ONCE
-    * per corpus per session and rebuilds untimed under the bench's
-    * memo_build_s line item; the returned frame is k rows, checkpointed
-    * by kmeansOf's last round. */
+    * other entry. r14: the memo is a fast path over the PERSISTED
+    * artifact (see loadOrTrainCents above) and self-validates against
+    * the corpus fingerprint — an append retrains and republishes on
+    * the next access, no manual clear. */
   private val trainedCentsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), DataFrame]
+    (SparkSession, String, Int), (String, DataFrame)]
   def trainedCentsOf(s: SparkSession, dir: String, k: Int): DataFrame = {
     trainedCentsCache.keySet.forEach { c =>
       if (c._1.sparkContext.isStopped) trainedCentsCache.remove(c)
     }
-    trainedCentsCache.computeIfAbsent((s, dir, k),
-      _ => kmeansOf(Tables(s, dir, "embeddings"), k, iters = 3))
+    val fp = corpusFingerprint(dir)
+    val key = (s, dir, k)
+    Option(trainedCentsCache.get(key)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = loadOrTrainCents(s, dir, k, fp)
+        trainedCentsCache.put(key, (fp, df))
+        df
+    }
   }
   private[graft] def clearTrainedCentsCache(): Unit = trainedCentsCache.clear()
+  /** spec observability: how many trained-cents memo entries are live
+    * (the registry cross-check spec asserts which queries populate it) */
+  private[graft] def trainedCentsCacheSize: Int = trainedCentsCache.size
 
-  /** untimed memo warm-up hook (Bench.rebuildMemosUntimed): train the
-    * corpus-scaled centroid set once so no timed trained-cells reading
-    * is charged the 3-round Lloyd build */
+  /** untimed memo warm-up hook (Bench.rebuildMemosUntimed): resolve (or
+    * first-build) the corpus-scaled trained-centroid artifact once so
+    * no timed trained-cells reading is charged the 3-round Lloyd build;
+    * post-r14 this is a k-row parquet read unless the corpus changed */
   private[graft] def rebuildTrainedMemos(s: SparkSession, dir: String): Unit =
     trainedCentsOf(s, dir, scaledCellCountOf(s, dir)).count()
 

@@ -2453,3 +2453,101 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** r14 brief item 1 + 3: trained centroids persist as a versioned,
+  * pointer-resolved index artifact (IndexCompact.publishTree) keyed by
+  * (corpus fingerprint, k), and every knob memo self-validates against
+  * the corpus fingerprint so an append can never serve a stale reading
+  * from a public surface. */
+class TrainedCentsLifecycleSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.queries.SimilarityOps
+
+  private def collectCents(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+      .sortBy(_._1)
+
+  test("trained cents: publish once, read-back == retrain (bit-equal), " +
+      "a fresh memo resolves the artifact instead of retraining") {
+    val base = Files.createTempDirectory("graft_tcents").toString
+    val prev = SimilarityOps.trainedIndexBaseOverride
+    SimilarityOps.trainedIndexBaseOverride = Some(base)
+    try {
+      SimilarityOps.clearTrainedCentsCache()
+      val k = 16
+      val art = SimilarityOps.trainedCentsArtifact(k)
+      val c1 = collectCents(SimilarityOps.trainedCentsOf(spark, sf, k))
+      val idxDirs = new java.io.File(base).listFiles()
+      assert(idxDirs != null && idxDirs.length == 1)
+      val idxDir = idxDirs.head.toString
+      // published exactly once through the pointer layout
+      assert(graft.operators.IndexCompact.currentVersion(idxDir, art) == 1)
+      // the served plan reads the ARTIFACT (durable), not a
+      // localCheckpoint: its scan must name the published tree
+      SimilarityOps.clearTrainedCentsCache()
+      val served = SimilarityOps.trainedCentsOf(spark, sf, k)
+      assert(served.inputFiles.exists(_.contains(art)),
+        s"expected an artifact-backed scan, got: ${served.inputFiles.mkString(",")}")
+      // the cleared memo (new-session stand-in) did NOT republish...
+      assert(graft.operators.IndexCompact.currentVersion(idxDir, art) == 1)
+      // ...and read-back == retrain, bit-equal floats
+      val c2 = collectCents(served)
+      val fresh = collectCents(
+        SimilarityOps.kmeansOf(Tables(spark, sf, "embeddings"), k, iters = 3))
+      assert(c1.map(_._1).sameElements(c2.map(_._1)))
+      c1.zip(c2).foreach { case ((_, v1), (_, v2)) => assert(v1 == v2) }
+      c2.zip(fresh).foreach { case ((i1, v1), (i2, v2)) =>
+        assert(i1 == i2 && v1 == v2)
+      }
+    } finally {
+      SimilarityOps.trainedIndexBaseOverride = prev
+      SimilarityOps.clearTrainedCentsCache()
+    }
+  }
+
+  test("corpus append: the next access re-reads the scaled knob and " +
+      "retrains — no manual cache clear, no stale reading") {
+    val base = Files.createTempDirectory("graft_tcents_app").toString
+    val corpus = Files.createTempDirectory("graft_tcents_corpus").toString
+    val prev = SimilarityOps.trainedIndexBaseOverride
+    SimilarityOps.trainedIndexBaseOverride = Some(base)
+    try {
+      SimilarityOps.clearTrainedCentsCache()
+      SimilarityOps.clearCellCountCache()
+      val e0 = Tables(spark, sf, "embeddings")
+      e0.write.parquet(s"$corpus/embeddings.parquet")
+      assert(SimilarityOps.scaledCellCountOf(spark, corpus) == 16)
+      val art16 = SimilarityOps.trainedCentsArtifact(16)
+      SimilarityOps.trainedCentsOf(spark, corpus, 16).count()
+      val idxDir = new java.io.File(base).listFiles().head.toString
+      assert(graft.operators.IndexCompact.currentVersion(idxDir, art16) == 1)
+      // follow-mode append: the same append-mode parquet write
+      // followLive's bronze appender commits (FollowMode.scala:585),
+      // enough copies to outgrow the 16-cell floor (target 32 cells)
+      val n0 = e0.count()
+      val copies = (32 * SimilarityOps.CellTargetSize / n0 + 1).toInt
+      val grown = (1 to copies).map(i =>
+        e0.withColumn("vec_id", col("vec_id") + lit(i * n0)))
+        .reduce(_ unionByName _)
+      grown.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      // the knob reflects the grown corpus WITHOUT any manual clear
+      val k2 = SimilarityOps.scaledCellCountOf(spark, corpus)
+      assert(k2 == (n0 * (copies + 1)) / SimilarityOps.CellTargetSize,
+        s"stale cell count: got $k2")
+      assert(k2 > 16)
+      // trained cells at the old k retrain+republish (fingerprint
+      // mismatch -> version bump), not serve the stale tree
+      SimilarityOps.trainedCentsOf(spark, corpus, 16).count()
+      assert(graft.operators.IndexCompact.currentVersion(idxDir, art16) == 2)
+      // and the grown-corpus k publishes its own artifact
+      val cents2 = SimilarityOps.trainedCentsOf(spark, corpus, k2)
+      assert(cents2.count() > 16)
+      assert(graft.operators.IndexCompact.currentVersion(idxDir,
+        SimilarityOps.trainedCentsArtifact(k2)) == 1)
+    } finally {
+      SimilarityOps.trainedIndexBaseOverride = prev
+      SimilarityOps.clearTrainedCentsCache()
+      SimilarityOps.clearCellCountCache()
+    }
+  }
+}

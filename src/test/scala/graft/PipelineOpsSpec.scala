@@ -380,6 +380,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TrainedCellConsumers registry matches the query definitions: " +
+      "every listed entry builds the trained memo, seed twins don't") {
+    // the bench warm-up derives its list from this registry (ADVICE
+    // r13) — pin it BEHAVIORALLY so a future trained-cell consumer
+    // that forgets to register is caught here, not by a cold first
+    // timed reading in a subset bench run
+    val reg = graft.queries.SimilarityOps.TrainedCellConsumers
+    assert(reg.subsetOf(SparkEntry.queries.keySet))
+    reg.foreach { name =>
+      graft.queries.SimilarityOps.clearTrainedCentsCache()
+      SparkEntry.queries(name)(spark, sf) // construction routes on trained cells
+      assert(graft.queries.SimilarityOps.trainedCentsCacheSize > 0,
+        s"$name is registered but did not touch the trained memo")
+    }
+    // the seed twins must NOT silently depend on the trained build
+    for (seed <- Seq("q_embed_neardup_cells", "q_embed_semdedup",
+        "q_doc_sem_decontam_ivf")) {
+      graft.queries.SimilarityOps.clearTrainedCentsCache()
+      SparkEntry.queries(seed)(spark, sf)
+      assert(graft.queries.SimilarityOps.trainedCentsCacheSize == 0,
+        s"$seed unexpectedly builds the trained memo — register it")
+    }
+  }
+
   test("corpus_prep verdicts agree with each standalone stage query") {
     def q(n: String) = SparkEntry.queries(n)(spark, sf)
     val prep = q("q_doc_corpus_prep").collect()

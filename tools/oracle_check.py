@@ -62,8 +62,17 @@ def main(sf_dir, out_dir):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             # driver testdata ships single-file tables; ScaleGen corpora
-            # are Spark directory layouts — glob the parts in that case
-            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            # are Spark directory layouts — glob the parts in that case.
+            # Recursive (**) so a Hive-partitioned nested layout still
+            # resolves, and assert the glob matched: a zero-file view
+            # would fail every oracle with a confusing empty-table
+            # symptom instead of a clear error (ADVICE r13).
+            if os.path.isdir(p):
+                pat = f"{p}/**/*.parquet"
+                assert glob.glob(pat, recursive=True), \
+                    f"no parquet files under {p} (empty table dir?)"
+            else:
+                pat = p
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     with open(f"{out_dir}/oracle_sql.json") as f:

@@ -7,6 +7,10 @@
 #   tools/scale_curves.sh density   # knob curve -> bench_history/${ROUND}_density_curve.json
 #   tools/scale_curves.sh full10    # full suite m=1 vs m=10 -> bench_history/${ROUND}_sf1_true.json
 #   tools/scale_curves.sh sf100     # heavy-hitter tier at m=100 -> bench_history/${ROUND}_sf100_true.json
+#   tools/scale_curves.sh oracle10x # the THIRD oracle scale: graft.Verify + DuckDB
+#                                   # hash gate on the 10x ScaleGen corpus (the
+#                                   # r13 one-off that caught the DuckDB cast
+#                                   # bug, now a standing one-command gate)
 #   tools/scale_curves.sh all       # corpora + all three curves
 #
 # Knobs (env): ROUND=r12, SCALE_DIR=/tmp/truelaw, SPARK_GRAFT_CPUS=32,
@@ -88,12 +92,31 @@ sf100() {
     sbt -batch "runMain graft.tools.FullScaleCheck $BASE/sf0.1t $BASE/m100 bench_history/${ROUND}_sf100_true.json"
 }
 
+# The 10x oracle gate (r14 brief item 5): full 182-query hash
+# equivalence at a corpus whose aggregates exceed double precision —
+# the scale where r13's widened one-off caught a REAL DuckDB
+# DECIMAL->DOUBLE cast bug. One command, reused corpus, exits non-zero
+# on any mismatch. ~10-15 min: Verify dumps every query at m=10
+# (chain fixture resolves via the chain_sf1t symlink), then
+# oracle_check.py replays every oracle in DuckDB and hash-compares.
+oracle10x() {
+  gen "$BASE/sf1t" 10
+  chainfix chain_sf1 60000
+  link sf1t chain_sf1
+  local out="${ORACLE10X_OUT:-/tmp/graft_oracle10x}"
+  rm -rf "$out"
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    sbt -batch "runMain graft.Verify $BASE/sf1t $out"
+  python3 tools/oracle_check.py "$BASE/sf1t" "$out"
+}
+
 case "${1:-all}" in
   corpora) corpora ;;
   density) density ;;
   full10) full10 ;;
   sf100) sf100 ;;
   sf100full) sf100full ;;
+  oracle10x) oracle10x ;;
   all) corpora; density; full10; sf100 ;;
-  *) echo "usage: $0 {corpora|density|full10|sf100|sf100full|all}" >&2; exit 2 ;;
+  *) echo "usage: $0 {corpora|density|full10|sf100|sf100full|oracle10x|all}" >&2; exit 2 ;;
 esac
