@@ -201,7 +201,12 @@ object Centroid2LevelIndex {
     * the same cosine fold, recompute each super as its members' mean,
     * repeat. Deterministic — fixed seed (first nSupers centroids),
     * sequential folds, ties to the lowest super — and O(k·nSupers·d·
-    * iters) on the driver, microseconds at any real nlist. */
+    * iters) on the driver, microseconds at any real nlist. r14: the
+    * mean runs on the SAME floor(x·2^20) integer grid as kmeansOf
+    * (exact long sum + one double division, rounded to float), so the
+    * super training is order-free and mirrorable term-for-term in SQL —
+    * q_embed_2level_recall hash-checks this router's quality against a
+    * DuckDB unroll (SimilarityOps.duckSupersCtes). */
   def buildTrained(flat: CentroidIndex, nSupers: Int,
       iters: Int = 5): Centroid2LevelIndex = {
     require(nSupers > 0 && nSupers <= flat.ids.length,
@@ -253,14 +258,22 @@ object Centroid2LevelIndex {
           nextVecs(j) = superVecs(j)
           nextNorms(j) = superNorms(j)
         } else {
-          val acc = new Array[Double](d)
+          // the kmeansOf grid (2^20): float→double is exact, ×2^20 only
+          // shifts the exponent, floor is exact, and summing LONGS is
+          // order-independent — the mean is one exact integer sum plus
+          // one IEEE double division, bit-portable to the SQL mirror
+          val quant = 1048576L
+          val acc = new Array[Long](d)
           routed(j).foreach { m =>
             val v = flat.vecs(m)
             var c = 0
-            while (c < math.min(d, v.length)) { acc(c) += v(c); c += 1 }
+            while (c < math.min(d, v.length)) {
+              acc(c) += math.floor(v(c).toDouble * quant).toLong
+              c += 1
+            }
           }
           val mean = Array.tabulate(d)(c =>
-            (acc(c) / routed(j).length).toFloat)
+            (acc(c).toDouble / (routed(j).length * quant)).toFloat)
           var ss = 0.0
           var c = 0
           while (c < d) { val x = mean(c).toDouble; ss += x * x; c += 1 }

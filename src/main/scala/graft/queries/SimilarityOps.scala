@@ -145,7 +145,7 @@ object SimilarityOps {
     * constructing each listed query populates the trained memo. */
   val TrainedCellConsumers: Set[String] = Set(
     "q_embed_neardup_cells_trained", "q_embed_semdedup_trained",
-    "q_embed_dedup_clusters",
+    "q_embed_dedup_clusters", "q_embed_2level_recall",
     "q_doc_sem_decontam_ivf_trained", "q_doc_sem_decontam")
 
   /** Trained-cells artifact lifecycle (r14 brief item 1). Training is
@@ -225,7 +225,14 @@ object SimilarityOps {
       // the in-session frame only backstops an unreadable publish
       readTrainedArtifact(s, idxDir, artifact, fp).getOrElse(trained)
     }
-  }
+  }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  // ^ the k-row frame is collected at every consumer's plan
+  // construction (collectCentroids) — persist keeps that driver-side
+  // collect memory-fast like r13's localCheckpoint did, but with the
+  // LINEAGE intact: an executor loss or cache clear recomputes from
+  // the published artifact (a k-row parquet read), never a retrain.
+  // Bench.rebuildMemosUntimed's count() re-materializes it untimed
+  // after each clearCache().
 
   /** Memoized TRAINED centroids per (session, corpus, k) — the r13
     * promotion of the measured-best router configuration to a graded,
@@ -1157,8 +1164,97 @@ object SimilarityOps {
         .groupBy("nprobe")
         .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
         .withColumn("recall_at_3", col("n_hits").cast("double") / 30.0)
+    },
+
+    // Recall@3 of the TRAINED-SUPERS two-level router against exact
+    // cosine top-3, per super-probe count 1/2/4 — the r14 promotion of
+    // Centroid2LevelIndex.buildTrained from spec-pinned-only to a
+    // hash-checked quality gate (the router is approximate by CONTRACT,
+    // but recall arithmetic over deterministic inputs is exact, the
+    // same argument as q_embed_ivf_recall_sweep). The whole chain is
+    // oracle-mirrored: 3 Lloyd rounds train the cells (duckKmeansCtes),
+    // 5 driver-side Lloyd rounds train the √k supers on the kmeansOf
+    // integer grid (duckSupersCtes — buildTrained's exact arithmetic),
+    // the corpus assigns through the production 2-level route, and a
+    // query probes its p nearest supers and ranks their cells' members
+    // exactly. This is the number that decides how many supers to
+    // probe before committing the 2√k assignment path at large k.
+    "q_embed_2level_recall" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val k = scaledCellCountOf(s, dir)
+      twoLevelRecallOf(e, trainedCentsOf(s, dir, k))
     }
   )
+
+  /** the q_embed_2level_recall pipeline (see the defs entry): trained
+    * supers over trained cells, corpus assigned via the row-local
+    * 2-level route, probe sweep p ∈ {1,2,4} in ONE candidate pass (the
+    * q_embed_ivf_recall_sweep trick: score against the p=4 superset
+    * with the probed super's rank attached, fan out to every p that
+    * would have probed it, one composite-key top-k). The probes×cells
+    * side is bounded (|Q|·k rows) and broadcasts INTO the corpus scan;
+    * the exact baseline is the shared cosineTopkOf pass. */
+  def twoLevelRecallOf(e: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val s = e.sparkSession
+    val flat = collectCentroids(cents)
+    val nSupers = math.max(2, math.floor(math.sqrt(flat.ids.length.toDouble)).toInt)
+    val idx2 = graft.functions.Centroid2LevelIndex.buildTrained(flat, nSupers)
+    import scala.jdk.CollectionConverters._
+    val supersDf = s.createDataFrame(
+      idx2.supers.ids.indices.map(j =>
+        Row(j.toLong, idx2.supers.vecs(j).toSeq)).asJava,
+      StructType(Seq(StructField("super_id", LongType, nullable = false),
+        StructField("s_emb", ArrayType(FloatType, containsNull = false)))))
+    // the router's own child membership (a centroid can appear under
+    // two supers via the empty-super anchor backfill — dedup below)
+    val crouteDf = s.createDataFrame(
+      idx2.children.zipWithIndex.flatMap { case (ci, j) =>
+        ci.ids.map(cid => Row(cid, j.toLong)) }.toSeq.asJava,
+      StructType(Seq(StructField("centroid_id", LongType, nullable = false),
+        StructField("super_id", LongType, nullable = false))))
+    // corpus side: the production 2-level assignment — row-local, scan-shaped
+    val assign = e.select(col("vec_id").as("c_id"), col("embedding").as("c_e"),
+      graft.functions.NearestCentroid2LevelF32(col("embedding"), idx2)
+        .getField("centroid_id").as("centroid_id"))
+    val nps = Seq(1L, 2L, 4L)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("scos").desc, col("super_id").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
+      .crossJoin(broadcast(supersDf))
+      .withColumn("scos",
+        dot(col("q_e"), col("s_emb")) /
+          (sqrt(sumSq(col("q_e"))) * sqrt(sumSq(col("s_emb")))))
+      .withColumn("super_rank", row_number().over(w))
+      .filter(col("super_rank") <= lit(nps.max))
+      .select(col("q_id"), col("q_e"), col("super_id"), col("super_rank"))
+    val probeCells = probes.join(broadcast(crouteDf), "super_id")
+      .select(col("q_id"), col("q_e"), col("centroid_id"), col("super_rank"))
+    // a backfill-duplicated cell reaches a query through two supers —
+    // keep the best (lowest) rank per candidate, grouping on the
+    // deterministic cosine so the pair survives as ONE row
+    val scored = assign.join(broadcast(probeCells), "centroid_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_e"), col("c_e")) /
+          (sqrt(sumSq(col("q_e"))) * sqrt(sumSq(col("c_e")))))
+      .groupBy(col("q_id"), col("c_id"), col("cosine"))
+      .agg(min(col("super_rank")).as("r"))
+    val fan = scored.select(col("q_id"), col("c_id"), col("cosine"),
+      explode(filter(array(nps.map(lit): _*), np => np >= col("r"))).as("nprobe"))
+      .withColumn("dq", col("nprobe") * lit(1000L) + col("q_id"))
+    val exact = cosineTopkOf(e, nQueries = 10, k = 3)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    graft.operators.TopKPerKey.topK(s, fan, "dq", "cosine", "c_id", 3)
+      .select(expr("dq div 1000").as("nprobe"),
+        (col("dq") % 1000L).as("q_id"), col("c_id"))
+      .join(exact, Seq("q_id", "c_id"), "left")
+      .groupBy("nprobe")
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_3", col("n_hits").cast("double") / 30.0)
+  }
 
   /** exact top-k neighbors by cosine for query vectors vec_id < nQueries
     * (shared by the driver query and the recall evaluator — recall is
@@ -1779,6 +1875,62 @@ object SimilarityOps {
         |FROM runs r LEFT JOIN exact e ON r.q_id = e.q_id AND r.c_id = e.c_id
         |GROUP BY nprobe""".stripMargin
     },
+    "q_embed_2level_recall" -> {
+      def cos(a: String, b: String) =
+        s"${duckDotCols(a, b)} / (sqrt(${duckSS(a)}) * sqrt(${duckSS(b)}))"
+      // trained supers over trained cells: cells from the shared 3-round
+      // Lloyd unroll, supers from buildTrained's 5 driver-side rounds
+      // (duckSupersCtes — same integer-grid arithmetic), nSupers =
+      // max(2, floor(sqrt(|surviving cents|))) like the Spark side
+      val nsup = "greatest(2, CAST(floor(sqrt(CAST((SELECT count(*) " +
+        "FROM cents3) AS DOUBLE))) AS BIGINT))"
+      s"""WITH ${duckKmeansCtes(duckScaledK, 3)},
+        |${duckSupersCtes("cents3", nsup, 5)},
+        |vranked AS MATERIALIZED (
+        | SELECT e.vec_id, e.embedding, s.super_id,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   ${cos("e.embedding", "s.s_emb")} DESC, s.super_id ASC) AS rk
+        | FROM embeddings e, supers5 s),
+        |vroute AS (SELECT vec_id, embedding, super_id FROM vranked WHERE rk = 1),
+        |assign2 AS MATERIALIZED (
+        | SELECT vec_id, embedding, centroid_id FROM (
+        |  SELECT v.vec_id, v.embedding, cc.centroid_id,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |    ${cos("v.embedding", "cc.c_emb")} DESC, cc.centroid_id ASC) AS rk
+        |  FROM vroute v JOIN croute cr ON v.super_id = cr.super_id
+        |   JOIN cord cc ON cc.centroid_id = cr.centroid_id) WHERE rk = 1),
+        |qprobes AS (
+        | SELECT vec_id AS q_id, embedding AS q_e, super_id, rk AS super_rank
+        | FROM vranked WHERE rk <= 4 AND vec_id < 10),
+        |cand2 AS MATERIALIZED (
+        | SELECT q_id, c_id, cosine, min(super_rank) AS r FROM (
+        |  SELECT p.q_id, a.vec_id AS c_id,
+        |   ${cos("p.q_e", "a.embedding")} AS cosine, p.super_rank
+        |  FROM qprobes p JOIN croute cr ON p.super_id = cr.super_id
+        |   JOIN assign2 a ON a.centroid_id = cr.centroid_id
+        |  WHERE a.vec_id <> p.q_id)
+        | GROUP BY q_id, c_id, cosine),
+        |runs AS (
+        | SELECT nprobe, q_id, c_id FROM (
+        |  SELECT t.np AS nprobe, q_id, c_id,
+        |   row_number() OVER (PARTITION BY t.np, q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM cand2, (VALUES (1), (2), (4)) t(np) WHERE t.np >= r) WHERE rk <= 3),
+        |q2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |bf AS (
+        | SELECT q2.vec_id AS q_id, c.vec_id AS c_id,
+        |  ${duckDot("q2", "c")} /
+        |   (sqrt(${duckSS("q2.embedding")}) * sqrt(${duckSS("c.embedding")})) AS cosine
+        | FROM q2, embeddings c WHERE q2.vec_id <> c.vec_id),
+        |exact AS (
+        | SELECT q_id, c_id FROM (
+        |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+        |  FROM bf) WHERE rk <= 3)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+        | CAST(coalesce(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+        | CAST(coalesce(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / 30.0 AS recall_at_3
+        |FROM runs r LEFT JOIN exact e ON r.q_id = e.q_id AND r.c_id = e.c_id
+        |GROUP BY nprobe""".stripMargin
+    },
     "q_embed_ivf_recall" ->
       s"""WITH $duckIvfCtes,
         |approx AS (
@@ -1820,6 +1972,62 @@ object SimilarityOps {
     * is `cents3` */
   private[queries] def duckTrainedCentsCtes: String =
     duckKmeansCtes(duckScaledK, 3)
+
+  /** Centroid2LevelIndex.buildTrained unrolled in SQL over a trained
+    * cents CTE: super seeds = the nSupers lowest-centroid_id rows
+    * (collectCentroids sorts by id, so array position == id rank),
+    * `iters` rounds of route-all-cents → integer-grid mean (an empty
+    * super keeps its previous mean — supers never drop out, unlike
+    * kmeansOf cells), then one final routing whose empty supers get
+    * their anchor centroid back (buildTrained's `g % k` backfill).
+    * Emits CTEs `cord` (cents + positions), supers0..supers$iters and
+    * `croute` (centroid_id → super_id, backfill rows included). */
+  private def duckSupersCtes(centsCte: String, nSupersExpr: String,
+      iters: Int): String = {
+    def cos(a: String, b: String) =
+      s"${duckDotCols(a, b)} / (sqrt(${duckSS(a)}) * sqrt(${duckSS(b)}))"
+    val rounds = (1 to iters).map { r =>
+      s"""sroute$r AS (
+        | SELECT pos, c_emb, super_id FROM (
+        |  SELECT c.pos, c.c_emb, s.super_id,
+        |   row_number() OVER (PARTITION BY c.pos ORDER BY
+        |    ${cos("c.c_emb", "s.s_emb")} DESC, s.super_id ASC) AS rk
+        |  FROM cord c, supers${r - 1} s) WHERE rk = 1),
+        |smean$r AS (
+        | SELECT super_id, list(CAST(c_val AS FLOAT) ORDER BY dim) AS s_emb FROM (
+        |  SELECT super_id, dim,
+        |   CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * $KmeansQuant) AS c_val
+        |  FROM (SELECT super_id, i - 1 AS dim,
+        |    CAST(floor(CAST(c_emb[i] AS DOUBLE) * $KmeansQuant) AS BIGINT) AS q
+        |   FROM sroute$r, range(1, 65) t(i))
+        |  GROUP BY super_id, dim) GROUP BY super_id),
+        |supers$r AS MATERIALIZED (
+        | SELECT p.super_id, coalesce(m.s_emb, p.s_emb) AS s_emb
+        | FROM supers${r - 1} p LEFT JOIN smean$r m ON p.super_id = m.super_id)""".stripMargin
+    }
+    (Seq(
+      s"""cord AS MATERIALIZED (
+        | SELECT centroid_id, c_emb,
+        |  row_number() OVER (ORDER BY centroid_id ASC) - 1 AS pos
+        | FROM $centsCte)""".stripMargin,
+      s"""supers0 AS MATERIALIZED (
+        | SELECT pos AS super_id, c_emb AS s_emb FROM cord
+        | WHERE pos < ($nSupersExpr))""".stripMargin) ++ rounds ++ Seq(
+      s"""finroute AS MATERIALIZED (
+        | SELECT pos, super_id FROM (
+        |  SELECT c.pos, s.super_id,
+        |   row_number() OVER (PARTITION BY c.pos ORDER BY
+        |    ${cos("c.c_emb", "s.s_emb")} DESC, s.super_id ASC) AS rk
+        |  FROM cord c, supers$iters s) WHERE rk = 1),
+        |croute AS MATERIALIZED (
+        | SELECT c.centroid_id, f.super_id
+        | FROM finroute f JOIN cord c ON c.pos = f.pos
+        | UNION ALL
+        | SELECT c.centroid_id, s.super_id
+        | FROM supers$iters s JOIN cord c ON c.pos = s.super_id
+        | WHERE s.super_id NOT IN (SELECT super_id FROM finroute))""".stripMargin
+    )).mkString(",\n")
+  }
 
   private def duckKmeansCtes(kExpr: String, iters: Int): String = {
     val rounds = (1 to iters).map { r =>

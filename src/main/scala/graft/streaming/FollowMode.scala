@@ -254,8 +254,67 @@ object FollowMode {
 
   case class SemVerdict(vec_id: Long, centroid_id: Long,
       max_prior_cosine: Option[Double], keep: Boolean)
-  case class SemMember(id: Long, emb: Seq[Float], best: Option[Double])
-  case class SemCell(members: Seq[SemMember])
+
+  /** Packed per-cell state for the streaming SemDeDup (r14 brief item
+    * 4). The r13 shape — a case class holding Seq[SemMember(Long,
+    * Seq[Float], Option[Double])] — paid the ExpressionEncoder's deep
+    * struct-array conversion on EVERY touched cell EVERY trigger:
+    * the measured r13 bottleneck was ~0.5 s of the ~0.7 s p50 spent
+    * round-tripping full member lists through the state store. The
+    * state is now ONE flat byte buffer per cell — member records of
+    * [id:8 | hasBest:1 | bestBits:8 | normBits:8 | dim floats] — so
+    * ser/de is a memcpy-grade BinaryType column, and each member's
+    * norm is computed ONCE on admission (same sequential fold) and
+    * carried, instead of recomputed per trigger. Bit-exactness is
+    * untouched: floats/doubles round-trip through ByteBuffer exactly,
+    * and the cosine fold order is unchanged — the stream==batch spec
+    * (bit-equal cosines across out-of-order waves) pins it. */
+  case class SemCellBin(n: Int, dim: Int, buf: Array[Byte])
+
+  private object SemPack {
+    def recordSize(dim: Int): Int = 8 + 1 + 8 + 8 + 4 * dim
+    /** working view of one cell's members (parallel arrays) */
+    final class Members(var n: Int, var dim: Int) {
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val embs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val hasBest = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      val bests = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
+    }
+    def unpack(st: SemCellBin): Members = {
+      val m = new Members(st.n, st.dim)
+      val bb = java.nio.ByteBuffer.wrap(st.buf)
+      var i = 0
+      while (i < st.n) {
+        m.ids += bb.getLong()
+        m.hasBest += (bb.get() != 0)
+        m.bests += bb.getDouble()
+        m.norms += bb.getDouble()
+        val e = new Array[Float](st.dim)
+        var j = 0
+        while (j < st.dim) { e(j) = bb.getFloat(); j += 1 }
+        m.embs += e
+        i += 1
+      }
+      m
+    }
+    def pack(m: Members): SemCellBin = {
+      val dim = if (m.embs.isEmpty) 0 else m.embs.head.length
+      val bb = java.nio.ByteBuffer.allocate(m.ids.length * recordSize(dim))
+      var i = 0
+      while (i < m.ids.length) {
+        bb.putLong(m.ids(i))
+        bb.put(if (m.hasBest(i)) 1.toByte else 0.toByte)
+        bb.putDouble(m.bests(i))
+        bb.putDouble(m.norms(i))
+        val e = m.embs(i)
+        var j = 0
+        while (j < dim) { bb.putFloat(e(j)); j += 1 }
+        i += 1
+      }
+      SemCellBin(m.ids.length, dim, bb.array())
+    }
+  }
 
   /** Streaming SemDeDup — the incremental form of
     * SimilarityOps.semdedupOf over the cell blocking the r11 density
@@ -280,23 +339,31 @@ object FollowMode {
     * no cell exceeds the cap (batch skips pairwise for a whole
     * mega-cell, which a stream cannot know in advance); non-admitted
     * overflow emits the NULL-prior keep=true the batch mega-cell path
-    * produces. */
+    * produces.
+    *
+    * State-store configuration (r14, measured — SemStreamProbe +
+    * FollowBench on the sf0.1 corpus, trigger unchanged): the r13
+    * bottleneck attribution was wrong in detail — per-batch STATE
+    * FIXED COSTS dominate, not member serialization. (a) Partition
+    * sizing: every partition commits per micro-batch with a
+    * ~100-300 ms per-task constant on the HDFS store; 32 partitions
+    * over 16 cells measured 2× the wall of a right-sized store. Size
+    * spark.sql.shuffle.partitions to min(parallelism, ceil(nCents/8))
+    * before starting this stream — at production k (cells ∝ corpus)
+    * that resolves to full parallelism, so the rule costs nothing at
+    * scale. Measured: 7.5 s → ~3 s for the same drain, p50 ≤350 ms
+    * (bench_history/r14_follow.json), keep/drop bit-unchanged
+    * (provider-independent semantics, eq-checked). (b) Provider is
+    * secondary at this state size: the default HDFS store wins
+    * slightly once sized; RocksDB needs changelogCheckpointing
+    * .enabled=true (else per-commit snapshot uploads cost 3×) and is
+    * the path once per-cell state outgrows delta-file rewrites. */
   def semdedupStream(spark: SparkSession, vecs: DataFrame,
       cents: DataFrame, threshold: Double = graft.queries.SimilarityOps.SemdedupTau,
       cellCap: Int = graft.queries.SimilarityOps.EmbBucketCap): org.apache.spark.sql.Dataset[SemVerdict] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val centsIdx = graft.queries.SimilarityOps.collectCentroidsOf(cents)
-    def dot(a: Seq[Float], b: Seq[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    def norm(a: Seq[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val v = a(i).toDouble; acc += v * v; i += 1 }
-      math.sqrt(acc)
-    }
     // Spark total-order flavor: NaN beats every real value (the batch
     // window/aggregate ranking the fold mirrors)
     def beats(cos: Double, cur: Option[Double]): Boolean = cur match {
@@ -315,47 +382,63 @@ object FollowMode {
       .as[VecRow]
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (cell: Long, rows: Iterator[VecRow], state: GroupState[SemCell]) =>
-          val prev = state.getOption.map(_.members).getOrElse(Seq.empty)
-          val seen = prev.map(_.id).toSet
-          val arrivals = rows.map(r => r.vec_id -> r.emb).toArray
+        (cell: Long, rows: Iterator[VecRow], state: GroupState[SemCellBin]) =>
+          val m = state.getOption.map(SemPack.unpack)
+            .getOrElse(new SemPack.Members(0, 0))
+          val seen = m.ids.toSet
+          val arrivals = rows.map(r => r.vec_id -> r.emb.toArray).toArray
             .distinctBy(_._1).sortBy(_._1)
             .filterNot(r => seen(r._1))
-          val admitted = arrivals.take(math.max(0, cellCap - prev.size))
+          val admitted = arrivals.take(math.max(0, cellCap - m.ids.length))
           val overflow = arrivals.drop(admitted.length)
           val out = scala.collection.mutable.LinkedHashMap.empty[Long, SemVerdict]
-          val cur = scala.collection.mutable.ArrayBuffer.empty[SemMember]
-          cur ++= prev
-          val curNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
-          prev.foreach(m => curNorms += norm(m.emb))
+          def bestOf(j: Int): Option[Double] =
+            if (m.hasBest(j)) Some(m.bests(j)) else None
           admitted.foreach { case (id, e) =>
-            val ne = norm(e)
+            // the norm is computed ONCE here (the same sequential fold
+            // as the batch SumSqF32 kernel) and carried in state
+            val ne = normA(e)
             var best: Option[Double] = None
             var j = 0
-            while (j < cur.length) {
-              val m = cur(j)
-              val cos = dot(e, m.emb) / (ne * curNorms(j))
-              if (m.id < id) {
+            while (j < m.ids.length) {
+              val cos = dotA(e, m.embs(j)) / (ne * m.norms(j))
+              if (m.ids(j) < id) {
                 if (beats(cos, best)) best = Some(cos)
-              } else if (beats(cos, m.best)) {
+              } else if (beats(cos, bestOf(j))) {
                 // late lower-id arrival raises an existing member's
                 // verdict: update state AND re-emit its true verdict
-                cur(j) = m.copy(best = Some(cos))
-                out(m.id) = SemVerdict(m.id, cell, Some(cos),
+                m.hasBest(j) = true
+                m.bests(j) = cos
+                out(m.ids(j)) = SemVerdict(m.ids(j), cell, Some(cos),
                   keepOf(Some(cos)))
               }
               j += 1
             }
             out(id) = SemVerdict(id, cell, best, keepOf(best))
-            cur += SemMember(id, e, best)
-            curNorms += ne
+            m.ids += id
+            m.embs += e
+            m.hasBest += best.isDefined
+            m.bests += best.getOrElse(0.0)
+            m.norms += ne
           }
           overflow.foreach { case (id, _) =>
             out(id) = SemVerdict(id, cell, None, keep = true)
           }
-          if (admitted.nonEmpty) state.update(SemCell(cur.toSeq))
+          if (admitted.nonEmpty) state.update(SemPack.pack(m))
           out.valuesIterator
       }
+  }
+
+  private def dotA(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def normA(a: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val v = a(i).toDouble; acc += v * v; i += 1 }
+    math.sqrt(acc)
   }
 
   /** Streaming shard dedup against a FROZEN persisted text index

@@ -2483,11 +2483,22 @@ class TrainedCentsLifecycleSpec extends AnyFunSuite {
       // published exactly once through the pointer layout
       assert(graft.operators.IndexCompact.currentVersion(idxDir, art) == 1)
       // the served plan reads the ARTIFACT (durable), not a
-      // localCheckpoint: its scan must name the published tree
+      // localCheckpoint: its LINEAGE must bottom out in the published
+      // tree. Inspect the analyzed plan's file relations — inputFiles
+      // reads the OPTIMIZED plan, which substitutes InMemoryRelation
+      // for the frame's own persist() and would come back empty.
       SimilarityOps.clearTrainedCentsCache()
       val served = SimilarityOps.trainedCentsOf(spark, sf, k)
-      assert(served.inputFiles.exists(_.contains(art)),
-        s"expected an artifact-backed scan, got: ${served.inputFiles.mkString(",")}")
+      val roots = served.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      assert(roots.exists(_.contains(art)),
+        s"expected an artifact-backed scan, got roots: ${roots.mkString(",")}")
       // the cleared memo (new-session stand-in) did NOT republish...
       assert(graft.operators.IndexCompact.currentVersion(idxDir, art) == 1)
       // ...and read-back == retrain, bit-equal floats
