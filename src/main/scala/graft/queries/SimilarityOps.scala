@@ -1234,14 +1234,26 @@ object SimilarityOps {
       .select(col("q_id"), col("q_e"), col("centroid_id"), col("super_rank"))
     // a backfill-duplicated cell reaches a query through two supers —
     // keep the best (lowest) rank per candidate, grouping on the
-    // deterministic cosine so the pair survives as ONE row
-    val scored = assign.join(broadcast(probeCells), "centroid_id")
+    // deterministic cosine so the pair survives as ONE row. The
+    // backfill only fires for an EMPTY super, so when the routing
+    // table is injective (the overwhelmingly common case — checked
+    // driver-side on the bounded index) each (q, c) pair appears at
+    // most once and the dedupe exchange is skipped entirely; the
+    // oracle keeps its GROUP BY unconditionally, which is the
+    // identity over unique rows.
+    val dupFree = idx2.children.iterator.map(_.ids.length).sum ==
+      idx2.children.iterator.flatMap(_.ids).toSet.size
+    val scored0 = assign.join(broadcast(probeCells), "centroid_id")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
         dot(col("q_e"), col("c_e")) /
           (sqrt(sumSq(col("q_e"))) * sqrt(sumSq(col("c_e")))))
-      .groupBy(col("q_id"), col("c_id"), col("cosine"))
-      .agg(min(col("super_rank")).as("r"))
+    val scored =
+      if (dupFree)
+        scored0.select(col("q_id"), col("c_id"), col("cosine"),
+          col("super_rank").as("r"))
+      else scored0.groupBy(col("q_id"), col("c_id"), col("cosine"))
+        .agg(min(col("super_rank")).as("r"))
     val fan = scored.select(col("q_id"), col("c_id"), col("cosine"),
       explode(filter(array(nps.map(lit): _*), np => np >= col("r"))).as("nprobe"))
       .withColumn("dq", col("nprobe") * lit(1000L) + col("q_id"))
