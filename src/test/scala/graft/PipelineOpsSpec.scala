@@ -380,6 +380,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("2level recall sweep: one row per probe count, monotone in probes") {
+    // candidates re-rank by EXACT cosine, so widening the probe set can
+    // only add higher-cosine candidates — a displaced hit implies the
+    // displacer is a deeper true-top member, i.e. hits never decrease
+    val rows = SparkEntry.queries("q_embed_2level_recall")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Double]("recall_at_3"))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 4L))
+    assert(rows(1L) <= rows(2L) && rows(2L) <= rows(4L))
+    assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("TrainedCellConsumers registry matches the query definitions: " +
       "every listed entry builds the trained memo, seed twins don't") {
     // the bench warm-up derives its list from this registry (ADVICE
