@@ -173,7 +173,7 @@ object SimilarityOps {
     * java.io.tmpdir — production points this at the lake). */
   private val TrainedCentsRecipe = "lloyd3-grid20-v1"
   @volatile private[graft] var trainedIndexBaseOverride: Option[String] = None
-  private def trainedIndexDir(dir: String): String = {
+  private[graft] def trainedIndexDir(dir: String): String = {
     val base = trainedIndexBaseOverride
       .orElse(sys.env.get("GRAFT_TRAINED_INDEX_BASE"))
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_trained_cents")

@@ -2562,3 +2562,42 @@ class TrainedCentsLifecycleSpec extends AnyFunSuite {
     }
   }
 }
+
+/** r14: the trained-cents publish RACE contract — a trainer that loses
+  * the cross-process publish lease must never fail the query: it
+  * serves its (deterministic) in-session training and the artifact
+  * publishes once the lease frees. */
+class TrainedCentsRaceSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.queries.SimilarityOps
+
+  test("a held foreign publish lease: query still answers; next access " +
+      "publishes once the holder releases") {
+    val base = Files.createTempDirectory("graft_tcents_race").toString
+    val prev = SimilarityOps.trainedIndexBaseOverride
+    SimilarityOps.trainedIndexBaseOverride = Some(base)
+    try {
+      SimilarityOps.clearTrainedCentsCache()
+      val idxDir = SimilarityOps.trainedIndexDir(sf)
+      val art = SimilarityOps.trainedCentsArtifact(16)
+      // a concurrent trainer holds the lease (live same-JVM pid — not
+      // stale, not breakable)
+      val mine = graft.operators.IndexCompact.acquirePublishLease(idxDir, art)
+      try {
+        val served = SimilarityOps.trainedCentsOf(spark, sf, 16)
+        // the query ANSWERS (in-session fallback) and nothing published
+        assert(served.count() > 0)
+        assert(graft.operators.IndexCompact.currentVersion(idxDir, art) == 0)
+      } finally graft.operators.IndexCompact
+        .releasePublishLease(idxDir, art, mine)
+      // lease freed: the next resolution publishes the artifact
+      SimilarityOps.clearTrainedCentsCache()
+      val after = SimilarityOps.trainedCentsOf(spark, sf, 16)
+      assert(after.count() > 0)
+      assert(graft.operators.IndexCompact.currentVersion(idxDir, art) == 1)
+    } finally {
+      SimilarityOps.trainedIndexBaseOverride = prev
+      SimilarityOps.clearTrainedCentsCache()
+    }
+  }
+}
