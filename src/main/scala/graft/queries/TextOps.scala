@@ -71,15 +71,29 @@ object TextOps {
     * same blocking — the r13 trained-router promotion applied to the
     * decontamination family. */
   def semDecontamIvfOf(e: DataFrame, nCents: Int = 16,
-      centsOverride: Option[DataFrame] = None): DataFrame = {
+      centsOverride: Option[DataFrame] = None,
+      twoLevelTrained: Boolean = false): DataFrame = {
     val cents = centsOverride.getOrElse(
       e.filter(col("vec_id") < nCents)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
     val centsIdx = graft.queries.SimilarityOps.collectCentroids(cents)
+    // twoLevelTrained = the graded assignment route above
+    // SimilarityOps.TwoLevelAssignK (r15): nearest of √k trained
+    // supers, then argmax over that super's children — ~2√k dots per
+    // row instead of k, the same Centroid2LevelIndex.buildTrained
+    // convention the density family and its oracles share
+    val idx2 =
+      if (!twoLevelTrained) None
+      else Some(graft.functions.Centroid2LevelIndex.buildTrained(centsIdx,
+        math.max(2, math.floor(math.sqrt(centsIdx.ids.length.toDouble)).toInt)))
     def assign(df: DataFrame, idCol: String) = df
       .select(col("vec_id").as(idCol), col("embedding"),
-        graft.functions.NearestCentroidF32(col("embedding"), centsIdx)
-          .as("nc"))
+        (idx2 match {
+          case Some(i2) =>
+            graft.functions.NearestCentroid2LevelF32(col("embedding"), i2)
+          case None =>
+            graft.functions.NearestCentroidF32(col("embedding"), centsIdx)
+        }).as("nc"))
       .select(col(idCol), col("nc.centroid_id").as("centroid_id"),
         col("embedding"))
     val ev = assign(e.filter(col("vec_id") % 10 === 0), "eval_id")
@@ -145,26 +159,20 @@ object TextOps {
       s"${graft.queries.SimilarityOps.CellTargetSize})"
 
   /** the IVF-probed semantic-decontamination oracle body downstream of
-    * ANY cents table — seed (q_doc_sem_decontam_ivf) or trained
-    * (duckTrainedCentsCtes' last round, `cents3`) */
+    * ANY cents table — seed (q_doc_sem_decontam_ivf), via the flat
+    * assignment */
   private def duckSemDecontamIvfBody(centsCte: String): String =
-    s"""scored AS (
-      | SELECT e.vec_id, e.embedding, c.centroid_id,
-      |  list_reduce(list_transform(range(1, 65),
-      |    i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]), (x, y) -> x + y) /
-      |  (sqrt(list_reduce(list_transform(e.embedding,
-      |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
-      |   sqrt(list_reduce(list_transform(c.c_emb,
-      |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
-      | FROM embeddings e, $centsCte c),
-      |assign AS (
-      | SELECT vec_id, embedding, centroid_id FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
-      |  FROM scored) WHERE rk = 1),
-      |ev AS (SELECT centroid_id, vec_id AS eval_id, embedding AS e_emb
-      |  FROM assign WHERE vec_id % 10 = 0),
+    s"""${graft.queries.SimilarityOps.duckFlatAssignCtes(centsCte)},
+      |${duckSemDecontamIvfBodyFrom("assign")}""".stripMargin
+
+  /** the same body downstream of ANY assign CTE (vec_id, embedding,
+    * centroid_id) — flat or the k-threshold-branched 2-level route
+    * (SimilarityOps.duckTrainedAssignCtes) */
+  private def duckSemDecontamIvfBodyFrom(assignCte: String): String =
+    s"""ev AS (SELECT centroid_id, vec_id AS eval_id, embedding AS e_emb
+      |  FROM $assignCte WHERE vec_id % 10 = 0),
       |tr AS (SELECT vec_id AS doc_id, centroid_id, embedding
-      |  FROM assign WHERE vec_id % 10 <> 0),
+      |  FROM $assignCte WHERE vec_id % 10 <> 0),
       |sc AS (
       | SELECT tr.doc_id, ev.eval_id,
       |  list_reduce(list_transform(range(1, 65),
@@ -1825,9 +1833,13 @@ object TextOps {
       // seed cells at both decades, r13_decontam_trained.json); the
       // seed form stays graded as q_doc_sem_decontam_ivf
       val k = graft.queries.SimilarityOps.scaledCellCountOf(s, dir)
+      // r15: 2-level trained-supers assignment above the threshold —
+      // the graded route, oracle-mirrored via duckTrainedAssignCtes
       val sem = semDecontamIvfOf(e, nCents = k,
         centsOverride =
-          Some(graft.queries.SimilarityOps.trainedCentsOf(s, dir, k)))
+          Some(graft.queries.SimilarityOps.trainedCentsOf(s, dir, k)),
+        twoLevelTrained =
+          k >= graft.queries.SimilarityOps.twoLevelAssignK)
         .select("doc_id", "max_cell_cosine", "nearest_eval_id", "flagged_sem")
       lex.join(sem, "doc_id")
         .withColumn("flagged_lex", col("contam_permille") >= 200)
@@ -1876,9 +1888,13 @@ object TextOps {
     "q_doc_sem_decontam_ivf_trained" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val k = graft.queries.SimilarityOps.scaledCellCountOf(s, dir)
+      // r15: graded 2-level assignment above the threshold (see
+      // q_doc_sem_decontam's semantic side)
       semDecontamIvfOf(e, nCents = k,
         centsOverride =
-          Some(graft.queries.SimilarityOps.trainedCentsOf(s, dir, k)))
+          Some(graft.queries.SimilarityOps.trainedCentsOf(s, dir, k)),
+        twoLevelTrained =
+          k >= graft.queries.SimilarityOps.twoLevelAssignK)
     },
 
     // Sliding-window chunking — the pretraining chunker: cut each
@@ -2430,19 +2446,7 @@ object TextOps {
         |  (coalesce(h.n_hit, 0) * 1000) // t.n_shingles AS contam_permille
         | FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id),
         |${graft.queries.SimilarityOps.duckTrainedCentsCtes},
-        |scored AS (
-        | SELECT e.vec_id, e.embedding, c.centroid_id,
-        |  list_reduce(list_transform(range(1, 65),
-        |    i -> CAST(e.embedding[i] AS DOUBLE) * c.c_emb[i]), (x, y) -> x + y) /
-        |  (sqrt(list_reduce(list_transform(e.embedding,
-        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) *
-        |   sqrt(list_reduce(list_transform(c.c_emb,
-        |     x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b))) AS cosine
-        | FROM embeddings e, cents3 c),
-        |assign AS (
-        | SELECT vec_id, embedding, centroid_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC) AS rk
-        |  FROM scored) WHERE rk = 1),
+        |${graft.queries.SimilarityOps.duckTrainedAssignCtes("cents3")},
         |ev AS (SELECT centroid_id, vec_id AS eval_id, embedding AS e_emb
         |  FROM assign WHERE vec_id % 10 = 0),
         |tr AS (SELECT vec_id AS doc_id, centroid_id, embedding
@@ -2476,9 +2480,12 @@ object TextOps {
     // trained twin: identical decontamination body over the 3-round
     // Lloyd cents — the oracle runs the SAME training arithmetic
     // kmeansOf runs (integer-grid means, float rounding per round)
+    // r15: the assign CTE is the k-threshold-branched 2-level route,
+    // matching the Spark side's gradedAssignSupers exactly
     "q_doc_sem_decontam_ivf_trained" ->
       s"""WITH ${graft.queries.SimilarityOps.duckTrainedCentsCtes},
-        |${duckSemDecontamIvfBody("cents3")}""".stripMargin,
+        |${graft.queries.SimilarityOps.duckTrainedAssignCtes("cents3")},
+        |${duckSemDecontamIvfBodyFrom("assign")}""".stripMargin,
     "q_doc_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $duckToks FROM documents),
         |c AS (

@@ -358,12 +358,44 @@ object FollowMode {
     * slightly once sized; RocksDB needs changelogCheckpointing
     * .enabled=true (else per-commit snapshot uploads cost 3×) and is
     * the path once per-cell state outgrows delta-file rewrites. */
+  /** state-partition sizing rule for the SemDeDup stream (the r14
+    * measured rule, applied automatically since r15): per-partition
+    * state-commit constants dominate at small cell counts, so
+    * partitions = min(parallelism, ceil(cells/8)); at production k
+    * (cells ∝ corpus) this resolves to full parallelism and costs
+    * nothing. Exposed for the sizing spec. */
+  private[graft] def semdedupStatePartitions(nCells: Int,
+      parallelism: Int): Int =
+    math.max(1, math.min(parallelism, (nCells + 7) / 8))
+
   def semdedupStream(spark: SparkSession, vecs: DataFrame,
       cents: DataFrame, threshold: Double = graft.queries.SimilarityOps.SemdedupTau,
       cellCap: Int = graft.queries.SimilarityOps.EmbBucketCap): org.apache.spark.sql.Dataset[SemVerdict] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val centsIdx = graft.queries.SimilarityOps.collectCentroidsOf(cents)
+    // r15 (VERDICT r14 item 3): the sizing rule used to be a caller
+    // convention ("set shuffle.partitions before starting this stream")
+    // — a caller who forgot paid 2× wall. A stateful operator's state
+    // partitioning is pinned to the SESSION's shuffle-partition conf at
+    // query start (Spark's StatefulOpClusteredDistribution requires
+    // exactly that count — an explicit repartition cannot satisfy it),
+    // so the rule is applied HERE, on the session this stream will
+    // start under, and only ever DOWNWARD (an already-smaller session
+    // setting is respected). Session-level side effect, stated loudly:
+    // the conf stays sized until the caller changes it — run unrelated
+    // batch work on its own session, which is standard streaming
+    // hygiene anyway. The first checkpoint pins the value for the
+    // query's lifetime, so a later conf change never corrupts state.
+    val sized = semdedupStatePartitions(centsIdx.ids.length,
+      spark.sparkContext.defaultParallelism)
+    val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (sized < current) {
+      System.err.println(s"[semdedup-stream] sizing state partitions: " +
+        s"spark.sql.shuffle.partitions $current -> $sized " +
+        s"(${centsIdx.ids.length} cells; min(parallelism, ceil(cells/8)))")
+      spark.conf.set("spark.sql.shuffle.partitions", sized.toString)
+    }
     // Spark total-order flavor: NaN beats every real value (the batch
     // window/aggregate ranking the fold mirrors)
     def beats(cos: Double, cur: Option[Double]): Boolean = cur match {
@@ -386,12 +418,30 @@ object FollowMode {
           val m = state.getOption.map(SemPack.unpack)
             .getOrElse(new SemPack.Members(0, 0))
           val seen = m.ids.toSet
-          val arrivals = rows.map(r => r.vec_id -> r.emb.toArray).toArray
+          val arrivals0 = rows.map(r => r.vec_id -> r.emb.toArray).toArray
             .distinctBy(_._1).sortBy(_._1)
             .filterNot(r => seen(r._1))
+          val out = scala.collection.mutable.LinkedHashMap.empty[Long, SemVerdict]
+          // SemPack's binary layout is fixed-width per cell (dim from the
+          // first admitted member): a ragged-dim arrival would corrupt or
+          // truncate state (ADVICE r14). It is not comparable to the
+          // cell's members anyway (the batch dot kernels null mismatched
+          // lengths), so it emits the NULL-prior keep=true verdict LOUDLY
+          // and never enters state — ragged corpora are out of the
+          // batch-equality contract, stated at runtime instead of thrown
+          // mid-stream.
+          val cellDim =
+            if (m.embs.nonEmpty) m.embs.head.length
+            else arrivals0.headOption.map(_._2.length).getOrElse(-1)
+          val (arrivals, ragged) = arrivals0.partition(_._2.length == cellDim)
+          ragged.foreach { case (id, e) =>
+            System.err.println(s"[semdedup-stream] vec $id dim ${e.length} " +
+              s"!= cell $cell dim $cellDim — not admitted to state; " +
+              "emitted keep=true (no comparable prior)")
+            out(id) = SemVerdict(id, cell, None, keep = true)
+          }
           val admitted = arrivals.take(math.max(0, cellCap - m.ids.length))
           val overflow = arrivals.drop(admitted.length)
-          val out = scala.collection.mutable.LinkedHashMap.empty[Long, SemVerdict]
           def bestOf(j: Int): Option[Double] =
             if (m.hasBest(j)) Some(m.bests(j)) else None
           admitted.foreach { case (id, e) =>

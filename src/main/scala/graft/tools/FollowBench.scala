@@ -203,8 +203,12 @@ object FollowBench {
     // slightly once sized; RocksDB needs changelogCheckpointing or it
     // loses 3× to per-commit snapshot uploads (the r13 variant's
     // mistake) — measured as the variant row beside the primary.
-    val semParts = math.max(1, math.min(cpus.toInt, (kCells + 7) / 8))
-    spark.conf.set("spark.sql.shuffle.partitions", semParts.toString)
+    // r15 (brief item 3): NO manual conf set here — semdedupStream
+    // applies the sizing rule itself at plan construction; this bench
+    // run is the without-the-manual-rule parity evidence. semParts is
+    // recomputed only for the record line.
+    val semParts = graft.streaming.FollowMode
+      .semdedupStatePartitions(kCells, cpus.toInt)
     val mSemdedup = run("embed_semdedup", embStaged,
       df => FollowMode.semdedupStream(spark,
         df.select("vec_id", "embedding"), semCents).toDF(),
@@ -256,6 +260,12 @@ object FollowBench {
       !streamKeep.get(id).contains(k) }
     require(streamKeep.size == batchKeep.size,
       s"stream emitted ${streamKeep.size} verdicts, batch ${batchKeep.size}")
+    // the speedup's acceptance bar FAILS the run, not just the record
+    // (ADVICE r14): a keep/drop divergence from a state-packing change
+    // must stop the bench loudly instead of riding along in the JSON
+    require(semMismatches == 0,
+      s"streaming semdedup keep/drop diverged from batch on " +
+        s"$semMismatches of ${batchKeep.size} verdicts")
     println(s"[follow] semdedup stream==batch keep/drop: " +
       s"${batchKeep.size - semMismatches}/${batchKeep.size} match")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)

@@ -2382,9 +2382,15 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("append").parquet(src)
     val stream = FollowMode.readAppendOnly(spark, src, vecs.schema,
       maxFilesPerTrigger = 1)
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val q = FollowMode.semdedupStream(spark, stream, cents).writeStream
       .outputMode("update").format("memory").queryName("sds_out").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      // semdedupStream auto-sizes the session's shuffle partitions
+      // (r15) — restore so later suites see the test default
+      spark.conf.set("spark.sql.shuffle.partitions", confBefore)
+    }
     // monotone refinement: the max prior across a vec's emitted rows is
     // its final verdict (NaN ranks greatest, like the batch ranking)
     val got = spark.sql(
@@ -2408,6 +2414,51 @@ class StreamingSpec extends AnyFunSuite {
     // not vacuous: real drops and real priors exist on this corpus
     assert(got.values.exists(!_._3))
     assert(got.values.exists(_._2.isDefined))
+  }
+
+  test("streaming SemDeDup sizes its own state partitions (r15): an " +
+      "oversized session conf is resized at plan construction, the " +
+      "started query's state operator runs at the sized count, and " +
+      "verdicts still equal batch") {
+    val src = Files.createTempDirectory("graft_sds_sz_src").toString
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    vecs.coalesce(1).write.mode("overwrite").parquet(src)
+    val cents = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32") // deliberately oversized
+    try {
+      val stream = FollowMode.readAppendOnly(spark, src, vecs.schema,
+        maxFilesPerTrigger = 1)
+      val plan = FollowMode.semdedupStream(spark, stream, cents)
+      val sized = FollowMode.semdedupStatePartitions(16,
+        spark.sparkContext.defaultParallelism)
+      // the rule fired at plan construction — no caller convention left
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == sized.toString)
+      val q = plan.writeStream.outputMode("update").format("memory")
+        .queryName("sds_sz_out").start()
+      try {
+        q.processAllAvailable()
+        val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        assert(progress.nonEmpty,
+          "no stateful-operator progress recorded")
+        assert(progress.forall(
+          _.stateOperators.head.numShufflePartitions == sized),
+          s"state operator ran at ${progress.map(
+            _.stateOperators.head.numShufflePartitions).toSet}, want $sized")
+      } finally q.stop()
+      val got = spark.sql(
+        """SELECT vec_id, max(max_prior_cosine) AS mpc
+          |FROM sds_sz_out GROUP BY vec_id""".stripMargin)
+        .withColumn("keep", coalesce(col("mpc") <=
+          graft.queries.SimilarityOps.SemdedupTau, lit(true)))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Boolean]("keep")).toMap
+      val want = graft.queries.SimilarityOps.semdedupOf(vecs)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Boolean]("keep")).toMap
+      assert(got == want && got.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
   test("incremental freeze follows the head and writes completed chunks once") {
@@ -2560,6 +2611,118 @@ class TrainedCentsLifecycleSpec extends AnyFunSuite {
       SimilarityOps.clearTrainedCentsCache()
       SimilarityOps.clearCellCountCache()
     }
+  }
+}
+
+/** r15 brief item 6: a TrainedCentsRecipe bump is a version transition
+  * of the SAME artifact — readers reject the old tree on the recipe
+  * token and retrain+republish; the superseded tree gets the standard
+  * one-cycle grace (a mid-flight reader on the old pointer survives)
+  * and the NEXT publish GCs it. */
+class TrainedCentsRecipeBumpSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.queries.SimilarityOps
+
+  test("recipe bump: reject + retrain + version bump; superseded tree " +
+      "survives one cycle and is GC'd by the next publish") {
+    val base = Files.createTempDirectory("graft_tcents_recipe").toString
+    val prevBase = SimilarityOps.trainedIndexBaseOverride
+    val prevRecipe = SimilarityOps.trainedCentsRecipeOverride
+    SimilarityOps.trainedIndexBaseOverride = Some(base)
+    try {
+      SimilarityOps.clearTrainedCentsCache()
+      val art = SimilarityOps.trainedCentsArtifact(16)
+      val servedV1 = SimilarityOps.trainedCentsOf(spark, sf, 16)
+      assert(servedV1.count() > 0)
+      val idxDir = new java.io.File(base).listFiles().head.toString
+      def trees(v: Int) = Option(new java.io.File(idxDir).listFiles())
+        .getOrElse(Array.empty[java.io.File]).map(_.getName)
+        .filter(n => n.startsWith(s"$art.v$v") && !n.contains(".ptr."))
+      val ic = graft.operators.IndexCompact
+      assert(ic.currentVersion(idxDir, art) == 1 && trees(1).nonEmpty)
+      // RECIPE BUMP: the next access rejects v1 on the recipe token,
+      // retrains and republishes — version 2
+      SimilarityOps.trainedCentsRecipeOverride = Some("lloyd3-grid20-vNEXT")
+      SimilarityOps.clearTrainedCentsCache()
+      SimilarityOps.trainedCentsOf(spark, sf, 16).count()
+      assert(ic.currentVersion(idxDir, art) == 2)
+      // one-cycle grace: the v1 tree is still on disk and the pre-bump
+      // reader's plan still answers from it (unpersist forces the
+      // re-read through the published parquet, not the block cache)
+      assert(trees(1).nonEmpty, "superseded tree GC'd too early")
+      servedV1.unpersist()
+      assert(servedV1.count() > 0)
+      // the NEXT publish (second bump) retires v1; v2 inherits the grace
+      SimilarityOps.trainedCentsRecipeOverride = Some("lloyd3-grid20-vNEXT2")
+      SimilarityOps.clearTrainedCentsCache()
+      SimilarityOps.trainedCentsOf(spark, sf, 16).count()
+      assert(ic.currentVersion(idxDir, art) == 3)
+      assert(trees(1).isEmpty, "v1 must be GC'd by the v3 publish")
+      assert(trees(2).nonEmpty, "v2 keeps the one-cycle grace")
+    } finally {
+      SimilarityOps.trainedCentsRecipeOverride = prevRecipe
+      SimilarityOps.trainedIndexBaseOverride = prevBase
+      SimilarityOps.clearTrainedCentsCache()
+    }
+  }
+}
+
+/** r15 brief item 4: trained artifacts TRAVEL WITH THE LAKE — a corpus
+  * carrying a `.graft` dir resolves its trained-index base beside the
+  * data, and a fresh session (another host's stand-in) reads the
+  * artifact back with zero retrains. Without the lake marker the
+  * default is a per-user tmpdir (ADVICE r14 — never the old shared
+  * world-guessable path). */
+class TrainedCentsLakeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.queries.SimilarityOps
+
+  test("lake round-trip: train under <corpus>/.graft/index, fresh " +
+      "session + cleared memos resolves bit-equal with zero retrains") {
+    val corpus = Files.createTempDirectory("graft_lake_corpus").toString
+    val prevBase = SimilarityOps.trainedIndexBaseOverride
+    SimilarityOps.trainedIndexBaseOverride = None // exercise the default
+    try {
+      Tables(spark, sf, "embeddings")
+        .write.parquet(s"$corpus/embeddings.parquet")
+      Files.createDirectories(Paths.get(s"$corpus/.graft"))
+      SimilarityOps.clearTrainedCentsCache()
+      val idxDir = SimilarityOps.trainedIndexDir(corpus)
+      assert(idxDir.startsWith(s"$corpus/.graft/index"),
+        s"lake-marked corpus must resolve beside the data, got $idxDir")
+      val art = SimilarityOps.trainedCentsArtifact(16)
+      def cents(s: org.apache.spark.sql.SparkSession) =
+        SimilarityOps.trainedCentsOf(s, corpus, 16).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).sortBy(_._1)
+      val c1 = cents(spark)
+      val ic = graft.operators.IndexCompact
+      assert(ic.currentVersion(idxDir, art) == 1)
+      // "host B": a fresh session with cleared memos — the artifact
+      // resolves through the lake path, NO retrain (version unchanged)
+      val s2 = spark.newSession()
+      SimilarityOps.clearTrainedCentsCache()
+      val c2 = cents(s2)
+      assert(ic.currentVersion(idxDir, art) == 1,
+        "fresh session retrained/republished instead of resolving the lake artifact")
+      assert(c1.map(_._1).sameElements(c2.map(_._1)))
+      c1.zip(c2).foreach { case ((_, v1), (_, v2)) => assert(v1 == v2) }
+    } finally {
+      SimilarityOps.trainedIndexBaseOverride = prevBase
+      SimilarityOps.clearTrainedCentsCache()
+    }
+  }
+
+  test("no lake marker: the default base is per-user under tmpdir") {
+    val corpus = Files.createTempDirectory("graft_nolake_corpus").toString
+    val prevBase = SimilarityOps.trainedIndexBaseOverride
+    SimilarityOps.trainedIndexBaseOverride = None
+    try {
+      val user = Option(System.getProperty("user.name")).getOrElse("nouser")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val idxDir = SimilarityOps.trainedIndexDir(corpus)
+      assert(idxDir.contains(s"graft_trained_cents-$user"),
+        s"expected a per-user tmp base, got $idxDir")
+    } finally SimilarityOps.trainedIndexBaseOverride = prevBase
   }
 }
 

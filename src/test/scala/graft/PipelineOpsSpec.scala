@@ -417,6 +417,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graded 2-level assignment (r15): flat below TwoLevelAssignK, " +
+      "the trained-supers route at/above it, entry == explicit twin") {
+    import graft.queries.SimilarityOps
+    // the threshold arithmetic itself
+    assert(SimilarityOps.gradedAssignSupers(
+      SimilarityOps.TwoLevelAssignK - 1) == 0)
+    assert(SimilarityOps.gradedAssignSupers(
+      SimilarityOps.TwoLevelAssignK) == -1)
+    val e = Tables(spark, sf, "embeddings")
+    val k = SimilarityOps.scaledCellCountOf(spark, sf)
+    assert(k < SimilarityOps.TwoLevelAssignK,
+      "fixture corpus must sit under the threshold for this spec")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("centroid_id"),
+        r.getAs[Boolean]("keep"))).sortBy(_._1).toSeq
+    def trained() = SimilarityOps.trainedCentsOf(spark, sf, k)
+    // below the threshold the registered entry IS the flat form
+    val flat = rowsOf(SimilarityOps.semdedupOf(e, nCents = k,
+      centsOverride = Some(trained())))
+    assert(rowsOf(
+      SparkEntry.queries("q_embed_semdedup_trained")(spark, sf)) == flat)
+    // force the route on the same corpus (seam): the entry must equal
+    // the explicit auto-sized trained-supers twin — the same swap the
+    // 10× oracle gate hash-checks at the real constant (k=160 ≥ 128)
+    val prev = SimilarityOps.twoLevelAssignKOverride
+    SimilarityOps.twoLevelAssignKOverride = Some(k)
+    try {
+      val two = rowsOf(
+        SparkEntry.queries("q_embed_semdedup_trained")(spark, sf))
+      val twin = rowsOf(SimilarityOps.semdedupOf(e, nCents = k,
+        centsOverride = Some(trained()),
+        assignSupers = -1, trainSupers = true))
+      assert(two == twin)
+      // not vacuous: the coarse route genuinely re-assigns some vectors
+      // on this corpus (measured at 10×: 1559/20000 differ, 3 verdicts)
+      assert(two.map(t => (t._1, t._2)) != flat.map(t => (t._1, t._2)),
+        "2-level route coincided with flat — spec corpus exercises nothing")
+      // the decontamination family takes the same branch
+      val sem2 = graft.queries.TextOps.semDecontamIvfOf(e, nCents = k,
+        centsOverride = Some(trained()), twoLevelTrained = true)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("centroid_id"))).sortBy(_._1).toSeq
+      val semEntry = SparkEntry.queries("q_doc_sem_decontam_ivf_trained")(
+        spark, sf).collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("centroid_id"))).sortBy(_._1).toSeq
+      assert(semEntry == sem2)
+    } finally SimilarityOps.twoLevelAssignKOverride = prev
+  }
+
+  test("collectCentroids refuses a corpus-scale collect LOUDLY " +
+      "(CentroidCollectCap) instead of OOMing the driver") {
+    import graft.queries.SimilarityOps
+    val over = spark.range(SimilarityOps.CentroidCollectCap + 1L)
+      .select(col("id").as("centroid_id"), array(lit(0.5f)).as("c_emb"))
+    val ex = intercept[IllegalStateException] {
+      SimilarityOps.collectCentroidsOf(over)
+    }
+    assert(ex.getMessage.contains("CentroidCollectCap"))
+    assert(ex.getMessage.contains("2-level"))
+    // the cap is a ceiling, not a behavior change: a bounded table
+    // still collects whole
+    assert(SimilarityOps.collectCentroidsOf(
+      over.limit(64)).ids.length == 64)
+  }
+
   test("corpus_prep verdicts agree with each standalone stage query") {
     def q(n: String) = SparkEntry.queries(n)(spark, sf)
     val prep = q("q_doc_corpus_prep").collect()
