@@ -541,22 +541,33 @@ object SimilarityOps {
     * AnnScale spec's nlist=256) yet firmly driver-safe. Exceeding it
     * throws LOUDLY with the fix spelled out rather than OOMing. */
   val CentroidCollectCap: Int = 1 << 18
+  /** test seam (r16, VERDICT r15 item 1): lets the distributed-build
+    * spec lower the cap on a small corpus and prove the distributed
+    * construction's index is bit-equal to the driver-built one — the
+    * same pattern as twoLevelAssignKOverride. Production always runs
+    * the real constant. */
+  @volatile private[graft] var centroidCollectCapOverride: Option[Int] = None
+  private[graft] def centroidCollectCap: Int =
+    centroidCollectCapOverride.getOrElse(CentroidCollectCap)
 
   private[queries] def collectCentroids(cents: DataFrame): graft.functions.CentroidIndex = {
     // limit(cap+1) bounds the DRIVER before the check: a corpus-scale
     // centroid table fails on the cap message, never on an OOM
+    val cap = centroidCollectCap
     val rows = cents.select(col("centroid_id").cast("long"), col("c_emb"))
-      .limit(CentroidCollectCap + 1)
+      .limit(cap + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    if (rows.length > CentroidCollectCap)
+    if (rows.length > cap)
       throw new IllegalStateException(
-        s"centroid collect exceeds CentroidCollectCap=$CentroidCollectCap: " +
+        s"centroid collect exceeds CentroidCollectCap=$cap: " +
           "the flat row-local index is driver-bounded by design. At this " +
           "k, assignment must route through the 2-level trained-supers " +
-          "path (gradedAssignSupers/TwoLevelAssignK) and the index build " +
-          "needs a distributed (not driver-collected) construction.")
+          "path (gradedAssignSupers/TwoLevelAssignK), whose index is " +
+          "built WITHOUT this collect (trained2LevelIndexOf routes to " +
+          "buildTrainedDistributed above the cap — per-super bounded " +
+          "group collects, never the whole k-row table at once).")
     val norms = rows.map { case (_, v) =>
       var acc = 0.0
       var i = 0
@@ -687,27 +698,176 @@ object SimilarityOps {
     * row-local NearestCentroidF32 index, so assignment is a pure
     * projection over the corpus — no ×k expansion, no exchange, no
     * sort. Returns (vec_id, centroid_id, embedding, cosine). */
+  /** the SumSqF32/collectCentroids norm fold — sequential double over
+    * floats, so norms computed here are bit-identical to flat.norms */
+  private def normOfF32(v: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** The DISTRIBUTED twin of Centroid2LevelIndex.buildTrained (r16,
+    * VERDICT r15 item 1): the same 2-level trained-supers index, built
+    * WITHOUT ever collecting the whole k-row centroid table to the
+    * driver. buildTrained starts from collectCentroids — a single
+    * driver collect that CentroidCollectCap rightly refuses at
+    * corpus-scale k (k = n/125 → 10⁷⁻⁸ at the 100 TB design point).
+    * Here every step is bounded or distributed:
+    *   1. super seeds = the nSupers lowest-id centroids — one
+    *      ORDER BY + LIMIT collect of √k rows (buildTrained's "first
+    *      nSupers flat positions": collectCentroids sorts by id, so
+    *      position rank == id rank);
+    *   2. each of the `iters` Lloyd rounds routes ALL k centroids to
+    *      their nearest super with the row-local NearestCentroidF32
+    *      expression (the exact fold/tie/NaN code routeAll duplicates
+    *      driver-side) and recomputes each super as its members' mean
+    *      on the floor(x·2^20) integer grid — LONG sums are
+    *      order-independent, so the distributed k·d-cell aggregation
+    *      is bit-equal to buildTrained's sequential loop; only the
+    *      √k-row super table returns to the driver per round (an
+    *      empty super keeps its previous mean, as in buildTrained);
+    *   3. the final routing group-collects children PER SUPER
+    *      (groupBy(super) + sorted collect_list, streamed through
+    *      toLocalIterator) — each group is ~√k, capped loudly; an
+    *      empty super gets its anchor centroid back (buildTrained's
+    *      `g % k` backfill = seed g, since nSupers ≤ k).
+    * The finished index still holds all k centroids (it must — the
+    * assignment expression closes over it), but the driver's peak is
+    * the index plus ONE √k-bounded group, never a second full-table
+    * collect, and the O(k·√k·d·iters) training compute runs on the
+    * cluster. Beyond task-broadcast capacity (k·d floats ≳ driver/
+    * executor heads), the documented next rung is a shuffle-join
+    * assignment keyed on super_id — same semantics, no driver index.
+    * Spec-pinned bit-equal to buildTrained under a seam-lowered cap
+    * (PipelineOpsSpec), so which construction ran is unobservable in
+    * results. Out-of-contract like the batch kernels: mixed-dim
+    * centroid tables (routing mirrors driver super-0 fallback via
+    * coalesce, but the truncated-mean arithmetic diverges). */
+  private[graft] def buildTrainedDistributed(cents0: DataFrame,
+      nSupers: Int, iters: Int = 5): graft.functions.Centroid2LevelIndex = {
+    val cap = centroidCollectCap
+    val cents = cents0.select(col("centroid_id").cast("long"), col("c_emb"))
+    val seeds = cents.orderBy("centroid_id").limit(nSupers).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(seeds.length == nSupers && nSupers > 0,
+      s"nSupers $nSupers out of range for ${seeds.length}+ centroids")
+    require(nSupers <= cap,
+      s"nSupers $nSupers exceeds CentroidCollectCap=$cap — at this k " +
+        "even the super level needs another hierarchy level")
+    var superVecs = seeds.map(_._2)
+    var superNorms = superVecs.map(normOfF32)
+    def superIdx() = new graft.functions.CentroidIndex(
+      Array.tabulate(nSupers)(_.toLong), superVecs, superNorms)
+    // nearest-super routing as a scan-shaped projection; a centroid
+    // with no dim-matching super routes to super 0 like routeAll's
+    // first-stays-true fallback
+    def routed(): DataFrame = cents.select(col("centroid_id"), col("c_emb"),
+      coalesce(graft.functions.NearestCentroidF32(col("c_emb"), superIdx())
+        .getField("centroid_id"), lit(0L)).as("super_id"))
+    var round = 0
+    while (round < iters) {
+      // the kmeansOf/buildTrained integer-grid mean: exact long sum per
+      // (super, dim) + one IEEE double division, rounded to float —
+      // order-free, so distributed == driver bit-for-bit
+      val upd = routed()
+        .select(col("super_id"), posexplode(col("c_emb")).as(Seq("dim", "x")))
+        .groupBy("super_id", "dim")
+        .agg(count(lit(1)).as("n_members"),
+          sum(floor(col("x").cast("double") * KmeansQuant).cast("long")).as("qsum"))
+        .select(col("super_id"), col("dim"),
+          (col("qsum").cast("double") / (col("n_members") * lit(KmeansQuant)))
+            .as("c_val"))
+        .groupBy("super_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c_val")))).as("s"))
+        .select(col("super_id"),
+          transform(col("s"), x => x.getField("c_val").cast("float")).as("m"))
+        .collect() // ≤ nSupers rows — √k-bounded by construction
+        .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).toArray).toMap
+      superVecs = Array.tabulate(nSupers)(j => upd.getOrElse(j, superVecs(j)))
+      superNorms = superVecs.map(normOfF32)
+      round += 1
+    }
+    // final routing builds the children — ONE bounded group per super
+    // crosses to the driver at a time (toLocalIterator), sorted by id
+    // inside the aggregation like buildTrained's ascending-append order
+    val children = new Array[graft.functions.CentroidIndex](nSupers)
+    val groups = routed()
+      .groupBy("super_id")
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("c_emb"))))
+        .as("members"))
+      .toLocalIterator()
+    while (groups.hasNext) {
+      val r = groups.next()
+      val j = r.getLong(0).toInt
+      val ms = r.getSeq[org.apache.spark.sql.Row](1)
+      if (ms.length > cap)
+        throw new IllegalStateException(
+          s"super $j holds ${ms.length} children — exceeds " +
+            s"CentroidCollectCap=$cap. The per-super group collect is " +
+            "driver-bounded by design: raise nSupers (√k keeps groups " +
+            "~√k) or add a hierarchy level before this k.")
+      val ids = ms.iterator.map(_.getLong(0)).toArray
+      val vecs = ms.iterator.map(_.getSeq[Float](1).toArray).toArray
+      children(j) = new graft.functions.CentroidIndex(ids, vecs,
+        vecs.map(normOfF32))
+    }
+    var g = 0
+    while (g < nSupers) { // empty super → its anchor seed (flat position g)
+      if (children(g) == null)
+        children(g) = new graft.functions.CentroidIndex(
+          Array(seeds(g)._1), Array(seeds(g)._2),
+          Array(normOfF32(seeds(g)._2)))
+      g += 1
+    }
+    new graft.functions.Centroid2LevelIndex(superIdx(), children)
+  }
+
+  /** THE trained-supers 2-level index constructor every trained-cell
+    * consumer routes through (r16): picks the construction by k against
+    * the collect cap — the driver-side buildTrained below it (fast:
+    * microseconds at every gated scale, no Spark jobs beyond the one
+    * collect), the distributed twin above it (per-super bounded
+    * collects, training on the cluster). Both yield the SAME index
+    * bit-for-bit (spec-pinned under a seam-lowered cap), so the route
+    * is a pure efficiency decision, invisible to the hash gates.
+    * nSupers <= 0 = AUTO: max(2, ⌊√survivors⌋) — the duckSupersCtes
+    * convention. Costs one count() on the (usually persisted) k-row
+    * centroid frame to pick the route and size the supers. */
+  private[graft] def trained2LevelIndexOf(cents: DataFrame,
+      nSupers: Int): graft.functions.Centroid2LevelIndex = {
+    val k = cents.count()
+    val ns =
+      if (nSupers > 0) nSupers
+      else math.max(2, math.floor(math.sqrt(k.toDouble)).toInt)
+    if (k <= centroidCollectCap)
+      graft.functions.Centroid2LevelIndex.buildTrained(collectCentroids(cents), ns)
+    else buildTrainedDistributed(cents, ns)
+  }
+
   /** assignTo through the two-level coarse quantizer (see
     * Centroid2LevelIndex): ~2√k dots per row instead of k. Approximate
     * by the coarse-quantizer contract; same output shape. */
   private[queries] def assignTo2(e: DataFrame, cents: DataFrame,
       nSupers: Int, trainSupers: Boolean = false): DataFrame = {
     // trainSupers = the hierarchical-quantizer shape for TRAINED
-    // centroid sets (supers are driver-side Lloyd means over the
-    // bounded centroid set, see Centroid2LevelIndex.buildTrained);
-    // false = the first-nSupers anchor convention the
-    // q_embed_ivf_assign_2level oracle pins. nSupers <= 0 = AUTO:
-    // max(2, ⌊√survivors⌋) — the twoLevelRecallOf convention the
-    // duckTrainedAssignCtes oracle mirrors (gradedAssignSupers
-    // passes -1 here above the TwoLevelAssignK threshold).
-    val flat = collectCentroids(cents)
-    val ns =
-      if (nSupers > 0) nSupers
-      else math.max(2, math.floor(math.sqrt(flat.ids.length.toDouble)).toInt)
+    // centroid sets (supers are Lloyd means over the centroid set —
+    // driver-built below the collect cap, distributed above it, see
+    // trained2LevelIndexOf); false = the first-nSupers anchor
+    // convention the q_embed_ivf_assign_2level oracle pins.
+    // nSupers <= 0 = AUTO: max(2, ⌊√survivors⌋) — the
+    // twoLevelRecallOf convention the duckTrainedAssignCtes oracle
+    // mirrors (gradedAssignSupers passes -1 here above the
+    // TwoLevelAssignK threshold).
     val idx2 =
-      if (trainSupers)
-        graft.functions.Centroid2LevelIndex.buildTrained(flat, ns)
-      else graft.functions.Centroid2LevelIndex.build(flat, ns)
+      if (trainSupers) trained2LevelIndexOf(cents, nSupers)
+      else {
+        val flat = collectCentroids(cents)
+        val ns =
+          if (nSupers > 0) nSupers
+          else math.max(2, math.floor(math.sqrt(flat.ids.length.toDouble)).toInt)
+        graft.functions.Centroid2LevelIndex.build(flat, ns)
+      }
     e.select(col("vec_id"), col("embedding"),
       graft.functions.NearestCentroid2LevelF32(col("embedding"), idx2).as("nc"))
       .select(col("vec_id"), col("nc.centroid_id").as("centroid_id"),
@@ -1326,9 +1486,10 @@ object SimilarityOps {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val s = e.sparkSession
-    val flat = collectCentroids(cents)
-    val nSupers = math.max(2, math.floor(math.sqrt(flat.ids.length.toDouble)).toInt)
-    val idx2 = graft.functions.Centroid2LevelIndex.buildTrained(flat, nSupers)
+    // r16: the index constructor is the cap-routed one every trained
+    // consumer shares — above the collect cap the recall gate itself
+    // builds distributedly instead of refusing
+    val idx2 = trained2LevelIndexOf(cents, -1)
     import scala.jdk.CollectionConverters._
     val supersDf = s.createDataFrame(
       idx2.supers.ids.indices.map(j =>

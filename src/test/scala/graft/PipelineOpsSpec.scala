@@ -482,6 +482,99 @@ class PipelineOpsSpec extends AnyFunSuite {
       over.limit(64)).ids.length == 64)
   }
 
+  test("distributed 2-level construction (r16): above a seam-lowered " +
+      "collect cap the trained index builds WITHOUT a full-table " +
+      "driver collect, bit-equal to the driver-built index") {
+    import graft.queries.SimilarityOps
+    import graft.functions.{Centroid2LevelIndex, CentroidIndex}
+    def eqIdx(a: CentroidIndex, b: CentroidIndex, what: String): Unit = {
+      assert(a.ids.toSeq == b.ids.toSeq, s"$what ids")
+      assert(a.vecs.length == b.vecs.length &&
+        a.vecs.indices.forall(i => a.vecs(i).sameElements(b.vecs(i))),
+        s"$what vecs (bit-equality)")
+      // norms compare as raw bits — "close" is not the contract
+      assert(a.norms.map(java.lang.Double.doubleToLongBits).toSeq ==
+        b.norms.map(java.lang.Double.doubleToLongBits).toSeq, s"$what norms")
+    }
+    def eq2(a: Centroid2LevelIndex, b: Centroid2LevelIndex): Unit = {
+      eqIdx(a.supers, b.supers, "supers")
+      assert(a.children.length == b.children.length)
+      a.children.indices.foreach(j =>
+        eqIdx(a.children(j), b.children(j), s"children($j)"))
+    }
+    val e = Tables(spark, sf, "embeddings")
+    // a trained centroid set with real structure (more supers than the
+    // fixture's 4, uneven cells) — k=64 over the sf corpus
+    val cents = SimilarityOps.kmeansOf(e, k = 64, iters = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = cents.count().toInt
+      assert(k > 16, "need a non-trivial survivor count")
+      val driver = Centroid2LevelIndex.buildTrained(
+        SimilarityOps.collectCentroidsOf(cents),
+        math.max(2, math.floor(math.sqrt(k.toDouble)).toInt))
+      val prev = SimilarityOps.centroidCollectCapOverride
+      SimilarityOps.centroidCollectCapOverride = Some(k - 1)
+      try {
+        // under the lowered cap the driver path is IMPOSSIBLE — the
+        // flat collect refuses loudly and names the distributed route
+        val ex = intercept[IllegalStateException] {
+          SimilarityOps.collectCentroidsOf(cents)
+        }
+        assert(ex.getMessage.contains("buildTrainedDistributed"))
+        // ...while the shared constructor routes to the distributed
+        // build and yields the driver index BIT-FOR-BIT
+        eq2(SimilarityOps.trained2LevelIndexOf(cents, -1), driver)
+      } finally SimilarityOps.centroidCollectCapOverride = prev
+      // degenerate corpus: identical centroids collapse every super —
+      // the empty-super keep-prior-mean rounds AND the anchor backfill
+      // must match the driver build too
+      val dup = spark.range(10).select(col("id").as("centroid_id"),
+        array((0 until 4).map(_ => lit(0.25f)): _*).as("c_emb"))
+      val dDriver = Centroid2LevelIndex.buildTrained(
+        SimilarityOps.collectCentroidsOf(dup), 3)
+      // direct distributed call (a mega-group under a lowered cap
+      // refuses by design — the refusal is pinned below)
+      eq2(SimilarityOps.buildTrainedDistributed(dup, 3), dDriver)
+      // a super whose children outgrow the cap refuses LOUDLY with the
+      // fix named (nSupers), never a silent unbounded group collect
+      SimilarityOps.centroidCollectCapOverride = Some(3)
+      try {
+        val ex2 = intercept[IllegalStateException] {
+          SimilarityOps.buildTrainedDistributed(dup, 2)
+        }
+        assert(ex2.getMessage.contains("nSupers") &&
+          ex2.getMessage.contains("CentroidCollectCap"))
+      } finally SimilarityOps.centroidCollectCapOverride = prev
+    } finally cents.unpersist()
+  }
+
+  test("distributed 2-level construction (r16): the graded trained " +
+      "entry's RESULTS are identical whichever construction ran") {
+    import graft.queries.SimilarityOps
+    val k = SimilarityOps.scaledCellCountOf(spark, sf)
+    def rowsOf() = SparkEntry.queries("q_embed_semdedup_trained")(
+      spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("centroid_id"),
+        r.getAs[Boolean]("keep"))).sortBy(_._1).toSeq
+    val prevK = SimilarityOps.twoLevelAssignKOverride
+    val prevCap = SimilarityOps.centroidCollectCapOverride
+    // force the 2-level route on the fixture corpus (the 10× gate's
+    // real-constant swap), then flip ONLY the construction under it
+    SimilarityOps.twoLevelAssignKOverride = Some(k)
+    try {
+      val viaDriver = rowsOf()
+      // cap sits ≥ nSupers (the seeds must fit) but below the survivor
+      // count, so the flip to the distributed construction is real
+      val survivors = SimilarityOps.trainedCentsOf(spark, sf, k).count().toInt
+      assert(survivors > 8, "fixture survivors must exceed the lowered cap")
+      SimilarityOps.centroidCollectCapOverride = Some(8)
+      val viaDistributed = try rowsOf()
+        finally SimilarityOps.centroidCollectCapOverride = prevCap
+      assert(viaDriver == viaDistributed)
+    } finally SimilarityOps.twoLevelAssignKOverride = prevK
+  }
+
   test("corpus_prep verdicts agree with each standalone stage query") {
     def q(n: String) = SparkEntry.queries(n)(spark, sf)
     val prep = q("q_doc_corpus_prep").collect()
