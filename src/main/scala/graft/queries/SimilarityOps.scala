@@ -212,6 +212,58 @@ object SimilarityOps {
   private[graft] def trainedCentsRecipe: String =
     trainedCentsRecipeOverride.getOrElse(TrainedCentsRecipeDefault)
   @volatile private[graft] var trainedIndexBaseOverride: Option[String] = None
+  /** test seam for the tmp-fallback root (the real one is the global
+    * java.io.tmpdir — a spec must not mutate that process-wide) */
+  @volatile private[graft] var trainedTmpRootOverride: Option[java.nio.file.Path] = None
+
+  /** Owner/permission-VERIFIED per-user tmp base (r16, ADVICE r15
+    * medium): Files.createDirectories is a no-op on an existing dir —
+    * the 0700 attrs are NOT applied — so a hostile local user who
+    * pre-creates a world-writable `graft_trained_cents-<user>` would
+    * otherwise receive our artifacts into a dir they can read and
+    * rewrite (the meta probe authenticates freshness, not provenance).
+    * After (idempotent) creation this verifies the dir is OURS and
+    * PRIVATE: owner == the current user AND posix perms == rwx------.
+    * Any mismatch warns loudly and returns None — the caller skips
+    * artifact IO entirely and serves in-session training; durability
+    * simply waits for a trustworthy base (lake marker or
+    * GRAFT_TRAINED_INDEX_BASE). Non-POSIX filesystems have nothing to
+    * verify and keep the best-effort behavior. */
+  private[graft] def verifiedUserTmpBase(tmpRoot: java.nio.file.Path,
+      rawUser: String): Option[java.nio.file.Path] = {
+    val user = rawUser.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = tmpRoot.resolve(s"graft_trained_cents-$user")
+    import java.nio.file.attribute.PosixFilePermission._
+    try java.nio.file.Files.createDirectories(p,
+      java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+    catch {
+      case _: UnsupportedOperationException =>
+        try java.nio.file.Files.createDirectories(p)
+        catch { case _: Throwable => return None }
+      case _: Throwable => return None
+    }
+    try {
+      val owner = java.nio.file.Files.getOwner(p).getName
+      val perms = java.nio.file.Files.getPosixFilePermissions(p)
+      val priv = java.util.Set.of(OWNER_READ, OWNER_WRITE, OWNER_EXECUTE)
+      if (owner == rawUser && perms == priv) Some(p)
+      else {
+        System.err.println(s"[trained_cents] tmp base $p is not a " +
+          s"private dir of the current user (owner=$owner, " +
+          s"perms=${java.nio.file.attribute.PosixFilePermissions
+            .toString(perms)}) — possibly a hostile pre-creation. " +
+          "SKIPPING artifact publish/read; queries serve in-session " +
+          "training. Point GRAFT_TRAINED_INDEX_BASE at a trusted path " +
+          "(or add a <corpus>/.graft lake marker) for durability.")
+        None
+      }
+    } catch {
+      case _: UnsupportedOperationException => Some(p) // non-POSIX
+      case _: Throwable => None
+    }
+  }
+
   /** Artifact-base resolution (r15, VERDICT r14 item 4 + ADVICE):
     *  1. the override seam / GRAFT_TRAINED_INDEX_BASE — production
     *     points this at a trusted lake path;
@@ -219,36 +271,29 @@ object SimilarityOps {
     *     dir (the managed-lake convention): trained artifacts TRAVEL
     *     WITH THE DATA — a fresh session on any host resolves them
     *     with zero retrains (LakeSpec round-trip);
-    *  3. else a PER-USER tmpdir created 0700 best-effort — the old
-    *     shared /tmp path was pre-creatable/pre-publishable by any
-    *     local user (the meta probe authenticates freshness, not
-    *     provenance). Durable within a host only; a hostile
-    *     same-name pre-creation surfaces as a loud publish failure
-    *     and the query still serves its in-session training. */
-  private[graft] def trainedIndexDir(dir: String): String = {
+    *  3. else a PER-USER tmpdir created 0700 AND verified owned-and-
+    *     private (r16 — see verifiedUserTmpBase); a failed
+    *     verification returns None and the caller serves in-session
+    *     training with no artifact IO at all. */
+  private[graft] def trainedIndexDir(dir: String): Option[String] = {
     val base = trainedIndexBaseOverride
       .orElse(sys.env.get("GRAFT_TRAINED_INDEX_BASE"))
-      .getOrElse {
+      .orElse {
         val lakeBase = s"$dir/.graft"
-        if (graft.chain.LakeFs.exists(lakeBase)) s"$lakeBase/index"
-        else {
-          val user = Option(System.getProperty("user.name")).getOrElse("nouser")
-            .replaceAll("[^A-Za-z0-9._-]", "_")
-          val p = java.nio.file.Paths.get(
-            System.getProperty("java.io.tmpdir"), s"graft_trained_cents-$user")
-          try java.nio.file.Files.createDirectories(p,
-            java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
-              java.nio.file.attribute.PosixFilePermissions
-                .fromString("rwx------")))
-          catch { case _: Throwable => () } // exists / non-posix: fine
-          p.toString
-        }
+        if (graft.chain.LakeFs.exists(lakeBase)) Some(s"$lakeBase/index")
+        else verifiedUserTmpBase(
+          trainedTmpRootOverride.getOrElse(
+            java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))),
+          Option(System.getProperty("user.name")).getOrElse("nouser"))
+          .map(_.toString)
       }
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(dir.getBytes("UTF-8")).take(4)
-      .map("%02x".format(_)).mkString
-    s"$base/$safe-$h"
+    base.map { b =>
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(dir.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      s"$b/$safe-$h"
+    }
   }
   private[graft] def trainedCentsArtifact(k: Int): String = s"trained_cents_k$k"
 
@@ -270,7 +315,24 @@ object SimilarityOps {
 
   private def loadOrTrainCents(s: SparkSession, dir: String, k: Int,
       fp: String): DataFrame = {
-    val idxDir = trainedIndexDir(dir)
+    trainedIndexDir(dir) match {
+      // no trustworthy artifact base (hostile/unverifiable tmp dir —
+      // verifiedUserTmpBase already warned loudly): NO artifact IO at
+      // all, serve the deterministic in-session training
+      case None => kmeansOf(Tables(s, dir, "embeddings"), k, iters = 3)
+      case Some(idxDir) => loadOrTrainCentsAt(s, dir, k, fp, idxDir)
+    }
+  }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  // ^ the k-row frame is collected at every consumer's plan
+  // construction (collectCentroids) — persist keeps that driver-side
+  // collect memory-fast like r13's localCheckpoint did, but with the
+  // LINEAGE intact: an executor loss or cache clear recomputes from
+  // the published artifact (a k-row parquet read), never a retrain.
+  // Bench.rebuildMemosUntimed's count() re-materializes it untimed
+  // after each clearCache().
+
+  private def loadOrTrainCentsAt(s: SparkSession, dir: String, k: Int,
+      fp: String, idxDir: String): DataFrame = {
     val artifact = trainedCentsArtifact(k)
     readTrainedArtifact(s, idxDir, artifact, fp).getOrElse {
       val trained = kmeansOf(Tables(s, dir, "embeddings"), k, iters = 3)
@@ -301,14 +363,7 @@ object SimilarityOps {
       // the in-session frame only backstops an unreadable publish
       readTrainedArtifact(s, idxDir, artifact, fp).getOrElse(trained)
     }
-  }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  // ^ the k-row frame is collected at every consumer's plan
-  // construction (collectCentroids) — persist keeps that driver-side
-  // collect memory-fast like r13's localCheckpoint did, but with the
-  // LINEAGE intact: an executor loss or cache clear recomputes from
-  // the published artifact (a k-row parquet read), never a retrain.
-  // Bench.rebuildMemosUntimed's count() re-materializes it untimed
-  // after each clearCache().
+  }
 
   /** Memoized TRAINED centroids per (session, corpus, k) — the r13
     * promotion of the measured-best router configuration to a graded,

@@ -2687,7 +2687,7 @@ class TrainedCentsLakeSpec extends AnyFunSuite {
         .write.parquet(s"$corpus/embeddings.parquet")
       Files.createDirectories(Paths.get(s"$corpus/.graft"))
       SimilarityOps.clearTrainedCentsCache()
-      val idxDir = SimilarityOps.trainedIndexDir(corpus)
+      val idxDir = SimilarityOps.trainedIndexDir(corpus).get
       assert(idxDir.startsWith(s"$corpus/.graft/index"),
         s"lake-marked corpus must resolve beside the data, got $idxDir")
       val art = SimilarityOps.trainedCentsArtifact(16)
@@ -2719,10 +2719,62 @@ class TrainedCentsLakeSpec extends AnyFunSuite {
     try {
       val user = Option(System.getProperty("user.name")).getOrElse("nouser")
         .replaceAll("[^A-Za-z0-9._-]", "_")
-      val idxDir = SimilarityOps.trainedIndexDir(corpus)
+      val idxDir = SimilarityOps.trainedIndexDir(corpus).get
       assert(idxDir.contains(s"graft_trained_cents-$user"),
         s"expected a per-user tmp base, got $idxDir")
     } finally SimilarityOps.trainedIndexBaseOverride = prevBase
+  }
+
+  // r16 (ADVICE r15 medium): the per-user tmp base is owner-and-perms
+  // VERIFIED after the (idempotent) create — a hostile local user who
+  // pre-creates a world-writable graft_trained_cents-<user> must not
+  // receive our artifacts; a legitimately pre-existing private dir
+  // keeps serving (durability across sessions on one host).
+  test("tmp base: a clean root yields a private 0700 dir owned by us") {
+    val root = Files.createTempDirectory("graft_tmpbase_clean")
+    val user = Option(System.getProperty("user.name")).getOrElse("nouser")
+    val got = SimilarityOps.verifiedUserTmpBase(root, user)
+    assert(got.isDefined, "clean root must verify")
+    val p = got.get
+    assert(Files.getOwner(p).getName == user)
+    import java.nio.file.attribute.PosixFilePermissions
+    assert(PosixFilePermissions.toString(
+      Files.getPosixFilePermissions(p)) == "rwx------")
+    // a second resolution reuses the same verified dir (idempotent)
+    assert(SimilarityOps.verifiedUserTmpBase(root, user) == got)
+  }
+
+  test("tmp base: a hostile world-writable pre-creation is refused and " +
+      "the query serves in-session training with no artifact IO") {
+    val root = Files.createTempDirectory("graft_tmpbase_hostile")
+    val user = Option(System.getProperty("user.name")).getOrElse("nouser")
+    val evil = root.resolve(
+      s"graft_trained_cents-${user.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    import java.nio.file.attribute.PosixFilePermissions
+    Files.createDirectories(evil)
+    Files.setPosixFilePermissions(evil,
+      PosixFilePermissions.fromString("rwxrwxrwx"))
+    assert(SimilarityOps.verifiedUserTmpBase(root, user).isEmpty,
+      "a pre-created world-writable base must be refused")
+    // end-to-end: no trustworthy base -> trainedIndexDir is None, the
+    // trained-cells query still answers, and NOTHING lands in the
+    // hostile dir
+    val prevBase = SimilarityOps.trainedIndexBaseOverride
+    val prevRoot = SimilarityOps.trainedTmpRootOverride
+    SimilarityOps.trainedIndexBaseOverride = None
+    SimilarityOps.trainedTmpRootOverride = Some(root)
+    try {
+      SimilarityOps.clearTrainedCentsCache()
+      assert(SimilarityOps.trainedIndexDir(sf).isEmpty)
+      assert(SimilarityOps.trainedCentsOf(spark, sf, 16).count() > 0)
+      val planted = Files.list(evil).toArray
+      assert(planted.isEmpty,
+        s"artifacts published into a hostile dir: ${planted.mkString(",")}")
+    } finally {
+      SimilarityOps.trainedIndexBaseOverride = prevBase
+      SimilarityOps.trainedTmpRootOverride = prevRoot
+      SimilarityOps.clearTrainedCentsCache()
+    }
   }
 }
 
@@ -2741,7 +2793,7 @@ class TrainedCentsRaceSpec extends AnyFunSuite {
     SimilarityOps.trainedIndexBaseOverride = Some(base)
     try {
       SimilarityOps.clearTrainedCentsCache()
-      val idxDir = SimilarityOps.trainedIndexDir(sf)
+      val idxDir = SimilarityOps.trainedIndexDir(sf).get
       val art = SimilarityOps.trainedCentsArtifact(16)
       // a concurrent trainer holds the lease (live same-JVM pid — not
       // stale, not breakable)
