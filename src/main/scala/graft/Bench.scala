@@ -209,53 +209,22 @@ object Bench {
     // surfaces it; the history record's "retimed":-1 names the state.
     //
     // r15 (VERDICT r14 item 2): the re-time is normalized WINDOW-LOCALLY,
-    // not by the whole-run factor. The r14 driver run proved the gap: a
-    // host stall confined to the run's tail (pass totals 127/146/318 s)
-    // pushed isolated re-times of unchanged sub-second queries to
-    // 13-72 s, and the whole-run factor (1.036, dominated by the two
-    // healthy passes) "confirmed" them. Every adjudication window is now
-    // BRACKETED by sentinel re-times — the largest-baseline non-candidate
-    // queries, known-cost yardsticks timed immediately before and after
-    // the candidate's 3 runs — and the candidate's re-time is divided by
-    // the sentinels' median now/prev ratio. A window whose sentinel
-    // factor exceeds 1.4 is itself stalled: adjudication DEFERS (one
-    // re-queue); if the second window is stalled too, the candidate is
-    // recorded as deferred, never confirmed — a stall is host evidence,
-    // not plan evidence. Both the window factor and the deferral are in
-    // the committed drift block, so a surviving flag carries the local
-    // normalization that justifies it.
-    val sentinelNames = ratios
-      .filterNot { case (k, _, _, _) => candidates.exists(_._1 == k) }
-      .sortBy(-_._2).take(3).map(_._1)
-    def sentinelFactor(): Double = {
-      val fs = sentinelNames.flatMap { n =>
-        val t = runNoop(n)
-        baseline.get(n).collect { case b if t >= 0 && b > 0 => t / b }
-      }.sorted
-      if (fs.isEmpty) globalFactor else fs(fs.size / 2)
-    }
-    val adjudicated = candidates.map { case (k, b, v) =>
-      def window(): (Double, Double) = {
-        // memos for the candidate AND the sentinels: a sentinel must
-        // never be charged a memo build the passes amortized
-        rebuildMemosUntimed(spark, sfDir, k +: sentinelNames)
-        val wPre = sentinelFactor()
-        val ts = (1 to 3).map(_ => runNoop(k)).sorted
-        val wPost = sentinelFactor()
-        val wf = math.max((wPre + wPost) / 2.0, 1e-9)
-        (ts(ts.size / 2), wf)
-      }
-      val (rt0, wf0) = window()
-      val (rt, wf) = if (wf0 > 1.4) window() else (rt0, wf0) // re-queue once
-      val deferred = wf > 1.4 && rt >= 0
-      val rtn = if (rt < 0) rt else rt / math.max(wf, 1.0)
-      val repro = rt < 0 || (!deferred && rtn / b > 1.4)
-      (k, b, v, rt, wf, deferred, repro)
-    }
+    // not by the whole-run factor — sentinel-bracketed windows, deferral
+    // on stalled ones. The protocol and its rationale live in
+    // BenchDrift's scaladoc; r16 extracted it there behind injected
+    // timer/memo seams so BenchDriftSpec pins all four quadrants
+    // (including the never-before-executed deferral branch, with the
+    // r14 false-confirm replayed as a test vector).
+    val sentinelNames = BenchDrift.sentinelsOf(
+      ratios, candidates.map(_._1).toSet)
+    val adjudicated = BenchDrift.adjudicate(
+      candidates, baseline, sentinelNames, globalFactor,
+      retime = runNoop,
+      rebuildMemos = ks => { rebuildMemosUntimed(spark, sfDir, ks); () })
     val flagged = adjudicated.collect {
-      case (k, b, _, rt, _, _, true) => (k, b, rt) }
+      case v if v.reproduced => (v.name, v.prev, v.retimed) }
     val driftJson = adjudicated
-      .map { case (k, b, v, rt, wf, deferred, repro) =>
+      .map { case BenchDrift.Verdict(k, b, v, rt, wf, deferred, repro) =>
         "\"" + k + "\":{" +
           f""""prev":$b%.3f,"now":$v%.3f,"retimed":$rt%.3f,""" +
           f""""window_factor":$wf%.3f,"deferred":$deferred,""" +
