@@ -527,8 +527,15 @@ object Relational {
     // the count-distinct aggregates a pre-shrunk pair table (the
     // partsupp analog on these tables is lineitem's pair projection).
     "q16_supplier_diversity" -> { (s, dir) =>
+      // no pre-join .distinct(): countDistinct's own first aggregate
+      // dedups (p_brand, p_type, p_size, l_suppkey) with MAP-SIDE
+      // partial aggregation, so an explicit distinct on (l_partkey,
+      // l_suppkey) only added a full extra exchange of the pair set
+      // before the broadcast join (r16 plan audit: 3 exchanges → 2;
+      // the join side is a broadcast of filtered part, so nothing
+      // downstream needed the pairs deduped early).
       val ps = Tables(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(col("l_partkey"), col("l_suppkey"))
       Tables(s, dir, "part")
         .filter(col("p_brand") =!= "Brand#1")
         .join(ps, col("p_partkey") === col("l_partkey"))

@@ -219,7 +219,16 @@ object TextOps {
     * by the batch pairs pipeline and the streaming near-dup (which
     * carries `sigs` into bucket state for the similarity estimate). */
   def bandRowsOf(docs: DataFrame): DataFrame =
-    rowSigsOf(docs).select(col("doc_id"), col("sigs"),
+    bandRowsOfSigs(rowSigsOf(docs))
+
+  /** band expansion over an ALREADY-COMPUTED (doc_id, sigs) frame —
+    * factored out (r16) so saveTextIndex can derive `bands.parquet`
+    * from the just-published `sigs.parquet` instead of re-running the
+    * per-shingle MinhashSigs pass over the whole corpus a second time
+    * (guide §1.2: don't compute things twice — the sig pass is the
+    * index build's only corpus-heavy compute). */
+  def bandRowsOfSigs(sigRows: DataFrame): DataFrame =
+    sigRows.select(col("doc_id"), col("sigs"),
       explode(array((0 until 4).map(bnd =>
         struct(lit(bnd).as("band_idx"),
           md5(concat_ws("_",
@@ -251,11 +260,22 @@ object TextOps {
     // (IndexCompact manages them): a rebuild after a compact bumps the
     // version instead of writing a tree the pointer would shadow
     val ic = graft.operators.IndexCompact
-    ic.writeFresh(docs.sparkSession, dir, "fps.parquet",
+    val s = docs.sparkSession
+    ic.writeFresh(s, dir, "fps.parquet",
       docs.select(col("doc_id"), md5(lower(col("text"))).as("fp")))
-    ic.writeFresh(docs.sparkSession, dir, "bands.parquet",
-      cappedBands(bandRowsOf(docs).select("doc_id", "band_idx", "band_hash")))
-    ic.writeFresh(docs.sparkSession, dir, "sigs.parquet", rowSigsOf(docs))
+    // ONE corpus-heavy pass (r16): the per-shingle MinhashSigs compute
+    // runs once into sigs.parquet; bands derive from the published
+    // sig table (8 longs/doc — tiny), not from a second full corpus
+    // pass. Identical band keys by construction: bandRowsOf ==
+    // bandRowsOfSigs ∘ rowSigsOf, and the parquet round-trip of long
+    // sigs is exact. At 100 TB this halves the index build's compute
+    // (2 shingle+hash corpus scans → 1).
+    ic.writeFresh(s, dir, "sigs.parquet", rowSigsOf(docs))
+    val sigsBack = graft.operators.IndexCompact.read(s, dir, "sigs.parquet")
+      .select(col("doc_id"), col("sigs"))
+    ic.writeFresh(s, dir, "bands.parquet",
+      cappedBands(bandRowsOfSigs(sigsBack)
+        .select("doc_id", "band_idx", "band_hash")))
   }
 
   /** Dedup a NEW shard against a persisted index (the incremental
@@ -1177,10 +1197,23 @@ object TextOps {
     // buffer, so nothing joins back). Tie-break is UTF8-binary term asc,
     // identical to the window's orderBy and the oracle's collation.
     "q_doc_top_terms" -> { (s, dir) =>
+      // isnotnull(doc_id) on the SOURCE (doc_id is the table's key —
+      // the top-k aggregator drops null-key rows anyway): both the tf
+      // and df branches then share one filtered scan subtree.
       val tok = Tables(s, dir, "documents")
+        .where(col("doc_id").isNotNull)
         .select(col("doc_id"), explode(toks).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // count(when(tf > 0, 1)), not count(1): same value (tf counts ≥1
+      // occurrences, so the branch is always taken), but the live tf
+      // reference stops Catalyst from pruning the count out of this
+      // branch — with count(1) the df side was column-pruned into a
+      // DISTINCT over a second full corpus scan+explode (r16 plan
+      // audit: 2 scans + 2 (doc_id,term) exchanges). With the subtrees
+      // byte-identical, ReuseExchange serves both branches from ONE
+      // scan+explode+partial-aggregate (1 scan, 1 reused exchange).
+      val df_ = tf.groupBy("term")
+        .agg(count(when(col("tf") > 0, lit(1))).as("df"))
       val scored = tf.join(df_, "term")
         .select(col("doc_id"),
           (col("tf").cast("double") / col("df")).as("ratio"),

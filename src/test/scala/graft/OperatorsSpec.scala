@@ -34,6 +34,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(2) == 6L)
   }
 
+  test("top-k per key: partial WindowGroupLimit bounds the shuffle map-side") {
+    // r16: TopKPerKey's internals moved from a typed Aggregator to the
+    // native row_number + rank-filter form. The scale contract the
+    // Aggregator provided must survive the move: a PARTIAL group limit
+    // runs BELOW the exchange, so only k rows per key per input
+    // partition cross the shuffle — never the whole scored relation.
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ((i % 7).toLong, i.toDouble, i.toLong))
+      .toDF("k", "score", "id")
+    val plan = graft.operators.TopKPerKey
+      .topK(spark, df, "k", "score", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val partialIdx = plan.indexOf(", Partial")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > 0 && exchangeIdx > 0 && exchangeIdx < partialIdx,
+      s"partial group limit must sit below the exchange:\n$plan")
+  }
+
   test("string top-k: UTF8-binary tie-break matches the window form") {
     import spark.implicits._
     // equal scores force the id tie-break; 'é' sorts AFTER 'z' in UTF8

@@ -37,13 +37,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     val p2 = encode.queryExecution.executedPlan.toString
     assert(p2.contains("pq_encode_f32"))
     assert(!p2.contains("Window") && !p2.contains("Exchange") && !p2.contains("Join"))
-    // the brute-force top-k ranks through the k-bounded TopKPerKey
-    // aggregator: a partial aggregation must run BEFORE the exchange
-    // (only |Q|*k rows per input partition cross), and no window
+    // the brute-force top-k ranks through TopKPerKey's bounded group
+    // limit: a PARTIAL WindowGroupLimit must run BEFORE the exchange
+    // (only |Q|*k rows per input partition cross) — never a bare
+    // Window over the unbounded scored relation (r16: the typed
+    // aggregator became the native WindowGroupLimit form; the shuffle
+    // bound is the invariant, not the operator spelling)
     val topk = SparkEntry.queries("q_embed_cosine_topk")(spark, sf)
     val p3 = topk.queryExecution.executedPlan.toString
-    assert(!p3.contains("Window"))
-    assert(p3.contains("partial_topkagg"))
+    assert(p3.contains("WindowGroupLimit"))
+    val partialIdx = p3.indexOf(", Partial")
+    val exchangeIdx = p3.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > 0 && exchangeIdx > 0 && exchangeIdx < partialIdx,
+      "partial group limit must sit BELOW the exchange (map side)")
   }
 
   test("prep audit cache survives an external clearCache") {
@@ -90,7 +96,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val p3 = search.queryExecution.executedPlan.toString
     assert(p3.contains("BroadcastHashJoin"))
     assert(!p3.contains("SortMergeJoin"))
-    assert(p3.contains("partial_topkagg")) // top-k still partial-aggregates
+    // top-k still bounds the shuffle map-side (r16: partial
+    // WindowGroupLimit below the exchange, was partial_topkagg)
+    assert(p3.contains(", Partial"))
     val rows = search.collect()
     assert(rows.length == 30) // 10 queries x k=3, same contract as fixture
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
@@ -1066,11 +1074,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("target_docs")).sum <= total)
   }
 
-  test("knn label: one prediction per query, vote bounds, no window argmax") {
+  test("knn label: one prediction per query, vote bounds, bounded argmax") {
     val df = SparkEntry.queries("q_embed_knn_label")(spark, sf)
-    // both the top-k and the vote argmax must partial-aggregate — a
-    // window would exchange+sort every scored/vote row per key
-    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    // both the top-k and the vote argmax must bound the shuffle on the
+    // map side — the top-k through TopKPerKey's partial
+    // WindowGroupLimit (r16), never a bare Window that exchanges and
+    // sorts every scored/vote row per key
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      (plan.contains("WindowGroupLimit") && plan.contains(", Partial")), plan)
     val rows = df.collect()
     assert(rows.length == 10 && rows.map(_.getAs[Long]("q_id")).distinct.length == 10)
     rows.foreach { r =>
@@ -1382,17 +1394,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("round-6 plan shapes: single-exchange sample, window-free top-k") {
+  test("round-6 plan shapes: single-exchange sample, bounded top-k") {
     // stratified sample: both windows (rank + count) share ONE exchange
     // on the source key — the shard-parallel discipline
     val p1 = SparkEntry.queries("q_doc_stratified_sample")(spark, sf)
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(p1).length == 1, s"plan:\n$p1")
-    // hard negatives ranks through the TopKPerKey aggregator, never a
+    // hard negatives ranks through TopKPerKey's bounded group limit
+    // (r16: partial WindowGroupLimit below the exchange), never a bare
     // window over the k×-expanded scored relation
     val p2 = SparkEntry.queries("q_embed_hard_negatives")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!p2.contains("Window"), s"plan:\n$p2")
+    assert(!p2.contains("Window [") ||
+      (p2.contains("WindowGroupLimit") && p2.contains(", Partial")),
+      s"plan:\n$p2")
     // collocations ends in a global top-50: TakeOrdered, no Window
     val p3 = SparkEntry.queries("q_doc_collocations")(spark, sf)
       .queryExecution.executedPlan.toString
