@@ -450,7 +450,16 @@ object Relational {
         .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      // r16: the explicit repartition(l_orderkey) lets the (ok, sk)
+      // aggregate AND the per-order window share ONE exchange —
+      // HashPartitioning(ok) satisfies the aggregate's
+      // ClusteredDistribution(ok, sk) by the subset rule and the
+      // window's partitionBy(ok) outright (the dup_spans pattern).
+      // Map-side partial aggregation loses ~nothing here: (ok, sk)
+      // pairs are near-unique in lineitem, so the unhinted shape paid
+      // a second full exchange for no reduction.
       val perPair = base
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .agg(max((col("l_returnflag") === "R").cast("int")).as("is_fault"))
       val w = Window.partitionBy("ok")

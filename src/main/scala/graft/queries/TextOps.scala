@@ -499,6 +499,58 @@ object TextOps {
   private[graft] val clustersInvocations =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Driver finish cap for clustersOf (r16): once the (contracted)
+    * edge set fits this many rows, one bounded collect + an exact
+    * union-find replace the remaining distributed rounds — the tail of
+    * an iterative CC is a tiny graph paying full per-action overhead
+    * (measured at sf0.1: levels whose label sums were ~1k cost ~0.5 s
+    * each in fixed job costs). Scale-adaptive by construction: a
+    * 100 TB pair graph runs distributed batches until the geometric
+    * contraction drops under the cap, then finishes locally — the
+    * same counted-collect discipline as the centroid/codebook caps
+    * (64k edges ≈ 1 MB on the driver; the collect is limit-bounded
+    * BEFORE any size check, so an over-cap graph costs one truncated
+    * read, never a driver OOM). Bit-equal output: union-by-min keeps
+    * the component-min id as every root, exactly the fixpoint the
+    * distributed min-label propagation computes (spec-pinned both
+    * sides of the seam-forced cap). */
+  val CcFinishEdgeCap: Int = 1 << 16
+  /** test seam: force the distributed path (Some(0)) or an early
+    * finish (small cap) to pin bit-equality across the route */
+  @volatile private[graft] var ccFinishCapOverride: Option[Int] = None
+  private def ccFinishCap: Int = ccFinishCapOverride.getOrElse(CcFinishEdgeCap)
+
+  /** exact union-find over a collected edge list → (doc_id, label)
+    * level map, label = component-min id (union by MIN root: every
+    * merge keeps the smaller root, so each tree's root IS its
+    * component minimum — the distributed propagation's fixpoint). */
+  private def driverCcMap(s: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression keeps the loop near-linear
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rows = parent.keysIterator.toArray.sorted
+      .map(n => Row(n, find(n))).toSeq
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("label", LongType, nullable = false))))
+  }
+
   def clustersOf(pairs: DataFrame, maxRounds: Int = 20,
       checkpointDir: Option[String] = None,
       roundsPerAction: Int = 2): DataFrame = {
@@ -597,7 +649,9 @@ object TextOps {
     // computes — the output is bit-identical by construction.
     val levelMaps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var exhausted = false
-    while (!converged && !exhausted && round < maxRounds) {
+    // one batch of `roundsPerAction` distributed propagation rounds —
+    // the loop body when the edge set is still over the finish cap
+    def distributedBatch(): Unit = {
       val k = math.min(roundsPerAction, maxRounds - round)
       var cur = labels
       val obs = scala.collection.mutable.ArrayBuffer.empty[Observation]
@@ -657,6 +711,26 @@ object TextOps {
           prevSum = None // label sums are not comparable across levels
         }
       }
+    }
+    while (!converged && !exhausted && round < maxRounds) {
+      // r16 driver finish: a bounded peek at the current edge set — at
+      // or under the cap the whole remaining graph fits the driver and
+      // one exact union-find replaces every remaining batch (and its
+      // per-action overhead); over it, the truncated read cost one
+      // small scan and the distributed batch proceeds as before.
+      val head = und
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit(ccFinishCap + 1).collect()
+      if (head.length <= ccFinishCap) {
+        if (head.isEmpty) exhausted = true // no edges left at this level
+        else {
+          levelMaps += driverCcMap(pairs.sparkSession,
+            head.map(r => (r.getLong(0), r.getLong(1))))
+          converged = true
+          dbg(s"level=${levelMaps.size} driver-finished " +
+            s"(${head.length} edges)")
+        }
+      } else distributedBatch()
     }
     // compose the per-level maps top-down: level 1 covers every node of
     // the original pair graph; a deeper level only holds nodes whose

@@ -272,6 +272,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters: driver finish is bit-equal to the distributed route") {
+    import spark.implicits._
+    // r16: clustersOf finishes on the driver (bounded collect + exact
+    // union-find) once the edge set fits CcFinishEdgeCap. Pin the
+    // three routes to identical labels on a shape that needs several
+    // levels: a 30-edge chain + a clique + an isolated pair. Chain ids
+    // are SHUFFLED along the path — an id-monotone path is the
+    // propagate+contract worst case (contraction strips O(1) nodes per
+    // level and per-level plan costs compound; see the CcFinishEdgeCap
+    // scaladoc), which is exactly what the driver finish avoids in the
+    // default route; the seam-forced distributed run here needs a
+    // realistically-converging shape to terminate in test time.
+    val perm = new scala.util.Random(20260817L).shuffle((0 to 30).toVector)
+    val chain = (0 until 30).map(i => (perm(i) * 3L, perm(i + 1) * 3L))
+    val clique = for (a <- 200L to 204L; b <- a + 1 to 204L) yield (a, b)
+    val pairs = (chain ++ clique :+ (500L, 501L)).toDF("id_a", "id_b")
+    def run(): Map[Long, Long] = graft.queries.TextOps.clustersOf(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val finished = run() // default cap: driver finish at level 0
+    try {
+      graft.queries.TextOps.ccFinishCapOverride = Some(0)
+      val distributed = run() // seam-forced: never finishes locally
+      graft.queries.TextOps.ccFinishCapOverride = Some(8)
+      val mixed = run() // distributed batches until <=8 edges, then UF
+      assert(distributed == finished)
+      assert(mixed == finished)
+    } finally graft.queries.TextOps.ccFinishCapOverride = None
+    // sanity: the chain collapses to min id 0, the clique to 200
+    assert(finished(90L) == 0L && finished(204L) == 200L &&
+      finished(501L) == 500L)
+  }
+
   test("dedup clusters: reliable checkpoint dir yields identical labels") {
     import spark.implicits._
     // a 9-node chain (diameter 8) forces several batches, exercising the
