@@ -383,8 +383,17 @@ object Relational {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"),
           (m(col("p_retailprice")) * col("sum_qty")).as("value"))
+      // count(l_partkey), not count(1): identical value (pv's key is an
+      // inner-join key — never null) but the live column reference
+      // stops Catalyst from pruning l_partkey out of this branch, so
+      // the total subtree stays byte-identical to pv's and AQE reuses
+      // ONE lineitem scan+partial-aggregate stage for both (the
+      // q_doc_top_terms ReuseExchange pattern; count(1) re-ran the
+      // whole lineitem aggregation a second time). l_partkey is
+      // nullable-typed from parquet, so the count(col) survives the
+      // count(non-nullable)→count(1) rewrite.
       val total = pv.agg(sum(col("value")).as("total_value"),
-        count(lit(1)).as("n_parts"))
+        count(col("l_partkey")).as("n_parts"))
       pv.crossJoin(broadcast(total))
         .filter(col("value").cast("double") * col("n_parts") >
           col("total_value").cast("double"))

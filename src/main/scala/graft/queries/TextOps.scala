@@ -261,21 +261,30 @@ object TextOps {
     // version instead of writing a tree the pointer would shadow
     val ic = graft.operators.IndexCompact
     val s = docs.sparkSession
-    ic.writeFresh(s, dir, "fps.parquet",
-      docs.select(col("doc_id"), md5(lower(col("text"))).as("fp")))
     // ONE corpus-heavy pass (r16): the per-shingle MinhashSigs compute
     // runs once into sigs.parquet; bands derive from the published
     // sig table (8 longs/doc — tiny), not from a second full corpus
     // pass. Identical band keys by construction: bandRowsOf ==
     // bandRowsOfSigs ∘ rowSigsOf, and the parquet round-trip of long
     // sigs is exact. At 100 TB this halves the index build's compute
-    // (2 shingle+hash corpus scans → 1).
+    // (2 shingle+hash corpus scans → 1). The independent fps write
+    // OVERLAPS the sigs write from a second driver thread (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially) — the fps scan's tasks back-fill executors freed
+    // by the sig pass's tail instead of serializing two corpus reads.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fpsWrite = Future {
+      ic.writeFresh(s, dir, "fps.parquet",
+        docs.select(col("doc_id"), md5(lower(col("text"))).as("fp")))
+    }
     ic.writeFresh(s, dir, "sigs.parquet", rowSigsOf(docs))
     val sigsBack = graft.operators.IndexCompact.read(s, dir, "sigs.parquet")
       .select(col("doc_id"), col("sigs"))
     ic.writeFresh(s, dir, "bands.parquet",
       cappedBands(bandRowsOfSigs(sigsBack)
         .select("doc_id", "band_idx", "band_hash")))
+    Await.result(fpsWrite, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Dedup a NEW shard against a persisted index (the incremental
@@ -1383,7 +1392,14 @@ object TextOps {
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + 4)).as("idx"))
         .distinct()
-      val kept = docs
+      // r16: repartition the UN-exploded docs on doc_id, then explode —
+      // Generate preserves the partitioning, the broadcast anti-join
+      // keeps it, and the rebuild's groupBy(doc_id) then needs NO
+      // exchange. The unhinted shape shuffled the full exploded
+      // (doc_id, idx, tok) token stream into the rebuild aggregate —
+      // same bytes but tokens-per-doc× more rows through the exchange
+      // (guide §3.3: move the un-exploded form, explode after).
+      val kept = docs.repartition(col("doc_id"))
         .select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
         .join(covered, Seq("doc_id", "idx"), "left_anti")
       docs.select(col("doc_id"))
