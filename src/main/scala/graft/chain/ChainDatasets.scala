@@ -343,31 +343,53 @@ object ChainDatasets {
     * across blocks/txs/logs/traces with relationship labels (an unpivot).
     */
   def addressAppearances(spark: SparkSession, dir: String): DataFrame = {
-    def shape(df: DataFrame, addr: Column, rel: String,
+    // r17 (guide §6 read-once): ONE scan per fixture table. The former
+    // 9 union legs re-scanned their table per leg (txs ×2, logs ×3,
+    // traces ×3) — each leg re-decoding the shared block/tx-id columns.
+    // The relationship legs now ride one stack() unpivot per table over
+    // a single scan (stack emits its rows directly — measured faster
+    // than the array(struct(..)) + explode spelling, which pays an
+    // extra per-row struct copy). Row multiset is identical: a leg
+    // whose predicate fails (the two erc20 legs on a non-Transfer log)
+    // emits a NULL address and the post-stack isNotNull filter drops it
+    // exactly like the old per-leg shape() filter did.
+    def legged(df: DataFrame, legs: Seq[(Column, String)],
         bn: Column = col("block_number"),
         txIdx: Column = col("transaction_index"),
         txHash: Column = col("transaction_hash")): DataFrame =
-      df.select(bn.as("block_number"), txIdx.as("transaction_index"),
-        txHash.as("transaction_hash"), addr.as("address"),
-        lit(rel).as("relationship"), col("chain_id"))
+      df.select(Seq(bn.as("block_number"), txIdx.as("transaction_index"),
+          txHash.as("transaction_hash"), col("chain_id")) ++
+          legs.zipWithIndex.flatMap { case ((a, r), i) =>
+            Seq(a.as(s"a$i"), lit(r).as(s"r$i")) }: _*)
+        .selectExpr("block_number", "transaction_index",
+          "transaction_hash", "chain_id",
+          s"stack(${legs.size}, " + legs.indices.map(i => s"a$i, r$i")
+            .mkString(", ") + ") AS (address, relationship)")
         .filter(col("address").isNotNull)
+        .select("block_number", "transaction_index", "transaction_hash",
+          "address", "relationship", "chain_id")
     val blocksDf = fx(spark, dir, "rpc_blocks")
     val txsDf = fx(spark, dir, "rpc_transactions")
     val logsDf = fx(spark, dir, "rpc_logs")
     val tracesDf = fx(spark, dir, "rpc_traces")
     val sigT = lit(Keccak.hash("Transfer(address,address,uint256)"))
-    val transferLogs = logsDf.filter(get(col("topics"), lit(0)) === sigT &&
-      size(col("topics")) >= 3)
-    shape(blocksDf, col("author"), "miner",
+    val isTransfer = get(col("topics"), lit(0)) === sigT &&
+      size(col("topics")) >= 3
+    legged(blocksDf, Seq(col("author") -> "miner"),
         txIdx = lit(null).cast("int"), txHash = lit(null).cast("binary"))
-      .unionByName(shape(txsDf, col("from_address"), "tx_from"))
-      .unionByName(shape(txsDf, col("to_address"), "tx_to"))
-      .unionByName(shape(logsDf, col("address"), "log_address"))
-      .unionByName(shape(transferLogs, expr("substring(topics[1], 13, 20)"), "erc20_transfer_from"))
-      .unionByName(shape(transferLogs, expr("substring(topics[2], 13, 20)"), "erc20_transfer_to"))
-      .unionByName(shape(tracesDf, col("action_from"), "trace_from"))
-      .unionByName(shape(tracesDf, col("action_to"), "trace_to"))
-      .unionByName(shape(tracesDf, col("result_address"), "trace_created"))
+      .unionByName(legged(txsDf, Seq(
+        col("from_address") -> "tx_from",
+        col("to_address") -> "tx_to")))
+      .unionByName(legged(logsDf, Seq(
+        col("address") -> "log_address",
+        when(isTransfer, expr("substring(topics[1], 13, 20)"))
+          -> "erc20_transfer_from",
+        when(isTransfer, expr("substring(topics[2], 13, 20)"))
+          -> "erc20_transfer_to")))
+      .unionByName(legged(tracesDf, Seq(
+        col("action_from") -> "trace_from",
+        col("action_to") -> "trace_to",
+        col("result_address") -> "trace_created")))
       .sortWithinPartitions("block_number", "transaction_index", "address", "relationship")
   }
 

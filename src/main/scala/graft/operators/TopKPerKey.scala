@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object TopKPerKey {
 
+  /** The bounded-shuffle contract above depends on Catalyst's
+    * InferWindowGroupLimit rule, which only inserts the partial group
+    * limit when k is BELOW spark.sql.optimizer.windowGroupLimitThreshold
+    * (default 1000) — a larger k silently reverts to shuffling the whole
+    * scored relation (ADVICE r16). Make the config-sensitivity explicit:
+    * every call site passes k ≪ 1000, so a violation is a programming
+    * error, not a tuning choice. */
+  private def requireBounded(spark: SparkSession, k: Int): Unit = {
+    val threshold = spark.conf
+      .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
+    require(k < threshold,
+      s"topK k=$k >= windowGroupLimitThreshold=$threshold: the partial " +
+        "WindowGroupLimit would not fire and the whole scored relation " +
+        "would shuffle — raise the threshold or lower k")
+  }
+
   /** top-k rows of `df` per `keyCol`, ordered by `scoreCol` (desc by
     * default, asc with `asc = true`) with `idCol` asc tie-break; output
     * (key, rank, id, score). Long scores survive the double round-trip
@@ -52,6 +68,7 @@ object TopKPerKey {
       col(idCol).cast("long").as(idCol))
       .where(col(keyCol).isNotNull && col(scoreCol).isNotNull &&
         col(idCol).isNotNull)
+    requireBounded(spark, k)
     val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(ord, col(idCol).asc)
@@ -81,6 +98,7 @@ object TopKPerKey {
       col(p2Col).cast("long").as(p2Col))
       .where(col(keyCol).isNotNull && col(scoreCol).isNotNull &&
         col(idCol).isNotNull && col(p1Col).isNotNull && col(p2Col).isNotNull)
+    requireBounded(spark, k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
     base.withColumn("rk", row_number().over(w))

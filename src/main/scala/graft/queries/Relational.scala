@@ -574,13 +574,23 @@ object Relational {
     },
 
     // TPC-H Q18 shape: HAVING on a big aggregate, then join back.
+    // r17 (VERDICT r16 item 4, guide §3.1): broadcast the
+    // HAVING-filtered side explicitly. Unhinted, the static planner
+    // estimated the orders SCAN under the auto-broadcast threshold and
+    // built the whole orders table (sf1t plan: BroadcastExchange over
+    // orders, BuildLeft — 10× the bytes of the filtered aggregate),
+    // while the side that is tiny BY CONSTRUCTION (orders with >300
+    // total qty ≈ 0.03% of orders; ~24 B/row ⇒ ~700 MB even at the
+    // 100 TB decade, well under the broadcast caps) streamed through an
+    // exchange. The hint pins build/probe the right way at every scale:
+    // orders is now neither shuffled nor broadcast.
     "q18_large_orders" -> { (s, dir) =>
       val l = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
       val big = l.groupBy("l_orderkey")
         .agg(fin(sum(m(col("l_quantity"))), 2).as("total_qty"))
         .filter(col("total_qty") > 300)
-      o.join(big, col("o_orderkey") === col("l_orderkey"))
+      o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderdate").cast("date").cast("timestamp").as("orderdate"),
           col("total_qty"))

@@ -268,6 +268,51 @@ class ChainDatasetsSpec extends AnyFunSuite {
     assert(fx == fx2)
   }
 
+  test("pagerank: driver finish is bit-equal to the distributed route") {
+    // r17: pagerankOf finishes on the driver (bounded collect + exact
+    // local replay of the integer-grid rounds) once the distinct edge
+    // set fits PrFinishEdgeCap. Pin both routes — and the convergence
+    // accounting — to identical results on the real fixture graph and
+    // on a shape that early-exits.
+    val txs = spark.read.parquet(s"$dir/rpc_transactions.parquet")
+    def key(rows: Array[org.apache.spark.sql.Row]): Seq[(String, Long, Double)] =
+      rows.map(r =>
+        (r.getAs[Array[Byte]]("address").map("%02x".format(_)).mkString,
+          r.getAs[Long]("rank_q"), r.getAs[Double]("rank"))).sortBy(_._1).toSeq
+    val finished = key(graft.queries.ChainQueries.pagerankOf(txs).collect())
+    val finishedRounds = graft.queries.ChainQueries.lastPagerankRounds.get
+    try {
+      graft.queries.ChainQueries.prFinishCapOverride = Some(0)
+      val distributed = key(
+        graft.queries.ChainQueries.pagerankOf(txs).collect())
+      val distributedRounds = graft.queries.ChainQueries.lastPagerankRounds.get
+      assert(distributed == finished)
+      assert(distributedRounds == finishedRounds,
+        s"round accounting diverged: local $finishedRounds vs " +
+          s"distributed $distributedRounds")
+      // a mid-size cap exercises the over-cap truncated-read branch
+      // (one bounded collect, then the distributed loop)
+      graft.queries.ChainQueries.prFinishCapOverride = Some(1)
+      assert(key(graft.queries.ChainQueries.pagerankOf(txs).collect())
+        == finished)
+    } finally graft.queries.ChainQueries.prFinishCapOverride = None
+    // the single-edge early-exit shape must converge at the same round
+    // on both routes (the driver loop replays the exact stop rule)
+    import spark.implicits._
+    val tiny = Seq((Array[Byte](1), Array[Byte](2)))
+      .toDF("from_address", "to_address")
+    val fxLocal = key(graft.queries.ChainQueries
+      .pagerankOf(tiny, maxIters = 10).collect())
+    val localRounds = graft.queries.ChainQueries.lastPagerankRounds.get
+    try {
+      graft.queries.ChainQueries.prFinishCapOverride = Some(0)
+      val fxDist = key(graft.queries.ChainQueries
+        .pagerankOf(tiny, maxIters = 10).collect())
+      assert(fxLocal == fxDist)
+      assert(graft.queries.ChainQueries.lastPagerankRounds.get == localRounds)
+    } finally graft.queries.ChainQueries.prFinishCapOverride = None
+  }
+
   test("fee percentiles: ordered, bracketed by the block min/max") {
     def lv(r: org.apache.spark.sql.Row, c: String): Long =
       r.getAs[Number](c).longValue

@@ -9,6 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** ADVICE r16: every `Window [` node in a plan must be PAIRED with a
+    * map-side partial WindowGroupLimit (the bounded-shuffle contract) —
+    * a plan-wide substring disjunction would let one bounded top-k mask
+    * another sub-plan's regression to a bare unbounded Window. */
+  private def windowsAllBounded(plan: String): Boolean = {
+    val nWindow = "Window \\[".r.findAllIn(plan).length
+    val nPartialLimit = plan.linesIterator
+      .count(l => l.contains("WindowGroupLimit") && l.contains(", Partial"))
+    nWindow == nPartialLimit
+  }
+
   test("cosine top-k: 5 neighbors per query, cosine within [-1, 1], ranked") {
     val rows = SparkEntry.queries("q_embed_cosine_topk")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
@@ -97,8 +108,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p3.contains("BroadcastHashJoin"))
     assert(!p3.contains("SortMergeJoin"))
     // top-k still bounds the shuffle map-side (r16: partial
-    // WindowGroupLimit below the exchange, was partial_topkagg)
-    assert(p3.contains(", Partial"))
+    // WindowGroupLimit below the exchange, was partial_topkagg) — and
+    // EVERY window in the plan is paired with one (ADVICE r16)
+    assert(windowsAllBounded(p3), s"plan:\n$p3")
     val rows = search.collect()
     assert(rows.length == 30) // 10 queries x k=3, same contract as fixture
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
@@ -302,6 +314,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     // sanity: the chain collapses to min id 0, the clique to 200
     assert(finished(90L) == 0L && finished(204L) == 200L &&
       finished(501L) == 500L)
+  }
+
+  test("dedup clusters: adversarial monotone path contracts deep levels " +
+    "at stable per-level cost (constraint/stats barrier)") {
+    import spark.implicits._
+    // VERDICT r16 item 7: an id-MONOTONE path strips O(1) nodes per
+    // contraction level, so a seam-forced distributed run reaches deep
+    // levels — where, before the r17 GraftSql.constraintBarrier, the
+    // checkpoint's carried constraint set and double-exponentially
+    // multiplied sizeInBytes stats compounded per level (r16 measured
+    // 17 s -> 258 s PER LEVEL at levels 7->8; the r17 probe found the
+    // driver pinned in BigInteger.multiply over million-digit
+    // sizeInBytes). With the barrier, 8 levels on this shape run in a
+    // few seconds flat — the time budget below fails by an order of
+    // magnitude if either compounding returns. Default route unchanged
+    // (it driver-finishes at level 0; route equality is pinned by the
+    // bit-equality spec above).
+    val n = 600
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("id_a", "id_b")
+    graft.queries.TextOps.ccFinishCapOverride = Some(0)
+    try {
+      val t0 = System.nanoTime()
+      // maxRounds 16 at 2 rounds/action = 8 contraction levels
+      val out = graft.queries.TextOps
+        .clustersOf(pairs, maxRounds = 16).collect()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(out.length == n)
+      // labels never exceed ids and are monotone toward the min
+      assert(out.forall(r => r.getLong(1) <= r.getLong(0)))
+      assert(elapsed < 90.0,
+        f"8 seam-forced contraction levels took $elapsed%.1f s — " +
+          "per-level plan cost is compounding again")
+    } finally graft.queries.TextOps.ccFinishCapOverride = None
   }
 
   test("dedup clusters: reliable checkpoint dir yields identical labels") {
@@ -1113,8 +1159,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // WindowGroupLimit (r16), never a bare Window that exchanges and
     // sorts every scored/vote row per key
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window [") ||
-      (plan.contains("WindowGroupLimit") && plan.contains(", Partial")), plan)
+    assert(windowsAllBounded(plan), plan)
     val rows = df.collect()
     assert(rows.length == 10 && rows.map(_.getAs[Long]("q_id")).distinct.length == 10)
     rows.foreach { r =>
@@ -1437,9 +1482,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // window over the k×-expanded scored relation
     val p2 = SparkEntry.queries("q_embed_hard_negatives")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!p2.contains("Window [") ||
-      (p2.contains("WindowGroupLimit") && p2.contains(", Partial")),
-      s"plan:\n$p2")
+    assert(windowsAllBounded(p2), s"plan:\n$p2")
     // collocations ends in a global top-50: TakeOrdered, no Window
     val p3 = SparkEntry.queries("q_doc_collocations")(spark, sf)
       .queryExecution.executedPlan.toString
