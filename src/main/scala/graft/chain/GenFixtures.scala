@@ -84,15 +84,20 @@ object GenFixtures {
     // deterministic slices (parallelize preserves row order across the
     // concatenated parts) instead of coalesce(1). A single-file,
     // single-row-group table cannot be split by ANY reader — every
-    // fixture scan ran as one task regardless of cores, which both
+    // fixture scan ran as one task regardless of cores, which
     // under-represents the scan parallelism a real 100 TB lake has
     // (thousands of row groups) and serialized every chain query's
-    // decode at bench scale (measured: chain_transactions 0.84 → 0.69 s,
-    // chain_fee_analytics 0.73 → 0.58 s on an 8-way relayout). Row
-    // CONTENT is unchanged — same rows, same order, same schema; only
-    // the physical file count changes (~2k rows per part, capped 32).
+    // decode at bench scale. The split count is deliberately SMALL
+    // (≥4k rows per part, capped 4): a 3-arm interleaved A/B
+    // (1/4/32 files, identical code and window) showed scan-shaped
+    // queries gain from a few splits while the geth full-outer-join
+    // family LOSES ~50% at 32 files — M map tasks × R reducers shuffle
+    // blocks (guide §2.2) and per-file open cost overtake the decode
+    // parallelism on a 13 MB fixture. Row CONTENT is unchanged — same
+    // rows, same order, same schema; only the physical file count
+    // changes.
     def write(name: String, schema: StructType, rows: Seq[Row]): Unit = {
-      val k = math.max(1, math.min(32, rows.size / 2000))
+      val k = math.max(1, math.min(4, rows.size / 4000))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, k), schema)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
