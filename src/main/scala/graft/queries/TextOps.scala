@@ -2176,6 +2176,14 @@ object TextOps {
           GraftSql.expression(toks), 3, distinctPerRow = true)).as("shingle"))
       .select(col("source"),
         (graft.functions.Md5Prefix60(col("shingle")) % MinhashMod).as("h"))
+    // r17 NOTE (measured, left alone): a codegen distinct(h, source)
+    // self-join was tried against this collect_set shape (guide §4 — it
+    // removes the ObjectHashAggregate partial from the exploded
+    // stream) and read consistently SLOWER at sf1t (1.0–1.5 s → 1.9 s
+    // in interleaved A/B): the join materializes/broadcasts the whole
+    // distinct (h, source) relation where collect_set's per-h sets
+    // (bounded by the source cardinality) never leave the aggregate.
+    // The object boundary here carries tiny sets, not payloads.
     sh.groupBy("h").agg(collect_set(col("source")).as("ss"))
       .filter(size(col("ss")) >= 2)
       .select(col("h"), explode(col("ss")).as("source_a"), col("ss"))
@@ -2199,12 +2207,32 @@ object TextOps {
     import org.apache.spark.sql.GraftSql
     val uni = docs.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val bg = docs.select(col("doc_id") +: carry.map(col) :+
+    // r17 (guide §2.4/§6 — one corpus-heavy pass, not two): the c2
+    // model counts used to re-run the whole scan+bigram-explode a
+    // second time. The occurrence stream must shuffle on bg for the
+    // model probe anyway (the shuffle_hash join below), so an explicit
+    // repartition(bg) lets the model aggregate RIDE THAT SAME exchange
+    // (AQE ReuseExchange) — the subtrees stay byte-identical because
+    // the model count is count(doc_id) over the isnotnull-filtered
+    // stream (≡ count(1); a bare count(1) lets column pruning narrow
+    // the model branch below the exchange and the reuse dissolves —
+    // the q11/q_doc_top_terms pattern). carry columns no longer ride
+    // the heavy exploded stream at all: they rejoin the |docs|-scale
+    // rollup from a cheap non-exploding scan at the end.
+    val src = docs.filter(col("doc_id").isNotNull)
+    val bg = src.select(col("doc_id"),
       GraftSql.column(graft.functions.ExplodeShingles(
-        GraftSql.expression(toks), 2)).as("bg"): _*)
-    val model = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+        GraftSql.expression(toks), 2)).as("bg"))
+    val bgr = bg.repartition(col("bg"))
+    // LEFT join against uni: every bigram's first token is a token of
+    // the same corpus, so uni (a superset) always matches and left ≡
+    // inner — but the inner spelling let Catalyst infer an
+    // isnotnull(split(bg)[0]) filter and push it below the model
+    // branch's exchange, breaking the byte-identity the ReuseExchange
+    // above depends on (verified in the final adaptive plan).
+    val model = bgr.groupBy("bg").agg(count(col("doc_id")).as("c2"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .join(uni, col("w1") === col("w"))
+      .join(uni, col("w1") === col("w"), "left")
       .withColumn("grid", expr("(c2 * 1048576) div (c1 + 5)"))
       .select("bg", "grid")
     // SHUFFLE_HASH on the model side: without CBO the Aggregate→Join
@@ -2215,9 +2243,16 @@ object TextOps {
     // vocabulary-bounded model per partition is the scale-correct
     // physical join, and a forced broadcast of the model would be the
     // data-dependent-OOM class the comment above rules out.
-    bg.join(model.hint("shuffle_hash"), "bg")
-      .groupBy("doc_id", carry: _*)
+    val rolled = bgr.join(model.hint("shuffle_hash"), "bg")
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("grid").as("sum_grid"))
+    val carried =
+      if (carry.isEmpty) rolled
+      else rolled.join(
+        src.select(("doc_id" +: carry).map(col): _*), Seq("doc_id"))
+    carried
+      .select((Seq("doc_id") ++ carry ++ Seq("n_bigrams", "sum_grid"))
+        .map(col): _*)
       .withColumn("lm_score",
         col("sum_grid").cast("double") / col("n_bigrams"))
   }
@@ -2226,22 +2261,30 @@ object TextOps {
     * q_doc_dsir_weight entry above for the plan-shape discussion. */
   def dsirWeightOf(docs: DataFrame, targetSource: String): DataFrame = {
     import org.apache.spark.sql.GraftSql
-    val bg = docs.select(col("doc_id"), col("source"),
-      GraftSql.column(graft.functions.ExplodeShingles(
-        GraftSql.expression(toks), 2)).as("bg"))
-    val raw = bg.groupBy("bg").agg(count(lit(1)).as("rc"))
-    val tgt = bg.filter(col("source") === targetSource)
-      .groupBy("bg").agg(count(lit(1)).as("tc"))
-    // the grid is a per-distinct-bigram fact: raw ⋈ tgt builds the
-    // model at vocabulary scale and the occurrence stream probes ONCE —
-    // the lmScoreOf discipline, including the shuffle_hash hint on the
-    // model side (non-CBO stats for an Aggregate→Join subtree are
-    // corpus-scale and invert the build side toward broadcasting the
-    // occurrence table, the driver-OOM class)
-    val model = raw.join(tgt, Seq("bg"), "left")
-      .withColumn("grid", expr("(coalesce(tc, 0) * 1048576) div (rc + 5)"))
+    // isnotnull(doc_id) makes count(doc_id) ≡ count(1) by construction
+    // (doc ids are never null in any corpus; the q_doc_top_terms
+    // precedent) — required for the model count below to stay exact
+    val bg = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"),
+        GraftSql.column(graft.functions.ExplodeShingles(
+          GraftSql.expression(toks), 2)).as("bg"))
+    // r17 (guide §2.4/§6): the old shape ran the corpus scan + bigram
+    // explode THREE times (raw counts, target counts, occurrences).
+    // One aggregate over the shuffled occurrence stream now computes
+    // raw AND target counts together — count(when(source = target, 1))
+    // is exactly the old left-joined tc with its null coalesced to 0 —
+    // and the aggregate rides the SAME bg exchange the probe join needs
+    // (AQE ReuseExchange; count(doc_id) + the when(source) reference
+    // keep the model subtree byte-identical to the probe's, the
+    // lmScoreOf/q11 pattern). shuffle_hash on the model side for the
+    // same non-CBO build-side reason as lmScoreOf.
+    val bgr = bg.repartition(col("bg"))
+    val model = bgr.groupBy("bg").agg(
+      count(col("doc_id")).as("rc"),
+      count(when(col("source") === targetSource, 1)).as("tc"))
+      .withColumn("grid", expr("(tc * 1048576) div (rc + 5)"))
       .select("bg", "grid")
-    bg.join(model.hint("shuffle_hash"), "bg")
+    bgr.join(model.hint("shuffle_hash"), "bg")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_bigrams"), sum("grid").as("sum_grid"))
       .withColumn("dsir_weight",
